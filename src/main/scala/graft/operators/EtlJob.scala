@@ -1,0 +1,188 @@
+package graft.operators
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.spec.{JobSpec, Operation}
+import graft.sources.{DataSource, PathRef, TableRef, TargetRef}
+
+import scala.jdk.CollectionConverters._
+
+/** ETL job lifecycle (reference: etl/parent.py:206-223). Seven logical
+  * phases — the reference numbers them 01,03..08 (a planned step_02 was
+  * never built, parent.py:208-216):
+  *   1. source pre-sql        (side-effecting SQL hook)
+  *   2. materialize source query as temp view `__source_view`
+  *   3. source post-sql
+  *   4. target pre-sql        — the reference runs this on the SOURCE
+  *      datasource (parent.py:181), a catalogued defect; intended and
+  *      implemented semantics: target datasource.
+  *   5. operate (append/overwrite/update/upsert)
+  *   6. target post-sql
+  *   7. clean — deliberate no-op (parent.py:202-204): temp views are
+  *      session-scoped.
+  *
+  * Everything before `operate` is lazy plan construction; the first Spark
+  * action is the write inside `operate` (plus hook side effects).
+  */
+final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
+  import EtlJob._
+
+  private val fromDs = DataSource(spec.source.datasource)
+  private val toDs   = DataSource(spec.target.datasource)
+
+  val targetRef: TargetRef =
+    spec.target.table.map(TableRef.apply)
+      .orElse(spec.target.path.map(PathRef.apply))
+      .getOrElse(throw new IllegalStateException("validated spec lacks target"))
+
+  def run(): Unit = {
+    spec.source.preSql.foreach(fromDs.sql(_))
+    val source = fromDs.sql(spec.source.effectiveQuery)
+    source.createOrReplaceTempView(SourceView)
+    spec.source.postSql.foreach(fromDs.sql(_))
+    spec.target.preSql.foreach(toDs.sql(_))
+    operate(spark.table(SourceView))
+    spec.target.postSql.foreach(toDs.sql(_))
+  }
+
+  private[graft] def operate(source: DataFrame): Unit = spec.target.operation match {
+    case Operation.Append    => Writes.append(source, targetRef)
+    case Operation.Overwrite => Writes.overwrite(source, targetRef)
+    case Operation.Update =>
+      Writes.merge(source, targetRef, toDs, spec.target.primaryKeyColumns,
+        spec.target.updateColumns, spec.target.whereStatementOnTable,
+        insertWhenNotMatched = false)
+    case Operation.Upsert =>
+      Writes.merge(source, targetRef, toDs, spec.target.primaryKeyColumns,
+        spec.target.updateColumns, spec.target.whereStatementOnTable,
+        insertWhenNotMatched = true)
+  }
+}
+
+object EtlJob {
+  val SourceView = "__source_view"
+
+  /** Factory mirroring `init_etl_job` (parent.py:10-65): YAML → ${param}
+    * substitution → lowercased keys → operation dispatch. */
+  def fromConfig(path: String, params: Map[String, String] = Map.empty)(
+      implicit spark: SparkSession): EtlJob =
+    new EtlJob(JobSpec.load(path, params))
+
+  def fromYaml(yaml: String, params: Map[String, String] = Map.empty)(
+      implicit spark: SparkSession): EtlJob =
+    new EtlJob(JobSpec.fromString(yaml, params))
+}
+
+/** The physical write operations. All are DataFrame-writer based — no
+  * driver-side data movement; every shape here scales with executor count.
+  */
+object Writes {
+
+  /** O7 append / insert: name-resolved append (reference: etl/append.py,
+    * delta.py:65-102). Creates the table/path when absent. */
+  def append(source: DataFrame, ref: TargetRef)(implicit spark: SparkSession): Unit =
+    ref match {
+      case TableRef(t) =>
+        val w = source.write.format("parquet").mode(SaveMode.Append)
+        // saveAsTable-append onto an existing partitioned table must restate
+        // the table's partitioning (Spark checks spec equality).
+        val parts = if (spark.catalog.tableExists(t)) partitionColumns(t) else Nil
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(t)
+      case PathRef(p) =>
+        source.write.mode(SaveMode.Append).parquet(p)
+    }
+
+  /** O8 partition-scoped overwrite. The reference collects the source's
+    * distinct partition values to the DRIVER and builds a `replaceWhere`
+    * predicate (etl/overwrite.py:20-36) — a driver bottleneck at scale.
+    * Spark gives the same observable semantics natively with dynamic
+    * partition overwrite: only partitions present in the source are
+    * rewritten, untouched partitions survive; the partition set is computed
+    * distributed, never on the driver. Non-partitioned targets degenerate
+    * to full overwrite, same as the reference's `1=1` predicate. */
+  def overwrite(source: DataFrame, ref: TargetRef)(implicit spark: SparkSession): Unit =
+    ref match {
+      case TableRef(t) if spark.catalog.tableExists(t) =>
+        withConf("spark.sql.sources.partitionOverwriteMode", "dynamic") {
+          alignedTo(source, t).write.mode(SaveMode.Overwrite).insertInto(t)
+        }
+      case TableRef(t) =>
+        source.write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(t)
+      case PathRef(p) =>
+        source.write.mode(SaveMode.Overwrite).parquet(p)
+    }
+
+  /** O9/O10 update/upsert via the Merge join-rewrite. The merged result is
+    * staged (one full data write) and then swapped into the target:
+    * Spark refuses to overwrite files it is concurrently reading, so the
+    * lineage must be broken by a materialization. Multi-writer isolation is
+    * out of scope (the reference delegated it to Delta). */
+  def merge(
+      source: DataFrame,
+      ref: TargetRef,
+      ds: DataSource,
+      primaryKeys: Seq[String],
+      updateColumns: Seq[String],
+      baseCondition: String,
+      insertWhenNotMatched: Boolean)(implicit spark: SparkSession): Unit = {
+
+    val target = ds.read(ref)
+    Merge.checkAmbiguousMatches(target, source, primaryKeys, baseCondition)
+    val merged =
+      Merge(target, source, primaryKeys, updateColumns, baseCondition, insertWhenNotMatched)
+
+    ref match {
+      case TableRef(t) =>
+        val staging = s"${t.replace('.', '_')}__graft_staging_${UUID.randomUUID().toString.take(8)}"
+        val partCols = partitionColumns(t)
+        val writer = merged.write.format("parquet")
+        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+          .saveAsTable(staging)
+        try {
+          // INSERT OVERWRITE (static) keeps the target's definition intact.
+          withConf("spark.sql.sources.partitionOverwriteMode", "static") {
+            alignedTo(spark.table(staging), t)
+              .write.mode(SaveMode.Overwrite).insertInto(t)
+          }
+        } finally spark.sql(s"DROP TABLE IF EXISTS $staging")
+      case PathRef(p) =>
+        val hadoopPath = new org.apache.hadoop.fs.Path(p)
+        val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val staging = new org.apache.hadoop.fs.Path(
+          p.stripSuffix("/") + s"__graft_staging_${UUID.randomUUID().toString.take(8)}")
+        merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        // Metadata-only swap: one data write + two renames, no second copy.
+        val old = new org.apache.hadoop.fs.Path(staging + "_old")
+        if (!fs.rename(hadoopPath, old))
+          throw new IllegalStateException(s"merge swap: cannot move $p aside")
+        if (!fs.rename(staging, hadoopPath)) {
+          fs.rename(old, hadoopPath) // restore
+          throw new IllegalStateException(s"merge swap: cannot publish $staging to $p")
+        }
+        fs.delete(old, true)
+    }
+  }
+
+  /** insertInto is position-based — reorder to the table's schema first. */
+  private def alignedTo(df: DataFrame, table: String)(
+      implicit spark: SparkSession): DataFrame = {
+    val cols = spark.table(table).columns
+    df.select(cols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+  }
+
+  def partitionColumns(table: String)(implicit spark: SparkSession): Seq[String] =
+    spark.catalog.listColumns(table).collect().toSeq
+      .filter(_.isPartition).map(_.name)
+
+  private def withConf[A](key: String, value: String)(body: => A)(
+      implicit spark: SparkSession): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+}

@@ -1,0 +1,237 @@
+package graft.spec
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Raised for malformed/incomplete job configuration.
+  * Mirrors the reference's `JobConfigException` (pyzzle/base_job.py:4-5). */
+final class JobConfigException(msg: String) extends RuntimeException(msg)
+
+/** Target write operation. Dispatch is case-insensitive and `insert` is a
+  * strict alias of `append` (reference: etl/parent.py:56-63, delta.py:90). */
+sealed trait Operation
+object Operation {
+  case object Append    extends Operation
+  case object Overwrite extends Operation
+  case object Update    extends Operation
+  case object Upsert    extends Operation
+
+  def parse(s: String): Operation = s.trim.toLowerCase match {
+    case "append" | "insert" => Append
+    case "overwrite"         => Overwrite
+    case "update"            => Update
+    case "upsert"            => Upsert
+    case other => throw new JobConfigException(s"Unexpected operation '$other'")
+  }
+}
+
+/** `${param}` textual substitution into the raw YAML before parsing
+  * (reference: etl/parent.py:30-43). The reference checks the *filepath*
+  * for leftover params — a bug; the intended check is on the substituted
+  * config text, which is what we do. */
+object Params {
+  private val ParamRe = "\\$\\{[A-Za-z_][A-Za-z0-9_]*\\}".r
+
+  def substitute(raw: String, params: Map[String, String]): String = {
+    val out = params.foldLeft(raw) { case (acc, (k, v)) =>
+      acc.replace(s"$${$k}", v)
+    }
+    val missing =
+      ParamRe.findAllIn(out).map(m => m.substring(2, m.length - 1)).toSeq.distinct
+    if (missing.nonEmpty)
+      throw new JobConfigException(
+        "All parameters should be provided. Missing: " + missing.mkString(", "))
+    out
+  }
+}
+
+/** Minimal dynamic-YAML access layer over snakeyaml (on the Spark
+  * classpath). Top-level keys are lower-cased like the reference
+  * (etl/parent.py:48-49). */
+object Yaml {
+  type Node = Map[String, Any]
+
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> toScala(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScala).toSeq
+    case other                => other
+  }
+
+  def parse(text: String): Node = {
+    val raw = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](text)
+    if (raw == null) throw new JobConfigException("Empty YAML config")
+    val m = toScala(raw).asInstanceOf[Map[String, Any]]
+    m.map { case (k, v) => k.toLowerCase -> v }
+  }
+
+  def str(n: Node, key: String): Option[String] =
+    n.get(key).map(_.toString)
+
+  def node(n: Node, key: String): Option[Node] =
+    n.get(key).map {
+      case m: Map[_, _] => m.asInstanceOf[Node]
+      case other =>
+        throw new JobConfigException(s"Config key '$key' must be a mapping, got: $other")
+    }
+
+  /** A field that may be written as a single string or a list of strings
+    * (pre_sql/post_sql: reference passes a single string straight to
+    * spark.sql; we also accept a list for multi-statement hooks). */
+  def strList(n: Node, key: String): Seq[String] = n.get(key) match {
+    case None            => Nil
+    case Some(s: String) => Seq(s)
+    case Some(l: Seq[_]) => l.map(_.toString)
+    case Some(other) =>
+      throw new JobConfigException(s"Config key '$key' must be a string or list, got: $other")
+  }
+}
+
+/** Source side of an ETL job (reference: etl/parent.py:89-111).
+  * `datasource` defaults to "parquet" — the reference's test configs omit it
+  * entirely (which KeyErrors as written; intended default = its only
+  * implementation). */
+final case class SourceSpec(
+    datasource: String,
+    query: Option[String],
+    table: Option[String],
+    preSql: Seq[String],
+    postSql: Seq[String]) {
+
+  /** Default projection synthesis: table-only source becomes
+    * `SELECT * FROM t` (reference: etl/parent.py:108-111). */
+  def effectiveQuery: String =
+    query.orElse(table.map(t => s"SELECT * FROM $t")).getOrElse(
+      throw new JobConfigException("source requires 'query' or 'table'"))
+}
+
+/** Target side of an ETL job (reference: etl/parent.py:89-111,
+  * update_and_upsert.py:11-27). */
+final case class TargetSpec(
+    datasource: String,
+    table: Option[String],
+    path: Option[String],
+    operation: Operation,
+    preSql: Seq[String],
+    postSql: Seq[String],
+    primaryKeyColumns: Seq[String],
+    updateColumns: Seq[String],
+    whereStatementOnTable: String)
+
+final case class JobSpec(version: String, source: SourceSpec, target: TargetSpec) {
+
+  /** Intended semantics of the reference's (disabled, buggy) validator
+    * (etl/validate.py; defects catalogued in SURVEY.md §2.6). */
+  def validate(): Unit = {
+    if (target.table.isEmpty && target.path.isEmpty)
+      throw new JobConfigException("target requires 'table' or 'path'")
+    if (target.table.nonEmpty && target.path.nonEmpty)
+      throw new JobConfigException("target takes 'table' or 'path', not both")
+    source.effectiveQuery // asserts query|table present
+    target.operation match {
+      case Operation.Update | Operation.Upsert =>
+        if (target.primaryKeyColumns.isEmpty)
+          throw new JobConfigException(
+            s"${target.operation} requires 'primary_key_column'")
+        if (target.updateColumns.isEmpty)
+          throw new JobConfigException(
+            s"${target.operation} requires 'update_column'")
+      case _ => ()
+    }
+  }
+}
+
+object JobSpec {
+  import Yaml._
+
+  def load(path: String, params: Map[String, String] = Map.empty): JobSpec =
+    fromString(Files.readString(Paths.get(path)), params)
+
+  def fromString(raw: String, params: Map[String, String] = Map.empty): JobSpec = {
+    val cfg = parse(Params.substitute(raw, params))
+    val src = node(cfg, "source").getOrElse(
+      throw new JobConfigException("'source' section is required"))
+    val tgt = node(cfg, "target").getOrElse(
+      throw new JobConfigException("'target' section is required"))
+    val op = str(tgt, "operation").getOrElse(
+      throw new JobConfigException("The target - operation key is required for a job."))
+    val spec = JobSpec(
+      version = str(cfg, "version").getOrElse("0"),
+      source = SourceSpec(
+        datasource = str(src, "datasource").getOrElse("parquet"),
+        query = str(src, "query"),
+        table = str(src, "table"),
+        preSql = strList(src, "pre_sql"),
+        postSql = strList(src, "post_sql")),
+      target = TargetSpec(
+        datasource = str(tgt, "datasource").getOrElse("parquet"),
+        table = str(tgt, "table"),
+        path = str(tgt, "path"),
+        operation = Operation.parse(op),
+        preSql = strList(tgt, "pre_sql"),
+        postSql = strList(tgt, "post_sql"),
+        primaryKeyColumns = strList(tgt, "primary_key_column"),
+        updateColumns = strList(tgt, "update_column"),
+        whereStatementOnTable = str(tgt, "where_statement_on_table").getOrElse("1=1")))
+    spec.validate()
+    spec
+  }
+}
+
+/** One source of a recon job (reference: recon/recon.py:52-107). Metrics
+  * keep declaration order (the reference folds a YAML list of single-entry
+  * maps into a dict; aliases must match across sources, expressions may
+  * differ — recon.yml:13-16). */
+final case class ReconSource(
+    name: String,
+    datasource: String,
+    query: Option[String],
+    table: Option[String],
+    path: Option[String],
+    metrics: Seq[(String, String)]) {
+  if (query.isEmpty && table.isEmpty && path.isEmpty)
+    throw new JobConfigException(
+      "Either 'query', 'table' or 'path' should be provided in each recon's element")
+}
+
+final case class ReconSpec(version: String, groupBy: Seq[String], data: Seq[ReconSource])
+
+object ReconSpec {
+  import Yaml._
+
+  def load(path: String, params: Map[String, String] = Map.empty): ReconSpec =
+    fromString(Files.readString(Paths.get(path)), params)
+
+  def fromString(raw: String, params: Map[String, String] = Map.empty): ReconSpec = {
+    val cfg = parse(Params.substitute(raw, params))
+    val groupBy = strList(cfg, "group_by")
+    if (groupBy.isEmpty)
+      throw new JobConfigException("'group_by' section is required for recon")
+    val data = cfg.get("data") match {
+      case Some(l: Seq[_]) => l.map(_.asInstanceOf[Map[String, Any]])
+      case _ => throw new JobConfigException("'data' section (list) is required for recon")
+    }
+    // Default source names source_0, source_1… (reference: recon.py:63-67)
+    val sources = data.zipWithIndex.map { case (d, i) =>
+      val metrics = d.get("metrics") match {
+        case Some(l: Seq[_]) =>
+          l.flatMap {
+            case m: Map[_, _] =>
+              m.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString }
+            case other =>
+              throw new JobConfigException(s"metric entries must be maps, got: $other")
+          }
+        case _ => throw new JobConfigException(s"recon source #$i requires 'metrics'")
+      }
+      ReconSource(
+        name = str(d, "name").getOrElse(s"source_$i"),
+        datasource = str(d, "datasource").getOrElse("parquet"),
+        query = str(d, "query"),
+        table = str(d, "table"),
+        path = str(d, "path"),
+        metrics = metrics)
+    }
+    ReconSpec(str(cfg, "version").getOrElse("0"), groupBy, sources)
+  }
+}
