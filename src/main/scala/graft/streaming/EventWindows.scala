@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamReader, StreamingQuery}
+import org.apache.spark.sql.SparkSession
+
+/** Time-window aggregation over the `events` table — written once against
+  * the DataFrame API so the SAME code runs in batch (parquet scan) and in
+  * Structured Streaming (readStream + watermark): Spark's unified model.
+  *
+  * Scale: windowed groupBy is a keyed shuffle on (window, event_type);
+  * streaming state is bounded by the watermark (late data beyond it is
+  * dropped and its state evicted). */
+object EventWindows {
+
+  /** Tumbling windows: count/sum/avg of `value` per (window, event_type).
+    * Works on both batch and streaming inputs. */
+  def tumbling(events: DataFrame, tsCol: String, duration: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), duration).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"),
+        round(avg("value"), 6).as("avg_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
+
+  /** Sliding windows (duration, slide). */
+  def sliding(events: DataFrame, tsCol: String, duration: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), duration, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows per user: gap-based sessionization (session_window). */
+  def sessions(events: DataFrame, tsCol: String, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Streaming variant: parquet-file source → watermarked tumbling agg.
+    * Returns the running query writing to an in-memory sink table
+    * (`sinkTable`) in Append mode. */
+  def streamTumblingToMemory(
+      spark: SparkSession,
+      sourceDir: String,
+      tsCol: String,
+      duration: String,
+      watermark: String,
+      sinkTable: String): StreamingQuery = {
+    // events.parquet carries TIMESTAMP(NANOS) → read ts as nanos-long and
+    // convert, same as graft.Tables.events.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(sourceDir).schema
+    // The file-stream source wants a directory; a single-file input becomes
+    // its parent dir + a glob filter for just that file.
+    val f = new java.io.File(sourceDir)
+    val reader =
+      if (f.isFile)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else spark.readStream.schema(schema).parquet(sourceDir)
+    val stream = reader
+      .withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+    tumbling(stream.withWatermark(tsCol, watermark), tsCol, duration)
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("append")
+      .start()
+  }
+}

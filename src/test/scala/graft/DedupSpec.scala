@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the quiet river bank " +
+      "while morning light spreads across the wide green valley floor"
+
+  /** Planted corpus: 0 and 1 identical, 2 a near-dup small edit of 0,
+    * 3/4 unrelated. */
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),
+    (2L, base.replace("quick", "swift")),
+    (3L, "completely different text about database engines and query planners optimizing join order"),
+    (4L, "yet another unrelated document mentioning streaming watermarks state stores and checkpoints")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per duplicate group") {
+    val out = Dedup.exactText(docs, "text", "doc_id")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(0L, 2L, 3L, 4L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated") {
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup not found: $pairs")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      s"near dup not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $pairs")
+  }
+
+  test("minhash jaccard of identical docs is 1.0") {
+    val j = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5)
+      .filter($"id_a" === 0 && $"id_b" === 1)
+      .select("jaccard").as[Double].collect()
+    assert(j.sameElements(Array(1.0)))
+  }
+
+  test("minHashDedup keeps one representative per cluster") {
+    val out = Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(0L, 3L, 4L))
+  }
+
+  test("simhash pairs near-identical docs within hamming budget") {
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 7)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0),
+      s"identical docs must have hamming 0: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L || p._2 == 4L && p._1 == 3L),
+      s"unrelated docs paired: $pairs")
+  }
+
+  test("char ngram jaccard finds the small-edit near-dup") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)), s"char-level near dup not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embedding cosine near-dup pairs planted vectors") {
+    val rnd = new scala.util.Random(1)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val v0 = vec()
+    val v1 = v0.map(x => x + 0.01f) // near-dup of v0
+    val others = Seq.tabulate(8)(_ => vec())
+    val df = ((0L, v0) +: (1L, v1) +: others.zipWithIndex.map { case (v, i) => (i + 2L, v) })
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(df, "embedding", "vec_id", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"expected only the planted pair: $pairs")
+  }
+
+  test("brute-force topK is exact and deterministic on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val out = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+    val byQuery = out.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(byQuery == Map(0L -> 5L, 1L -> 5L, 2L -> 5L))
+    // rank 1 must be the argmax cosine — cross-check one query by sorting
+    val q0 = out.filter($"query_id" === 0).orderBy($"rank")
+      .select("cosine").as[Double].collect()
+    assert(q0.toSeq == q0.sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("ANN topK achieves reasonable recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(emb, queries, "embedding", "vec_id", k = 10,
+      tables = 16, planesPerTable = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall too low: $recall")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, TextAnalysis}
+import graft.streaming.EventWindows
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile computes token counts, lang id, fingerprint") {
+    val df = Seq(
+      (1L, "The cat and the dog play in the garden, it is a fine day."),
+      (2L, "Der Hund und die Katze, das ist ein Spiel und der Tag ist gut."),
+      (3L, "Le chat et le chien, la vie est une chanson et les jours du matin."),
+      (4L, "这是 一个 中文 文档 测试"),
+      (5L, "")).toDF("doc_id", "text")
+    val p = TextAnalysis.profile(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(p(1).getAs[String]("pred_lang") == "en")
+    assert(p(2).getAs[String]("pred_lang") == "de")
+    assert(p(3).getAs[String]("pred_lang") == "fr")
+    assert(p(4).getAs[String]("pred_lang") == "zh")
+    assert(p(1).getAs[Int]("n_tokens") == 14)
+    assert(p(5).getAs[Int]("n_tokens") == 0)
+    // fingerprint is md5 of lowercased, whitespace-normalized text
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("the cat and the dog play in the garden, it is a fine day.".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(p(1).getAs[String]("fingerprint") == expected)
+  }
+
+  test("quality score favors natural text over junk") {
+    val df = Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog and it is a very fine day " * 3)),
+      (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+      (3L, "")).toDF("doc_id", "text")
+    val q = TextAnalysis.profile(df, "text", "doc_id")
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(q(1L) > q(2L), s"natural text should outscore junk: $q")
+    assert(q(3L) == 0.2 || q(3L) < q(1L)) // empty doc scores low
+  }
+
+  test("lang distribution groups by predicted language") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dist = TextAnalysis.langDistribution(docs, "text")
+    assert(dist.agg(sum("n_docs")).first().getLong(0) == docs.count())
+  }
+
+  test("multimodal: decode features, resize, frame sample") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val media = Multimodal.fromDocuments(docs)
+
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.byte_histogram.sum == f.n_bytes, "histogram buckets must sum to payload size")
+    }
+
+    val resized = Multimodal.resize(media, 8, 8).collect()
+    assert(resized.forall(r => r.payload.length == 64 && r.meta.width == 8))
+
+    val frames = Multimodal.frameSample(media, frameBytes = 32, everyNth = 2)
+    val perDoc = frames.groupBy("media_id").count().select("count").as[Long].collect()
+    assert(perDoc.forall(_ >= 1))
+    // deterministic: same input → same checksum set
+    val feats2 = Multimodal.decodeFeatures(media).collect()
+    assert(feats.map(_.checksum).toSet == feats2.map(_.checksum).toSet)
+  }
+
+  test("tumbling window agg: batch and streaming agree") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val batch = EventWindows.tumbling(events, "ts", "10 minutes")
+    val total = batch.agg(sum("n_events")).first().getLong(0)
+    assert(total == events.count(), "window agg must cover every event")
+
+    val q = EventWindows.streamTumblingToMemory(
+      spark, "/root/testdata/sf0.001/events.parquet", "ts", "10 minutes",
+      watermark = "1 minute", sinkTable = "stream_sink")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_sink")
+    // append-mode emits only watermark-closed windows; every emitted row
+    // must match the batch result exactly
+    val batchSet = batch.collect().map(_.toSeq).toSet
+    val streamSet = streamed.collect().map(_.toSeq).toSet
+    assert(streamSet.nonEmpty, "streaming emitted no closed windows")
+    assert(streamSet.subsetOf(batchSet), "streaming rows diverge from batch")
+  }
+
+  test("session windows cover all events per user") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val sessions = EventWindows.sessions(events, "ts", "5 minutes")
+    assert(sessions.agg(sum("n_events")).first().getLong(0) == events.count())
+  }
+}
