@@ -1,13 +1,546 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.streaming.EventWindows
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (reference surface) and §2.3 (LLM
+  * pipeline extensions) is registered in `queries`; those with
+  * SQL-expressible semantics carry a DuckDB oracle in `oracleSql` with
+  * IDENTICAL column names and deterministic ORDER BY. Floating aggregates
+  * are rounded on both sides so cross-engine summation order cannot flip a
+  * hash compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): multi-join
+    * revenue-by-nation over region/nation/customer/orders/lineitem. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q5_nation_revenue")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----------------------------------------------------- core analytics
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_top_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_nation_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .join(c, n("n_nationkey") === c("c_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") && sup("s_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    "q10_returned_items" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = t(s, dir, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    "window_top_orders_per_customer" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "agg_distinct_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    "customers_without_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "priority_counts_semijoin" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "part_brand_union" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val small = p.filter(col("p_size") <= 5).select("p_brand")
+      val pricey = p.filter(col("p_retailprice") > 1500).select("p_brand")
+      small.union(pricey).distinct()
+        .withColumnRenamed("p_brand", "brand")
+        .orderBy("brand")
+    }),
+
+    // --------------------------------------------------- ETL-op semantics
+    // Merge (upsert) exposed as a pure plan over orders: matched keys take
+    // the source's o_totalprice; unmatched source keys insert with NULL
+    // non-update columns (reference O10 semantics).
+    "merge_upsert_orders" -> ((s, dir) => {
+      val target = t(s, dir, "orders")
+      // +1000.0 is exact in binary floating point — keeps the oracle
+      // compare bit-identical (a ×1.1 multiply can land on a half-cent
+      // boundary and round differently across engines).
+      val source = t(s, dir, "orders").filter(pmod(col("o_custkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1000.0d).as("o_totalprice"))
+        .unionByName(
+          t(s, dir, "orders").filter(pmod(col("o_custkey"), lit(100)) === 7)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              lit(1.0d).as("o_totalprice")))
+      Merge(target, source, Seq("o_orderkey"), Seq("o_totalprice"),
+        insertWhenNotMatched = true)
+        .orderBy("o_orderkey")
+    }),
+
+    // Recon: two aggregation pipelines over lineitem reconciled on
+    // l_returnflag (reference O12-O16); source B is scaled by 1.0005 so
+    // sum drifts within tolerance (match=true) while count stays equal.
+    "recon_lineitem" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "lineitem").createOrReplaceTempView("__recon_li")
+      ReconJob.fromYaml(
+        """version: 0
+          |group_by: [l_returnflag]
+          |data:
+          |  - name: a
+          |    query: SELECT * FROM __recon_li
+          |    metrics:
+          |      - sum_price: round(sum(l_extendedprice), 2)
+          |      - n: count(*)
+          |  - name: b
+          |    query: SELECT l_returnflag, l_extendedprice * 1.0005 AS l_extendedprice FROM __recon_li
+          |    metrics:
+          |      - sum_price: round(sum(l_extendedprice), 2)
+          |      - n: count(*)
+          |""".stripMargin).run()
+        .withColumn("delta_sum_price", round(col("delta_sum_price"), 2))
+        .orderBy("l_returnflag")
+    }),
+
+    // -------------------------------------------------------- text analysis
+    "text_profile" -> ((s, dir) =>
+      TextAnalysis.profile(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    "lang_distribution" -> ((s, dir) =>
+      TextAnalysis.langDistribution(t(s, dir, "documents"), "text")
+        .orderBy("pred_lang")),
+
+    // ---------------------------------------------------------------- dedup
+    "dedup_exact_keep" -> ((s, dir) =>
+      Dedup.exactText(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minHashLsh(t(s, dir, "documents"), "text", "doc_id", threshold = 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 7)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_ngram_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", threshold = 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")),
+
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.45)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("id_a", "id_b")),
+
+    // ------------------------------------------------------------ similarity
+    "knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 5)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    "knn_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.annTopK(emb, q, "embedding", "vec_id", k = 5,
+        tables = 16, planesPerTable = 6)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ------------------------------------------------------------ multimodal
+    "multimodal_bytes" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.decodeFeatures(
+        Multimodal.fromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .select("media_id", "kind", "n_bytes")
+        .orderBy("media_id")
+    }),
+
+    "multimodal_frames" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.frameSample(
+        Multimodal.fromDocuments(t(s, dir, "documents")),
+        frameBytes = 64, everyNth = 2)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id")
+    }),
+
+    // ----------------------------------------------------- windows / events
+    "events_tumbling_15m" -> ((s, dir) =>
+      EventWindows.tumbling(t(s, dir, "events"), "ts", "15 minutes")
+        .orderBy("window_start", "event_type")),
+
+    "events_sliding_30m" -> ((s, dir) =>
+      EventWindows.sliding(t(s, dir, "events"), "ts", "30 minutes", "15 minutes")
+        .orderBy("window_start", "event_type")),
+
+    "events_sessions" -> ((s, dir) =>
+      EventWindows.sessions(t(s, dir, "events"), "ts", "5 minutes")
+        .orderBy("user_id", "session_start")),
+
+    "events_json_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(avg("k"), 4).as("avg_k"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type"))
+  )
+
+  /** DuckDB-dialect oracles, column names aligned with `queries`. Spark's
+    * `div 1000`-converted event timestamps equal DuckDB's TIMESTAMP_NS cast
+    * to microseconds on the 15-minute bucket boundaries used here. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "window_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "agg_distinct_stats" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_suppliers,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "priority_counts_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "part_brand_union" ->
+      """SELECT DISTINCT p_brand AS brand FROM (
+        |  SELECT p_brand FROM part WHERE p_size <= 5
+        |  UNION ALL
+        |  SELECT p_brand FROM part WHERE p_retailprice > 1500)
+        |ORDER BY brand""".stripMargin,
+
+    "merge_upsert_orders" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, CAST(1.0 AS DOUBLE) FROM orders WHERE o_custkey % 100 = 7)
+        |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+        |  coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+        |  t.o_orderdate, t.o_orderpriority
+        |FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        |UNION ALL
+        |SELECT s.o_orderkey, NULL, NULL, s.o_totalprice, NULL, NULL
+        |FROM src s ANTI JOIN orders t ON s.o_orderkey = t.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "recon_lineitem" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, round(sum(l_extendedprice), 2) AS a_sum_price,
+        |         count(*) AS a_n
+        |  FROM lineitem GROUP BY l_returnflag),
+        |b AS (
+        |  SELECT l_returnflag, round(sum(l_extendedprice * 1.0005), 2) AS b_sum_price,
+        |         count(*) AS b_n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT a.l_returnflag, a.a_sum_price, a.a_n, b.b_sum_price, b.b_n,
+        |  abs(a.a_n - b.b_n) AS delta_n,
+        |  a.a_n = b.b_n AS match_n,
+        |  round(abs(a.a_sum_price - b.b_sum_price), 2) AS delta_sum_price,
+        |  CASE WHEN a.a_sum_price = b.b_sum_price THEN true
+        |       ELSE abs((a.a_sum_price - b.b_sum_price) / b.b_sum_price) < 0.001 END
+        |    AS match_sum_price
+        |FROM a JOIN b USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "text_profile" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = '' THEN 0
+         |       ELSE len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) END AS n_tokens,
+         |  CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = '' THEN 0
+         |       ELSE len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[A-Za-z0-9]{1,4}'))
+         |          + len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^A-Za-z0-9\\s]')) END AS n_subwords,
+         |  ${oracleLangExpr("text")} AS pred_lang,
+         |  ${oraclePunctExpr("text")} AS punct_ratio,
+         |  ${oracleStopRatioExpr("text")} AS stopword_ratio,
+         |  ${oracleMtlExpr("text")} AS mean_token_len,
+         |  ${oracleQualityExpr("text")} AS quality,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "lang_distribution" ->
+      s"""SELECT ${oracleLangExpr("text")} AS pred_lang, count(*) AS n_docs
+         |FROM documents
+         |GROUP BY 1
+         |ORDER BY pred_lang""".stripMargin,
+
+    "dedup_exact_keep" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+        |ORDER BY doc_id""".stripMargin,
+
+    "knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        |           WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qe::DOUBLE[], ce::DOUBLE[]) AS cos_raw
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "multimodal_bytes" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+        |  count(*) AS n_frames
+        |FROM documents,
+        |  LATERAL unnest(range(0, (greatest(octet_length(encode(text)) - 1, 0) // 64) + 1)) AS t(frame_idx)
+        |WHERE frame_idx % 2 = 0
+        |GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    "events_tumbling_15m" ->
+      """SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "events_json_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+  )
+
+  // --- DuckDB expression builders for the text oracle (kept in one place
+  // so the Spark implementation in TextFunctions and this SQL stay in
+  // lockstep; both are exercised by the driver compare).
+
+  private def dq(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def oracleTokensExpr(c: String): String =
+    s"string_split(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')), ' ')"
+
+  private def oracleLangExpr(c: String): String = {
+    import graft.functions.TextFunctions._
+    def hits(ws: Seq[String]) =
+      s"len(list_filter(${oracleTokensExpr(c)}, x -> list_contains(${dq(ws)}, x)))"
+    s"""CASE
+       |  WHEN len(regexp_extract_all($c, '[\u4e00-\u9fff]')) > 0 THEN 'zh'
+       |  WHEN ${hits(StopwordsEn)} >= ${hits(StopwordsDe)}
+       |   AND ${hits(StopwordsEn)} >= ${hits(StopwordsFr)}
+       |   AND ${hits(StopwordsEn)} >= ${hits(StopwordsEs)} THEN 'en'
+       |  WHEN ${hits(StopwordsDe)} >= ${hits(StopwordsFr)}
+       |   AND ${hits(StopwordsDe)} >= ${hits(StopwordsEs)} THEN 'de'
+       |  WHEN ${hits(StopwordsFr)} >= ${hits(StopwordsEs)} THEN 'fr'
+       |  ELSE 'es' END""".stripMargin
+  }
+
+  private def oracleNormExpr(c: String): String =
+    s"trim(regexp_replace(lower($c), '\\s+', ' ', 'g'))"
+
+  private def oraclePunctExpr(c: String): String =
+    s"""round(CASE WHEN length(${oracleNormExpr(c)}) = 0 THEN 0.0
+       | ELSE len(regexp_extract_all(${oracleNormExpr(c)}, '[\\.,;:!\\?''"()\\[\\]{}-]'))::double
+       |      / length(${oracleNormExpr(c)}) END, 6)""".stripMargin
+
+  private def oracleStopRatioExpr(c: String): String = {
+    import graft.functions.TextFunctions._
+    s"""round(CASE WHEN ${oracleNormExpr(c)} = '' THEN 0.0
+       | ELSE len(list_filter(${oracleTokensExpr(c)},
+       |        x -> list_contains(${dq(StopwordsEn)}, x)))::double
+       |      / len(${oracleTokensExpr(c)}) END, 6)""".stripMargin
+  }
+
+  private def oracleMtlExpr(c: String): String =
+    s"""round(CASE WHEN ${oracleNormExpr(c)} = '' THEN 0.0
+       | ELSE list_sum(list_transform(${oracleTokensExpr(c)}, x -> length(x)))::double
+       |      / len(${oracleTokensExpr(c)}) END, 6)""".stripMargin
+
+  private def oracleQualityExpr(c: String): String = {
+    import graft.functions.TextFunctions._
+    val nTok = s"(CASE WHEN ${oracleNormExpr(c)} = '' THEN 0 ELSE len(${oracleTokensExpr(c)}) END)::double"
+    val punct = s"""(CASE WHEN length(${oracleNormExpr(c)}) = 0 THEN 0.0
+       | ELSE len(regexp_extract_all(${oracleNormExpr(c)}, '[\\.,;:!\\?''"()\\[\\]{}-]'))::double
+       |      / length(${oracleNormExpr(c)}) END)""".stripMargin
+    val stop = s"""(CASE WHEN ${oracleNormExpr(c)} = '' THEN 0.0
+       | ELSE len(list_filter(${oracleTokensExpr(c)}, x -> list_contains(${dq(StopwordsEn)}, x)))::double
+       |      / len(${oracleTokensExpr(c)}) END)""".stripMargin
+    val mtl = s"""(CASE WHEN ${oracleNormExpr(c)} = '' THEN 0.0
+       | ELSE list_sum(list_transform(${oracleTokensExpr(c)}, x -> length(x)))::double
+       |      / len(${oracleTokensExpr(c)}) END)""".stripMargin
+    s"""round(
+       |  least($nTok / 64.0, 1.0) * 0.4
+       |  + (CASE WHEN $punct <= 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - ($punct - 0.2) * 4.0) END) * 0.2
+       |  + least($stop * 5.0, 1.0) * 0.2
+       |  + (CASE WHEN $mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6)""".stripMargin
+  }
 }
