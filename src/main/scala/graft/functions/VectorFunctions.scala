@@ -43,4 +43,27 @@ object VectorFunctions {
     * `l2Normalize` once per side turns an O(n·m) cosine join into plain
     * dots — the cheap path for brute-force top-k at scale. */
   def dotPreNormalized(a: Column, b: Column): Column = dot(a, b)
+
+  // ------------------------------------------------- fixed-dim codegen path
+
+  /** Dot product unrolled to `dim` element_at multiply-adds: stays inside
+    * whole-stage codegen (the HOF `dot` interprets its lambda per element —
+    * ~10× slower in the hyperplane-LSH hot loop). When one side is an array
+    * literal, constant folding turns its element_at calls into literals.
+    * Requires fixed-length vectors (ragged input errs under ANSI mode). */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  // NOTE deliberately no `l2NormalizeUnrolled`: building a normalized
+  // array column inlines the norm subtree into every element's division
+  // (dim × dot-tree nodes — measured 4× slower than the HOF version).
+  // Carry (raw vector, scalar norm) instead and divide the final dot.
+
+  /** Vector length of the first row — for sizing the unrolled expressions.
+    * One tiny driver action at plan-build time (schema-level, not data
+    * scale dependent). */
+  def dimOf(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).first().getInt(0)
 }

@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -14,6 +14,13 @@ import graft.functions.VectorFunctions
   * skew is bounded because blocking keys are hashes (uniform). Verification
   * (exact Jaccard / hamming / cosine) runs only on candidate pairs.
   * Nothing ever collects to the driver.
+  *
+  * Signature computation (minhash / simhash) is formulated as explode +
+  * hash-aggregate with k independent `min`/`sum` aggregate columns: plain
+  * integer arithmetic inside whole-stage codegen with map-side partial
+  * aggregation, instead of interpreted higher-order-function lambdas
+  * (O(k × elements) per row with per-element expression interpretation —
+  * measured ~10× slower at sf0.1).
   */
 object Dedup {
 
@@ -51,23 +58,108 @@ object Dedup {
     (a, b)
   }
 
-  /** (a·(h mod P) + b) mod P — overflow-free universal hash of a 64-bit
-    * shingle hash. */
-  private def uhash(h: Column, a: Column, b: Column): Column =
-    pmod(a * pmod(h, lit(MersenneP)) + b, lit(MersenneP))
+  /** Exploded word-shingle hashes `(__id, __h)`: one row per shingle
+    * position, substring/concat + xxhash64 computed inside whole-stage
+    * codegen. No shingle array is ever materialized (the interpreted
+    * `transform`-built arrays were the measured hot spot). Docs shorter
+    * than `n` units yield one whole-text shingle, mirroring
+    * `TextFunctions.wordShingles`. Duplicate shingles are kept — minhash
+    * over a multiset equals minhash over its set. */
+  private def explodedWordShingles(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .select(col("__id"), col("__t"),
+        explode(sequence(lit(1), greatest(size(col("__t")) - (n - 1), lit(1)))).as("__i"))
+      .select(col("__id"),
+        xxhash64(concat_ws(" ", slice(col("__t"), col("__i"), lit(n)))).as("__h"))
 
-  /** MinHash + LSH banding near-dup candidate/verify pipeline over a text
-    * column.
+  /** Exploded char-shingle hashes, same contract as the word variant. */
+  private def explodedCharShingles(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("__id"), normalizeText(col(textCol)).as("__t"))
+      .select(col("__id"), col("__t"),
+        explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
+      .select(col("__id"), xxhash64(col("__t").substr(col("__i"), lit(n))).as("__h"))
+
+  /** LSH band candidate pairs over exploded shingle-hash rows `(__id, __h)`.
     *
-    * Stages (all distributed, one equi-join):
-    *   1. shingle each doc (word n-grams), hash shingles to 64-bit ints;
-    *   2. k minhashes via universal hashing (a·h+b, 64-bit wraparound);
-    *   3. split the k-signature into `bands` bands, hash each band;
-    *   4. self-join on (band index, band hash) → candidate pairs;
-    *   5. verify exact Jaccard on the shingle-hash sets; keep ≥ threshold.
+    * Stages (all distributed, one narrow equi-join):
+    *   1. hash-aggregate k minhashes per doc as k `min` columns
+    *      (codegen'd, map-side partial min — the shuffle carries only
+    *      k longs per doc, never the shingle sets);
+    *   2. band hash = xxhash64 over each band's min-columns; explode the
+    *      `bands` (band, hash) structs;
+    *   3. self-equi-join on (band index, band hash), id_a < id_b, distinct.
     *
-    * Returns (id_a, id_b, jaccard) with id_a < id_b.
-    */
+    * Only doc ids cross the band join — shingle sets are attached later
+    * to the (small) candidate set, so band-collision skew can't amplify
+    * wide rows. */
+  private def minhashBandPairs(
+      shingleRows: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      seed: Long): DataFrame = {
+    val rows = numHashes / bands
+    val (a, b) = hashParams(numHashes, seed)
+    val hMod = pmod(col("__h"), lit(MersenneP))
+    val minAggs = (0 until numHashes).map { i =>
+      min(pmod(lit(a(i)) * hMod + lit(b(i)), lit(MersenneP))).as(s"__m$i")
+    }
+    val sigs = shingleRows.groupBy("__id").agg(minAggs.head, minAggs.tail: _*)
+
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("b"),
+        xxhash64((bi * rows until (bi + 1) * rows).map(i => col(s"__m$i")): _*).as("h"))
+    }
+    // Persist the NARROW band table (3 longs/doc/band): the self-join and
+    // the candidate consumers below would otherwise each recompute the
+    // whole shingle+signature pipeline (Spark re-executes shared subplans
+    // per branch; ReusedExchange doesn't fire across these shapes —
+    // measured 2.4× slower without the persists).
+    val banded = sigs
+      .select(col("__id"), explode(array(bandCols: _*)).as("__bh"))
+      .select(col("__id"), col("__bh.b").as("__band"), col("__bh.h").as("__bandhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val l = banded.withColumnRenamed("__id", "id_a")
+    val r = banded.withColumnRenamed("__id", "id_b")
+    l.join(r, Seq("__band", "__bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs. Shingling is expensive
+    * (O(chars) substrings + hashes per doc), so the corpus is first
+    * semi-joined down to ids that appear in a candidate pair — shingle
+    * SETS (collect_set of the exploded hashes) are built only for that
+    * small set (AQE broadcasts the id list), never for the whole corpus. */
+  private def verifyJaccard(
+      df: DataFrame,
+      idCol: String,
+      candidates: DataFrame,
+      threshold: Double,
+      explodedShingles: DataFrame => DataFrame): DataFrame = {
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("__cand_id"))
+      .distinct()
+    val candDocs = explodedShingles(
+      df.join(candIds, df(idCol) === candIds("__cand_id"), "left_semi"))
+      .groupBy("__id").agg(collect_set(col("__h")).as("__sh"))
+    val shA = candDocs.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val shB = candDocs.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash + LSH banding near-dup pipeline over a text column: word
+    * n-gram shingles → k minhashes → band equi-join candidates → exact
+    * Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) with id_a < id_b. */
   def minHashLsh(
       df: DataFrame,
       textCol: String,
@@ -78,45 +170,10 @@ object Dedup {
       threshold: Double = 0.8,
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
-    val rows = numHashes / bands
-    val (a, b) = hashParams(numHashes, seed)
-    val aLit = typedLit(a)
-    val bLit = typedLit(b)
-
-    val docs = df.select(
-      col(idCol).as("__id"),
-      array_distinct(transform(wordShingles(col(textCol), shingleSize), xxhash64(_)))
-        .as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      // signature[i] = min over shingles of (a_i * h + b_i) with sign cleared
-      .withColumn("__sig",
-        transform(sequence(lit(1), lit(numHashes)), i =>
-          array_min(transform(col("__sh"), h =>
-            uhash(h, element_at(aLit, i), element_at(bLit, i))))))
-
-    val banded = docs.select(
-      col("__id"), col("__sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), bi =>
-        xxhash64(concat_ws(",", transform(
-          slice(col("__sig"), bi * rows + 1, lit(rows)), _.cast("string")))))))
-      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bandhash"))
-
-    val left  = banded.select(col("__band"), col("__bandhash"),
-      col("__id").as("id_a"), col("__sh").as("__sh_a"))
-    val right = banded.select(col("__band"), col("__bandhash"),
-      col("__id").as("id_b"), col("__sh").as("__sh_b"))
-
-    val candidates = left.join(right, Seq("__band", "__bandhash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__sh_a", "__sh_b")
-      .dropDuplicates("id_a", "id_b")
-
-    candidates
-      .withColumn("jaccard",
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(array_union(col("__sh_a"), col("__sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val candidates = minhashBandPairs(
+      explodedWordShingles(df, textCol, idCol, shingleSize), numHashes, bands, seed)
+    verifyJaccard(df, idCol, candidates, threshold,
+      explodedWordShingles(_, textCol, idCol, shingleSize))
   }
 
   /** Keep one representative per near-dup cluster found by minHashLsh:
@@ -137,8 +194,10 @@ object Dedup {
 
   // --------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash of the token stream: per-bit vote of token hashes.
-    * Pure HOF pipeline: O(tokens × 64) adds per doc, no shuffle. */
+  /** 64-bit SimHash of the token stream as a single Column (per-bit vote
+    * of token hashes). HOF formulation — fine for ad-hoc per-row use; the
+    * scale path for whole-corpus dedup is `simHashPairs`, which computes
+    * the same hash via explode + codegen'd vote sums. */
   def simHash(textCol: Column): Column = {
     val toks = tokens(textCol)
     val votes = aggregate(
@@ -158,6 +217,27 @@ object Dedup {
         call_function("shiftleft", lit(1L), s("i").cast("int"))).otherwise(0L))
   }
 
+  /** SimHash signatures `(__id, __sim)` for a whole corpus: explode tokens,
+    * hash-aggregate 64 per-bit vote sums (map-side partial, codegen'd),
+    * then reassemble the 64-bit hash by OR-ing the winning bits. Tokenless
+    * docs keep a null token via explode_outer → all votes 0 → hash 0,
+    * matching the HOF `simHash` on empty input. */
+  private def simHashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      explode_outer(tokens(col(textCol))).as("__t"))
+    val h = xxhash64(col("__t"))
+    val voteAggs = (0 until 64).map { i =>
+      sum(when(col("__t").isNull, lit(0L))
+        .when(h.bitwiseAND(lit(1L << i)) =!= 0, lit(1L)).otherwise(lit(-1L)))
+        .as(s"__v$i")
+    }
+    val sim = (0 until 64).map { i =>
+      when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    toks.groupBy("__id").agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("__id"), sim.as("__sim"))
+  }
+
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= maxHamming.
     * Blocking by the pigeonhole principle: split the 64-bit hash into
     * (maxHamming+1) chunks — any pair within the hamming budget agrees on
@@ -171,13 +251,17 @@ object Dedup {
     val chunks = maxHamming + 1
     require(64 % chunks == 0, "maxHamming+1 must divide 64")
     val bitsPer = 64 / chunks
-    val hashed = df.select(col(idCol).as("__id"), simHash(col(textCol)).as("__sim"))
+    val mask = (1L << bitsPer) - 1
+    val chunkCols = (0 until chunks).map { ci =>
+      struct(lit(ci).as("i"),
+        shiftrightunsigned(col("__sim"), ci * bitsPer).bitwiseAND(lit(mask)).as("v"))
+    }
+    // persisted for the self-join below (see minhashBandPairs)
+    val hashed = simHashSigs(df, textCol, idCol)
+      .select(col("__id"), col("__sim"), explode(array(chunkCols: _*)).as("__c"))
       .select(col("__id"), col("__sim"),
-        posexplode(transform(sequence(lit(0), lit(chunks - 1)), ci =>
-          pmod(
-            call_function("shiftrightunsigned", col("__sim"), (ci * bitsPer).cast("int")),
-            lit(1L << bitsPer)))))
-      .withColumnsRenamed(Map("pos" -> "__ci", "col" -> "__cv"))
+        col("__c.i").as("__ci"), col("__c.v").as("__cv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val l = hashed.select(col("__ci"), col("__cv"), col("__id").as("id_a"), col("__sim").as("__sim_a"))
     val r = hashed.select(col("__ci"), col("__cv"), col("__id").as("id_b"), col("__sim").as("__sim_b"))
@@ -204,37 +288,16 @@ object Dedup {
       bands: Int = 16,
       seed: Long = 7L): DataFrame = {
     require(numHashes % bands == 0)
-    val rows = numHashes / bands
-    val (a, b) = hashParams(numHashes, seed)
-    val (aLit, bLit) = (typedLit(a), typedLit(b))
-
-    val docs = df.select(
-      col(idCol).as("__id"),
-      array_distinct(transform(charShingles(col(textCol), n), xxhash64(_))).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__sig",
-        transform(sequence(lit(1), lit(numHashes)), i =>
-          array_min(transform(col("__sh"), h =>
-            uhash(h, element_at(aLit, i), element_at(bLit, i))))))
-
-    val banded = docs.select(
-      col("__id"), col("__sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), bi =>
-        xxhash64(concat_ws(",", transform(
-          slice(col("__sig"), bi * rows + 1, lit(rows)), _.cast("string")))))))
-      .withColumnsRenamed(Map("pos" -> "__band", "col" -> "__bandhash"))
-
-    val l = banded.select(col("__band"), col("__bandhash"), col("__id").as("id_a"), col("__sh").as("__sh_a"))
-    val r = banded.select(col("__band"), col("__bandhash"), col("__id").as("id_b"), col("__sh").as("__sh_b"))
-    l.join(r, Seq("__band", "__bandhash"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(array_union(col("__sh_a"), col("__sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val candidates = minhashBandPairs(
+      explodedCharShingles(df, textCol, idCol, n), numHashes, bands, seed)
+    verifyJaccard(df, idCol, candidates, threshold,
+      explodedCharShingles(_, textCol, idCol, n))
   }
+
+  /** Probe hook (dev): candidate pairs for the ngram pipeline. */
+  private[graft] def ngramJaccardPairsCandidatesProbe(
+      df: DataFrame, textCol: String, idCol: String): DataFrame =
+    minhashBandPairs(explodedCharShingles(df, textCol, idCol, 5), 64, 16, 7L)
 
   // --------------------------------------------------- embedding near-dup
 
@@ -249,18 +312,6 @@ object Dedup {
       threshold: Double = 0.95,
       tables: Int = 8,
       planesPerTable: Int = 12,
-      seed: Long = 42L): DataFrame = {
-    val buckets = Similarity.hyperplaneBuckets(
-      df, vecCol, idCol, tables, planesPerTable, seed)
-    val l = buckets.select(col("__table"), col("__bucket"),
-      col("__id").as("id_a"), col("__nv").as("__nv_a"))
-    val r = buckets.select(col("__table"), col("__bucket"),
-      col("__id").as("id_b"), col("__nv").as("__nv_b"))
-    l.join(r, Seq("__table", "__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", VectorFunctions.dot(col("__nv_a"), col("__nv_b")))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
-  }
+      seed: Long = 42L): DataFrame =
+    Similarity.cosinePairs(df, vecCol, idCol, threshold, tables, planesPerTable, seed)
 }

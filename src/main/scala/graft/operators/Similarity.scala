@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -17,9 +18,31 @@ import graft.functions.VectorFunctions._
   *     same-bucket pairs are scored. Equi-join on (table, bucket) — the
   *     scale path: cost ∝ collisions, not |corpus|×|queries|.
   *
-  * Both L2-normalize once up front so per-pair work is a single dot.
+  * Scale/codegen shape:
+  *   - the bucket join carries only ids (3 longs/row) — vectors are
+  *     re-attached to the candidate set afterwards by id, so LSH-table
+  *     duplication never multiplies vector payloads through a shuffle;
+  *   - vectors are never re-materialized normalized: each side carries its
+  *     raw array + scalar L2 norm, and cosine = dot/(nₐ·n_b) — one unrolled
+  *     codegen'd dot per pair (building normalized copies duplicates the
+  *     norm subtree into every element and explodes the expression tree);
+  *   - bucketing is an explode-matmul against literal plane weights (sign
+  *     of w·v is scale-invariant, so it works on raw vectors directly).
   */
 object Similarity {
+
+  /** `(__id, __vec, __norm)` projection: raw vector + scalar L2 norm. */
+  private[operators] def normedBase(
+      df: DataFrame, vecCol: String, idCol: String, dim: Int): DataFrame =
+    df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+      sqrt(dotUnrolled(col(vecCol), col(vecCol), dim)).as("__norm"))
+
+  /** cosine(a, b) from raw vectors + precomputed norms; 0 if either norm
+    * is 0. */
+  private def cosineCol(
+      aVec: Column, aNorm: Column, bVec: Column, bNorm: Column, dim: Int): Column =
+    when(aNorm * bNorm === 0.0d, lit(0.0d))
+      .otherwise(dotUnrolled(aVec, bVec, dim) / (aNorm * bNorm))
 
   /** Exact top-k neighbors by cosine for each query row.
     * Output: (query_id, neighbor_id, cosine, rank), rank 1..k,
@@ -31,12 +54,16 @@ object Similarity {
       idCol: String,
       k: Int,
       includeSelf: Boolean = false): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), l2Normalize(col(vecCol)).as("__cn"))
-    val q = queries.select(col(idCol).as("query_id"), l2Normalize(col(vecCol)).as("__qn"))
+    val dim = dimOf(corpus, vecCol)
+    val c = normedBase(corpus, vecCol, idCol, dim)
+      .withColumnsRenamed(Map("__id" -> "neighbor_id", "__vec" -> "__cv", "__norm" -> "__cn"))
+    val q = normedBase(queries, vecCol, idCol, dim)
+      .withColumnsRenamed(Map("__id" -> "query_id", "__vec" -> "__qv", "__norm" -> "__qn"))
     val pairs = c.crossJoin(broadcast(q))
     val scored = (if (includeSelf) pairs
                   else pairs.filter(col("neighbor_id") =!= col("query_id")))
-      .withColumn("cosine", dot(col("__cn"), col("__qn")))
+      .withColumn("cosine",
+        cosineCol(col("__cv"), col("__cn"), col("__qv"), col("__qn"), dim))
     topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
   }
 
@@ -51,21 +78,36 @@ object Similarity {
       tables: Int = 8,
       planesPerTable: Int = 10,
       seed: Long = 42L): DataFrame = {
-    val c = hyperplaneBuckets(corpus, vecCol, idCol, tables, planesPerTable, seed)
-      .select(col("__table"), col("__bucket"), col("__id").as("neighbor_id"), col("__nv").as("__cn"))
-    val q = hyperplaneBuckets(queries, vecCol, idCol, tables, planesPerTable, seed)
-      .select(col("__table"), col("__bucket"), col("__id").as("query_id"), col("__nv").as("__qn"))
-    val scored = c.join(q, Seq("__table", "__bucket"))
+    val dim = dimOf(corpus, vecCol)
+    val cBuckets = hyperplaneBuckets(corpus, vecCol, idCol, tables, planesPerTable, seed)
+      .withColumnRenamed("__id", "neighbor_id")
+    val qBuckets = hyperplaneBuckets(queries, vecCol, idCol, tables, planesPerTable, seed)
+      .withColumnRenamed("__id", "query_id")
+    val candidates = cBuckets.join(qBuckets, Seq("__table", "__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", dot(col("__cn"), col("__qn")))
+    val cb = normedBase(corpus, vecCol, idCol, dim)
+      .withColumnsRenamed(Map("__id" -> "neighbor_id", "__vec" -> "__cv", "__norm" -> "__cn"))
+    val qb = normedBase(queries, vecCol, idCol, dim)
+      .withColumnsRenamed(Map("__id" -> "query_id", "__vec" -> "__qv", "__norm" -> "__qn"))
+    val scored = candidates.join(cb, "neighbor_id").join(qb, "query_id")
+      .withColumn("cosine",
+        cosineCol(col("__cv"), col("__cn"), col("__qv"), col("__qn"), dim))
     topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Shared LSH stage: explode each row into `tables` (table, bucket)
-    * entries, bucket = integer of hyperplane sign bits. Hyperplane weights
-    * are seeded pseudo-random literals — identical across invocations, so
-    * corpus and query bucketing always agree. */
+  /** Shared LSH stage: bucket = integer of hyperplane sign bits, one
+    * (table, bucket) row per LSH table. Hyperplane weights are seeded
+    * pseudo-random literals — identical across invocations, so corpus and
+    * query bucketing always agree. Computed as an explode-matmul: one row
+    * per vector element, tables×planes fused multiply-adds against literal
+    * weight arrays indexed by position, hash-aggregated into per-plane
+    * sums — everything whole-stage codegen with map-side partial
+    * aggregation (a fully-unrolled dot formulation blows up codegen at
+    * tables×planes×dim expression nodes; the HOF formulation interprets).
+    * Bucketing uses the RAW vector — sign(w·v) is scale-invariant, so
+    * normalization is unnecessary here. Output: (__id, __table, __bucket). */
   private[operators] def hyperplaneBuckets(
       df: DataFrame,
       vecCol: String,
@@ -73,24 +115,62 @@ object Similarity {
       tables: Int,
       planesPerTable: Int,
       seed: Long): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
     val rnd = new scala.util.Random(seed)
     // planes(t)(p) = dim gaussian-ish weights
+    val dim = dimOf(df, vecCol)
     val planes: Seq[Seq[Seq[Double]]] =
       Seq.fill(tables)(Seq.fill(planesPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
 
-    val nv = l2Normalize(col(vecCol))
-    val base = df.select(col(idCol).as("__id"), nv.as("__nv"))
+    val elems = df.select(col(idCol).as("__id"), posexplode(col(vecCol)))
+      .select(col("__id"), (col("pos") + 1).as("__p"),
+        col("col").cast("double").as("__v"))
+    val sumAggs = for { t <- 0 until tables; p <- 0 until planesPerTable } yield
+      sum(col("__v") * element_at(typedLit(planes(t)(p)), col("__p")))
+        .as(s"__s_${t}_$p")
+    val sums = elems.groupBy("__id").agg(sumAggs.head, sumAggs.tail: _*)
 
     def bucketFor(t: Int): Column =
-      planes(t).zipWithIndex.map { case (w, p) =>
-        when(dot(col("__nv"), typedLit(w)) >= 0.0d, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      (0 until planesPerTable).map { p =>
+        when(col(s"__s_${t}_$p") >= 0.0d, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
 
-    base.select(
-      col("__id"), col("__nv"),
+    sums.select(
+      col("__id"),
       posexplode(array((0 until tables).map(bucketFor): _*)))
       .withColumnsRenamed(Map("pos" -> "__table", "col" -> "__bucket"))
+  }
+
+  /** Embedding cosine near-dup pairs via the same hyperplane blocking:
+    * docs sharing a full bucket in ANY table become candidates; verified
+    * with exact cosine ≥ threshold. Returns (id_a, id_b, cosine). The
+    * narrow bucket table is persisted so the self-join and downstream
+    * consumers don't recompute the corpus scan per branch. */
+  private[operators] def cosinePairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      tables: Int,
+      planesPerTable: Int,
+      seed: Long): DataFrame = {
+    val dim = dimOf(df, vecCol)
+    val buckets = hyperplaneBuckets(df, vecCol, idCol, tables, planesPerTable, seed)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = normedBase(df, vecCol, idCol, dim)
+    val l = buckets.withColumnRenamed("__id", "id_a")
+    val r = buckets.withColumnRenamed("__id", "id_b")
+    l.join(r, Seq("__table", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+      .join(base.withColumnsRenamed(
+        Map("__id" -> "id_a", "__vec" -> "__va", "__norm" -> "__na")), "id_a")
+      .join(base.withColumnsRenamed(
+        Map("__id" -> "id_b", "__vec" -> "__vb", "__norm" -> "__nb")), "id_b")
+      .withColumn("cosine",
+        cosineCol(col("__va"), col("__na"), col("__vb"), col("__nb"), dim))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
   }
 
   /** Window top-k with deterministic ordering (cosine desc, id asc). */
