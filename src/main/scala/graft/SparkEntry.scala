@@ -152,6 +152,122 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Five YAML-driven lifecycle jobs (mirroring the reference's golden
+    // scenarios: append, partition-scoped overwrite, update, upsert,
+    // truncate-then-append) run end-to-end — param substitution, pre/post
+    // SQL hooks, source view, physical write — against a scratch target
+    // seeded from `orders`; the query returns the final target contents.
+    "etl_append" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
+      val tgt = etlScratch(dir, "append")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM __etl_orders WHERE o_custkey % 10 = 1")
+        .write.mode("overwrite").parquet(tgt)
+      EtlJob.fromYaml(
+        s"""version: 0
+           |source:
+           |  pre_sql: >-
+           |    CREATE OR REPLACE TEMP VIEW __etl_append_src AS
+           |    SELECT o_orderkey, o_custkey, o_totalprice
+           |    FROM __etl_orders WHERE o_custkey % $${mod} = 2
+           |  query: SELECT * FROM __etl_append_src
+           |  post_sql: DROP VIEW __etl_append_src
+           |target:
+           |  path: $tgt
+           |  operation: append
+           |""".stripMargin, Map("mod" -> "10")).run()
+      s.read.parquet(tgt).orderBy("o_orderkey")
+    }),
+
+    "etl_overwrite_partition" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
+      val tbl = "graft_etl_ow_" + etlSuffix(dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM __etl_orders WHERE o_custkey % 10 = 1")
+        .write.partitionBy("o_orderstatus").format("parquet").saveAsTable(tbl)
+      EtlJob.fromYaml(
+        s"""version: 0
+           |source:
+           |  query: >-
+           |    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           |    FROM __etl_orders WHERE o_custkey % 10 = 2 AND o_orderstatus = 'O'
+           |target:
+           |  table: $tbl
+           |  operation: overwrite
+           |""".stripMargin).run()
+      s.table(tbl)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    "etl_update" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
+      val tgt = etlScratch(dir, "update")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM __etl_orders WHERE o_custkey % 10 IN (3, 4)")
+        .write.mode("overwrite").parquet(tgt)
+      EtlJob.fromYaml(
+        s"""version: 0
+           |source:
+           |  query: >-
+           |    SELECT o_orderkey, o_totalprice + 500.0 AS o_totalprice
+           |    FROM __etl_orders WHERE o_custkey % 10 = 3
+           |target:
+           |  path: $tgt
+           |  operation: update
+           |  primary_key_column: [o_orderkey]
+           |  update_column: [o_totalprice]
+           |""".stripMargin).run()
+      s.read.parquet(tgt)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    "etl_upsert" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
+      val tgt = etlScratch(dir, "upsert")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM __etl_orders WHERE o_custkey % 10 = 5")
+        .write.mode("overwrite").parquet(tgt)
+      EtlJob.fromYaml(
+        s"""version: 0
+           |source:
+           |  query: >-
+           |    SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice
+           |    FROM __etl_orders WHERE o_custkey % 10 IN (5, 6)
+           |target:
+           |  path: $tgt
+           |  operation: upsert
+           |  primary_key_column: [o_orderkey]
+           |  update_column: [o_totalprice]
+           |""".stripMargin).run()
+      s.read.parquet(tgt)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "etl_truncate_append" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
+      val tbl = "graft_etl_tr_" + etlSuffix(dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM __etl_orders WHERE o_custkey % 10 = 7")
+        .write.format("parquet").saveAsTable(tbl)
+      EtlJob.fromYaml(
+        s"""version: 0
+           |source:
+           |  query: SELECT o_orderkey, o_custkey, o_totalprice FROM __etl_orders WHERE o_custkey % 10 = 8
+           |target:
+           |  table: $tbl
+           |  pre_sql: TRUNCATE TABLE $tbl
+           |  operation: insert
+           |""".stripMargin).run()
+      s.table(tbl)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Recon: two aggregation pipelines over lineitem reconciled on
     // l_returnflag (reference O12-O16); source B is scaled by 1.0005 so
     // sum drifts within tolerance (match=true) while count stays equal.
@@ -380,6 +496,36 @@ object SparkEntry {
         |FROM src s ANTI JOIN orders t ON s.o_orderkey = t.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
 
+    "etl_append" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey % 10 IN (1, 2) ORDER BY o_orderkey""".stripMargin,
+
+    "etl_overwrite_partition" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE (o_custkey % 10 = 2 AND o_orderstatus = 'O')
+        |   OR (o_custkey % 10 = 1 AND o_orderstatus <> 'O')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "etl_update" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey % 10 = 3 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders WHERE o_custkey % 10 IN (3, 4)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "etl_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice
+        |FROM orders WHERE o_custkey % 10 = 5
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS BIGINT), o_totalprice + 100.0
+        |FROM orders WHERE o_custkey % 10 = 6
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "etl_truncate_append" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey % 10 = 8 ORDER BY o_orderkey""".stripMargin,
+
     "recon_lineitem" ->
       """WITH a AS (
         |  SELECT l_returnflag, round(sum(l_extendedprice), 2) AS a_sum_price,
@@ -478,6 +624,13 @@ object SparkEntry {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin
   )
+
+  /** Scratch parquet path for an ETL lifecycle query, unique per SF dir. */
+  private def etlScratch(dir: String, name: String): String =
+    s"/tmp/graft_etl/${name}_${etlSuffix(dir)}"
+
+  private def etlSuffix(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
 
   // --- DuckDB expression builders for the text oracle (kept in one place
   // so the Spark implementation in TextFunctions and this SQL stay in
