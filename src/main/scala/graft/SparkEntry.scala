@@ -183,7 +183,7 @@ object SparkEntry {
       implicit val spark: SparkSession = s
       t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
       val tbl = "graft_etl_ow_" + etlSuffix(dir)
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      etlResetTable(s, tbl)
       s.sql("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM __etl_orders WHERE o_custkey % 10 = 1")
         .write.partitionBy("o_orderstatus").format("parquet").saveAsTable(tbl)
       EtlJob.fromYaml(
@@ -251,7 +251,7 @@ object SparkEntry {
       implicit val spark: SparkSession = s
       t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
       val tbl = "graft_etl_tr_" + etlSuffix(dir)
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      etlResetTable(s, tbl)
       s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM __etl_orders WHERE o_custkey % 10 = 7")
         .write.format("parquet").saveAsTable(tbl)
       EtlJob.fromYaml(
@@ -616,6 +616,43 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
 
+    // Sliding 30m/15m: every event lands in exactly two 15m-aligned
+    // window starts (epoch-aligned in both engines).
+    "events_sliding_30m" ->
+      """WITH b AS (
+        |  SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP) AS bk,
+        |         event_type, value
+        |  FROM events),
+        |expanded AS (
+        |  SELECT bk AS window_start, event_type, value FROM b
+        |  UNION ALL
+        |  SELECT bk - INTERVAL '15 minutes', event_type, value FROM b)
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM expanded
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // Gap-based sessionization: new session when the gap to the previous
+    // event is >= 5 minutes (Spark merges only strictly-overlapping
+    // [ts, ts+gap) intervals); session_end = last ts + gap.
+    "events_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              < INTERVAL '5 minutes' THEN 0 ELSE 1 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) + INTERVAL '5 minutes' AS session_end,
+        |  user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "events_json_stats" ->
       """SELECT event_type, count(*) AS n_events,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
@@ -628,6 +665,18 @@ object SparkEntry {
   /** Scratch parquet path for an ETL lifecycle query, unique per SF dir. */
   private def etlScratch(dir: String, name: String): String =
     s"/tmp/graft_etl/${name}_${etlSuffix(dir)}"
+
+  /** Reset a scratch catalog table: drop it AND remove its warehouse
+    * location — a fresh session's in-memory catalog doesn't know about a
+    * previous run's table, so DROP alone leaves the directory behind and
+    * saveAsTable fails with LOCATION_ALREADY_EXISTS. */
+  private def etlResetTable(s: SparkSession, tbl: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val p = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 
   private def etlSuffix(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "_")
