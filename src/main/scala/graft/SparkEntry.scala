@@ -106,6 +106,25 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "rollup_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // HLL sketch cardinalities (rows-only check: Spark's HLL++ and
+    // DuckDB's approx sketches legitimately differ).
+    "agg_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }),
+
     "customers_without_orders" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -365,6 +384,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // As-of join: each purchase event picks up the latest preceding click
+    // of the same user (union-sort formulation, one keyed shuffle).
+    "asof_purchase_click" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      AsOfJoin.asof(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .orderBy("event_id")
+    }),
+
     // ----------------------------------------------------- windows / events
     "events_tumbling_15m" -> ((s, dir) =>
       EventWindows.tumbling(t(s, dir, "events"), "ts", "15 minutes")
@@ -460,6 +492,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
@@ -615,6 +655,20 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "asof_purchase_click" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |    ORDER BY click_id DESC, click_value DESC) = 1)
+        |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     // Sliding 30m/15m: every event lands in exactly two 15m-aligned
     // window starts (epoch-aligned in both engines).
