@@ -92,9 +92,14 @@ object ReconJob {
 
   /** Native replacement for the reference's tolerance UDF. Equal values
     * short-circuit to true (defines the b=0,a=0 edge); otherwise relative
-    * error vs the second source under 1e-3. */
+    * error vs the second source under 1e-3. `try_divide` keeps ANSI mode
+    * from throwing DIVIDE_BY_ZERO when b=0 (the reference UDF crashed
+    * there); its NULL — and NULLs from keys present in only one source —
+    * coalesce to a non-match. */
   def matchColumn(a: Column, b: Column, floating: Boolean): Column =
-    if (floating) when(a === b, lit(true)).otherwise(abs((a - b) / b) < lit(FloatTolerance))
+    if (floating)
+      when(a === b, lit(true))
+        .otherwise(coalesce(abs(try_divide(a - b, b)) < lit(FloatTolerance), lit(false)))
     else a === b
 
   def fromConfig(path: String, params: Map[String, String] = Map.empty)(
