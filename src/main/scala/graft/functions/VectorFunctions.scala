@@ -44,6 +44,15 @@ object VectorFunctions {
     * dots — the cheap path for brute-force top-k at scale. */
   def dotPreNormalized(a: Column, b: Column): Column = dot(a, b)
 
+  // ---------------------------------------------------- native codegen path
+
+  /** Native Catalyst dot product (see `DotProduct`): one expression node
+    * compiling to a tight primitive loop — the hot-path choice. Requires
+    * `GraftFunctions.register(spark)` (operators register on entry; or set
+    * `spark.sql.extensions=graft.functions.GraftExtensions`). */
+  def dotNative(a: Column, b: Column): Column =
+    call_function(GraftFunctions.DotName, a, b)
+
   // ------------------------------------------------- fixed-dim codegen path
 
   /** Dot product unrolled to `dim` element_at multiply-adds: stays inside

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.functions.VectorFunctions._
+import graft.functions.{GraftFunctions, VectorFunctions}
+import graft.functions.VectorFunctions.dotNative
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -23,26 +24,29 @@ import graft.functions.VectorFunctions._
   *     re-attached to the candidate set afterwards by id, so LSH-table
   *     duplication never multiplies vector payloads through a shuffle;
   *   - vectors are never re-materialized normalized: each side carries its
-  *     raw array + scalar L2 norm, and cosine = dot/(nₐ·n_b) — one unrolled
-  *     codegen'd dot per pair (building normalized copies duplicates the
-  *     norm subtree into every element and explodes the expression tree);
-  *   - bucketing is an explode-matmul against literal plane weights (sign
-  *     of w·v is scale-invariant, so it works on raw vectors directly).
+  *     raw array + scalar L2 norm, and cosine = dot/(nₐ·n_b) — one native
+  *     codegen'd dot (`graft_dot`) per pair;
+  *   - hyperplane bucketing is tables×planes `graft_dot` calls against
+  *     literal weight arrays — each one expression node compiling to a
+  *     primitive loop, so the projection stays small and fused. Bucketing
+  *     uses the RAW vector: sign(w·v) is scale-invariant.
   */
 object Similarity {
 
   /** `(__id, __vec, __norm)` projection: raw vector + scalar L2 norm. */
   private[operators] def normedBase(
-      df: DataFrame, vecCol: String, idCol: String, dim: Int): DataFrame =
+      df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
-      sqrt(dotUnrolled(col(vecCol), col(vecCol), dim)).as("__norm"))
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("__norm"))
+  }
 
   /** cosine(a, b) from raw vectors + precomputed norms; 0 if either norm
     * is 0. */
   private def cosineCol(
-      aVec: Column, aNorm: Column, bVec: Column, bNorm: Column, dim: Int): Column =
+      aVec: Column, aNorm: Column, bVec: Column, bNorm: Column): Column =
     when(aNorm * bNorm === 0.0d, lit(0.0d))
-      .otherwise(dotUnrolled(aVec, bVec, dim) / (aNorm * bNorm))
+      .otherwise(dotNative(aVec, bVec) / (aNorm * bNorm))
 
   /** Exact top-k neighbors by cosine for each query row.
     * Output: (query_id, neighbor_id, cosine, rank), rank 1..k,
@@ -54,16 +58,15 @@ object Similarity {
       idCol: String,
       k: Int,
       includeSelf: Boolean = false): DataFrame = {
-    val dim = dimOf(corpus, vecCol)
-    val c = normedBase(corpus, vecCol, idCol, dim)
+    val c = normedBase(corpus, vecCol, idCol)
       .withColumnsRenamed(Map("__id" -> "neighbor_id", "__vec" -> "__cv", "__norm" -> "__cn"))
-    val q = normedBase(queries, vecCol, idCol, dim)
+    val q = normedBase(queries, vecCol, idCol)
       .withColumnsRenamed(Map("__id" -> "query_id", "__vec" -> "__qv", "__norm" -> "__qn"))
     val pairs = c.crossJoin(broadcast(q))
     val scored = (if (includeSelf) pairs
                   else pairs.filter(col("neighbor_id") =!= col("query_id")))
       .withColumn("cosine",
-        cosineCol(col("__cv"), col("__cn"), col("__qv"), col("__qn"), dim))
+        cosineCol(col("__cv"), col("__cn"), col("__qv"), col("__qn")))
     topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
   }
 
@@ -78,7 +81,6 @@ object Similarity {
       tables: Int = 8,
       planesPerTable: Int = 10,
       seed: Long = 42L): DataFrame = {
-    val dim = dimOf(corpus, vecCol)
     val cBuckets = hyperplaneBuckets(corpus, vecCol, idCol, tables, planesPerTable, seed)
       .withColumnRenamed("__id", "neighbor_id")
     val qBuckets = hyperplaneBuckets(queries, vecCol, idCol, tables, planesPerTable, seed)
@@ -87,27 +89,20 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val cb = normedBase(corpus, vecCol, idCol, dim)
+    val cb = normedBase(corpus, vecCol, idCol)
       .withColumnsRenamed(Map("__id" -> "neighbor_id", "__vec" -> "__cv", "__norm" -> "__cn"))
-    val qb = normedBase(queries, vecCol, idCol, dim)
+    val qb = normedBase(queries, vecCol, idCol)
       .withColumnsRenamed(Map("__id" -> "query_id", "__vec" -> "__qv", "__norm" -> "__qn"))
     val scored = candidates.join(cb, "neighbor_id").join(qb, "query_id")
       .withColumn("cosine",
-        cosineCol(col("__cv"), col("__cn"), col("__qv"), col("__qn"), dim))
+        cosineCol(col("__cv"), col("__cn"), col("__qv"), col("__qn")))
     topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
   }
 
   /** Shared LSH stage: bucket = integer of hyperplane sign bits, one
     * (table, bucket) row per LSH table. Hyperplane weights are seeded
     * pseudo-random literals — identical across invocations, so corpus and
-    * query bucketing always agree. Computed as an explode-matmul: one row
-    * per vector element, tables×planes fused multiply-adds against literal
-    * weight arrays indexed by position, hash-aggregated into per-plane
-    * sums — everything whole-stage codegen with map-side partial
-    * aggregation (a fully-unrolled dot formulation blows up codegen at
-    * tables×planes×dim expression nodes; the HOF formulation interprets).
-    * Bucketing uses the RAW vector — sign(w·v) is scale-invariant, so
-    * normalization is unnecessary here. Output: (__id, __table, __bucket). */
+    * query bucketing always agree. Output: (__id, __table, __bucket). */
   private[operators] def hyperplaneBuckets(
       df: DataFrame,
       vecCol: String,
@@ -115,27 +110,21 @@ object Similarity {
       tables: Int,
       planesPerTable: Int,
       seed: Long): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val rnd = new scala.util.Random(seed)
+    val dim = VectorFunctions.dimOf(df, vecCol)
     // planes(t)(p) = dim gaussian-ish weights
-    val dim = dimOf(df, vecCol)
     val planes: Seq[Seq[Seq[Double]]] =
       Seq.fill(tables)(Seq.fill(planesPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
 
-    val elems = df.select(col(idCol).as("__id"), posexplode(col(vecCol)))
-      .select(col("__id"), (col("pos") + 1).as("__p"),
-        col("col").cast("double").as("__v"))
-    val sumAggs = for { t <- 0 until tables; p <- 0 until planesPerTable } yield
-      sum(col("__v") * element_at(typedLit(planes(t)(p)), col("__p")))
-        .as(s"__s_${t}_$p")
-    val sums = elems.groupBy("__id").agg(sumAggs.head, sumAggs.tail: _*)
-
     def bucketFor(t: Int): Column =
       (0 until planesPerTable).map { p =>
-        when(col(s"__s_${t}_$p") >= 0.0d, lit(1L << p)).otherwise(lit(0L))
+        when(dotNative(col(vecCol), typedLit(planes(t)(p))) >= 0.0d, lit(1L << p))
+          .otherwise(lit(0L))
       }.reduce(_ bitwiseOR _)
 
-    sums.select(
-      col("__id"),
+    df.select(
+      col(idCol).as("__id"),
       posexplode(array((0 until tables).map(bucketFor): _*)))
       .withColumnsRenamed(Map("pos" -> "__table", "col" -> "__bucket"))
   }
@@ -153,10 +142,9 @@ object Similarity {
       tables: Int,
       planesPerTable: Int,
       seed: Long): DataFrame = {
-    val dim = dimOf(df, vecCol)
     val buckets = hyperplaneBuckets(df, vecCol, idCol, tables, planesPerTable, seed)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val base = normedBase(df, vecCol, idCol, dim)
+    val base = normedBase(df, vecCol, idCol)
     val l = buckets.withColumnRenamed("__id", "id_a")
     val r = buckets.withColumnRenamed("__id", "id_b")
     l.join(r, Seq("__table", "__bucket"))
@@ -168,7 +156,7 @@ object Similarity {
       .join(base.withColumnsRenamed(
         Map("__id" -> "id_b", "__vec" -> "__vb", "__norm" -> "__nb")), "id_b")
       .withColumn("cosine",
-        cosineCol(col("__va"), col("__na"), col("__vb"), col("__nb"), dim))
+        cosineCol(col("__va"), col("__na"), col("__vb"), col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
