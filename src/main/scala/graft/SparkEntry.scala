@@ -365,6 +365,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      IvfIndex.ivfTopK(emb, q, "embedding", "vec_id", k = 5,
+        nlist = 16, nprobe = 4)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
     // ------------------------------------------------------------ multimodal
     "multimodal_bytes" -> ((s, dir) => {
       implicit val spark: SparkSession = s

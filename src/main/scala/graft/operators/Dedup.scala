@@ -94,11 +94,31 @@ object Dedup {
     * Only doc ids cross the band join — shingle sets are attached later
     * to the (small) candidate set, so band-collision skew can't amplify
     * wide rows. */
+  /** Cap on members per blocking bucket. A bucket of n docs yields n²/2
+    * candidate pairs — boilerplate-heavy corpora (license headers,
+    * navigation chrome) produce million-doc buckets at scale, and one
+    * such bucket stalls the whole join. Buckets above the cap are dropped:
+    * their members are near-identical boilerplate better handled by exact
+    * dedup first (the standard production mitigation; skew never reaches
+    * the join). */
+  val DefaultMaxBucket = 10000
+
+  /** Drop blocking buckets with more than `maxBucket` members. `keys` are
+    * the bucket columns. One count-aggregate over the (persisted, narrow)
+    * bucket table + an equi-join — cheap relative to the n² it prevents. */
+  private[operators] def capBuckets(
+      buckets: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val ok = buckets.groupBy(keys.map(col): _*).count()
+      .filter(col("count") <= maxBucket).drop("count")
+    buckets.join(ok, keys)
+  }
+
   private def minhashBandPairs(
       shingleRows: DataFrame,
       numHashes: Int,
       bands: Int,
-      seed: Long): DataFrame = {
+      seed: Long,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rows = numHashes / bands
     val (a, b) = hashParams(numHashes, seed)
     val hMod = pmod(col("__h"), lit(MersenneP))
@@ -121,8 +141,9 @@ object Dedup {
       .select(col("__id"), col("__bh.b").as("__band"), col("__bh.h").as("__bandhash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val l = banded.withColumnRenamed("__id", "id_a")
-    val r = banded.withColumnRenamed("__id", "id_b")
+    val capped = capBuckets(banded, Seq("__band", "__bandhash"), maxBucket)
+    val l = capped.withColumnRenamed("__id", "id_a")
+    val r = capped.withColumnRenamed("__id", "id_b")
     l.join(r, Seq("__band", "__bandhash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -263,8 +284,9 @@ object Dedup {
         col("__c.i").as("__ci"), col("__c.v").as("__cv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val l = hashed.select(col("__ci"), col("__cv"), col("__id").as("id_a"), col("__sim").as("__sim_a"))
-    val r = hashed.select(col("__ci"), col("__cv"), col("__id").as("id_b"), col("__sim").as("__sim_b"))
+    val capped = capBuckets(hashed, Seq("__ci", "__cv"), DefaultMaxBucket)
+    val l = capped.select(col("__ci"), col("__cv"), col("__id").as("id_a"), col("__sim").as("__sim_a"))
+    val r = capped.select(col("__ci"), col("__cv"), col("__id").as("id_b"), col("__sim").as("__sim_b"))
     l.join(r, Seq("__ci", "__cv"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")

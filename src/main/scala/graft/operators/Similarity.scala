@@ -145,8 +145,10 @@ object Similarity {
     val buckets = hyperplaneBuckets(df, vecCol, idCol, tables, planesPerTable, seed)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = normedBase(df, vecCol, idCol)
-    val l = buckets.withColumnRenamed("__id", "id_a")
-    val r = buckets.withColumnRenamed("__id", "id_b")
+    // same boilerplate-bucket skew guard as the text LSH pipelines
+    val capped = Dedup.capBuckets(buckets, Seq("__table", "__bucket"), Dedup.DefaultMaxBucket)
+    val l = capped.withColumnRenamed("__id", "id_a")
+    val r = capped.withColumnRenamed("__id", "id_b")
     l.join(r, Seq("__table", "__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
