@@ -142,6 +142,36 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "set_ops_priorities" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_orderstatus") === "O").select("o_orderpriority")
+      val lo = o.filter(col("o_orderstatus") === "P").select("o_orderpriority")
+      hi.except(lo).withColumn("op", lit("except"))
+        .union(hi.intersect(lo).withColumn("op", lit("intersect")))
+        .select("op", "o_orderpriority")
+        .orderBy("op", "o_orderpriority")
+    }),
+
+    "pivot_status_by_priority" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "monthly_revenue" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("month")
+    }),
+
     "part_brand_union" -> ((s, dir) => {
       val p = t(s, dir, "part")
       val small = p.filter(col("p_size") <= 5).select("p_brand")
@@ -531,6 +561,33 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "set_ops_priorities" ->
+      """WITH hi AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+        |     lo AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P')
+        |SELECT 'except' AS op, o_orderpriority
+        |FROM (SELECT o_orderpriority FROM hi EXCEPT SELECT o_orderpriority FROM lo)
+        |UNION ALL
+        |SELECT 'intersect' AS op, o_orderpriority
+        |FROM (SELECT o_orderpriority FROM hi INTERSECT SELECT o_orderpriority FROM lo)
+        |ORDER BY op, o_orderpriority""".stripMargin,
+
+    "pivot_status_by_priority" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "monthly_revenue" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
 
     "part_brand_union" ->
       """SELECT DISTINCT p_brand AS brand FROM (
