@@ -351,6 +351,35 @@ object SparkEntry {
       TextAnalysis.langDistribution(t(s, dir, "documents"), "text")
         .orderBy("pred_lang")),
 
+    "top_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)),
+
+    "quality_by_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("pred_lang", graft.functions.TextFunctions.langId(col("text")))
+        .withColumn("quality", graft.functions.TextFunctions.qualityScore(col("text")))
+      docs.filter(col("quality") >= 0.5)
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("quality"), 4).as("avg_quality"))
+        .orderBy("pred_lang")
+    }),
+
+    "orders_above_customer_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+      t(s, dir, "orders")
+        .withColumn("avg_p", avg("o_totalprice").over(w))
+        .filter(col("o_totalprice") > col("avg_p"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---------------------------------------------------------------- dedup
     "dedup_exact_keep" -> ((s, dir) =>
       Dedup.exactText(t(s, dir, "documents"), "text", "doc_id")
@@ -682,6 +711,33 @@ object SparkEntry {
          |FROM documents
          |GROUP BY 1
          |ORDER BY pred_lang""".stripMargin,
+
+    "top_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |      FROM documents
+        |      WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> '')
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC
+        |LIMIT 20""".stripMargin,
+
+    "quality_by_lang" ->
+      s"""SELECT ${oracleLangExpr("text")} AS pred_lang,
+         |  count(*) AS n_docs,
+         |  round(avg(${oracleQualityExpr("text")}), 4) AS avg_quality
+         |FROM documents
+         |WHERE ${oracleQualityExpr("text")} >= 0.5
+         |GROUP BY 1
+         |ORDER BY pred_lang""".stripMargin,
+
+    "orders_above_customer_avg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |        avg(o_totalprice) OVER (PARTITION BY o_custkey) AS avg_p
+        |      FROM orders)
+        |WHERE o_totalprice > avg_p
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "dedup_exact_keep" ->
       """SELECT doc_id, lang, source FROM documents
