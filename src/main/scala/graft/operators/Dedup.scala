@@ -106,7 +106,7 @@ object Dedup {
   /** Drop blocking buckets with more than `maxBucket` members. `keys` are
     * the bucket columns. One count-aggregate over the (persisted, narrow)
     * bucket table + an equi-join — cheap relative to the n² it prevents. */
-  private[operators] def capBuckets(
+  private[graft] def capBuckets(
       buckets: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
     val ok = buckets.groupBy(keys.map(col): _*).count()
       .filter(col("count") <= maxBucket).drop("count")

@@ -100,4 +100,14 @@ class DedupSpec extends SparkSpec {
     val recall = (exact intersect ann).size.toDouble / exact.size
     assert(recall >= 0.5, s"ANN recall too low: $recall")
   }
+
+  test("capBuckets drops oversize blocking buckets, keeps the rest") {
+    val buckets = Seq(
+      (0, 1L, 1L), (0, 1L, 2L), (0, 1L, 3L),   // bucket (0,1): 3 members
+      (0, 2L, 4L), (0, 2L, 5L)                 // bucket (0,2): 2 members
+    ).toDF("b", "h", "id")
+      .select($"b".as("__band"), $"h".as("__bandhash"), $"id".as("__id"))
+    val capped = Dedup.capBuckets(buckets, Seq("__band", "__bandhash"), 2)
+    assertRows(capped, Seq("__id"), Set(Seq(4L), Seq(5L)))
+  }
 }
