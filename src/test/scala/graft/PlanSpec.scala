@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Physical-plan shape assertions — the properties that keep these
+  * operators fast at scale, pinned so a refactor can't silently regress
+  * them. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q5 multi-join: dimension filters reach the parquet scans") {
+    val df = SparkEntry.queries("q5_nation_revenue")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)")
+      || p.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed:\n$p")
+  }
+
+  test("q5 multi-join: small dimensions broadcast (no shuffle join at this size)") {
+    val p = plan(SparkEntry.queries("q5_nation_revenue")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join at tiny SF:\n$p")
+  }
+
+  test("column pruning: q1 scan reads only the needed lineitem columns") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("l_returnflag") && !scan.contains("l_comment"),
+      s"scan schema not pruned:\n$scan")
+  }
+
+  test("minhash pipeline: no pairwise blow-up, candidates served from cache") {
+    val pairs = Dedup.minHashLsh(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id",
+      numHashes = 32, bands = 16, threshold = 0.6)
+    val p = plan(pairs)
+    // exact Jaccard verify must NOT be a cross join — only keyed equi-joins
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise blow-up in plan:\n$p")
+    // the narrow candidate table is persisted: downstream branches read the
+    // cache instead of recomputing the signature pipeline
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"candidates not served from cache:\n$p")
+  }
+
+  test("brute-force knn broadcasts the query side (no shuffle exchange)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val df = graft.operators.Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", 5)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+    // native dot must appear (not the interpreted HOF 'aggregate(')
+    assert(p.contains("graft_dot"), s"native dot missing from plan:\n$p")
+  }
+
+  test("merge rewrite keeps all three branches as keyed joins") {
+    val o = Tables.load(spark, sf, "orders")
+    val src = o.select(col("o_orderkey"), (col("o_totalprice") + 1.0d).as("o_totalprice"))
+    val p = plan(graft.operators.Merge(o, src, Seq("o_orderkey"), Seq("o_totalprice"),
+      insertWhenNotMatched = true))
+    assert(!p.contains("CartesianProduct"), s"merge degenerated to cross join:\n$p")
+    assert(p.contains("Join"), s"expected joins in merge plan:\n$p")
+  }
+}
