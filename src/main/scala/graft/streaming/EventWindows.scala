@@ -52,7 +52,29 @@ object EventWindows {
       tsCol: String,
       duration: String,
       watermark: String,
-      sinkTable: String): StreamingQuery = {
+      sinkTable: String): StreamingQuery =
+    startToMemory(spark, sourceDir, tsCol, sinkTable,
+      s => tumbling(s.withWatermark(tsCol, watermark), tsCol, duration))
+
+  /** Streaming gap-sessionization: same session_window code as batch, with
+    * watermark-driven state eviction (a session closes — and its state is
+    * dropped — once the watermark passes its end + gap). */
+  def streamSessionsToMemory(
+      spark: SparkSession,
+      sourceDir: String,
+      tsCol: String,
+      gap: String,
+      watermark: String,
+      sinkTable: String): StreamingQuery =
+    startToMemory(spark, sourceDir, tsCol, sinkTable,
+      s => sessions(s.withWatermark(tsCol, watermark), tsCol, gap))
+
+  private def startToMemory(
+      spark: SparkSession,
+      sourceDir: String,
+      tsCol: String,
+      sinkTable: String,
+      transform: DataFrame => DataFrame): StreamingQuery = {
     // events.parquet carries TIMESTAMP(NANOS) → read ts as nanos-long and
     // convert, same as graft.Tables.events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -67,7 +89,7 @@ object EventWindows {
       else spark.readStream.schema(schema).parquet(sourceDir)
     val stream = reader
       .withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
-    tumbling(stream.withWatermark(tsCol, watermark), tsCol, duration)
+    transform(stream)
       .writeStream
       .format("memory")
       .queryName(sinkTable)

@@ -92,4 +92,20 @@ class TextAnalysisSpec extends SparkSpec {
     val sessions = EventWindows.sessions(events, "ts", "5 minutes")
     assert(sessions.agg(sum("n_events")).first().getLong(0) == events.count())
   }
+
+  test("session windows: batch and streaming agree") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val batch = EventWindows.sessions(events, "ts", "5 minutes")
+    val q = EventWindows.streamSessionsToMemory(
+      spark, "/root/testdata/sf0.001/events.parquet", "ts", "5 minutes",
+      watermark = "1 minute", sinkTable = "stream_sessions_sink")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_sessions_sink")
+    // append-mode emits only watermark-closed sessions; each emitted
+    // session must match the batch sessionization exactly
+    val batchSet = batch.collect().map(_.toSeq).toSet
+    val streamSet = streamed.collect().map(_.toSeq).toSet
+    assert(streamSet.nonEmpty, "streaming emitted no closed sessions")
+    assert(streamSet.subsetOf(batchSet), "streaming sessions diverge from batch")
+  }
 }
