@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Bucketing
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = Tables.load(spark, sf, "orders")
+    val lineitem = Tables.load(spark, sf, "lineitem")
+    Bucketing.writeBucketed(orders, "b_orders", Seq("o_orderkey"), 4,
+      sortKeys = Seq("o_orderkey"))
+    Bucketing.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", Seq("o_orderkey"), 4, sortKeys = Seq("o_orderkey"))
+
+    // disable broadcast so the join strategy actually exercises bucketing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.colocatedJoin(spark, "b_orders", "b_lineitem",
+        Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+
+      // and the result is the plain join's result
+      val expected = orders.join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey").count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("groupBy on the bucket key skips its exchange") {
+    val agg = spark.table("b_lineitem")
+      .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed groupBy must not shuffle:\n$plan")
+  }
+}
