@@ -433,6 +433,10 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "embedding_quantize" -> ((s, dir) =>
+      Quantize.roundTripCosine(t(s, dir, "embeddings"), "embedding", "vec_id")
+        .orderBy("vec_id")),
+
     "knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
@@ -762,6 +766,16 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "embedding_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12) / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(list_cosine_similarity(v,
+        |    list_transform(v, x -> round(x / scale) * scale)), 4) AS cos_rt
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "multimodal_bytes" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
