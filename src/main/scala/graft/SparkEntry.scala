@@ -381,6 +381,15 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------------------------- dedup
+    // generic multi-column exact dedup (Dedup.exact), distinct from the
+    // fingerprint-keyed text variant below
+    "dedup_exact_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      Dedup.exact(o, Seq("o_custkey", "o_orderstatus"), "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
     "dedup_exact_keep" -> ((s, dir) =>
       Dedup.exactText(t(s, dir, "documents"), "text", "doc_id")
         .select("doc_id", "lang", "source")
@@ -742,6 +751,12 @@ object SparkEntry {
         |WHERE o_totalprice > avg_p
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "dedup_exact_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey IN (SELECT min(o_orderkey) FROM orders
+        |                     GROUP BY o_custkey, o_orderstatus)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "dedup_exact_keep" ->
       """SELECT doc_id, lang, source FROM documents

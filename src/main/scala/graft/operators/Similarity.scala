@@ -81,9 +81,10 @@ object Similarity {
       tables: Int = 8,
       planesPerTable: Int = 10,
       seed: Long = 42L): DataFrame = {
-    val cBuckets = hyperplaneBuckets(corpus, vecCol, idCol, tables, planesPerTable, seed)
+    val dim = VectorFunctions.dimOf(corpus, vecCol)
+    val cBuckets = hyperplaneBuckets(corpus, vecCol, idCol, tables, planesPerTable, seed, dim)
       .withColumnRenamed("__id", "neighbor_id")
-    val qBuckets = hyperplaneBuckets(queries, vecCol, idCol, tables, planesPerTable, seed)
+    val qBuckets = hyperplaneBuckets(queries, vecCol, idCol, tables, planesPerTable, seed, dim)
       .withColumnRenamed("__id", "query_id")
     val candidates = cBuckets.join(qBuckets, Seq("__table", "__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -109,10 +110,13 @@ object Similarity {
       idCol: String,
       tables: Int,
       planesPerTable: Int,
-      seed: Long): DataFrame = {
+      seed: Long,
+      dimHint: Int = -1): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val rnd = new scala.util.Random(seed)
-    val dim = VectorFunctions.dimOf(df, vecCol)
+    // dimHint avoids a second first() driver action when the caller
+    // already sampled the dimension from the same column
+    val dim = if (dimHint > 0) dimHint else VectorFunctions.dimOf(df, vecCol)
     // planes(t)(p) = dim gaussian-ish weights
     val planes: Seq[Seq[Seq[Double]]] =
       Seq.fill(tables)(Seq.fill(planesPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
