@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   * a JVM higher-order function (array ops); there are no UDFs and no
   * driver-side work, so everything scales linearly with executors.
   *
+  * Tokenize once: normalization (`regexp_replace` + `lower`) and
+  * tokenization (`split`) are the expensive steps — a profile computing k
+  * metrics straight off the raw text re-runs them k times (measured >10×
+  * slowdown on quality_by_lang). Every metric therefore has a `*From`
+  * variant taking precomputed `norm`/`toks` columns; callers project
+  * those once (`TextAnalysis.profile`, SparkEntry's text queries) and the
+  * single-column conveniences below remain for ad-hoc use.
+  *
   * Oracle parity: each op has an equivalent DuckDB SQL formulation used by
   * `graft.SparkEntry.oracleSql` — math is integer/double deterministic.
   */
@@ -19,25 +27,28 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Whitespace tokens of already-normalized text. Empty input → empty
+    * array (a bare split of "" yields [""]). */
+  def tokensFromNorm(norm: Column): Column =
+    when(norm === "", array().cast("array<string>")).otherwise(split(norm, " "))
+
   /** Whitespace tokens of the normalized text. Empty input → empty array. */
-  def tokens(c: Column): Column = {
-    val n = normalizeText(c)
-    when(n === "", array().cast("array<string>")).otherwise(split(n, " "))
-  }
+  def tokens(c: Column): Column = tokensFromNorm(normalizeText(c))
 
   /** Whitespace token count (the cheap token counter). */
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** BPE-ish subword count: word characters grouped in runs of ≤4 plus
-    * standalone non-space symbols — a deterministic, tokenizer-free
-    * approximation of subword token counts (ratio ~chars/4 for prose). */
-  def subwordCount(c: Column): Column = {
-    val n = normalizeText(c)
+  /** BPE-ish subword count over normalized text: word characters grouped
+    * in runs of ≤4 plus standalone non-space symbols — a deterministic,
+    * tokenizer-free approximation of subword token counts. */
+  def subwordCountFrom(norm: Column): Column = {
     // count of [A-Za-z0-9]{1,4} runs + count of other non-space chars
-    val wordRuns = size(regexp_extract_all(n, lit("[A-Za-z0-9]{1,4}"), lit(0)))
-    val symbols  = size(regexp_extract_all(n, lit("[^A-Za-z0-9\\s]"), lit(0)))
-    when(n === "", lit(0)).otherwise(wordRuns + symbols)
+    val wordRuns = size(regexp_extract_all(norm, lit("[A-Za-z0-9]{1,4}"), lit(0)))
+    val symbols  = size(regexp_extract_all(norm, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    when(norm === "", lit(0)).otherwise(wordRuns + symbols)
   }
+
+  def subwordCount(c: Column): Column = subwordCountFrom(normalizeText(c))
 
   /** Word n-gram shingles over normalized tokens. Documents shorter than
     * `n` tokens yield a single shingle (the whole text) so they still
@@ -76,62 +87,106 @@ object TextFunctions {
   val StopwordsFr: Seq[String] = Seq("le", "la", "les", "et", "des", "est", "un", "une", "du", "que")
   val StopwordsEs: Seq[String] = Seq("el", "los", "las", "y", "es", "que", "de", "un", "una", "por")
 
-  private def stopwordHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words: _*)))
+  /** Count of tokens that belong to `words`, computed as a regex count
+    * over the NORMALIZED (single-space-joined) text. Exactly equivalent to
+    * filtering the token array — tokens are delimited by spaces/ends, and
+    * the lookahead keeps consecutive stopwords ("of the") both matchable —
+    * but regexp_extract_all is codegen'd, while an array `filter` lambda
+    * is interpreted per element and knocks the whole projection out of
+    * whole-stage codegen (measured 4× on quality_by_lang). */
+  private[graft] def stopwordHits(norm: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(
+      norm, lit(words.mkString("(?:^| )(?:", "|", ")(?= |$)")), lit(0)))
 
-  /** Language ID heuristic: CJK characters dominate → zh; otherwise the
-    * language whose stopword list scores the most token hits, ties broken
-    * in fixed order en > de > fr > es. Deterministic and fully
-    * SQL-expressible (mirrored in the DuckDB oracle). */
-  def langId(c: Column): Column = {
-    val toks = tokens(c)
-    val zh = size(regexp_extract_all(c, lit("[\\u4e00-\\u9fff]"), lit(0)))
-    val en = stopwordHits(toks, StopwordsEn)
-    val de = stopwordHits(toks, StopwordsDe)
-    val fr = stopwordHits(toks, StopwordsFr)
-    val es = stopwordHits(toks, StopwordsEs)
+  /** Language ID from the raw text (CJK check) + precomputed normalized
+    * text. CJK characters dominate → zh; otherwise the language whose
+    * stopword list scores the most token hits, ties broken
+    * en > de > fr > es. Deterministic and fully SQL-expressible (mirrored
+    * in DuckDB). */
+  def langIdFrom(raw: Column, norm: Column): Column =
+    langIdFromHits(
+      cjkCount(raw),
+      stopwordHits(norm, StopwordsEn),
+      stopwordHits(norm, StopwordsDe),
+      stopwordHits(norm, StopwordsFr),
+      stopwordHits(norm, StopwordsEs))
+
+  /** CJK character count of the raw text (the zh signal). */
+  def cjkCount(raw: Column): Column =
+    size(regexp_extract_all(raw, lit("[\\u4e00-\\u9fff]"), lit(0)))
+
+  /** The lang-ID decision tree over precomputed hit counts. Callers on hot
+    * paths should project the five counts as columns first — passing the
+    * raw hit EXPRESSIONS repeats each stopword regex up to 3× in the CASE
+    * tree, which balloons plan analysis + codegen time (measured ~4 s of
+    * one-time cost on quality_by_lang). */
+  def langIdFromHits(zh: Column, en: Column, de: Column, fr: Column, es: Column): Column =
     when(zh > 0, "zh")
       .when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
       .otherwise("es")
-  }
+
+  def langId(c: Column): Column = langIdFrom(c, normalizeText(c))
 
   // ---------------------------------------------------------- quality score
 
   /** Ratio of punctuation chars to total chars (0 for empty docs). */
-  def punctRatio(c: Column): Column = {
-    val n = normalizeText(c)
-    when(length(n) === 0, 0.0d).otherwise(
-      size(regexp_extract_all(n, lit("[\\.,;:!\\?'\"()\\[\\]{}-]"), lit(0)))
-        .cast("double") / length(n))
-  }
+  def punctRatioFrom(norm: Column): Column =
+    when(length(norm) === 0, 0.0d).otherwise(
+      size(regexp_extract_all(norm, lit("[\\.,;:!\\?'\"()\\[\\]{}-]"), lit(0)))
+        .cast("double") / length(norm))
+
+  def punctRatio(c: Column): Column = punctRatioFrom(normalizeText(c))
 
   /** Ratio of (english) stopword tokens to all tokens (0 for empty docs). */
+  def stopwordRatioFrom(norm: Column, toks: Column): Column =
+    when(size(toks) === 0, 0.0d)
+      .otherwise(stopwordHits(norm, StopwordsEn).cast("double") / size(toks))
+
   def stopwordRatio(c: Column): Column = {
-    val t = tokens(c)
-    when(size(t) === 0, 0.0d)
-      .otherwise(stopwordHits(t, StopwordsEn).cast("double") / size(t))
+    val n = normalizeText(c)
+    stopwordRatioFrom(n, tokensFromNorm(n))
   }
 
-  /** Mean token length in characters (0 for empty docs). */
+  /** Mean token length in characters (0 for empty docs). Tokens of the
+    * normalized text are single-space joined, so the sum of token lengths
+    * is exactly `length(norm) - (n_tokens - 1)` — integer arithmetic, no
+    * per-element array traversal, bit-identical to summing lengths. */
+  def meanTokenLengthFrom(norm: Column, toks: Column): Column =
+    when(size(toks) === 0, 0.0d).otherwise(
+      (length(norm) - (size(toks) - 1)).cast("double") / size(toks))
+
   def meanTokenLength(c: Column): Column = {
-    val t = tokens(c)
-    when(size(t) === 0, 0.0d).otherwise(
-      aggregate(t, lit(0.0d), (acc, x) => acc + length(x)) / size(t))
+    val n = normalizeText(c)
+    meanTokenLengthFrom(n, tokensFromNorm(n))
   }
 
   /** Heuristic document-quality score in [0,1]: favors mid-length docs,
     * modest punctuation, presence of stopwords, word-like token lengths —
     * the classic cheap pre-filter before expensive dedup/training steps. */
-  def qualityScore(c: Column): Column = {
-    val nTok    = tokenCount(c).cast("double")
-    val lenTerm = least(nTok / 64.0d, lit(1.0d))            // enough text
-    val punct   = punctRatio(c)
+  def qualityScoreFrom(norm: Column, toks: Column): Column =
+    qualityScoreFromParts(
+      size(toks),
+      punctRatioFrom(norm),
+      stopwordRatioFrom(norm, toks),
+      meanTokenLengthFrom(norm, toks))
+
+  /** Quality score as pure arithmetic over precomputed metric columns —
+    * the hot-path form (each metric expression evaluates once; the naive
+    * composition repeats the punctuation regex 3× and the stopword regex
+    * 2× in the tree). */
+  def qualityScoreFromParts(
+      nTok: Column, punct: Column, stopRatio: Column, mtl: Column): Column = {
+    val lenTerm = least(nTok.cast("double") / 64.0d, lit(1.0d)) // enough text
     val punTerm = when(punct <= 0.2d, 1.0d).otherwise(greatest(lit(0.0d), lit(1.0d) - (punct - 0.2d) * 4.0d))
-    val stoTerm = least(stopwordRatio(c) * 5.0d, lit(1.0d)) // natural language-ness
-    val mtl     = meanTokenLength(c)
+    val stoTerm = least(stopRatio * 5.0d, lit(1.0d))            // natural language-ness
     val mtlTerm = when(mtl.between(3.0d, 10.0d), 1.0d).otherwise(0.5d)
     round((lenTerm * 0.4d + punTerm * 0.2d + stoTerm * 0.2d + mtlTerm * 0.2d), 6)
+  }
+
+  def qualityScore(c: Column): Column = {
+    val n = normalizeText(c)
+    qualityScoreFrom(n, tokensFromNorm(n))
   }
 }

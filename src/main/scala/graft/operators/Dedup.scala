@@ -33,7 +33,12 @@ object Dedup {
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
     val winners = df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol))
-    df.join(winners, keyCols :+ idCol, "left_semi")
+      .select((keyCols :+ idCol).map(c => col(c).as(s"__w_$c")): _*)
+    // Null-safe key equality (<=>): groupBy treats NULL keys as a group, so
+    // the winner row exists — a plain equi-join would silently drop it.
+    val cond = keyCols.map(k => df(k) <=> winners(s"__w_$k")).reduce(_ && _) &&
+      df(idCol) === winners(s"__w_$idCol")
+    df.join(winners, cond, "left_semi")
   }
 
   /** Exact text dedup on the md5 fingerprint of normalized text: cheaper
@@ -53,8 +58,11 @@ object Dedup {
   private[operators] val MersenneP = (1L << 31) - 1
   private def hashParams(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
     val rnd = new scala.util.Random(seed)
-    val a = Seq.fill(k)(1L + math.abs(rnd.nextLong()) % (MersenneP - 1))
-    val b = Seq.fill(k)(math.abs(rnd.nextLong()) % MersenneP)
+    // & Long.MaxValue, not math.abs: abs(Long.MinValue) is negative and
+    // would break the a,b < 2³¹ field invariant.
+    def nonNeg(): Long = rnd.nextLong() & Long.MaxValue
+    val a = Seq.fill(k)(1L + nonNeg() % (MersenneP - 1))
+    val b = Seq.fill(k)(nonNeg() % MersenneP)
     (a, b)
   }
 

@@ -74,22 +74,25 @@ object Merge {
   }
 
   /** Fails if more than one source row matches a single target row —
-    * Delta's multiple-matches contract. One extra keyed aggregation job;
-    * scales map-side (partial count) so fine at any size. */
+    * Delta's multiple-matches contract. Joins the FULL target (tagged with
+    * a per-row id) so `baseCondition` may reference any TGT column, not
+    * just primary keys; counts source matches per target ROW. One extra
+    * keyed aggregation job; scales map-side (partial count). */
   def checkAmbiguousMatches(
       target: DataFrame,
       source: DataFrame,
       primaryKeys: Seq[String],
       baseCondition: String): Unit = {
-    val tgt = target.alias("TGT")
+    val tgt = target
+      .withColumn("__tgt_row", monotonically_increasing_id())
+      .alias("TGT")
     val src = source.alias("SRC")
     val cond =
       primaryKeys.map(k => col(s"TGT.$k") === col(s"SRC.$k")).reduce(_ && _) &&
         expr(baseCondition)
-    val dupes = tgt.select(primaryKeys.map(c => col(c)): _*).dropDuplicates(primaryKeys)
-      .alias("TGT")
+    val dupes = tgt
       .join(src, cond, "inner")
-      .groupBy(primaryKeys.map(c => col(s"TGT.$c")): _*).count()
+      .groupBy(col("TGT.__tgt_row")).count()
       .filter(col("count") > 1)
       .limit(1).count()
     if (dupes > 0)

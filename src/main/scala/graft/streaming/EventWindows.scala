@@ -76,8 +76,13 @@ object EventWindows {
       sinkTable: String,
       transform: DataFrame => DataFrame): StreamingQuery = {
     // events.parquet carries TIMESTAMP(NANOS) → read ts as nanos-long and
-    // convert, same as graft.Tables.events.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // convert, same as graft.Tables.events. The conf is only needed at
+    // read-plan time (schema inference + reader construction below), so
+    // save/restore it instead of leaking the session-wide behavior change.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try {
     val schema = spark.read.parquet(sourceDir).schema
     // The file-stream source wants a directory; a single-file input becomes
     // its parent dir + a glob filter for just that file.
@@ -95,5 +100,9 @@ object EventWindows {
       .queryName(sinkTable)
       .outputMode("append")
       .start()
+    } finally prevNanos match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None    => spark.conf.unset(nanosKey)
+    }
   }
 }
