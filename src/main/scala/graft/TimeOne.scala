@@ -23,9 +23,8 @@ object TimeOne {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Session warmup (same as Bench) — otherwise the FIRST query measured
-    // absorbs ~4-5 s of one-time JVM/codegen/parquet-reader startup.
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // absorbs 5-10 s of one-time JVM/codegen/parquet-reader startup.
+    Warmup.run(spark, sfDir)
     names.foreach { name =>
       if (doExplain) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       // Rebuild the DataFrame each run: run1 = cold (analysis + optimize +
@@ -35,8 +34,10 @@ object TimeOne {
       // Full evaluation (not count()) so projection-only queries aren't
       // pruned to nothing — same action as Bench.
       (1 to 2).foreach { i =>
-        val df = SparkEntry.queries(name)(spark, sfDir)
+        // Construction INSIDE the timing: eager pipeline operators (LSH
+        // dedup) do their work at construction, same as Bench measures.
         val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, sfDir)
         df.queryExecution.toRdd.foreach(_ => ())
         val phases = df.queryExecution.tracker.phases
           .map { case (p, s) => s"$p=${s.endTimeMs - s.startTimeMs}ms" }

@@ -15,12 +15,12 @@ import graft.functions.TextFunctions._
   * (exact Jaccard / hamming / cosine) runs only on candidate pairs.
   * Nothing ever collects to the driver.
   *
-  * Signature computation (minhash / simhash) is formulated as explode +
-  * hash-aggregate with k independent `min`/`sum` aggregate columns: plain
-  * integer arithmetic inside whole-stage codegen with map-side partial
-  * aggregation, instead of interpreted higher-order-function lambdas
-  * (O(k × elements) per row with per-element expression interpretation —
-  * measured ~10× slower at sf0.1).
+  * Signature computation is formulated as explode + NARROW hash-aggregates
+  * (one-permutation hashing for minhash: one hash + one min update per
+  * shingle) inside whole-stage codegen with map-side partial aggregation —
+  * not interpreted higher-order-function lambdas (O(k × elements) per row,
+  * measured ~10× slower), and not k-column aggregates (whose generated
+  * classes take seconds to Janino-compile and dominate cold-query time).
   */
 object Dedup {
 
@@ -50,22 +50,6 @@ object Dedup {
 
   // ------------------------------------------------------------ minhash LSH
 
-  /** Deterministic universal-hash parameters (seeded, fixed across runs)
-    * for the minwise family h_i(x) = (a_i·x + b_i) mod P over the Mersenne
-    * field P = 2³¹-1. Operands stay < 2³¹ so the 64-bit product never
-    * overflows — important under Spark 4's default ANSI mode, which throws
-    * on wraparound instead of wrapping. */
-  private[operators] val MersenneP = (1L << 31) - 1
-  private def hashParams(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
-    val rnd = new scala.util.Random(seed)
-    // & Long.MaxValue, not math.abs: abs(Long.MinValue) is negative and
-    // would break the a,b < 2³¹ field invariant.
-    def nonNeg(): Long = rnd.nextLong() & Long.MaxValue
-    val a = Seq.fill(k)(1L + nonNeg() % (MersenneP - 1))
-    val b = Seq.fill(k)(nonNeg() % MersenneP)
-    (a, b)
-  }
-
   /** Exploded word-shingle hashes `(__id, __h)`: one row per shingle
     * position, substring/concat + xxhash64 computed inside whole-stage
     * codegen. No shingle array is ever materialized (the interpreted
@@ -89,19 +73,6 @@ object Dedup {
         explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
       .select(col("__id"), xxhash64(col("__t").substr(col("__i"), lit(n))).as("__h"))
 
-  /** LSH band candidate pairs over exploded shingle-hash rows `(__id, __h)`.
-    *
-    * Stages (all distributed, one narrow equi-join):
-    *   1. hash-aggregate k minhashes per doc as k `min` columns
-    *      (codegen'd, map-side partial min — the shuffle carries only
-    *      k longs per doc, never the shingle sets);
-    *   2. band hash = xxhash64 over each band's min-columns; explode the
-    *      `bands` (band, hash) structs;
-    *   3. self-equi-join on (band index, band hash), id_a < id_b, distinct.
-    *
-    * Only doc ids cross the band join — shingle sets are attached later
-    * to the (small) candidate set, so band-collision skew can't amplify
-    * wide rows. */
   /** Cap on members per blocking bucket. A bucket of n docs yields n²/2
     * candidate pairs — boilerplate-heavy corpora (license headers,
     * navigation chrome) produce million-doc buckets at scale, and one
@@ -121,38 +92,59 @@ object Dedup {
     buckets.join(ok, keys)
   }
 
-  private def minhashBandPairs(
-      shingleRows: DataFrame,
+  /** One-permutation-hashing minhash signatures `(__id, __sig)` from
+    * exploded shingle-hash rows `(__id, __h)`. [Li, Owen, Zhang 2012]
+    *
+    * Instead of k independent permutations (k multiply-mods per shingle
+    * and a k-column aggregate whose generated class takes seconds to
+    * Janino-compile), each shingle's single xxhash64 is assigned to
+    * bucket `h mod k` and the signature slot is the min hash within the
+    * bucket. Per shingle that is ONE cheap agg update; the aggregate is
+    * narrow (3 columns), so codegen stays small and map-side combine
+    * carries ≤ k rows per doc. Empty buckets (only short docs have any:
+    * P(empty) = (1-1/k)^|shingles|) are densified with the doc's global
+    * min — a deterministic function of the shingle set, so identical docs
+    * still collide on every band, and unrelated short docs don't inherit
+    * a shared sentinel.
+    *
+    * Slot-match probability for filled buckets equals the Jaccard
+    * similarity, same as classic minwise hashing. */
+  private[operators] def minhashSigs(
+      shingleRows: DataFrame, numHashes: Int): DataFrame = {
+    val bucketMins = shingleRows
+      .select(col("__id"),
+        pmod(col("__h"), lit(numHashes.toLong)).cast("int").as("__b"), col("__h"))
+      .groupBy("__id", "__b").agg(min(col("__h")).as("__m"))
+    bucketMins.groupBy("__id")
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__m")))).as("__mm"),
+        min(col("__m")).as("__g"))
+      .select(col("__id"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => coalesce(element_at(col("__mm"), i), col("__g"))).as("__sig"))
+  }
+
+  /** LSH band candidate pairs from persisted OPH signatures `(__id, __sig)`.
+    *
+    * band hash = xxhash64 of the band's signature slice; candidates come
+    * from a self-equi-join on (band index, band hash), id_a < id_b,
+    * distinct. Only doc ids cross the band join — signatures and shingle
+    * sets are attached later to the (small) candidate set, so
+    * band-collision skew can't amplify wide rows. */
+  private def bandCandidates(
+      sigs: DataFrame,
       numHashes: Int,
       bands: Int,
-      seed: Long,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int): DataFrame = {
     val rows = numHashes / bands
-    val (a, b) = hashParams(numHashes, seed)
-    // (a·h+b) mod P over the Mersenne field: the per-hash division is NOT
-    // the bottleneck — a multiply-shift variant (mul+add+>>>33) measured
-    // 2× SLOWER end-to-end because its low-clustered minima collide more
-    // across bands and flood the candidate join. Keep the field math.
-    val hMod = pmod(col("__h"), lit(MersenneP))
-    val minAggs = (0 until numHashes).map { i =>
-      min(pmod(lit(a(i)) * hMod + lit(b(i)), lit(MersenneP))).as(s"__m$i")
-    }
-    val sigs = shingleRows.groupBy("__id").agg(minAggs.head, minAggs.tail: _*)
-
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("b"),
-        xxhash64((bi * rows until (bi + 1) * rows).map(i => col(s"__m$i")): _*).as("h"))
+        xxhash64(slice(col("__sig"), bi * rows + 1, rows)).as("h"))
     }
-    // Persist the NARROW band table (3 longs/doc/band): the self-join and
-    // the candidate consumers below would otherwise each recompute the
-    // whole shingle+signature pipeline (Spark re-executes shared subplans
-    // per branch; ReusedExchange doesn't fire across these shapes —
-    // measured 2.4× slower without the persists).
+    // banded is re-derived per consumer, but from the PERSISTED sigs —
+    // 16 slice+hash structs over one narrow cached row per doc.
     val banded = sigs
       .select(col("__id"), explode(array(bandCols: _*)).as("__bh"))
       .select(col("__id"), col("__bh.b").as("__band"), col("__bh.h").as("__bandhash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
     val capped = capBuckets(banded, Seq("__band", "__bandhash"), maxBucket)
     val l = capped.withColumnRenamed("__id", "id_a")
     val r = capped.withColumnRenamed("__id", "id_b")
@@ -160,7 +152,33 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Signature-estimate prefilter: band collisions at char-shingle
+    * granularity are noisy (baseline similarity between unrelated docs is
+    * high), so the band join can emit 50-100× more candidates than
+    * survive exact verification. Estimating Jaccard from the fraction of
+    * matching signature slots — data already in hand — and cutting at
+    * `threshold − 2.5σ` (σ = √(t(1−t)/k), so the miss probability for a
+    * true-threshold pair is <1%) drops the junk BEFORE the expensive
+    * collect_set/array_intersect verification. Precision is unaffected:
+    * exact Jaccard still decides membership. */
+  private def sigPrefilter(
+      candidates: DataFrame,
+      sigs: DataFrame,
+      numHashes: Int,
+      threshold: Double): DataFrame = {
+    val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
+    val minMatches = math.max(0.0, threshold - 2.5 * sigma) * numHashes
+    val matches = aggregate(
+      zip_with(col("__sa"), col("__sb"),
+        (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+      lit(0), (acc, z) => acc + z)
+    candidates
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sa")), "id_a")
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sb")), "id_b")
+      .filter(matches >= minMatches)
+      .select("id_a", "id_b")
   }
 
   /** Exact-Jaccard verification of candidate pairs. Shingling is expensive
@@ -190,9 +208,41 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Shared LSH pipeline: OPH signatures → band candidates → signature
+    * prefilter → exact-Jaccard verification. EAGER: the small result is
+    * materialized (persisted) so the narrow signature cache — the only
+    * big intermediate — can be released before returning; long-lived
+    * sessions running many dedup passes don't accumulate storage. */
+  private def lshJaccardPipeline(
+      df: DataFrame,
+      idCol: String,
+      shingler: DataFrame => DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val sigs = minhashSigs(shingler(df), numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = bandCandidates(sigs, numHashes, bands, maxBucket)
+    val prefiltered = sigPrefilter(candidates, sigs, numHashes, threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val result = verifyJaccard(df, idCol, prefiltered, threshold, shingler)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize, then release the upstream caches
+    prefiltered.unpersist()
+    sigs.unpersist()
+    result
+  }
+
   /** MinHash + LSH banding near-dup pipeline over a text column: word
-    * n-gram shingles → k minhashes → band equi-join candidates → exact
-    * Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) with id_a < id_b. */
+    * n-gram shingles → k-slot OPH minhash signature → band equi-join
+    * candidates → signature prefilter → exact Jaccard ≥ threshold.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * `seed` is retained for API stability but unused: one-permutation
+    * hashing derives every slot from the single fixed-seed xxhash64, so
+    * signatures are deterministic across runs by construction. */
   def minHashLsh(
       df: DataFrame,
       textCol: String,
@@ -201,13 +251,10 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8,
-      seed: Long = 42L): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
-    val candidates = minhashBandPairs(
-      explodedWordShingles(df, textCol, idCol, shingleSize), numHashes, bands, seed)
-    verifyJaccard(df, idCol, candidates, threshold,
-      explodedWordShingles(_, textCol, idCol, shingleSize))
-  }
+      seed: Long = 42L): DataFrame =
+    lshJaccardPipeline(df, idCol,
+      explodedWordShingles(_, textCol, idCol, shingleSize),
+      numHashes, bands, threshold, DefaultMaxBucket)
 
   /** Keep one representative per near-dup cluster found by minHashLsh:
     * drops every id that appears as the greater member of a qualifying
@@ -251,23 +298,40 @@ object Dedup {
   }
 
   /** SimHash signatures `(__id, __sim)` for a whole corpus: explode tokens,
-    * hash-aggregate 64 per-bit vote sums (map-side partial, codegen'd),
-    * then reassemble the 64-bit hash by OR-ing the winning bits. Tokenless
-    * docs keep a null token via explode_outer → all votes 0 → hash 0,
-    * matching the HOF `simHash` on empty input. */
+    * hash-aggregate PACKED per-bit counts, then reassemble the 64-bit hash
+    * by OR-ing the winning bits.
+    *
+    * Packing: 16 accumulator longs, each holding 4 independent 16-bit
+    * lanes — lane l of accumulator j counts bit (j + 16·l) of the token
+    * hash. Versus 64 one-bit-per-column sums this shrinks the aggregate
+    * buffer and the generated class 4× (the 64-column variant spent more
+    * wall-clock in Janino/C2 compilation than in execution at sf0.1), at
+    * identical per-row arithmetic. Bit i of a token hash contributes +1 to
+    * its lane; the majority vote for bit i is then `2·count > n` over the
+    * doc's token count n. Lanes are 16-bit unsigned ⇒ safe below 65k
+    * tokens per doc (a 100-page document is ~50k tokens; token streams
+    * should be chunked upstream long before that).
+    *
+    * Tokenless docs keep a null token via explode_outer → zero counts and
+    * n=0 → hash 0, matching the HOF `simHash` on empty input. */
   private def simHashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("__id"),
       explode_outer(tokens(col(textCol))).as("__t"))
     val h = xxhash64(col("__t"))
-    val voteAggs = (0 until 64).map { i =>
-      sum(when(col("__t").isNull, lit(0L))
-        .when(h.bitwiseAND(lit(1L << i)) =!= 0, lit(1L)).otherwise(lit(-1L)))
-        .as(s"__v$i")
+    // packed_j = Σ_l ((h >> (j+16l)) & 1) << (16l), one addend per lane
+    val packedAggs = (0 until 16).map { j =>
+      val packed = (0 until 4).map { l =>
+        shiftleft(shiftrightunsigned(h, j + 16 * l).bitwiseAND(lit(1L)), 16 * l)
+      }.reduce(_ + _)
+      sum(when(col("__t").isNull, lit(0L)).otherwise(packed)).as(s"__p$j")
     }
+    val n = sum(when(col("__t").isNull, lit(0L)).otherwise(lit(1L))).as("__n")
     val sim = (0 until 64).map { i =>
-      when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+      val cnt = shiftrightunsigned(col(s"__p${i % 16}"), 16 * (i / 16))
+        .bitwiseAND(lit(0xFFFFL))
+      when(cnt * 2 > col("__n"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    toks.groupBy("__id").agg(voteAggs.head, voteAggs.tail: _*)
+    toks.groupBy("__id").agg(packedAggs.head, (packedAggs.tail :+ n): _*)
       .select(col("__id"), sim.as("__sim"))
   }
 
@@ -289,7 +353,7 @@ object Dedup {
       struct(lit(ci).as("i"),
         shiftrightunsigned(col("__sim"), ci * bitsPer).bitwiseAND(lit(mask)).as("v"))
     }
-    // persisted for the self-join below (see minhashBandPairs)
+    // persisted for the self-join below; released after materialization
     val hashed = simHashSigs(df, textCol, idCol)
       .select(col("__id"), col("__sim"), explode(array(chunkCols: _*)).as("__c"))
       .select(col("__id"), col("__sim"),
@@ -299,12 +363,16 @@ object Dedup {
     val capped = capBuckets(hashed, Seq("__ci", "__cv"), DefaultMaxBucket)
     val l = capped.select(col("__ci"), col("__cv"), col("__id").as("id_a"), col("__sim").as("__sim_a"))
     val r = capped.select(col("__ci"), col("__cv"), col("__id").as("id_b"), col("__sim").as("__sim_b"))
-    l.join(r, Seq("__ci", "__cv"))
+    val result = l.join(r, Seq("__ci", "__cv"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize, then release the signature cache
+    hashed.unpersist()
+    result
   }
 
   // -------------------------------------------------------- n-gram jaccard
@@ -320,18 +388,19 @@ object Dedup {
       threshold: Double = 0.7,
       numHashes: Int = 64,
       bands: Int = 16,
-      seed: Long = 7L): DataFrame = {
-    require(numHashes % bands == 0)
-    val candidates = minhashBandPairs(
-      explodedCharShingles(df, textCol, idCol, n), numHashes, bands, seed)
-    verifyJaccard(df, idCol, candidates, threshold,
-      explodedCharShingles(_, textCol, idCol, n))
-  }
+      seed: Long = 7L): DataFrame =
+    lshJaccardPipeline(df, idCol,
+      explodedCharShingles(_, textCol, idCol, n),
+      numHashes, bands, threshold, DefaultMaxBucket)
 
-  /** Probe hook (dev): candidate pairs for the ngram pipeline. */
+  /** Probe hook (dev): raw band-candidate pairs for the ngram pipeline
+    * (before the signature prefilter). */
   private[graft] def ngramJaccardPairsCandidatesProbe(
-      df: DataFrame, textCol: String, idCol: String): DataFrame =
-    minhashBandPairs(explodedCharShingles(df, textCol, idCol, 5), 64, 16, 7L)
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sigs = minhashSigs(explodedCharShingles(df, textCol, idCol, 5), 64)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bandCandidates(sigs, 64, 16, DefaultMaxBucket)
+  }
 
   // --------------------------------------------------- embedding near-dup
 

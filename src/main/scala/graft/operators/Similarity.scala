@@ -153,7 +153,7 @@ object Similarity {
     val capped = Dedup.capBuckets(buckets, Seq("__table", "__bucket"), Dedup.DefaultMaxBucket)
     val l = capped.withColumnRenamed("__id", "id_a")
     val r = capped.withColumnRenamed("__id", "id_b")
-    l.join(r, Seq("__table", "__bucket"))
+    val result = l.join(r, Seq("__table", "__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
@@ -165,6 +165,10 @@ object Similarity {
         cosineCol(col("__va"), col("__na"), col("__vb"), col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize, then release the bucket cache
+    buckets.unpersist()
+    result
   }
 
   /** Window top-k with deterministic ordering (cosine desc, id asc). */
