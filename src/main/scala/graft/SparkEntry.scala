@@ -296,6 +296,37 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Same lifecycle as etl_upsert but loaded through the FILE-based
+    // factory (EtlJob.fromConfig): YAML written to disk, read back with
+    // ${mod} substituted from params — exercising the load path a config
+    // author actually uses.
+    "etl_fromconfig_upsert" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
+      val tgt = etlScratch(dir, "fromcfg")
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM __etl_orders WHERE o_custkey % 10 = 9")
+        .write.mode("overwrite").parquet(tgt)
+      val yaml =
+        s"""version: 0
+           |source:
+           |  query: >-
+           |    SELECT o_orderkey, o_totalprice + 250.0 AS o_totalprice
+           |    FROM __etl_orders WHERE o_custkey % $${mod} IN (9, 0)
+           |target:
+           |  path: $tgt
+           |  operation: upsert
+           |  primary_key_column: [o_orderkey]
+           |  update_column: [o_totalprice]
+           |""".stripMargin
+      val f = java.nio.file.Files.createTempFile("graft_job_", ".yml")
+      java.nio.file.Files.writeString(f, yaml)
+      try EtlJob.fromConfig(f.toString, Map("mod" -> "10")).run()
+      finally java.nio.file.Files.deleteIfExists(f)
+      s.read.parquet(tgt)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     "etl_truncate_append" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
@@ -460,6 +491,35 @@ object SparkEntry {
         nlist = 16, nprobe = 4)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("query_id", "rank")
+    }),
+
+    // Recall@5 of the approximate ANN paths, measured against the exact
+    // brute-force top-5 INSIDE Spark (left join on (query, neighbor)).
+    // The oracle pins a quality floor: DuckDB computes the exact side's
+    // query count and asserts recall_ok = true — if a code change drops
+    // recall below the floor, Spark emits false and the driver flags a
+    // hash mismatch. Both paths are deterministic (seeded hyperplanes /
+    // seeded k-means), so measured recall is exact per SF; floors sit
+    // under the minimum across sf0.001/0.01/0.1 (BASELINE.md records the
+    // measurements — the test embeddings' true neighbors are at cosine
+    // ~0.35-0.4, hard LSH geometry, so ~0.5-0.65 recall at the shipped
+    // fast configs is expected, tunable via tables/planes/nprobe).
+    "ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val exact = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 5)
+      val approx = Similarity.annTopK(emb, q, "embedding", "vec_id", k = 5,
+        tables = 16, planesPerTable = 6)
+      recallGate(exact, approx, floor = 0.40)
+    }),
+
+    "ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val exact = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 5)
+      val approx = IvfIndex.ivfTopK(emb, q, "embedding", "vec_id", k = 5,
+        nlist = 16, nprobe = 4)
+      recallGate(exact, approx, floor = 0.45)
     }),
 
     // ------------------------------------------------------------ multimodal
@@ -689,9 +749,25 @@ object SparkEntry {
         |FROM orders WHERE o_custkey % 10 = 6
         |ORDER BY o_orderkey""".stripMargin,
 
+    "etl_fromconfig_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice + 250.0 AS o_totalprice
+        |FROM orders WHERE o_custkey % 10 = 9
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS BIGINT), o_totalprice + 250.0
+        |FROM orders WHERE o_custkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
     "etl_truncate_append" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey % 10 = 8 ORDER BY o_orderkey""".stripMargin,
+
+    "ann_recall" ->
+      """SELECT true AS recall_ok,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries""".stripMargin,
+
+    "ivf_recall" ->
+      """SELECT true AS recall_ok,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries""".stripMargin,
 
     "recon_lineitem" ->
       """WITH a AS (
@@ -885,6 +961,30 @@ object SparkEntry {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin
   )
+
+  /** recall@k gate: fraction of exact top-k pairs the approximate path
+    * found, compared against a pinned floor. Output (recall_ok boolean,
+    * n_queries bigint) is oracle-comparable: the floor assertion travels
+    * in the Spark result, the query count anchors both sides. */
+  private def recallGate(exact: DataFrame, approx: DataFrame, floor: Double): DataFrame = {
+    val flagged = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id").withColumn("__hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+    flagged.agg(
+      (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)) >= floor)
+        .as("recall_ok"),
+      countDistinct(col("query_id")).as("n_queries"))
+  }
+
+  /** Dev probe: raw recall value (not registered as a driver query). */
+  private[graft] def recallValue(exact: DataFrame, approx: DataFrame): Double = {
+    val flagged = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id").withColumn("__hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+    flagged.agg(
+      (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))).as("r"))
+      .collect()(0).getDouble(0)
+  }
 
   /** Scratch parquet path for an ETL lifecycle query, unique per SF dir. */
   private def etlScratch(dir: String, name: String): String =

@@ -3,7 +3,7 @@ package graft.operators
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import graft.spec.{JobSpec, Operation}
+import graft.spec.{JobConfigException, JobSpec, Operation}
 import graft.sources.{DataSource, PathRef, TableRef, TargetRef}
 
 import scala.jdk.CollectionConverters._
@@ -41,10 +41,50 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
     val source = fromDs.sql(spec.source.effectiveQuery)
     source.createOrReplaceTempView(SourceView)
     spec.source.postSql.foreach(fromDs.sql(_))
+    validatePlan(source)
     spec.target.preSql.foreach(toDs.sql(_))
     operate(spark.table(SourceView))
     spec.target.postSql.foreach(toDs.sql(_))
   }
+
+  /** Plan-time validation of the configured columns against real schemas —
+    * the reference validator's INTENDED checks (its implementation parses
+    * `SHOW CREATE TABLE` output and is disabled; defects catalogued in
+    * SURVEY.md §2.6): for update/upsert the target must already exist, and
+    * every primary_key_column / update_column must resolve in BOTH the
+    * source view and the target. Without this, a typo'd column name
+    * surfaces as an AnalysisException deep inside the merge join instead
+    * of a clean JobConfigException naming the offending key. Runs after
+    * the source view is built (schema known, no data read) and before any
+    * target side effect. Comparison is case-insensitive, matching Spark's
+    * default resolution. */
+  private[graft] def validatePlan(source: DataFrame): Unit =
+    spec.target.operation match {
+      case Operation.Update | Operation.Upsert =>
+        val exists = targetRef match {
+          case TableRef(t) => spark.catalog.tableExists(t)
+          case PathRef(p) =>
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+        }
+        if (!exists)
+          throw new JobConfigException(
+            s"${spec.target.operation} requires an existing target, " +
+              s"but ${targetRef} does not exist")
+        val srcCols = source.schema.fieldNames.map(_.toLowerCase).toSet
+        val tgtCols = toDs.read(targetRef).schema.fieldNames.map(_.toLowerCase).toSet
+        def check(role: String, cols: Seq[String], schema: Set[String], side: String): Unit = {
+          val missing = cols.filterNot(c => schema.contains(c.toLowerCase))
+          if (missing.nonEmpty)
+            throw new JobConfigException(
+              s"$role ${missing.mkString(", ")} not found in $side schema")
+        }
+        check("primary_key_column", spec.target.primaryKeyColumns, srcCols, "source")
+        check("primary_key_column", spec.target.primaryKeyColumns, tgtCols, "target")
+        check("update_column", spec.target.updateColumns, srcCols, "source")
+        check("update_column", spec.target.updateColumns, tgtCols, "target")
+      case _ => ()
+    }
 
   private[graft] def operate(source: DataFrame): Unit = spec.target.operation match {
     case Operation.Append    => Writes.append(source, targetRef)
@@ -134,34 +174,55 @@ object Writes {
 
     ref match {
       case TableRef(t) =>
-        val staging = s"${t.replace('.', '_')}__graft_staging_${UUID.randomUUID().toString.take(8)}"
+        // Stage-and-swap at the table's storage location: ONE data write
+        // (to a staging directory) + two directory renames, exactly like
+        // the path variant — not stage-table + INSERT OVERWRITE, which
+        // writes the full merged dataset TWICE (2× the write cost; at
+        // 100 TB the second full write is the dominant expense of the
+        // merge). The catalog entry is untouched — only the bytes under
+        // the table's location change — so the table definition,
+        // partitioning spec, and grants survive.
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+        val location = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(ident).location)
         val partCols = partitionColumns(t)
-        val writer = merged.write.format("parquet")
-        (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-          .saveAsTable(staging)
-        try {
-          // INSERT OVERWRITE (static) keeps the target's definition intact.
-          withConf("spark.sql.sources.partitionOverwriteMode", "static") {
-            alignedTo(spark.table(staging), t)
-              .write.mode(SaveMode.Overwrite).insertInto(t)
-          }
-        } finally spark.sql(s"DROP TABLE IF EXISTS $staging")
+        val writer = alignedTo(merged, t).write.format("parquet")
+        val w = if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer
+        swapIntoPlace(location, stage => w.save(stage.toString))
+        // Stale file listings / partition metadata: the files changed
+        // underneath the catalog. Refresh caches; for partitioned tables
+        // sync the metastore's partition list with the directories.
+        spark.catalog.refreshTable(t)
+        if (partCols.nonEmpty)
+          spark.sql(s"MSCK REPAIR TABLE $t SYNC PARTITIONS")
       case PathRef(p) =>
         val hadoopPath = new org.apache.hadoop.fs.Path(p)
-        val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val staging = new org.apache.hadoop.fs.Path(
-          p.stripSuffix("/") + s"__graft_staging_${UUID.randomUUID().toString.take(8)}")
-        merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-        // Metadata-only swap: one data write + two renames, no second copy.
-        val old = new org.apache.hadoop.fs.Path(staging + "_old")
-        if (!fs.rename(hadoopPath, old))
-          throw new IllegalStateException(s"merge swap: cannot move $p aside")
-        if (!fs.rename(staging, hadoopPath)) {
-          fs.rename(old, hadoopPath) // restore
-          throw new IllegalStateException(s"merge swap: cannot publish $staging to $p")
-        }
-        fs.delete(old, true)
+        swapIntoPlace(hadoopPath,
+          stage => merged.write.mode(SaveMode.Overwrite).parquet(stage.toString))
     }
+  }
+
+  /** Write to a staging sibling of `dest` via `write`, then swap it into
+    * place: one data write + two renames (metadata-only on HDFS-like
+    * filesystems; object stores without atomic rename should front this
+    * with a rename-capable committer). The displaced old data is removed
+    * after a successful swap and restored on failure. */
+  private def swapIntoPlace(
+      dest: org.apache.hadoop.fs.Path,
+      write: org.apache.hadoop.fs.Path => Unit)(implicit spark: SparkSession): Unit = {
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val suffix = UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(
+      dest.toString.stripSuffix("/") + s"__graft_staging_$suffix")
+    write(staging)
+    val old = new org.apache.hadoop.fs.Path(staging + "_old")
+    if (!fs.rename(dest, old))
+      throw new IllegalStateException(s"merge swap: cannot move $dest aside")
+    if (!fs.rename(staging, dest)) {
+      fs.rename(old, dest) // restore
+      throw new IllegalStateException(s"merge swap: cannot publish $staging to $dest")
+    }
+    fs.delete(old, true)
   }
 
   /** insertInto is position-based — reorder to the table's schema first. */

@@ -185,4 +185,42 @@ class GoldenEtlSpec extends SparkSpec {
     assert(out.count() == 6)
     assert(out.selectExpr("sum(c1)").collect()(0).getLong(0) == 578L)
   }
+
+  test("plan-time validation: typo'd primary_key_column fails cleanly") {
+    setupTables()
+    val typoKeys = mergeKeys.replace("- pk1", "- pk1_typo")
+    val e = intercept[graft.spec.JobConfigException] {
+      EtlJob.fromYaml(jobYaml("update", typoKeys)).run()
+    }
+    assert(e.getMessage.contains("pk1_typo"))
+    assert(e.getMessage.contains("primary_key_column"))
+    // nothing was written: target untouched
+    assert(countAndSum("target_table") == ((4L, 349L)))
+  }
+
+  test("plan-time validation: update_column missing from TARGET fails cleanly") {
+    setupTables()
+    // c9 exists in neither; make it source-only to isolate the target check
+    val yaml = jobYaml("update", mergeKeys.replace("- c4", "- c9"))
+      .replace("null as c6 from", "null as c6, 1 as c9 from")
+    val e = intercept[graft.spec.JobConfigException] {
+      EtlJob.fromYaml(yaml).run()
+    }
+    assert(e.getMessage.contains("c9") && e.getMessage.contains("target"))
+  }
+
+  test("plan-time validation: upsert against a missing target fails cleanly") {
+    setupTables()
+    val e = intercept[graft.spec.JobConfigException] {
+      EtlJob.fromYaml(
+        s"""version: 0
+           |source:
+           |  table: source_table
+           |target:
+           |  path: /tmp/graft_nonexistent_${java.util.UUID.randomUUID().toString.take(8)}
+           |  operation: upsert
+           |$mergeKeys""".stripMargin).run()
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
 }
