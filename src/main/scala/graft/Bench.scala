@@ -14,7 +14,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Warmup.run(spark, sfDir)
     var failures = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted order: Map iteration order is hash-based and shifts when
+    // queries are added, which would shuffle which queries absorb any
+    // residual first-use cost — sorted names keep per-query timings
+    // comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Full evaluation of every column: count() would let Catalyst prune
       // the whole projection, timing nothing for scan-project queries.
@@ -28,7 +32,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val errs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     if (failures.nonEmpty)

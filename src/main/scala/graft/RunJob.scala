@@ -43,6 +43,18 @@ object RunJob {
       println(s"[graft] recon rows: ${joined.count()}")
     } else {
       val job = EtlJob.fromYaml(substituted)
+      // Print the job's plan before running — the reference CLI intends
+      // this for debugging scheduled runs from their logs
+      // (/root/reference/execute_job.py:23-24): the effective (param-
+      // substituted) source SQL, hooks, and write op, so a failed run's
+      // log shows exactly what was about to execute.
+      println(s"[graft] source SQL: ${job.spec.source.effectiveQuery}")
+      (job.spec.source.preSql ++ job.spec.source.postSql ++
+        job.spec.target.preSql ++ job.spec.target.postSql) match {
+        case Nil   => ()
+        case hooks => println(s"[graft] SQL hooks: ${hooks.size}")
+      }
+      println(s"[graft] plan: ${job.spec.target.operation} into ${job.targetRef.describe}")
       job.run()
       println(s"[graft] ${job.spec.target.operation} into ${job.targetRef.describe} done")
     }
