@@ -522,6 +522,50 @@ object SparkEntry {
       recallGate(exact, approx, floor = 0.45)
     }),
 
+    // ------------------------------------------- sampling / packing / contam
+    // Deterministic hash sampling: rebalance a corpus (keep 25% of the
+    // dominant language, 60% of the rest) with NO shuffle — the filter is
+    // a pure function of (doc_id, seed) and pushes to the scan.
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.25), defaultFraction = 0.6, seed = 7L)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // Train/val/test membership as a deterministic function of doc_id —
+    // rows can never migrate between splits across runs or engines.
+    "split_counts" -> ((s, dir) =>
+      Sampling.assignSplits(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11L)
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")),
+
+    // Concat-then-chunk sequence packing into 512-token windows, sharded
+    // 8 ways (per-shard running sums — no global sort).
+    "pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512, shards = 8)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("n_tokens"), col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id")),
+
+    // GPT-3-style benchmark contamination: word-8-gram overlap between a
+    // held-out 10% "benchmark" slice and the remaining "train" corpus
+    // (the corpus' planted near-dups straddle the split, so leakage is
+    // genuinely present and must be found).
+    "contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Contamination.contaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "text", "doc_id", n = 8, maxTrainDf = 1000)
+        .orderBy("bench_id")
+    }),
+
     // ------------------------------------------------------------ multimodal
     "multimodal_bytes" -> ((s, dir) => {
       implicit val spark: SparkSession = s
@@ -760,6 +804,56 @@ object SparkEntry {
     "etl_truncate_append" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey % 10 = 8 ORDER BY o_orderkey""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${Sampling.bucketSql("doc_id", 7L)} <
+         |  CASE WHEN lang = 'en' THEN 2500 ELSE 6000 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "split_counts" ->
+      s"""WITH b AS (SELECT lang, ${Sampling.bucketSql("doc_id", 11L)} AS bk
+         |           FROM documents)
+         |SELECT CASE WHEN bk < 8000 THEN 'train'
+         |            WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split,
+         |  lang, count(*) AS n
+         |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST(CASE WHEN ${oracleNormExpr("text")} = '' THEN 0
+         |         ELSE len(${oracleTokensExpr("text")}) END AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+         |  FROM tok)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+         |  CAST(cb // 512 AS BIGINT) AS pack_id,
+         |  CAST(cb % 512 AS BIGINT) AS pack_offset
+         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "contamination_report" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${oracleTokensExpr("text")} AS toks FROM documents),
+         |pos AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i FROM tok),
+         |grams AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(list_slice(toks, i, i + 7), ' ') AS g FROM pos),
+         |tg AS (SELECT doc_id AS train_id, g FROM grams WHERE doc_id % 10 <> 0),
+         |bg AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 10 = 0),
+         |rare AS (SELECT g FROM tg GROUP BY g HAVING count(*) <= 1000),
+         |pairs AS (
+         |  SELECT bench_id, train_id, count(*) AS shared_ngrams
+         |  FROM bg JOIN tg USING (g) JOIN rare USING (g)
+         |  GROUP BY 1, 2)
+         |SELECT bench_id, count(*) AS n_train_docs,
+         |  CAST(max(shared_ngrams) AS BIGINT) AS max_shared_ngrams,
+         |  CAST(sum(shared_ngrams) AS BIGINT) AS total_shared_ngrams
+         |FROM pairs GROUP BY bench_id ORDER BY bench_id""".stripMargin,
 
     "ann_recall" ->
       """SELECT true AS recall_ok,

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+
+/** Benchmark-contamination detection: find training documents that share
+  * word n-grams with an evaluation/benchmark set (the GPT-3-style n-gram
+  * overlap check run before training).
+  *
+  * Shape, built for a 100 TB train side vs a small-ish bench side:
+  *   1. each side explodes to DISTINCT (doc, gram) rows — grams are md5'd
+  *      so the join key is a fixed 32-byte string, never the text;
+  *   2. boilerplate guard: grams appearing in more than `maxTrainDf`
+  *      train docs are dropped before the join (license headers and
+  *      navigation chrome otherwise create hot keys whose pair blowup is
+  *      quadratic — same mitigation as the LSH bucket cap, and standard
+  *      practice: ubiquitous n-grams signal boilerplate, not leakage);
+  *   3. equi-join on the gram hash, count distinct shared grams per
+  *      (bench doc, train doc) pair.
+  * Every stage is a keyed shuffle; nothing collects to the driver. The
+  * pair table is bounded by true overlap, not corpus size.
+  *
+  * Docs shorter than `n` tokens contribute their whole text as a single
+  * gram (mirroring `TextFunctions.wordShingles`), so short bench items
+  * still participate.
+  */
+object Contamination {
+
+  /** Distinct word-n-gram md5s per doc: `(__id, __g)`. */
+  private def docGrams(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .select(col("__id"), col("__t"),
+        explode(sequence(lit(1), greatest(size(col("__t")) - (n - 1), lit(1)))).as("__i"))
+      .select(col("__id"),
+        md5(concat_ws(" ", slice(col("__t"), col("__i"), lit(n)))).as("__g"))
+      .distinct()
+
+  /** Contaminated pairs: `(bench_id, train_id, shared_ngrams)` for every
+    * bench/train doc pair sharing at least one n-gram that survives the
+    * document-frequency guard. */
+  def ngramOverlap(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      maxTrainDf: Int = 1000): DataFrame = {
+    val tg = docGrams(train, textCol, idCol, n).withColumnRenamed("__id", "train_id")
+    val bg = docGrams(bench, textCol, idCol, n).withColumnRenamed("__id", "bench_id")
+    val rare = tg.groupBy("__g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxTrainDf).drop("__df")
+    bg.join(tg.join(rare, "__g"), "__g")
+      .groupBy("bench_id", "train_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
+  /** Per-bench-doc contamination summary: how many train docs it collides
+    * with and the max shared-gram count — the triage view an eval owner
+    * reads before deciding what to strike. */
+  def contaminationReport(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      maxTrainDf: Int = 1000): DataFrame =
+    ngramOverlap(train, bench, textCol, idCol, n, maxTrainDf)
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_train_docs"),
+        max(col("shared_ngrams")).as("max_shared_ngrams"),
+        sum(col("shared_ngrams")).as("total_shared_ngrams"))
+}

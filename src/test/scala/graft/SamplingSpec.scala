@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = spark.range(0, 10000).toDF("id")
+
+  test("deterministic sample keeps ~fraction and is exactly reproducible") {
+    val a = Sampling.deterministicSample(ids, "id", 0.3, seed = 42L)
+    val b = Sampling.deterministicSample(ids, "id", 0.3, seed = 42L)
+    val n = a.count()
+    assert(math.abs(n - 3000L) < 300, s"kept $n of 10000 at fraction 0.3")
+    assert(a.select("id").as[Long].collect().sorted.toSeq ==
+      b.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("different seeds select different rows; nested fractions nest") {
+    val s1 = Sampling.deterministicSample(ids, "id", 0.3, seed = 1L)
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(ids, "id", 0.3, seed = 2L)
+      .select("id").as[Long].collect().toSet
+    assert(s1 != s2)
+    // a smaller fraction at the same seed is a subset of a larger one —
+    // the property that makes sampling rates tunable without resampling
+    val small = Sampling.deterministicSample(ids, "id", 0.1, seed = 1L)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(s1))
+  }
+
+  test("stratified sample applies per-stratum rates") {
+    val df = ids.withColumn("grp", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val out = Sampling.stratifiedSample(df, "id", "grp",
+      Map("a" -> 0.1), defaultFraction = 0.9, seed = 5L)
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byGrp("a") - 500L) < 120, s"grp a kept ${byGrp("a")} of 5000 at 0.1")
+    assert(math.abs(byGrp("b") - 4500L) < 200, s"grp b kept ${byGrp("b")} of 5000 at 0.9")
+  }
+
+  test("splits are disjoint, exhaustive, and proportional") {
+    val out = Sampling.assignSplits(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 9L)
+    assert(out.count() == 10000)
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 8000L) < 300)
+    assert(math.abs(counts("val") - 1000L) < 150)
+    assert(math.abs(counts("test") - 1000L) < 150)
+  }
+
+  test("bucketSql matches the Column implementation exactly") {
+    // evaluate the SQL-string form through Spark itself: same arithmetic,
+    // so any drift between the two forms breaks here before the oracle
+    val viaSql = ids.selectExpr(
+      "id", Sampling.bucketSql("id", 7L).replace("//", " DIV ") + " AS b")
+    val viaCol = ids.select(col("id"), Sampling.bucket(col("id"), 7L).as("b"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+}
