@@ -525,7 +525,7 @@ object SparkEntry {
     // ------------------------------------------- sampling / packing / contam
     // Deterministic hash sampling: rebalance a corpus (keep 25% of the
     // dominant language, 60% of the rest) with NO shuffle — the filter is
-    // a pure function of (doc_id, seed) and pushes to the scan.
+    // a pure function of (doc_id, seed) evaluated inside the scan stage.
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 0.25), defaultFraction = 0.6, seed = 7L)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   *
   * Everything here is a pure projection + filter over a row's own id — NO
   * shuffle, no RNG state, no driver work — so it costs one scan at any
-  * scale, composes with pushdown (the filter reaches the parquet scan),
+  * scale, evaluates inside the scan stage (no exchange anywhere in the plan),
   * and a re-run (or a different engine) selects the EXACT same rows.
   * That reproducibility is the point: dataset mixing recipes, ablation
   * subsets, and train/val/test membership must be stable across runs and

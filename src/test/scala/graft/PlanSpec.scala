@@ -67,4 +67,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"merge degenerated to cross join:\n$p")
     assert(p.contains("Join"), s"expected joins in merge plan:\n$p")
   }
+
+  test("deterministic sampling is a pure scan-stage filter: zero exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.Sampling.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 0.25), 0.6, seed = 7L)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"sampling should not shuffle:\n$p")
+    assert(p.contains("Filter"), s"expected a filter over the scan:\n$p")
+  }
+
+  test("sequence packing shuffles once (hash by shard), no global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), org.apache.spark.sql.functions.lit(100L).as("n_tokens"))
+    val df = graft.operators.Packing.packSequences(docs, "doc_id", "n_tokens", 512, 8)
+    val p = plan(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort would serialize the corpus:\n$p")
+  }
+
+  test("contamination join is keyed on the gram hash, never pairwise") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.Contamination.ngramOverlap(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 8)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination degenerated to a pairwise join:\n$p")
+  }
 }
