@@ -598,6 +598,61 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // As-of with a staleness budget: clicks more than 10 minutes older
+    // than the purchase are no usable attribution — NULL instead.
+    "asof_tolerance_10m" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      AsOfJoin.asof(purchases, clicks, Seq("user_id"), "ts", "ts",
+        toleranceSeconds = 600)
+        .orderBy("event_id")
+    }),
+
+    // Skew-safe join: 99% of lineitems land on one synthetic hot key; the
+    // operator routes that mass through a broadcast instead of one task.
+    "skew_join_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("k", least(col("l_suppkey"), lit(10L)))
+      val dim = t(s, dir, "supplier").filter(col("s_suppkey") <= 10)
+        .select(col("s_suppkey").as("k"), col("s_name"))
+      SkewJoin.join(li, dim, "k", sampleFraction = 0.1, hotFraction = 0.05)
+        .groupBy("k", "s_name")
+        .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("k")
+    }),
+
+    // Recon loaded through the FILE-based factory with ${param}
+    // substitution — the recon twin of etl_fromconfig_upsert.
+    "recon_fromconfig" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "lineitem").createOrReplaceTempView("__recon_li2")
+      val yaml =
+        """version: 0
+          |group_by: [l_linestatus]
+          |data:
+          |  - name: x
+          |    query: SELECT * FROM __recon_li2
+          |    metrics:
+          |      - sum_qty: round(sum(l_quantity), 2)
+          |      - n: count(*)
+          |  - name: y
+          |    query: SELECT l_linestatus, l_quantity * ${factor} AS l_quantity FROM __recon_li2
+          |    metrics:
+          |      - sum_qty: round(sum(l_quantity), 2)
+          |      - n: count(*)
+          |""".stripMargin
+      val f = java.nio.file.Files.createTempFile("graft_recon_", ".yml")
+      java.nio.file.Files.writeString(f, yaml)
+      try ReconJob.fromConfig(f.toString, Map("factor" -> "1.0005")).run()
+        .withColumn("delta_sum_qty", round(col("delta_sum_qty"), 2))
+        .orderBy("l_linestatus")
+      finally java.nio.file.Files.deleteIfExists(f)
+    }),
+
     // ----------------------------------------------------- windows / events
     "events_tumbling_15m" -> ((s, dir) =>
       EventWindows.tumbling(t(s, dir, "events"), "ts", "15 minutes")
@@ -881,6 +936,51 @@ object SparkEntry {
         |    AS match_sum_price
         |FROM a JOIN b USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "asof_tolerance_10m" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |    ORDER BY click_id DESC, click_value DESC) = 1),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |         c.click_id, c.click_value, c.ts AS cts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT event_id, user_id, ts, value,
+        |  CASE WHEN epoch(ts) - epoch(cts) <= 600 THEN click_id END AS click_id,
+        |  CASE WHEN epoch(ts) - epoch(cts) <= 600 THEN click_value END AS click_value
+        |FROM j ORDER BY event_id""".stripMargin,
+
+    "skew_join_supplier" ->
+      """WITH f AS (SELECT least(l_suppkey, 10) AS k, l_quantity FROM lineitem),
+        |d AS (SELECT s_suppkey AS k, s_name FROM supplier WHERE s_suppkey <= 10)
+        |SELECT k, s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM f JOIN d USING (k)
+        |GROUP BY k, s_name ORDER BY k""".stripMargin,
+
+    "recon_fromconfig" ->
+      """WITH x AS (
+        |  SELECT l_linestatus, round(sum(l_quantity), 2) AS x_sum_qty,
+        |         count(*) AS x_n
+        |  FROM lineitem GROUP BY l_linestatus),
+        |y AS (
+        |  SELECT l_linestatus, round(sum(l_quantity * 1.0005), 2) AS y_sum_qty,
+        |         count(*) AS y_n
+        |  FROM lineitem GROUP BY l_linestatus)
+        |SELECT x.l_linestatus, x.x_sum_qty, x.x_n, y.y_sum_qty, y.y_n,
+        |  abs(x.x_n - y.y_n) AS delta_n,
+        |  x.x_n = y.y_n AS match_n,
+        |  round(abs(x.x_sum_qty - y.y_sum_qty), 2) AS delta_sum_qty,
+        |  CASE WHEN x.x_sum_qty = y.y_sum_qty THEN true
+        |       ELSE abs((x.x_sum_qty - y.y_sum_qty) / y.y_sum_qty) < 0.001 END
+        |    AS match_sum_qty
+        |FROM x JOIN y USING (l_linestatus)
+        |ORDER BY l_linestatus""".stripMargin,
 
     "text_profile" ->
       s"""SELECT doc_id,

@@ -34,6 +34,11 @@ object AsOfJoin {
     * @param leftTs    event-time column on `left`
     * @param rightTs   event-time column on `right`
     * @param payloadCols right columns to carry (default: all except keys+ts)
+    * @param toleranceSeconds if positive, a right match more than this many
+    *   seconds older than the left row is treated as NO match (payload
+    *   NULL) — the "state too stale to use" guard every feature-lookup
+    *   pipeline wants. Applied after the window pass as a pure projection,
+    *   so it adds zero shuffles.
     *
     * Right rows that share (key, ts) are deterministically collapsed to
     * one row (greatest payload struct) first, so the result is unique and
@@ -45,7 +50,8 @@ object AsOfJoin {
       on: Seq[String],
       leftTs: String,
       rightTs: String,
-      payloadCols: Seq[String] = Nil): DataFrame = {
+      payloadCols: Seq[String] = Nil,
+      toleranceSeconds: Long = -1L): DataFrame = {
     val payload =
       if (payloadCols.nonEmpty) payloadCols
       else right.columns.filterNot(c => on.contains(c) || c == rightTs).toSeq
@@ -69,10 +75,17 @@ object AsOfJoin {
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    unioned
+    val matched = unioned
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__match_ts",
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
-        payload.map(c => col(s"__match.$c").as(c)): _*)
+    val withinTol =
+      if (toleranceSeconds <= 0) matched
+      else matched.withColumn("__match",
+        when(col("__ts").cast("double") - col("__match_ts").cast("double")
+          <= toleranceSeconds.toDouble, col("__match")))
+    withinTol.select(left.columns.map(col) ++
+      payload.map(c => col(s"__match.$c").as(c)): _*)
   }
 }

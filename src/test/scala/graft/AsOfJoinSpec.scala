@@ -28,6 +28,16 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("p4", null)))
   }
 
+  test("asof tolerance nulls out matches older than the budget") {
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 20L, 200.0)).toDF("k", "ts", "price")
+    // "b" matched right ts=20, 5s stale: allowed at tol=5, dropped at tol=3
+    val tol5 = AsOfJoin.asof(left, right, Seq("k"), "ts", "ts", toleranceSeconds = 5)
+    assertRows(tol5, Seq("tag", "price"), Set(Seq("a", 100.0), Seq("b", 200.0)))
+    val tol3 = AsOfJoin.asof(left, right, Seq("k"), "ts", "ts", toleranceSeconds = 3)
+    assertRows(tol3, Seq("tag", "price"), Set(Seq("a", 100.0), Seq("b", null)))
+  }
+
   test("asof collapses duplicate right (key, ts) rows deterministically") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 5L, 1.0), (1L, 5L, 9.0)).toDF("k", "ts", "price")
