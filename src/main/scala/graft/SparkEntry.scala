@@ -456,9 +456,16 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")),
 
+    // Mid-similarity (0.45) pairing uses CELL blocking, not hyperplane
+    // LSH: hyperplane tables recalled 6 of 144 true pairs at sf0.1 (the
+    // 0.648-vs-0.5 per-plane gap at cos 0.45 can't be amplified), while
+    // k-means cells recall 1.0 at every SF — so this query carries a
+    // ground-truth all-pairs DuckDB oracle. The hyperplane path
+    // (Dedup.embeddingCosinePairs) remains the near-dup (cos ≥ 0.9)
+    // operator.
     "dedup_embedding_pairs" -> ((s, dir) =>
-      Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.45)
+      Similarity.cellBlockedCosinePairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.45, nlist = 8, probeCells = 4)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("id_a", "id_b")),
 
@@ -911,6 +918,16 @@ object SparkEntry {
         |SELECT id_a, id_b, round(i::double / (sa.n + sb.n - i), 4) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE i::double / (sa.n + sb.n - i) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_dot_product(embedding, embedding)) AS nrm FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 4) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
 
     "sample_stratified" ->

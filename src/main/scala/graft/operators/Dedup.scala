@@ -423,10 +423,16 @@ object Dedup {
 
   // --------------------------------------------------- embedding near-dup
 
-  /** Embedding cosine near-dup pairs via random-hyperplane LSH blocking:
+  /** Embedding cosine NEAR-DUP pairs via random-hyperplane LSH blocking:
     * `tables` independent hash tables of `planesPerTable` sign bits each;
     * docs sharing a full bucket in ANY table become candidates; verified
-    * with exact cosine ≥ threshold. Returns (id_a, id_b, cosine). */
+    * with exact cosine ≥ threshold. Returns (id_a, id_b, cosine).
+    *
+    * Regime: thresholds ≥ ~0.85, where the per-plane agreement gap vs
+    * random pairs is wide enough to amplify. For mid-similarity pairing
+    * (0.3-0.8) use `Similarity.cellBlockedCosinePairs` — hyperplane
+    * tables selective enough to reject the random mass also reject most
+    * mid-similarity true pairs (measured recall 4% at cos 0.45). */
   def embeddingCosinePairs(
       df: DataFrame,
       vecCol: String,

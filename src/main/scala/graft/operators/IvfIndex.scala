@@ -107,7 +107,7 @@ object IvfIndex {
       .getItem(0).getField("cell")
 
   /** The nprobe best cells, best first. */
-  private def topCells(
+  private[operators] def topCells(
       vec: Column, norm: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
     transform(
       slice(sort_array(cellScores(vec, norm, centroids), asc = false), 1, nprobe),
