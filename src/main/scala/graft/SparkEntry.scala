@@ -443,9 +443,62 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")),
 
+    // maxHamming=1 (not the old 7): these are ~54-token docs, so the
+    // 64-bit majority votes have thin margins and same-language docs
+    // collide within a few bits — at budget 7 only 6% of reported pairs
+    // were true near-dups (word-Jaccard ≥ 0.3), at budget 1 it is
+    // 0.96-1.0 (measured at every SF; the precision gate below pins it).
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 7)
+      Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 1)
         .orderBy("id_a", "id_b")),
+
+    // Quality gate for the engine-specific simhash pair set (its exact
+    // pair values are not SQL-reproducible — xxhash64 — but its MEANING
+    // is checkable): the fraction of reported pairs that are true
+    // near-dups by exact word-Jaccard must stay ≥ 0.9.
+    "simhash_precision_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 1)
+      // shingle ONLY the docs that appear in a pair (interpreted HOF —
+      // over the whole corpus it cost 10x the pipeline itself)
+      val candIds = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      val sh = docs.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          array_distinct(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("sh"))
+      pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+        .withColumn("jac",
+          size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))))
+        .agg((avg((col("jac") >= 0.3).cast("int")) >= 0.9).as("precision_ok"))
+    }),
+
+    // HLL sketch error gate: the approx counts themselves are
+    // engine-specific, but their relative error against the exact
+    // distinct counts must stay within 15% — 3x the default 5% rsd;
+    // measured max 8.6% across SFs. Exact and approx run as SEPARATE
+    // aggregations joined on the group key: mixing countDistinct with
+    // HLL buffers in one agg goes through Spark's Expand-based
+    // multi-distinct rewrite, which drags the 16KB rsd-0.01 sketch
+    // buffers through every stage (measured 40s vs 3s at sf0.1).
+    "hll_error_gate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("e1"),
+          countDistinct(col("l_partkey")).as("e2"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("a1"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("a2"))
+      exact.join(approx, "l_returnflag")
+        .agg(
+          (max(greatest(
+            abs(col("a1") - col("e1")).cast("double") / col("e1"),
+            abs(col("a2") - col("e2")).cast("double") / col("e2"))) < 0.15)
+            .as("hll_ok"),
+          count(lit(1)).as("n_groups"))
+    }),
 
     // char shingles keep 64/16 (4 rows/band): baseline similarity between
     // UNRELATED docs is much higher for char 5-grams than word shingles,
@@ -991,6 +1044,13 @@ object SparkEntry {
     "quantized_recall" ->
       """SELECT true AS recall_ok,
         |  (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries""".stripMargin,
+
+    "simhash_precision_gate" ->
+      "SELECT true AS precision_ok",
+
+    "hll_error_gate" ->
+      """SELECT true AS hll_ok,
+        |  (SELECT count(DISTINCT l_returnflag) FROM lineitem) AS n_groups""".stripMargin,
 
     "recon_lineitem" ->
       """WITH a AS (

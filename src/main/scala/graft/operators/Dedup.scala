@@ -358,7 +358,15 @@ object Dedup {
     * Blocking by the pigeonhole principle: split the 64-bit hash into
     * (maxHamming+1) chunks — any pair within the hamming budget agrees on
     * at least one whole chunk, so candidates come from equi-joins on
-    * (chunk index, chunk value). Returns (id_a, id_b, hamming). */
+    * (chunk index, chunk value). Returns (id_a, id_b, hamming).
+    *
+    * Budget guidance (measured on ~54-token docs): the 64 majority votes
+    * have margins proportional to document length, so SHORT docs in the
+    * same language collide within a few bits even when unrelated —
+    * maxHamming=7 yielded 6% precision (vs exact word-Jaccard ≥ 0.3)
+    * while maxHamming=1 yields 0.96-1.0. Reserve budgets ≥3 for
+    * page-length documents; the classic 64-bit/3-bit setting assumes
+    * web-page-sized inputs [Manku et al. 2007]. */
   def simHashPairs(
       df: DataFrame,
       textCol: String,
