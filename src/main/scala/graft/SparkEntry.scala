@@ -686,6 +686,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: for each click, the NEXT purchase by the same user
+    // (conversion attribution in the other direction).
+    "asof_forward_purchase" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts",
+        direction = "forward")
+        .orderBy("event_id")
+    }),
+
     // Skew-safe join: 99% of lineitems land on one synthetic hot key; the
     // operator routes that mass through a broadcast instead of one task.
     "skew_join_supplier" -> ((s, dir) => {
@@ -1089,6 +1103,20 @@ object SparkEntry {
         |  CASE WHEN epoch(ts) - epoch(cts) <= 600 THEN click_id END AS click_id,
         |  CASE WHEN epoch(ts) - epoch(cts) <= 600 THEN click_value END AS click_value
         |FROM j ORDER BY event_id""".stripMargin,
+
+    "asof_forward_purchase" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |    ORDER BY purchase_id DESC, purchase_value DESC) = 1)
+        |SELECT c.event_id, c.user_id, c.ts, c.value, p.purchase_id, p.purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "skew_join_supplier" ->
       """WITH f AS (SELECT least(l_suppkey, 10) AS k, l_quantity FROM lineitem),

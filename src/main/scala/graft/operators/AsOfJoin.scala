@@ -35,10 +35,14 @@ object AsOfJoin {
     * @param rightTs   event-time column on `right`
     * @param payloadCols right columns to carry (default: all except keys+ts)
     * @param toleranceSeconds if positive, a right match more than this many
-    *   seconds older than the left row is treated as NO match (payload
+    *   seconds away from the left row is treated as NO match (payload
     *   NULL) — the "state too stale to use" guard every feature-lookup
     *   pipeline wants. Applied after the window pass as a pure projection,
     *   so it adds zero shuffles.
+    * @param direction "backward" (default): latest right row with
+    *   `right.ts <= left.ts`; "forward": earliest right row with
+    *   `right.ts >= left.ts` (next-event attribution). Same plan either
+    *   way — only the window ordering flips.
     *
     * Right rows that share (key, ts) are deterministically collapsed to
     * one row (greatest payload struct) first, so the result is unique and
@@ -51,7 +55,10 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       payloadCols: Seq[String] = Nil,
-      toleranceSeconds: Long = -1L): DataFrame = {
+      toleranceSeconds: Long = -1L,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val payload =
       if (payloadCols.nonEmpty) payloadCols
       else right.columns.filterNot(c => on.contains(c) || c == rightTs).toSeq
@@ -70,9 +77,16 @@ object AsOfJoin {
 
     val unioned = leftTagged.unionByName(rightOne, allowMissingColumns = true)
 
+    // backward: walk timestamps ascending, the running last right payload
+    // is the latest right row at-or-before each left row. forward: walk
+    // DESCENDING, the running last right payload is the earliest right
+    // row at-or-after. Right sorts before left at equal ts either way,
+    // so same-instant rows match (<= / >=).
+    val tsOrder =
+      if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = Window
       .partitionBy(on.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = unioned
@@ -83,7 +97,7 @@ object AsOfJoin {
     val withinTol =
       if (toleranceSeconds <= 0) matched
       else matched.withColumn("__match",
-        when(col("__ts").cast("double") - col("__match_ts").cast("double")
+        when(abs(col("__ts").cast("double") - col("__match_ts").cast("double"))
           <= toleranceSeconds.toDouble, col("__match")))
     withinTol.select(left.columns.map(col) ++
       payload.map(c => col(s"__match.$c").as(c)): _*)

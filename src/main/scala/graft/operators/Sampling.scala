@@ -26,19 +26,26 @@ object Sampling {
   /** Knuth's multiplicative constant (golden-ratio scaled to 2^32). */
   val KnuthA = 2654435761L
   private val Mod32 = 1L << 32
+  private val Mod31 = 1L << 31
   val Buckets = 10000L
 
-  /** Deterministic bucket in [0, 10000) for an integer id. */
+  /** Deterministic bucket in [0, 10000) for an integer id. The mix input
+    * is reduced mod 2^31 BEFORE the multiply: 2^31 · KnuthA < 2^63, so
+    * the arithmetic can never overflow (Spark 4's ANSI mode throws on
+    * wraparound) for any id/seed combination. For ids and seeds below
+    * 2^31 the reduction is the identity, so existing bucket assignments
+    * are unchanged. */
   def bucket(id: Column, seed: Long): Column =
     pmod(
       shiftrightunsigned(
-        pmod((id.cast("long") + lit(seed)) * lit(KnuthA), lit(Mod32)), 6),
+        pmod(pmod(id.cast("long") + lit(seed % Mod31), lit(Mod31)) * lit(KnuthA),
+          lit(Mod32)), 6),
       lit(Buckets))
 
   /** The same bucket as an inline SQL string (DuckDB/ANSI) — kept next to
     * the Column form so oracle SQL cannot drift from the implementation. */
   def bucketSql(idExpr: String, seed: Long): String =
-    s"((((($idExpr + $seed) * $KnuthA) % $Mod32) // 64) % $Buckets)"
+    s"(((((($idExpr + ${seed % Mod31}) % $Mod31) * $KnuthA) % $Mod32) // 64) % $Buckets)"
 
   /** Bernoulli-by-hash sample: keeps ~`fraction` of rows, exactly
     * reproducible for a fixed seed. */

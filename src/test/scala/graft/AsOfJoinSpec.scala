@@ -38,6 +38,25 @@ class AsOfJoinSpec extends SparkSpec {
     assertRows(tol3, Seq("tag", "price"), Set(Seq("a", 100.0), Seq("b", null)))
   }
 
+  test("asof forward attaches earliest right row at or after left ts") {
+    val left = Seq(
+      (1L, 10L, "p1"),  // right at 10 matches (same instant)
+      (1L, 25L, "p2"),  // next right is 30
+      (1L, 99L, "p3")   // nothing after
+    ).toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (1L, 30L, 300.0))
+      .toDF("k", "ts", "price")
+    val out = AsOfJoin.asof(left, right, Seq("k"), "ts", "ts",
+      direction = "forward")
+    assertRows(out, Seq("tag", "price"), Set(
+      Seq("p1", 100.0), Seq("p2", 300.0), Seq("p3", null)))
+    // forward + tolerance: 30 is 5s after 25 -> allowed at 5, dropped at 4
+    val tol = AsOfJoin.asof(left, right, Seq("k"), "ts", "ts",
+      direction = "forward", toleranceSeconds = 4)
+    assertRows(tol, Seq("tag", "price"), Set(
+      Seq("p1", 100.0), Seq("p2", null), Seq("p3", null)))
+  }
+
   test("asof collapses duplicate right (key, ts) rows deterministically") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 5L, 1.0), (1L, 5L, 9.0)).toDF("k", "ts", "price")
