@@ -596,6 +596,24 @@ object SparkEntry {
       recallGate(exact, approx, floor = 0.90)
     }),
 
+    // Capstone: a full corpus-curation pass — quality filter → exact
+    // dedup → minhash near-dup dedup — chained through the real
+    // operators, value-checked end-to-end against DuckDB recomputing
+    // every stage (incl. all-pairs Jaccard ground truth for the near-dup
+    // step). This is the composition a pretraining-data owner actually
+    // runs; each stage's oracle-exactness compounds only if the stages
+    // agree on every boundary (quality 6-dp rounding, min-id tiebreaks,
+    // greater-member drop semantics).
+    "curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qual = docs.filter(
+        graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5)
+      val exact = Dedup.exactText(qual, "text", "doc_id")
+      val kept = Dedup.minHashDedup(exact, "text", "doc_id",
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.6)
+      kept.select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
+
     // ------------------------------------------- sampling / packing / contam
     // Deterministic hash sampling: rebalance a corpus (keep 25% of the
     // dominant language, 60% of the rest) with NO shuffle — the filter is
@@ -996,6 +1014,33 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "curation_pipeline" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, source, text,
+         |    ${oracleNormExpr("text")} AS nrm
+         |  FROM documents WHERE ${oracleQualityExpr("text")} >= 0.5),
+         |ex AS (
+         |  SELECT * FROM q WHERE doc_id IN (
+         |    SELECT min(doc_id) FROM q GROUP BY md5(nrm))),
+         |tok AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM ex),
+         |pos AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM tok),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+         |  FROM pos),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |losers AS (
+         |  SELECT DISTINCT id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE i::double / (sa.n + sb.n - i) >= 0.6)
+         |SELECT doc_id, lang, source FROM ex
+         |WHERE doc_id NOT IN (SELECT id_b FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
