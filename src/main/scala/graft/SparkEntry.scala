@@ -585,6 +585,24 @@ object SparkEntry {
       recallGate(exact, approx, floor = 0.45)
     }),
 
+    // IVF as a PERSISTED artifact: build the index once (centroids +
+    // cell-partitioned assignments parquet), then answer the same query
+    // from the artifact alone. Same recall floor as ivf_recall — the two
+    // paths are value-identical at the same (nlist, seed, nprobe), which
+    // the IvfSpec pins exactly; this gate proves the round trip through
+    // parquet preserves it. At 100 TB this is the mode that matters:
+    // k-means + assignment paid once at build, probes scan nprobe/nlist
+    // of the corpus via partition pruning on `cell`.
+    "ivf_persisted_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val idx = s"/tmp/graft_ivf/index_${etlSuffix(dir)}"
+      IvfIndex.writeIndex(emb, "embedding", "vec_id", idx, nlist = 16, iters = 2)
+      val exact = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 5)
+      val approx = IvfIndex.loadTopK(s, idx, q, "embedding", "vec_id", k = 5, nprobe = 4)
+      recallGate(exact, approx, floor = 0.45)
+    }),
+
     // Quantization quality as a retrieval metric, not just per-row cosine:
     // top-5 neighbor recall of int8-dequantized vectors vs full precision
     // (measured 0.96/1.00/0.985 at sf0.001/0.01/0.1; floor 0.90).
@@ -1109,6 +1127,10 @@ object SparkEntry {
         |  (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries""".stripMargin,
 
     "ivf_recall" ->
+      """SELECT true AS recall_ok,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries""".stripMargin,
+
+    "ivf_persisted_recall" ->
       """SELECT true AS recall_ok,
         |  (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries""".stripMargin,
 

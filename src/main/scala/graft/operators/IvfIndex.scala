@@ -62,6 +62,81 @@ object IvfIndex {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Persist a trained index as a reusable parquet artifact:
+    *
+    *   - `dir/centroids`: (cell INT, vec ARRAY<DOUBLE>) — nlist rows of
+    *     model metadata.
+    *   - `dir/assignments`: (id, vec, norm, cell) partitioned BY CELL, so
+    *     a probe that joins on `cell` reads only the probed partitions
+    *     (dynamic partition pruning). At 100 TB that is the entire point
+    *     of an IVF index: nprobe/nlist of the corpus is scanned per query
+    *     batch instead of all of it, and the expensive k-means + per-row
+    *     assignment is paid ONCE at build time, not per session.
+    *
+    * Overwrites any index already at `dir`. */
+  def writeIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dir: String,
+      nlist: Int = 16,
+      iters: Int = 2,
+      seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val centroids = train(corpus, vecCol, idCol, nlist, iters, seed)
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "vec")
+      .repartition(1) // nlist rows
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Similarity.normedBase(corpus, vecCol, idCol)
+      .withColumn("cell", nearestCell(col("__vec"), col("__norm"), centroids))
+      .select(col("__id").as("id"), col("__vec").as("vec"),
+        col("__norm").as("norm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
+  }
+
+  /** Top-k by cosine for each query against a PERSISTED index (see
+    * `writeIndex`). Identical results to `ivfTopK` at the same
+    * (nlist, iters, seed, nprobe): assignment was computed by the same
+    * code at build time, and probing uses the stored centroids. The
+    * assignments scan is pruned to the probed cells via the partition
+    * column. */
+  def loadTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    val centroids: Seq[Seq[Double]] = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").select("vec")
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(nprobe <= centroids.size, "nprobe must be <= stored nlist")
+
+    val c = spark.read.parquet(s"$dir/assignments")
+      .withColumnsRenamed(Map(
+        "id" -> "neighbor_id", "vec" -> "__cv", "norm" -> "__cn", "cell" -> "__cell"))
+    val q = Similarity.normedBase(queries, vecCol, idCol)
+      .withColumn("__cell", explode(topCells(col("__vec"), col("__norm"), centroids, nprobe)))
+      .withColumnsRenamed(Map("__id" -> "query_id", "__vec" -> "__qv", "__norm" -> "__qn"))
+
+    val scored = c.join(q, "__cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine",
+        when(col("__cn") * col("__qn") === 0.0d, lit(0.0d))
+          .otherwise(dotNative(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** K-means by cosine; returns driver-side centroids. Seeds are the
     * nlist corpus rows with the smallest xxhash64(id) — deterministic and
     * uniformly spread without a full sort (top-k via limit on an ordered

@@ -18,6 +18,30 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("persisted index reproduces in-memory ivfTopK exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    try {
+      IvfIndex.writeIndex(emb, "embedding", "vec_id", dir, nlist = 8, iters = 2)
+      val mem = IvfIndex.ivfTopK(emb, queries, "embedding", "vec_id", k = 5,
+        nlist = 8, nprobe = 3)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val loaded = IvfIndex.loadTopK(spark, dir, queries, "embedding", "vec_id",
+        k = 5, nprobe = 3)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(loaded == mem)
+      // the artifact is cell-partitioned: probing must not read every file
+      val parts = new java.io.File(s"$dir/assignments").listFiles()
+        .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+      assert(parts.size == 8 || parts.size < 8 && parts.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF output is deterministic, ranked, and k-bounded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)
