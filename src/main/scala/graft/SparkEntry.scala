@@ -393,6 +393,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // Gopher-style repetition profile (dup-line fractions + top-bigram
+    // char coverage). The test corpus is single-line, so the line metrics
+    // are pinned at 0 by the oracle (the spec exercises them on
+    // constructed multi-line docs); top_bigram_char_frac is live data.
+    "repetition_profile" -> ((s, dir) =>
+      TextAnalysis.repetitionProfile(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
     "quality_by_lang" -> ((s, dir) => {
       import graft.functions.TextFunctions._
       // normalize+tokenize ONCE; lang and quality read the shared columns.
@@ -1254,6 +1262,54 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token ASC
         |LIMIT 20""".stripMargin,
+
+    "repetition_profile" ->
+      """WITH rawlines AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents
+        |),
+        |nl AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(l), '\s+', ' ', 'g')) AS l FROM rawlines
+        |),
+        |per_line AS (
+        |  SELECT doc_id, l, count(*) AS c, length(l) AS len
+        |  FROM nl WHERE l <> '' GROUP BY doc_id, l
+        |),
+        |line_stats AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |         count(*) AS n_distinct,
+        |         CAST(sum(c*len) AS BIGINT) AS chars_total,
+        |         CAST(sum(len) AS BIGINT) AS chars_distinct
+        |  FROM per_line GROUP BY doc_id
+        |),
+        |toks AS (
+        |  SELECT doc_id,
+        |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t,
+        |         length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normlen
+        |  FROM documents
+        |  WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''
+        |),
+        |big AS (
+        |  SELECT doc_id, normlen, t[i] || ' ' || t[i+1] AS b
+        |  FROM toks, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2
+        |),
+        |counted AS (SELECT doc_id, normlen, b, count(*) AS c FROM big GROUP BY doc_id, normlen, b),
+        |winner AS (
+        |  SELECT doc_id, round(c * length(b) * 1.0 / normlen, 6) AS f,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, length(b) DESC, b ASC) AS rn
+        |  FROM counted
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(ls.n_lines, 0) AS n_lines,
+        |  round(CASE WHEN coalesce(ls.n_lines, 0) = 0 THEN 0.0
+        |             ELSE 1.0 - ls.n_distinct * 1.0 / ls.n_lines END, 6) AS dup_line_frac,
+        |  round(CASE WHEN coalesce(ls.chars_total, 0) = 0 THEN 0.0
+        |             ELSE 1.0 - ls.chars_distinct * 1.0 / ls.chars_total END, 6) AS dup_line_char_frac,
+        |  coalesce(w.f, 0.0) AS top_bigram_char_frac
+        |FROM documents d
+        |LEFT JOIN line_stats ls USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, f FROM winner WHERE rn = 1) w USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "quality_by_lang" ->
       s"""SELECT ${oracleLangExpr("text")} AS pred_lang,

@@ -76,6 +76,77 @@ object TextAnalysis {
       .groupBy("pred_lang")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Normalized non-empty lines of the raw text: split on newline, then
+    * lowercase / collapse whitespace / trim each line (same normalization
+    * as `normalizeText`, applied per line). */
+  private def normLines(textCol: Column): Column =
+    filter(
+      transform(split(textCol, "\n"),
+        l => trim(regexp_replace(lower(l), "\\s+", " "))),
+      l => l =!= "")
+
+  /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
+    * Models", table A1): per document,
+    *
+    *   - `dup_line_frac`: fraction of line OCCURRENCES that are repeats
+    *     of an earlier line (`1 - distinct/total`);
+    *   - `dup_line_char_frac`: same, weighted by line characters;
+    *   - `top_bigram_char_frac`: characters covered by the most frequent
+    *     word 2-gram, over normalized-text characters (tie-break: higher
+    *     count, then longer bigram, then lexicographic).
+    *
+    * The line metrics are pure per-row array expressions — they ride the
+    * scan stage, no shuffle. The bigram metric aggregates exploded
+    * bigrams keyed on (doc, bigram): map-side combine collapses repeats
+    * before the shuffle, so the exchange carries ~distinct bigrams per
+    * doc, and a doc's winner is a row_number over its own key group —
+    * both linear, both partition-parallel at 100 TB. */
+  def repetitionProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = normLines(col(textCol))
+    val dist = array_distinct(lines)
+    val charsOf = (a: Column) =>
+      aggregate(a, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val lineStats = df.select(
+        col(idCol), lines.as("__lines"), dist.as("__dist"))
+      .select(col(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__dist")).cast("long").as("__n_distinct"),
+        charsOf(col("__lines")).as("__chars_total"),
+        charsOf(col("__dist")).as("__chars_distinct"))
+      .select(col(idCol), col("n_lines"),
+        round(when(col("n_lines") === 0L, 0.0d)
+          .otherwise(lit(1.0d) - col("__n_distinct") / col("n_lines")), 6)
+          .as("dup_line_frac"),
+        round(when(col("__chars_total") === 0L, 0.0d)
+          .otherwise(lit(1.0d) - col("__chars_distinct") / col("__chars_total")), 6)
+          .as("dup_line_char_frac"))
+
+    val base = withNormToks(df, textCol)
+      .select(col(idCol), length(col("__norm")).cast("long").as("__normlen"),
+        col("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val counted = base
+      .select(col(idCol), col("__normlen"), explode(
+        transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => concat(element_at(col("__toks"), i + 1), lit(" "),
+            element_at(col("__toks"), i + 2)))).as("__bigram"))
+      .groupBy(col(idCol), col("__normlen"), col("__bigram"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("__c").desc, length(col("__bigram")).desc, col("__bigram").asc)
+    val topBigram = counted
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol),
+        round(col("__c") * length(col("__bigram")).cast("long") / col("__normlen"), 6)
+          .as("__tb"))
+
+    lineStats.join(topBigram, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("dup_line_frac"),
+        col("dup_line_char_frac"),
+        coalesce(col("__tb"), lit(0.0d)).as("top_bigram_char_frac"))
+  }
+
   /** Documents passing a minimum quality bar — the cheap corpus filter
     * applied before expensive dedup/embedding stages. */
   def qualityFilter(df: DataFrame, textCol: String, minQuality: Double): DataFrame = {

@@ -41,6 +41,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q(3L) == 0.2 || q(3L) < q(1L)) // empty doc scores low
   }
 
+  test("repetition profile: dup-line fractions and top-bigram coverage") {
+    val df = Seq(
+      // 4 lines, "aaa bbb" twice: dup_line_frac = 1 - 3/4 = 0.25;
+      // chars: total = 7+7+3+5 = 22, distinct = 7+3+5 = 15
+      (1L, "aaa bbb\nAAA   BBB\nccc\nd e f"),
+      // single line, bigram "x y" occurs 2x of 3 bigrams; norm = "x y x y"
+      // (7 chars), top covers 2*3/7
+      (2L, "x y x y"),
+      // empty doc: everything 0
+      (3L, ""),
+      // one token: no bigrams
+      (4L, "solo")).toDF("doc_id", "text")
+    val p = TextAnalysis.repetitionProfile(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(p(1).getAs[Long]("n_lines") == 4L)
+    assert(math.abs(p(1).getAs[Double]("dup_line_frac") - 0.25) < 1e-9)
+    assert(math.abs(p(1).getAs[Double]("dup_line_char_frac") - (1.0 - 15.0 / 22)) < 1e-6)
+    assert(math.abs(p(2).getAs[Double]("top_bigram_char_frac") - 6.0 / 7) < 1e-6)
+    assert(p(3).getAs[Long]("n_lines") == 0L)
+    assert(p(3).getAs[Double]("top_bigram_char_frac") == 0.0)
+    assert(p(4).getAs[Double]("top_bigram_char_frac") == 0.0)
+    assert(p(4).getAs[Double]("dup_line_frac") == 0.0)
+  }
+
   test("lang distribution groups by predicted language") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dist = TextAnalysis.langDistribution(docs, "text")
