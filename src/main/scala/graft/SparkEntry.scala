@@ -401,6 +401,19 @@ object SparkEntry {
       TextAnalysis.repetitionProfile(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // Winnowing fingerprints, summarized per doc as (count, sum, min,
+    // max) of the selected hash set — a full-set equality proxy the
+    // oracle recomputes from scratch with the same polynomial-rolling-
+    // hash + window-min arithmetic (constants in winnowOracleSql).
+    "winnow_profile" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_grams"),
+          size(col("fingerprints")).cast("long").as("n_fp"),
+          aggregate(col("fingerprints"), lit(0L), _ + _).as("fp_sum"),
+          coalesce(array_min(col("fingerprints")), lit(0L)).as("fp_min"),
+          coalesce(array_max(col("fingerprints")), lit(0L)).as("fp_max"))
+        .orderBy("doc_id")),
+
     "quality_by_lang" -> ((s, dir) => {
       import graft.functions.TextFunctions._
       // normalize+tokenize ONCE; lang and quality read the shared columns.
@@ -1311,6 +1324,8 @@ object SparkEntry {
         |LEFT JOIN (SELECT doc_id, f FROM winner WHERE rn = 1) w USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "winnow_profile" -> winnowOracleSql,
+
     "quality_by_lang" ->
       s"""SELECT ${oracleLangExpr("text")} AS pred_lang,
          |  count(*) AS n_docs,
@@ -1505,6 +1520,44 @@ object SparkEntry {
 
   private def oracleTokensExpr(c: String): String =
     s"string_split(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')), ' ')"
+
+  /** DuckDB recomputation of `TextAnalysis.winnowFingerprints` (k=8,
+    * w=16, B=257, M=1e9+7): same power constants, same window-min
+    * selection; summarized as (count, sum, min, max) of the set. */
+  private def winnowOracleSql: String = {
+    val M = 1000000007L; val B = 257L; val k = 8; val w = 16
+    val pows = Array.fill(k)(1L)
+    for (j <- k - 2 to 0 by -1) pows(j) = pows(j + 1) * B % M
+    val terms = pows.zipWithIndex.map { case (p, j) =>
+      s"CAST(unicode(substr(norm, CAST(i + $j AS INT), 1)) AS BIGINT) * $p"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents
+       |),
+       |sized AS (SELECT doc_id, norm, length(norm) AS n FROM base),
+       |grams AS (
+       |  SELECT doc_id, i, n - ${k - 1} AS nh, ($terms) % $M AS h
+       |  FROM sized, unnest(range(1, n - ${k - 2})) r(i) WHERE n >= $k
+       |),
+       |wins AS (
+       |  SELECT doc_id, i, nh,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin
+       |  FROM grams
+       |),
+       |sel AS (SELECT DISTINCT doc_id, wmin FROM wins WHERE i <= greatest(nh - ${w - 1}, 1)),
+       |fp AS (
+       |  SELECT doc_id, count(*) AS n_fp, CAST(sum(wmin) AS BIGINT) AS fp_sum,
+       |         min(wmin) AS fp_min, max(wmin) AS fp_max
+       |  FROM sel GROUP BY doc_id
+       |),
+       |ng AS (SELECT doc_id, CAST(greatest(n - ${k - 1}, 0) AS BIGINT) AS n_grams FROM sized)
+       |SELECT d.doc_id, ng.n_grams,
+       |  coalesce(fp.n_fp, 0) AS n_fp, coalesce(fp.fp_sum, 0) AS fp_sum,
+       |  coalesce(fp.fp_min, 0) AS fp_min, coalesce(fp.fp_max, 0) AS fp_max
+       |FROM documents d JOIN ng USING (doc_id) LEFT JOIN fp USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private def oracleLangExpr(c: String): String = {
     import graft.functions.TextFunctions._

@@ -147,6 +147,60 @@ object TextAnalysis {
         coalesce(col("__tb"), lit(0.0d)).as("top_bigram_char_frac"))
   }
 
+  /** MOSS-style winnowing document fingerprints (Schleimer, Wilkerson &
+    * Aiken, SIGMOD'03 "Winnowing: Local Algorithms for Document
+    * Fingerprinting"): polynomial rolling hashes of character k-grams
+    * over the normalized text, then the DISTINCT set of per-window
+    * minima (window = w consecutive gram hashes). Winnowing's guarantee:
+    * any substring match of length >= w + k - 1 between two documents
+    * contributes at least one shared fingerprint, with ~2/(w+1) of all
+    * gram hashes selected.
+    *
+    * Each gram hash is a pure sum of codepoint * B^j mod M terms
+    * (precomputed power constants — no sequential Horner state), so the
+    * whole pipeline is per-row array arithmetic inside the scan stage:
+    * NO shuffle, no UDF, deterministic across engines. A doc shorter
+    * than k grams fingerprints as the empty set; shorter than one full
+    * window, as the single global minimum.
+    *
+    * Returns one row per doc: (idCol, n_grams, fingerprints ARRAY<LONG>
+    * sorted ascending). */
+  def winnowFingerprints(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 16): DataFrame = {
+    require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
+    val M = 1000000007L
+    val B = 257L
+    val pows: Seq[Long] = {
+      // pows(j) = B^(k-1-j) mod M — highest power first
+      val p = Array.fill(k)(1L)
+      for (j <- k - 2 to 0 by -1) p(j) = p(j + 1) * B % M
+      p.toSeq
+    }
+    val terms = pows.zipWithIndex.map { case (p, j) =>
+      s"ascii(element_at(__chars, CAST(i + $j AS INT))) * ${p}L"
+    }.mkString(" + ")
+    val hashesExpr =
+      s"transform(sequence(1, __n - ${k - 1}), i -> ($terms) % ${M}L)"
+    val winsExpr =
+      s"transform(sequence(1, size(__hashes) - ${w - 1}), t -> " +
+        s"array_min(slice(__hashes, CAST(t AS INT), $w)))"
+
+    df.select(col(idCol), normalizeText(col(textCol)).as("__norm"))
+      .withColumn("__chars", split(col("__norm"), ""))
+      .withColumn("__n", length(col("__norm")))
+      .withColumn("__hashes",
+        when(col("__n") < k, expr("CAST(array() AS ARRAY<BIGINT>)"))
+          .otherwise(expr(hashesExpr)))
+      .withColumn("__fps",
+        when(size(col("__hashes")) === 0, expr("CAST(array() AS ARRAY<BIGINT>)"))
+          .when(size(col("__hashes")) < w, array(array_min(col("__hashes"))))
+          .otherwise(array_distinct(expr(winsExpr))))
+      .select(col(idCol),
+        size(col("__hashes")).cast("long").as("n_grams"),
+        array_sort(col("__fps")).as("fingerprints"))
+  }
+
   /** Documents passing a minimum quality bar — the cheap corpus filter
     * applied before expensive dedup/embedding stages. */
   def qualityFilter(df: DataFrame, textCol: String, minQuality: Double): DataFrame = {

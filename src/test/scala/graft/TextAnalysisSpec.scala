@@ -66,6 +66,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p(4).getAs[Double]("dup_line_frac") == 0.0)
   }
 
+  test("winnowing: shared long substring yields shared fingerprint; edges empty") {
+    val shared = "the quick brown fox jumps over the lazy dog tonight" // 51 chars > k+w-1=23
+    val df = Seq(
+      (1L, s"AAA unique prefix one $shared and a tail xyz"),
+      (2L, s"totally different opening words $shared closing stretch qq"),
+      (3L, "short"),   // < k chars: no grams
+      (4L, ""),
+      (5L, "exactly12ch!")) // 12 chars: 5 grams, fewer than w -> global min
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val f1 = fp(1L).getSeq[Long](2).toSet
+    val f2 = fp(2L).getSeq[Long](2).toSet
+    assert((f1 intersect f2).nonEmpty,
+      "docs sharing a >= w+k-1 substring must share a fingerprint")
+    assert(fp(3L).getLong(1) == 0L && fp(3L).getSeq[Long](2).isEmpty)
+    assert(fp(4L).getSeq[Long](2).isEmpty)
+    assert(fp(5L).getLong(1) == 5L && fp(5L).getSeq[Long](2).size == 1)
+    // determinism
+    val again = TextAnalysis.winnowFingerprints(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(again(1L) == fp(1L).getSeq[Long](2))
+  }
+
   test("lang distribution groups by predicted language") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dist = TextAnalysis.langDistribution(docs, "text")
