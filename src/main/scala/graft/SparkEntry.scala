@@ -546,6 +546,16 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup: semantic near-dup removal at the same threshold/blocking
+    // as dedup_embedding_pairs (candidate recall 1.0, oracle-verified
+    // there), so the DuckDB oracle can recompute the EXACT kept set from
+    // all-pairs cosine + greater-member drop.
+    "semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.45, nlist = 8, probeCells = 4)
+        .select("vec_id")
+        .orderBy("vec_id")),
+
     // ------------------------------------------------------------ similarity
     "knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1065,6 +1075,18 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "semantic_dedup" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_dot_product(embedding, embedding)) AS nrm FROM embeddings),
+        |drops AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.45)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+        |ORDER BY vec_id""".stripMargin,
 
     "curation_pipeline" ->
       s"""WITH q AS (

@@ -278,6 +278,30 @@ object Dedup {
   /** Keep one representative per near-dup cluster found by minHashLsh:
     * drops every id that appears as the greater member of a qualifying
     * pair (transitive chains collapse to their smallest id stepwise). */
+  /** SemDeDup-style semantic near-duplicate removal (Abbas et al. 2023,
+    * arXiv:2303.09540) over an embedding column: k-means cluster blocking
+    * (cells reused from the IVF machinery) generates candidate pairs at
+    * cluster granularity, exact cosine verifies them, and the greater-id
+    * member of every pair >= threshold is dropped — same keep-the-min-id
+    * semantics as `minHashDedup`, so the two compose interchangeably in a
+    * curation pipeline. Cost is bounded by cell population (capBuckets),
+    * never all-pairs; candidate recall at the shipped configs is
+    * oracle-verified 1.0 by `dedup_embedding_pairs`. */
+  def semanticDedup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      probeCells: Int = 2,
+      iters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val pairs = Similarity.cellBlockedCosinePairs(
+      df, vecCol, idCol, threshold, nlist, probeCells, iters, seed)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   def minHashDedup(
       df: DataFrame,
       textCol: String,

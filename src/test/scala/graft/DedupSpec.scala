@@ -77,6 +77,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)), s"expected only the planted pair: $pairs")
   }
 
+  test("semanticDedup drops the greater member of each planted near-dup") {
+    val rnd = new scala.util.Random(3)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val v0 = vec()
+    val v1 = v0.map(x => x + 0.01f)  // near-dup of v0 -> 1L must drop
+    val v2 = vec()
+    val v3 = v2.map(x => x * 1.001f) // near-dup of v2 -> 3L must drop
+    val others = Seq.tabulate(8)(_ => vec())
+    val df = (Seq((0L, v0), (1L, v1), (2L, v2), (3L, v3)) ++
+      others.zipWithIndex.map { case (v, i) => (i + 4L, v) })
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "embedding", "vec_id",
+      threshold = 0.99, nlist = 4, probeCells = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(1L) && !kept.contains(3L))
+    assert(kept.contains(0L) && kept.contains(2L))
+    assert(kept.size == df.count() - 2)
+  }
+
   test("brute-force topK is exact and deterministic on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 3)
