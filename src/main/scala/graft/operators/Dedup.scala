@@ -284,20 +284,23 @@ object Dedup {
     * cluster granularity, exact cosine verifies them, and the greater-id
     * member of every pair >= threshold is dropped — same keep-the-min-id
     * semantics as `minHashDedup`, so the two compose interchangeably in a
-    * curation pipeline. Cost is bounded by cell population (capBuckets),
-    * never all-pairs; candidate recall at the shipped configs is
-    * oracle-verified 1.0 by `dedup_embedding_pairs`. */
+    * curation pipeline. Cost is bounded by cell population — auto-sized
+    * clustering + recursive over-cap re-clustering (`IvfIndex
+    * .boundedCells`), never all-pairs and never a silent drop; candidate
+    * recall at the shipped configs is oracle-verified 1.0 by
+    * `dedup_embedding_pairs`. */
   def semanticDedup(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       threshold: Double,
-      nlist: Int = 16,
+      nlist: Int = 0,
       probeCells: Int = 2,
       iters: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val pairs = Similarity.cellBlockedCosinePairs(
-      df, vecCol, idCol, threshold, nlist, probeCells, iters, seed)
+      df, vecCol, idCol, threshold, nlist, probeCells, iters, seed, maxBucket)
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.{GraftFunctions, VectorFunctions}
 import graft.functions.VectorFunctions.dotNative
 
@@ -137,18 +139,52 @@ object IvfIndex {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Rows the k-means TRAINING pass is allowed to touch. Clustering
+    * quality depends on seeing a representative sample, not the whole
+    * corpus: centroid estimates converge as O(1/√sample), so beyond a
+    * few hundred points per centroid the extra scans buy nothing. The
+    * full corpus is still assigned exactly once (by the caller), which
+    * is where the real cost belongs at 100 TB. */
+  private[operators] val TrainSampleTarget = 20000L
+
+  /** Auto-sized cell count from the corpus row count: ~√n cells keeps
+    * assignment cost (n·nlist dots) and average cell population (n/nlist)
+    * balanced, clamped to [16, 256] — the upper bound keeps the
+    * literal-centroid argmax expression compact enough for codegen; cells
+    * that still exceed the bucket cap at that nlist are handled by the
+    * recursive split in `boundedCells`, which is the mechanism that
+    * scales, not a bigger flat centroid list. */
+  private[graft] def autoNlist(n: Long): Int =
+    math.max(16, math.min(256, math.ceil(math.sqrt(n.toDouble)).toInt))
+
   /** K-means by cosine; returns driver-side centroids. Seeds are the
     * nlist corpus rows with the smallest xxhash64(id) — deterministic and
     * uniformly spread without a full sort (top-k via limit on an ordered
-    * narrow projection). */
+    * narrow projection).
+    *
+    * Training runs on a deterministic hash SAMPLE of ~`TrainSampleTarget`
+    * rows (xxhash64-bucket filter — type-generic over any id, same
+    * reproducibility contract as `Sampling.deterministicSample`): the
+    * per-iteration scan cost is bounded by the sample, not the corpus.
+    * Corpora at or below the target train on every row, so small inputs
+    * are bit-identical to unsampled training. `totalCount` lets callers
+    * that already counted the corpus skip the extra count action. */
   private[operators] def train(
       corpus: DataFrame,
       vecCol: String,
       idCol: String,
       nlist: Int,
       iters: Int,
-      seed: Long): Seq[Seq[Double]] = {
-    val base = Similarity.normedBase(corpus, vecCol, idCol)
+      seed: Long,
+      totalCount: Long = -1L): Seq[Seq[Double]] = {
+    val full = Similarity.normedBase(corpus, vecCol, idCol)
+    val n = if (totalCount >= 0L) totalCount else full.count()
+    val target = math.max(nlist.toLong * 256L, TrainSampleTarget)
+    val base =
+      if (n <= target) full
+      else full.filter(
+        pmod(xxhash64(col("__id"), lit(seed), lit(1L)), lit(10000L)) <
+          lit(math.max(1L, target * 10000L / n)))
     var centroids: Seq[Seq[Double]] = base
       .orderBy(xxhash64(col("__id"), lit(seed)))
       .limit(nlist)
@@ -171,6 +207,246 @@ object IvfIndex {
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
     }
     centroids
+  }
+
+  // ------------------------------------------------- bounded cell blocking
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Fan-out of one recursive split level. With `SplitProbe`-way overlap
+    * the expected cell population shrinks ×(SplitProbe/SplitFanout) per
+    * level, so depth to the cap is logarithmic in the worst cell size. */
+  private val SplitFanout = 8
+
+  /** Sub-cell probe overlap. 2-way membership keeps pairs that straddle a
+    * sub-cluster boundary — and in the degenerate case of two centroids
+    * converging inside ONE tight cluster, every member's top-2 is the same
+    * two sub-cells, so the cluster travels whole and no pair is lost. */
+  private val SplitProbe = 2
+
+  private val MaxSplitDepth = 8
+
+  /** A split-level rank-2 probe is kept only when its score is within
+    * this margin of the member's rank-1 score. A boundary pair (two
+    * centroids converged inside one tight cluster) has s1 ≈ s2, so it
+    * keeps both cells; a loose member's rank-2 (s2 ≪ s1) is noise — and
+    * worse than noise: every loose member's rank-2 lands on the group's
+    * densest centroid, re-concentrating the parent cell into one
+    * attractor sub-cell that never shrinks below the cap and eventually
+    * trips the no-progress drop, losing the dense cluster's pairs. */
+  private val SplitProbeMargin = 0.1
+
+  /** Cell assignment with a HARD population bound: every returned cell has
+    * at most `maxBucket` members, so a downstream self-join on `__cell`
+    * can never go quadratic in a degenerate cell. Where the flat design
+    * (`capBuckets`) silently DROPPED over-cap cells — at 10⁸+ vectors
+    * every cell of a 16-cell clustering overflows and the operator emits
+    * zero pairs — this one RE-CLUSTERS over-cap cells recursively:
+    * members of each over-cap cell are split `SplitFanout` ways by a
+    * distributed per-group k-means (no driver collect — sub-centroids
+    * stay a DataFrame keyed by parent cell), with `SplitProbe`-way
+    * overlap so boundary pairs keep colliding. Mid-similarity pairs are
+    * intra-cluster by the k-means metric at every level, so the recall
+    * model of the flat blocking is preserved, not approximated away.
+    *
+    * Cells that stop shrinking (all-identical vectors — exact-dup content
+    * that belongs in exact dedup first) or exceed `MaxSplitDepth` are
+    * dropped LOUDLY: a warning with the dropped cell/member count, never
+    * a silent empty result.
+    *
+    * `base` must be the persisted `(__id, __vec, __norm)` projection.
+    * Returns a persisted, materialized `(__id, __cell: string)` mapping —
+    * caller unpersists. */
+  private[graft] def boundedCells(
+      base: DataFrame,
+      nlist: Int,
+      probeCells: Int,
+      iters: Int,
+      seed: Long,
+      maxBucket: Int,
+      totalCount: Long,
+      mergeThreshold: Double): DataFrame = {
+    val centroids = train(base, "__vec", "__id", nlist, iters, seed, totalCount)
+    val probe = math.min(probeCells, math.max(1, centroids.size))
+    var pending = base
+      .withColumn("__c", explode(topCells(col("__vec"), col("__norm"), centroids, probe)))
+      .select(col("__id"), col("__c").cast("string").as("__cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](pending)
+    val done = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var depth = 0
+    // progress = the LARGEST over-cap cell strictly shrinking. (Member-row
+    // counts are the wrong measure: SplitProbe-way overlap doubles rows
+    // per level even while every cell shrinks ×probe/fanout.)
+    var prevWorst = Long.MaxValue
+    var exhausted = false
+    while (!exhausted) {
+      val counts = pending.groupBy("__cell").count()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      levels += counts
+      val overCounts = counts.filter(col("count") > maxBucket)
+      val over = overCounts.select("__cell")
+      val Array(stats) = overCounts
+        .agg(count(lit(1)).as("n"), coalesce(max(col("count")), lit(0L)).as("worst"),
+          coalesce(sum(col("count")), lit(0L)).as("rows"))
+        .collect()
+      val (nOver, worst, overRows) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      done += pending.join(over, Seq("__cell"), "left_anti")
+      if (nOver == 0L) {
+        exhausted = true
+      } else if (depth >= MaxSplitDepth || worst >= prevWorst) {
+        log.warn(
+          s"boundedCells: dropping $nOver unsplittable cell(s) / $overRows member rows " +
+            s"still over cap $maxBucket at depth $depth — near-identical content; " +
+            "run exact dedup first to recover these pairs")
+        exhausted = true
+      } else {
+        prevWorst = worst
+        val members = pending.join(over, Seq("__cell")).join(base, "__id")
+          .select("__cell", "__id", "__vec", "__norm")
+        // localCheckpoint (eager) cuts the logical plan per level: the
+        // per-level k-means nests several self-referencing joins, so an
+        // un-truncated lineage grows exponentially with depth — the
+        // classic iterative-algorithm failure Spark's ML lib checkpoints
+        // away. Storage is only the over-cap member subset.
+        pending = splitGroups(members, SplitFanout, SplitProbe, 2, seed + depth + 1,
+          mergeThreshold)
+          .localCheckpoint()
+        depth += 1
+      }
+    }
+    val result = done.reduce(_ unionByName _).persist(StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize, then release every per-level cache
+    levels.foreach(_.unpersist())
+    result
+  }
+
+  /** Farthest-first (k-center) seeding PER parent cell, distributed:
+    * seed 0 is the group's lowest-hash member; each further seed is the
+    * member with the LOWEST max-similarity to the seeds chosen so far
+    * (argmin via a window over narrow rows, similarity state carried
+    * incrementally so each step joins only the one new seed per group).
+    * On well-separated sub-clusters this provably lands one seed per
+    * cluster (the classic k-center argument) — hash-random seeding
+    * misses a cluster with high probability (coupon collector), which
+    * measurably fragmented its pairs across sub-cells. Deterministic. */
+  private[graft] def farthestFirstSeeds(
+      members: DataFrame, fanout: Int, seed: Long): DataFrame = {
+    def sim(vec: Column, norm: Column, cvec: Column, cnorm: Column): Column =
+      when(norm * cnorm === 0.0d, lit(0.0d))
+        .otherwise(dotNative(vec, cvec) / (norm * cnorm))
+    val h = xxhash64(col("__id"), lit(seed))
+    // deterministic per-group argmin as ONE hash aggregate: struct min
+    // compares fields left to right, so (order, hash, id, payload) picks
+    // the lowest-order member with a stable tie-break — no window sort.
+    def pick(df: DataFrame, order: Column, sub: Int): DataFrame =
+      df.groupBy("__cell")
+        .agg(min(struct(order.as("o"), h.as("h"), col("__id").as("i"),
+          col("__vec").as("v"), col("__norm").as("n"))).as("__w"))
+        .select(col("__cell"), lit(sub).as("__sub"),
+          col("__w.v").as("__cvec"), col("__w.n").as("__cnorm"))
+
+    var seeds = pick(members, lit(0L), 0)
+    var state = members.join(seeds.drop("__sub"), "__cell")
+      .select(col("__cell"), col("__id"), col("__vec"), col("__norm"),
+        sim(col("__vec"), col("__norm"), col("__cvec"), col("__cnorm")).as("__maxsim"))
+      .localCheckpoint()
+    (1 until fanout).foreach { s =>
+      val next = pick(state, col("__maxsim"), s)
+      seeds = seeds.unionByName(next)
+      if (s < fanout - 1) {
+        // eager checkpoint per step: `state` would otherwise reference the
+        // previous state twice (directly + via `next`), doubling the plan
+        // per step. Cost: fanout-1 small jobs over the over-cap subset.
+        state = state.join(next.drop("__sub"), "__cell")
+          .select(col("__cell"), col("__id"), col("__vec"), col("__norm"),
+            greatest(col("__maxsim"),
+              sim(col("__vec"), col("__norm"), col("__cvec"), col("__cnorm")))
+              .as("__maxsim"))
+          .localCheckpoint()
+      }
+    }
+    seeds
+  }
+
+  /** One split level: independent `fanout`-way k-means PER parent cell,
+    * fully distributed. Sub-centroids live in a DataFrame keyed by the
+    * parent cell (never collected): seeds come from `farthestFirstSeeds`,
+    * assignment is an equi-join on the parent cell + argmax window over
+    * narrow (cell, id, sub, score) rows — vectors never ride through the
+    * window shuffle — and the centroid update is a (cell, sub, pos)
+    * hash-aggregate.
+    *
+    * Sub-centroids whose mutual cosine reaches `mergeThreshold` (the
+    * caller's PAIR threshold) are merged to one label before assignment:
+    * two centroids that close sit inside one tight cluster whose
+    * cross-centroid member pairs are plausibly true pairs, so they must
+    * share a block — when farthest-first over-seeds a tight cluster
+    * (every other group member being even further), the cluster would
+    * otherwise fragment across near-identical centroids and lose pairs.
+    *
+    * Output: each member's `subProbe` best sub-cells as path-extended
+    * cell ids. Deterministic for a fixed seed. */
+  private[graft] def splitGroups(
+      members: DataFrame,
+      fanout: Int,
+      subProbe: Int,
+      iters: Int,
+      seed: Long,
+      mergeThreshold: Double): DataFrame = {
+    var cents = farthestFirstSeeds(members, fanout, seed)
+
+    def scoredNarrow(cs: DataFrame): DataFrame =
+      members.join(cs, "__cell")
+        .select(col("__cell"), col("__id"), col("__sub"),
+          when(col("__norm") * col("__cnorm") === 0.0d, lit(0.0d))
+            .otherwise(dotNative(col("__vec"), col("__cvec")) /
+              (col("__norm") * col("__cnorm")))
+            .as("__score"))
+
+    val wAssign = Window.partitionBy("__cell", "__id")
+      .orderBy(col("__score").desc, col("__sub").asc)
+
+    (1 to iters).foreach { _ =>
+      val winners = scoredNarrow(cents)
+        .withColumn("__rk", row_number().over(wAssign))
+        .filter(col("__rk") === 1)
+        .select("__cell", "__id", "__sub")
+      cents = winners.join(members, Seq("__cell", "__id"))
+        .select(col("__cell"), col("__sub"), posexplode(col("__vec")))
+        .groupBy(col("__cell"), col("__sub"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("__cell", "__sub")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          _.getField("m")).as("__cvec"))
+        .withColumn("__cnorm", sqrt(dotNative(col("__cvec"), col("__cvec"))))
+    }
+
+    // single-link representative per sub: lowest sub id among centroids
+    // within mergeThreshold (fanout² tiny rows per cell — cents is one
+    // row per sub-centroid, never per member)
+    val cA = cents.select(col("__cell"), col("__sub").as("__si"),
+      col("__cvec").as("__vi"), col("__cnorm").as("__ni"))
+    val cB = cents.select(col("__cell"), col("__sub").as("__sj"),
+      col("__cvec").as("__vj"), col("__cnorm").as("__nj"))
+    val reps = cA.join(cB, "__cell")
+      .filter(col("__si") === col("__sj") ||
+        when(col("__ni") * col("__nj") === 0.0d, lit(0.0d))
+          .otherwise(dotNative(col("__vi"), col("__vj")) /
+            (col("__ni") * col("__nj"))) >= mergeThreshold)
+      .groupBy(col("__cell"), col("__si").as("__sub"))
+      .agg(min(col("__sj")).as("__rep"))
+
+    val wBest = Window.partitionBy("__cell", "__id")
+    scoredNarrow(cents)
+      .withColumn("__rk", row_number().over(wAssign))
+      .withColumn("__s1", max(col("__score")).over(wBest))
+      .filter(col("__rk") === 1 ||
+        (col("__rk") <= subProbe && col("__score") >= col("__s1") - SplitProbeMargin))
+      .join(reps, Seq("__cell", "__sub"))
+      .select(col("__id"),
+        concat(col("__cell"), lit("."), col("__rep").cast("string")).as("__cell"))
+      .dropDuplicates("__id", "__cell")
   }
 
   /** argmax cell by cosine: nlist native dots against literal centroids,

@@ -34,7 +34,7 @@ import graft.functions.VectorFunctions.dotNative
 object Similarity {
 
   /** `(__id, __vec, __norm)` projection: raw vector + scalar L2 norm. */
-  private[operators] def normedBase(
+  private[graft] def normedBase(
       df: DataFrame, vecCol: String, idCol: String): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
@@ -185,28 +185,30 @@ object Similarity {
     * of the metric k-means optimizes, so recall tracks cluster
     * separation (measured 1.0 on the test corpus at every SF). Cost:
     * candidates ∝ Σ cell² · probeCells² — bounded by cluster sizes, not
-    * n², and the same capBuckets guard bounds degenerate cells.
+    * n², with a HARD per-cell bound: `nlist = 0` (the default) auto-sizes
+    * the clustering from the corpus count, and any cell still over
+    * `maxBucket` is recursively re-clustered by `IvfIndex.boundedCells`
+    * rather than silently dropped — at 10⁸+ vectors the old fixed
+    * nlist=16 + drop-over-cap default returned an empty pair set.
     * Deterministic for a fixed seed. */
   def cellBlockedCosinePairs(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       threshold: Double,
-      nlist: Int = 16,
+      nlist: Int = 0,
       probeCells: Int = 2,
       iters: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val centroids = IvfIndex.train(df, vecCol, idCol, nlist, iters, seed)
-    val base = normedBase(df, vecCol, idCol)
-    val cells = base
-      .withColumn("__cell",
-        explode(IvfIndex.topCells(col("__vec"), col("__norm"), centroids, probeCells)))
-      .select("__id", "__cell")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val capped = Dedup.capBuckets(cells, Seq("__cell"), Dedup.DefaultMaxBucket)
-    val l = capped.withColumnRenamed("__id", "id_a")
-    val r = capped.withColumnRenamed("__id", "id_b")
+    val base = normedBase(df, vecCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    val nl = if (nlist > 0) nlist else IvfIndex.autoNlist(n)
+    val cells = IvfIndex.boundedCells(base, nl, probeCells, iters, seed, maxBucket, n,
+      mergeThreshold = threshold)
+    val l = cells.withColumnRenamed("__id", "id_a")
+    val r = cells.withColumnRenamed("__id", "id_b")
     val result = l.join(r, Seq("__cell"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -220,8 +222,9 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize, then release the cell cache
+    result.count() // materialize, then release the cell + base caches
     cells.unpersist()
+    base.unpersist()
     result
   }
 
