@@ -182,16 +182,43 @@ object TextAnalysis {
     }.mkString(" + ")
     val hashesExpr =
       s"transform(sequence(1, __n - ${k - 1}), i -> ($terms) % ${M}L)"
-    val winsExpr =
-      s"transform(sequence(1, size(__hashes) - ${w - 1}), t -> " +
-        s"array_min(slice(__hashes, CAST(t AS INT), $w)))"
 
-    df.select(col(idCol), normalizeText(col(textCol)).as("__norm"))
+    var out = df.select(col(idCol), normalizeText(col(textCol)).as("__norm"))
       .withColumn("__chars", split(col("__norm"), ""))
       .withColumn("__n", length(col("__norm")))
       .withColumn("__hashes",
         when(col("__n") < k, expr("CAST(array() AS ARRAY<BIGINT>)"))
           .otherwise(expr(hashesExpr)))
+
+    // Sliding-window minima via a sparse table (doubling mins): level j
+    // holds min over spans of 2^j, built from level j-1 with two O(1)
+    // element_at lookups per position — O(n·log w) total, each level its
+    // own projection so it is computed once per row. The naive
+    // `array_min(slice(__hashes, t, w))` is O(n·w) AND allocates a
+    // w-element array copy per position — measured dominant in the
+    // winnow profile at sf0.1. Window min of width w = min of the two
+    // (possibly overlapping) 2^⌊log2 w⌋ spans covering it.
+    val logW = 31 - Integer.numberOfLeadingZeros(w) // floor(log2 w)
+    var cur = "__hashes"
+    (0 until logW).foreach { j =>
+      val span = 1 << j
+      val nm = s"__m${j + 1}"
+      out = out.withColumn(nm, expr(
+        s"if(size($cur) > $span, " +
+          s"transform(sequence(1, size($cur) - $span), i -> " +
+          s"least(element_at($cur, CAST(i AS INT)), " +
+          s"element_at($cur, CAST(i + $span AS INT)))), " +
+          "CAST(array() AS ARRAY<BIGINT>))"))
+      cur = nm
+    }
+    val rest = w - (1 << logW)
+    val winsExpr =
+      if (rest == 0) cur
+      else s"transform(sequence(1, size(__hashes) - ${w - 1}), t -> " +
+        s"least(element_at($cur, CAST(t AS INT)), " +
+        s"element_at($cur, CAST(t + $rest AS INT))))"
+
+    out
       .withColumn("__fps",
         when(size(col("__hashes")) === 0, expr("CAST(array() AS ARRAY<BIGINT>)"))
           .when(size(col("__hashes")) < w, array(array_min(col("__hashes"))))
