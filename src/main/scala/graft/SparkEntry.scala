@@ -117,14 +117,40 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
-    // HLL sketch cardinalities (rows-only check: Spark's HLL++ and
-    // DuckDB's approx sketches legitimately differ).
-    "agg_approx_distinct" -> ((s, dir) => {
+    // cube = rollup + the column-2-only grouping sets; closes the
+    // grouping-set aggregate family next to rollup_revenue.
+    "cube_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // HLL sketch cardinalities, gated per group: the approx values
+    // themselves are engine-specific (Spark HLL++ vs DuckDB sketches
+    // legitimately differ), so the query emits the EXACT distinct counts
+    // (oracle-matching) plus per-group booleans asserting the sketch is
+    // within 15% — 3x the default 5% rsd; measured max 8.6% across SFs.
+    // Exact and approx run as SEPARATE aggregations joined on the group
+    // key: mixing countDistinct with HLL buffers in one agg goes through
+    // Spark's Expand-based multi-distinct rewrite, which drags the 16KB
+    // rsd-0.01 sketch buffers through every stage (measured 40s vs 3s at
+    // sf0.1).
+    "agg_approx_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("a1"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("a2"))
+      exact.join(approx, "l_returnflag")
+        .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
+          (abs(col("a1") - col("n_orders")).cast("double") / col("n_orders") < 0.15)
+            .as("orders_ok"),
+          (abs(col("a2") - col("n_parts")).cast("double") / col("n_parts") < 0.15)
+            .as("parts_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -376,6 +402,37 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // THREE-source recon mirroring the reference's flagship config shape
+    // (/root/reference/recon.yml:1-24: 3 sources, same metric names): at
+    // != 2 sources the reference joins all aggregates full-outer and
+    // emits NO delta/match columns (recon.py:149) — this query exercises
+    // that guard end-to-end through the YAML factory.
+    "recon_threeway" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "lineitem").createOrReplaceTempView("__recon_li3")
+      ReconJob.fromYaml(
+        """version: 0
+          |group_by: [l_returnflag]
+          |data:
+          |  - name: a
+          |    query: SELECT * FROM __recon_li3
+          |    metrics:
+          |      - sum_price: round(sum(l_extendedprice), 2)
+          |      - n: count(*)
+          |  - name: b
+          |    query: SELECT l_returnflag, l_extendedprice * 1.0005 AS l_extendedprice FROM __recon_li3
+          |    metrics:
+          |      - sum_price: round(sum(l_extendedprice), 2)
+          |      - n: count(*)
+          |  - name: c
+          |    query: SELECT l_returnflag, l_extendedprice FROM __recon_li3 WHERE l_linestatus = 'F'
+          |    metrics:
+          |      - sum_price: round(sum(l_extendedprice), 2)
+          |      - n: count(*)
+          |""".stripMargin).run()
+        .orderBy("l_returnflag")
+    }),
+
     // -------------------------------------------------------- text analysis
     "text_profile" -> ((s, dir) =>
       TextAnalysis.profile(t(s, dir, "documents"), "text", "doc_id")
@@ -467,19 +524,15 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")),
 
-    // maxHamming=1 (not the old 7): these are ~54-token docs, so the
+    // The driver-facing SimHash query: runs the full simHashPairs
+    // pipeline and gates its MEANING, since the exact pair values are
+    // not SQL-reproducible (xxhash64): the fraction of reported pairs
+    // that are true near-dups by exact word-Jaccard must stay ≥ 0.9.
+    // maxHamming=1 (not the classic 3): these are ~54-token docs, so the
     // 64-bit majority votes have thin margins and same-language docs
     // collide within a few bits — at budget 7 only 6% of reported pairs
     // were true near-dups (word-Jaccard ≥ 0.3), at budget 1 it is
-    // 0.96-1.0 (measured at every SF; the precision gate below pins it).
-    "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 1)
-        .orderBy("id_a", "id_b")),
-
-    // Quality gate for the engine-specific simhash pair set (its exact
-    // pair values are not SQL-reproducible — xxhash64 — but its MEANING
-    // is checkable): the fraction of reported pairs that are true
-    // near-dups by exact word-Jaccard must stay ≥ 0.9.
+    // 0.96-1.0 (measured at every SF).
     "simhash_precision_gate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 1)
@@ -497,31 +550,6 @@ object SparkEntry {
           size(array_intersect(col("sa"), col("sb"))).cast("double") /
             size(array_union(col("sa"), col("sb"))))
         .agg((avg((col("jac") >= 0.3).cast("int")) >= 0.9).as("precision_ok"))
-    }),
-
-    // HLL sketch error gate: the approx counts themselves are
-    // engine-specific, but their relative error against the exact
-    // distinct counts must stay within 15% — 3x the default 5% rsd;
-    // measured max 8.6% across SFs. Exact and approx run as SEPARATE
-    // aggregations joined on the group key: mixing countDistinct with
-    // HLL buffers in one agg goes through Spark's Expand-based
-    // multi-distinct rewrite, which drags the 16KB rsd-0.01 sketch
-    // buffers through every stage (measured 40s vs 3s at sf0.1).
-    "hll_error_gate" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val exact = li.groupBy("l_returnflag")
-        .agg(countDistinct(col("l_orderkey")).as("e1"),
-          countDistinct(col("l_partkey")).as("e2"))
-      val approx = li.groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey")).as("a1"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("a2"))
-      exact.join(approx, "l_returnflag")
-        .agg(
-          (max(greatest(
-            abs(col("a1") - col("e1")).cast("double") / col("e1"),
-            abs(col("a2") - col("e2")).cast("double") / col("e2"))) < 0.15)
-            .as("hll_ok"),
-          count(lit(1)).as("n_groups"))
     }),
 
     // char shingles keep 64/16 (4 rows/band): baseline similarity between
@@ -565,29 +593,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    "knn_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
-      Similarity.annTopK(emb, q, "embedding", "vec_id", k = 5,
-        tables = 16, planesPerTable = 6)
-        .withColumn("cosine", round(col("cosine"), 4))
-        .orderBy("query_id", "rank")
-    }),
-
     "embedding_quantize" -> ((s, dir) =>
       Quantize.roundTripCosine(t(s, dir, "embeddings"), "embedding", "vec_id")
         .orderBy("vec_id")),
 
-    "knn_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
-      IvfIndex.ivfTopK(emb, q, "embedding", "vec_id", k = 5,
-        nlist = 16, nprobe = 4)
-        .withColumn("cosine", round(col("cosine"), 4))
-        .orderBy("query_id", "rank")
-    }),
-
-    // Recall@5 of the approximate ANN paths, measured against the exact
+    // The driver-facing ANN/IVF queries: each runs the FULL approximate
+    // top-k pipeline (annTopK / ivfTopK) and reports its
+    // recall@5 of the approximate ANN paths, measured against the exact
     // brute-force top-5 INSIDE Spark (left join on (query, neighbor)).
     // The oracle pins a quality floor: DuckDB computes the exact side's
     // query count and asserts recall_ok = true — if a code change drops
@@ -792,6 +804,26 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // Bucketed co-located join as a value-checked driver query: both
+    // sides are WRITTEN bucketed on the join key first, so the join and
+    // the downstream groupBy plan without a shuffle exchange on the fact
+    // side (plan shape pinned by BucketingSpec; this oracle pins the
+    // VALUES against a plain join). At 100 TB this is the
+    // pay-the-shuffle-once-at-write-time answer for repeat fact joins.
+    "colocated_join" -> ((s, dir) => {
+      val suf = etlSuffix(dir)
+      val (ot, lt) = (s"b_orders_$suf", s"b_lineitem_$suf")
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "orders"), ot, Seq("o_orderkey"), 8, Seq("o_orderkey"))
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        lt, Seq("o_orderkey"), 8, Seq("o_orderkey"))
+      graft.sources.Bucketing.colocatedJoin(s, ot, lt, Seq("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Recon loaded through the FILE-based factory with ${param}
     // substitution — the recon twin of etl_fromconfig_upsert.
     "recon_fromconfig" -> ((s, dir) => {
@@ -922,6 +954,14 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "cube_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "customers_without_orders" ->
@@ -1184,9 +1224,12 @@ object SparkEntry {
     "simhash_precision_gate" ->
       "SELECT true AS precision_ok",
 
-    "hll_error_gate" ->
-      """SELECT true AS hll_ok,
-        |  (SELECT count(DISTINCT l_returnflag) FROM lineitem) AS n_groups""".stripMargin,
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  true AS orders_ok, true AS parts_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "recon_lineitem" ->
       """WITH a AS (
@@ -1205,6 +1248,23 @@ object SparkEntry {
         |       ELSE abs((a.a_sum_price - b.b_sum_price) / b.b_sum_price) < 0.001 END
         |    AS match_sum_price
         |FROM a JOIN b USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "recon_threeway" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, round(sum(l_extendedprice), 2) AS a_sum_price,
+        |         count(*) AS a_n
+        |  FROM lineitem GROUP BY l_returnflag),
+        |b AS (
+        |  SELECT l_returnflag, round(sum(l_extendedprice * 1.0005), 2) AS b_sum_price,
+        |         count(*) AS b_n
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, round(sum(l_extendedprice), 2) AS c_sum_price,
+        |         count(*) AS c_n
+        |  FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag)
+        |SELECT l_returnflag, a_sum_price, a_n, b_sum_price, b_n, c_sum_price, c_n
+        |FROM a FULL JOIN b USING (l_returnflag) FULL JOIN c USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
 
     "asof_tolerance_10m" ->
@@ -1239,6 +1299,12 @@ object SparkEntry {
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "colocated_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "skew_join_supplier" ->
       """WITH f AS (SELECT least(l_suppkey, 10) AS k, l_quantity FROM lineitem),
