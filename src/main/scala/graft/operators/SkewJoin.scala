@@ -64,15 +64,29 @@ object SkewJoin {
       hotFraction: Double = 0.01,
       maxHotKeys: Int = 100,
       seed: Long = 42L): DataFrame = {
+    // NULL hot keys are dropped from the list, not compared: an inner
+    // equi-join never matches NULL anyway, and a NULL inside `isin` would
+    // turn non-matching rows' predicate NULL — excluded from BOTH the hot
+    // and the cold branch, silently losing rows.
     val hot = detectHotKeys(fact, key, sampleFraction, hotFraction, maxHotKeys, seed)
+      .filter(_ != null)
     if (hot.isEmpty) fact.join(dim, key)
     else {
-      val hotSet = typedLit(hot.map(_.toString))
-      val isHot = array_contains(hotSet, col(key).cast("string"))
+      val isHot = hotKeyFilter(col(key), hot)
       val hotJoin = fact.filter(isHot)
         .join(broadcast(dim.filter(isHot)), key)
       val coldJoin = fact.filter(!isHot).join(dim.filter(!isHot), key)
       hotJoin.unionByName(coldJoin)
     }
   }
+
+  /** Typed IN over the collected native key values (`Literal` handles
+    * numeric/decimal/timestamp/date/string): the comparison happens in
+    * the key's own type. A string-cast compare is lossy — e.g. a
+    * collected timestamp's java toString ("… 00:00:00.0") never equals
+    * Spark's cast ("… 00:00:00"), so every hot row silently routed cold
+    * and the skew guard stopped guarding. */
+  private[graft] def hotKeyFilter(
+      key: org.apache.spark.sql.Column, hot: Seq[Any]): org.apache.spark.sql.Column =
+    key.isin(hot: _*)
 }

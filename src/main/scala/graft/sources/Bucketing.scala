@@ -14,7 +14,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed (and optionally sorted-within-buckets)
-    * catalog table. Overwrites any existing table of that name. */
+    * catalog table. Overwrites any existing table of that name — and any
+    * STALE warehouse directory left by a previous session: a fresh
+    * session's catalog doesn't know the table, so `saveAsTable` with
+    * Overwrite refuses the existing managed location
+    * (LOCATION_ALREADY_EXISTS) instead of replacing it. `table` must be
+    * an unqualified name in the default database (its managed location
+    * is `<warehouse>/<lowercase name>`). */
   def writeBucketed(
       df: DataFrame,
       table: String,
@@ -22,6 +28,13 @@ object Bucketing {
       numBuckets: Int,
       sortKeys: Seq[String] = Nil): Unit = {
     require(bucketKeys.nonEmpty, "bucketing requires at least one key")
+    require(!table.contains("."), "writeBucketed expects an unqualified table name")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.format("parquet").mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketKeys.head, bucketKeys.tail: _*)
     (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w)
