@@ -302,6 +302,35 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Update against a PARTITIONED catalog table: only the o_orderstatus='F'
+    // partition contains matched keys, so the partition-scoped merge path
+    // (Writes.mergePartitionScoped) rewrites that partition alone and
+    // leaves 'O'/'P' files untouched (file-identity pinned by
+    // MergePartitionedSpec; values oracled here).
+    "etl_update_partitioned" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
+      val tbl = "graft_etl_updpart_" + etlSuffix(dir)
+      etlResetTable(s, tbl)
+      s.sql("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM __etl_orders WHERE o_custkey % 10 IN (3, 4)")
+        .write.partitionBy("o_orderstatus").format("parquet").saveAsTable(tbl)
+      EtlJob.fromYaml(
+        s"""version: 0
+           |source:
+           |  query: >-
+           |    SELECT o_orderkey, o_totalprice + 750.0 AS o_totalprice
+           |    FROM __etl_orders WHERE o_custkey % 10 = 3 AND o_orderstatus = 'F'
+           |target:
+           |  table: $tbl
+           |  operation: update
+           |  primary_key_column: [o_orderkey]
+           |  update_column: [o_totalprice]
+           |""".stripMargin).run()
+      s.table(tbl)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
     "etl_upsert" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
@@ -1043,6 +1072,14 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_custkey % 10 = 3 THEN o_totalprice + 500.0
         |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders WHERE o_custkey % 10 IN (3, 4)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "etl_update_partitioned" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_custkey % 10 = 3 AND o_orderstatus = 'F'
+        |       THEN o_totalprice + 750.0 ELSE o_totalprice END AS o_totalprice,
         |  o_orderstatus
         |FROM orders WHERE o_custkey % 10 IN (3, 4)
         |ORDER BY o_orderkey""".stripMargin,

@@ -154,10 +154,14 @@ object Writes {
     }
 
   /** O9/O10 update/upsert via the Merge join-rewrite. The merged result is
-    * staged (one full data write) and then swapped into the target:
-    * Spark refuses to overwrite files it is concurrently reading, so the
-    * lineage must be broken by a materialization. Multi-writer isolation is
-    * out of scope (the reference delegated it to Delta). */
+    * staged (one data write) and then swapped into the target: Spark
+    * refuses to overwrite files it is concurrently reading, so the lineage
+    * must be broken by a materialization. For a PARTITIONED table target
+    * the stage-and-swap happens per affected partition — only partitions
+    * containing matched, inserted, or moved rows are written and swapped;
+    * everything else is left byte-identical on disk (the parquet analogue
+    * of Delta's file-pruned MERGE). Multi-writer isolation is out of scope
+    * (the reference delegated it to Delta). */
   def merge(
       source: DataFrame,
       ref: TargetRef,
@@ -174,32 +178,119 @@ object Writes {
 
     ref match {
       case TableRef(t) =>
-        // Stage-and-swap at the table's storage location: ONE data write
-        // (to a staging directory) + two directory renames, exactly like
-        // the path variant — not stage-table + INSERT OVERWRITE, which
-        // writes the full merged dataset TWICE (2× the write cost; at
-        // 100 TB the second full write is the dominant expense of the
-        // merge). The catalog entry is untouched — only the bytes under
-        // the table's location change — so the table definition,
-        // partitioning spec, and grants survive.
         val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
         val location = new org.apache.hadoop.fs.Path(
           spark.sessionState.catalog.getTableMetadata(ident).location)
         val partCols = partitionColumns(t)
-        val writer = alignedTo(merged, t).write.format("parquet")
-        val w = if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer
-        swapIntoPlace(location, stage => w.save(stage.toString))
-        // Stale file listings / partition metadata: the files changed
-        // underneath the catalog. Refresh caches; for partitioned tables
-        // sync the metastore's partition list with the directories.
-        spark.catalog.refreshTable(t)
         if (partCols.nonEmpty)
-          spark.sql(s"MSCK REPAIR TABLE $t SYNC PARTITIONS")
+          mergePartitionScoped(target, source, merged, t, location, partCols,
+            primaryKeys, updateColumns, baseCondition, insertWhenNotMatched)
+        else {
+          // Unpartitioned: stage-and-swap at the table's storage location —
+          // ONE data write (to a staging directory) + two directory
+          // renames, exactly like the path variant; not stage-table +
+          // INSERT OVERWRITE, which writes the full merged dataset TWICE.
+          // The catalog entry is untouched — only the bytes under the
+          // table's location change — so the table definition and grants
+          // survive.
+          swapIntoPlace(location,
+            stage => alignedTo(merged, t).write.format("parquet").save(stage.toString))
+          spark.catalog.refreshTable(t)
+        }
       case PathRef(p) =>
         val hadoopPath = new org.apache.hadoop.fs.Path(p)
         swapIntoPlace(hadoopPath,
           stage => merged.write.mode(SaveMode.Overwrite).parquet(stage.toString))
     }
+  }
+
+  /** Partition-scoped merge rewrite: write ONLY the partitions the merge
+    * can change, swap each affected partition directory into place, leave
+    * every other partition's files untouched (byte-identical, same
+    * inodes). At 100 TB this is the difference between rewriting the
+    * table and rewriting the handful of partitions a daily source feed
+    * touches. The affected-partition set itself is computed distributed
+    * ([[Merge.affectedPartitions]]) and only its DISTINCT tuples come to
+    * the driver — bounded by the table's partition count (metadata scale,
+    * same order as any metastore listing), never by data volume. */
+  private def mergePartitionScoped(
+      target: DataFrame,
+      source: DataFrame,
+      merged: DataFrame,
+      table: String,
+      location: org.apache.hadoop.fs.Path,
+      partCols: Seq[String],
+      primaryKeys: Seq[String],
+      updateColumns: Seq[String],
+      baseCondition: String,
+      insertWhenNotMatched: Boolean)(implicit spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.functions.{broadcast, col}
+
+    val affected = Merge.affectedPartitions(target, source, primaryKeys,
+      updateColumns, baseCondition, insertWhenNotMatched, partCols).persist()
+    try {
+      val affectedRows = affected.collect()
+      if (affectedRows.isEmpty) return // merge is a no-op; touch nothing
+      // Canonical partition-directory fragments (part1=v/part2=v…), using
+      // the same escaping Spark's own dynamic-partition writer applies, so
+      // the fragments match the directories the staging write produces.
+      val frags = affected
+        .select(partCols.map(c => col(c).cast("string")): _*)
+        .collect()
+        .map { row =>
+          partCols.indices.map { i =>
+            ExternalCatalogUtils.getPartitionPathString(partCols(i), row.getString(i))
+          }.mkString("/")
+        }
+
+      // Rows to rewrite = full merged contents of the affected partitions
+      // (matched AND untouched rows of those partitions — a partition is
+      // replaced wholesale or not at all). The affected tuples are
+      // re-materialized as a fresh LOCAL DataFrame so the semi-join's right
+      // side shares no lineage with `merged` (avoids self-join attribute
+      // ambiguity), with renamed columns and an explicit broadcast.
+      val local = spark
+        .createDataFrame(affectedRows.toList.asJava, affected.schema)
+        .select(partCols.map(c => col(c).as(s"__aff_$c")): _*)
+      val joinCond = partCols
+        .map(c => col(c) <=> col(s"__aff_$c"))
+        .reduce(_ && _)
+      val writeSet = merged.join(broadcast(local), joinCond, "left_semi")
+
+      val fs = location.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new org.apache.hadoop.fs.Path(
+        location.toString.stripSuffix("/") +
+          s"__graft_staging_${UUID.randomUUID().toString.take(8)}")
+      alignedTo(writeSet, table).write.format("parquet")
+        .partitionBy(partCols: _*).save(staging.toString)
+
+      frags.foreach { frag =>
+        val stagedDir = new org.apache.hadoop.fs.Path(staging, frag)
+        val liveDir   = new org.apache.hadoop.fs.Path(location, frag)
+        if (fs.exists(stagedDir)) {
+          val old = new org.apache.hadoop.fs.Path(liveDir + "__old")
+          val hadOld = fs.exists(liveDir) && fs.rename(liveDir, old)
+          fs.mkdirs(liveDir.getParent)
+          if (!fs.rename(stagedDir, liveDir)) {
+            if (hadOld) fs.rename(old, liveDir) // restore
+            throw new IllegalStateException(
+              s"merge swap: cannot publish $stagedDir to $liveDir")
+          }
+          if (hadOld) fs.delete(old, true)
+        } else {
+          // Affected but absent from the staged output: every row moved
+          // out of this partition — it is now empty, remove it.
+          fs.delete(liveDir, true)
+        }
+      }
+      fs.delete(staging, true)
+      // The files changed underneath the catalog: refresh caches and sync
+      // the metastore's partition list (new partitions from inserts/moves,
+      // dropped partitions from emptied ones).
+      spark.catalog.refreshTable(table)
+      spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+    } finally affected.unpersist()
   }
 
   /** Write to a staging sibling of `dest` via `write`, then swap it into

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * The plan is three joins of target against source on the same equi-keys —
   * Catalyst plans them as shuffle joins partitioned by pk (or broadcasts a
   * small source), so at 100 TB this scales like any keyed join; no driver
-  * collect anywhere. The rewrite touches the whole target; partition-scoped
-  * rewrite (only files containing matches) is a format capability (Delta)
-  * that plain parquet lacks — documented trade-off.
+  * collect anywhere. Physical rewrite scope lives in `Writes.merge`: for a
+  * PARTITIONED target only the partitions containing matched / inserted /
+  * moved rows are rewritten (the parquet analogue of Delta's file-pruned
+  * MERGE, computed via [[affectedPartitions]]); an unpartitioned target is
+  * necessarily a whole-table rewrite.
   */
 object Merge {
 
@@ -35,42 +37,83 @@ object Merge {
       baseCondition: String = "1=1",
       insertWhenNotMatched: Boolean = false): DataFrame = {
 
-    require(primaryKeys.nonEmpty, "merge requires primary key columns")
-    val updateSet = (updateColumns ++ primaryKeys).distinct
-    val tgtCols = target.columns.toSeq
-    val srcCols = source.columns.toSet
+    val p = Plan(target, source, primaryKeys, updateColumns, baseCondition)
+    val base = p.untouched.unionByName(p.matched)
+    if (!insertWhenNotMatched) base else base.unionByName(p.inserts)
+  }
 
-    val tgt = target.alias("TGT")
-    val src = source.alias("SRC")
+  /** Distinct partition-column tuples a merge can change — the union of
+    * (a) the pre-update partitions of matched target rows, (b) the
+    * post-update partitions of those rows (different from (a) only when a
+    * partition column is itself in the update set — a row "moves"), and
+    * (c) the partitions of inserted rows. Everything outside this set is
+    * provably byte-identical before and after the merge, so a partitioned
+    * rewrite only needs to touch these. Stays a distributed plan — caller
+    * decides whether collecting it (bounded by the table's partition
+    * count, i.e. metadata scale) is acceptable. */
+  def affectedPartitions(
+      target: DataFrame,
+      source: DataFrame,
+      primaryKeys: Seq[String],
+      updateColumns: Seq[String],
+      baseCondition: String,
+      insertWhenNotMatched: Boolean,
+      partitionCols: Seq[String]): DataFrame = {
+
+    val p = Plan(target, source, primaryKeys, updateColumns, baseCondition)
+    val joined = p.tgt.join(p.src, p.cond, "inner")
+    val pre  = joined.select(partitionCols.map(c => col(s"TGT.$c").as(c)): _*)
+    val post = joined.select(partitionCols.map(p.matchedCol): _*)
+    val all =
+      if (!insertWhenNotMatched) pre.unionByName(post)
+      else pre.unionByName(post).unionByName(
+        p.src.join(p.tgt, p.cond, "left_anti")
+          .select(partitionCols.map(p.insertCol): _*))
+    all.distinct()
+  }
+
+  /** Shared column-level merge expressions, so the full-plan and the
+    * affected-partitions computations can never drift apart. */
+  private final case class Plan(
+      target: DataFrame,
+      source: DataFrame,
+      primaryKeys: Seq[String],
+      updateColumns: Seq[String],
+      baseCondition: String) {
+
+    require(primaryKeys.nonEmpty, "merge requires primary key columns")
+    val updateSet: Seq[String] = (updateColumns ++ primaryKeys).distinct
+    val tgtCols: Seq[String] = target.columns.toSeq
+    private val srcCols = source.columns.toSet
+    private val tgtSchema = target.schema
+
+    val tgt: DataFrame = target.alias("TGT")
+    val src: DataFrame = source.alias("SRC")
     val cond: Column =
       primaryKeys.map(k => col(s"TGT.$k") === col(s"SRC.$k")).reduce(_ && _) &&
         expr(baseCondition)
 
-    // Matched target rows take SRC values for the update set.
-    val matched = tgt.join(src, cond, "inner").select(
-      tgtCols.map { c =>
-        if (updateSet.contains(c) && srcCols.contains(c)) col(s"SRC.$c").as(c)
-        else col(s"TGT.$c").as(c)
-      }: _*)
+    /** Value of column `c` for a matched target row after the update. */
+    def matchedCol(c: String): Column =
+      if (updateSet.contains(c) && srcCols.contains(c)) col(s"SRC.$c").as(c)
+      else col(s"TGT.$c").as(c)
 
-    val untouched = tgt.join(src, cond, "left_anti")
-      .select(tgtCols.map(col): _*)
+    /** Value of column `c` for an inserted (not-matched source) row:
+      * update-set columns from SRC, NULL elsewhere (reference golden
+      * data: upserted rows carry NULL c5/c6). */
+    def insertCol(c: String): Column =
+      if (updateSet.contains(c) && srcCols.contains(c))
+        col(s"SRC.$c").cast(tgtSchema(c).dataType).as(c)
+      else lit(null).cast(tgtSchema(c).dataType).as(c)
 
-    val base = untouched.unionByName(matched)
+    def matched: DataFrame =
+      tgt.join(src, cond, "inner").select(tgtCols.map(matchedCol): _*)
 
-    if (!insertWhenNotMatched) base
-    else {
-      // Not-matched source rows: update-set columns from SRC, NULL elsewhere
-      // (reference golden data: upserted rows carry NULL c5/c6).
-      val tgtSchema = target.schema
-      val inserts = src.join(tgt, cond, "left_anti").select(
-        tgtCols.map { c =>
-          if (updateSet.contains(c) && srcCols.contains(c))
-            col(s"SRC.$c").cast(tgtSchema(c).dataType).as(c)
-          else lit(null).cast(tgtSchema(c).dataType).as(c)
-        }: _*)
-      base.unionByName(inserts)
-    }
+    def untouched: DataFrame =
+      tgt.join(src, cond, "left_anti").select(tgtCols.map(col): _*)
+
+    def inserts: DataFrame =
+      src.join(tgt, cond, "left_anti").select(tgtCols.map(insertCol): _*)
   }
 
   /** Fails if more than one source row matches a single target row —
