@@ -770,6 +770,32 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL image decode: records carry genuine 24-bit BMP payloads
+    // (Multimodal.fromDocumentsBmp) and the query must parse the header
+    // and pixel rows to produce dimensions + exact per-channel sums.
+    // DuckDB recomputes the same stats from the closed-form pixel
+    // function without ever seeing the bytes — decode errors, row-order
+    // or padding bugs all surface as value mismatches.
+    "multimodal_decode" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.decodeImageStats(
+        Multimodal.fromDocumentsBmp(t(s, dir, "documents")))
+        .toDF()
+        .orderBy("media_id")
+    }),
+
+    // Real resample: decode BMP → nearest-neighbor resize to 8×8 →
+    // re-encode → decode AGAIN and take stats; the oracle recomputes the
+    // floor-mapped source pixels. Exercises both codec directions.
+    "multimodal_resize" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.decodeImageStats(
+        Multimodal.resize(
+          Multimodal.fromDocumentsBmp(t(s, dir, "documents")), 8, 8))
+        .toDF()
+        .orderBy("media_id")
+    }),
+
     "multimodal_frames" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       Multimodal.frameSample(
@@ -1513,6 +1539,38 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'image' AS kind,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents
+        |ORDER BY media_id""".stripMargin,
+
+    // Decoded-image stats recomputed from the closed-form pixel function
+    // (pixel channels are (doc_id·a + x·b + y·c) mod 256; width/height
+    // derive from doc_id). generate_series can't take correlated bounds
+    // in DuckDB, so the grid is generated at max size (width ≤ 79,
+    // height ≤ 63) and filtered per document.
+    "multimodal_decode" ->
+      """SELECT d.doc_id AS media_id,
+        |  CAST((d.doc_id % 64) + 16 AS INT) AS width,
+        |  CAST((d.doc_id % 48) + 16 AS INT) AS height,
+        |  CAST(sum((d.doc_id*7 + x.x*19 + y.y*23) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((d.doc_id*5 + x.x*13 + y.y*17) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((d.doc_id*3 + x.x*7  + y.y*11) % 256) AS BIGINT) AS sum_b
+        |FROM documents d, generate_series(0, 78) x(x), generate_series(0, 62) y(y)
+        |WHERE x.x < (d.doc_id % 64) + 16 AND y.y < (d.doc_id % 48) + 16
+        |GROUP BY 1, 2, 3
+        |ORDER BY media_id""".stripMargin,
+
+    // 8×8 nearest-neighbor resize: source pixel = floor(x·W/8), floor(y·H/8).
+    "multimodal_resize" ->
+      """SELECT d.doc_id AS media_id,
+        |  CAST(8 AS INT) AS width,
+        |  CAST(8 AS INT) AS height,
+        |  CAST(sum((d.doc_id*7 + ((x.x * ((d.doc_id % 64) + 16)) // 8)*19
+        |          + ((y.y * ((d.doc_id % 48) + 16)) // 8)*23) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((d.doc_id*5 + ((x.x * ((d.doc_id % 64) + 16)) // 8)*13
+        |          + ((y.y * ((d.doc_id % 48) + 16)) // 8)*17) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((d.doc_id*3 + ((x.x * ((d.doc_id % 64) + 16)) // 8)*7
+        |          + ((y.y * ((d.doc_id % 48) + 16)) // 8)*11) % 256) AS BIGINT) AS sum_b
+        |FROM documents d, generate_series(0, 7) x(x), generate_series(0, 7) y(y)
+        |GROUP BY 1, 2, 3
         |ORDER BY media_id""".stripMargin,
 
     "multimodal_frames" ->

@@ -23,15 +23,102 @@ final case class MediaFeatures(
     byte_histogram: Array[Long], // 16 buckets over byte values
     checksum: Long)
 
-/** Multimodal column plumbing. The DECODE STEP IS A DETERMINISTIC STUB —
-  * this container has no image/audio codecs — but everything Spark-side is
-  * real and tested: the binary+struct schema, the `Dataset[MediaRecord]`
-  * encoders, partition-parallel `mapPartitions` batch shape (the Scala
-  * analogue of arrow-batched `mapInPandas`), and the explode/repartition
-  * behavior of frame sampling.
+/** Per-image decoded statistics: real header dimensions + exact per-channel
+  * pixel sums (longs, so the cross-engine oracle compare is bit-exact). */
+final case class ImageStats(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long)
+
+/** Minimal pure-JVM codec for the uncompressed 24-bit Windows BMP format
+  * (public spec: BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows
+  * padded to 4 bytes). No external library — the container ships no image
+  * codecs, and BMP needs none. Decoded form is top-down row-major BGR. */
+private[graft] object Bmp {
+  final case class Image(width: Int, height: Int, bgr: Array[Byte]) {
+    def b(x: Int, y: Int): Int = bgr((y * width + x) * 3) & 0xff
+    def g(x: Int, y: Int): Int = bgr((y * width + x) * 3 + 1) & 0xff
+    def r(x: Int, y: Int): Int = bgr((y * width + x) * 3 + 2) & 0xff
+  }
+
+  private def rowSize(w: Int): Int = ((w * 3) + 3) / 4 * 4
+
+  /** Encode a top-down BGR buffer as a 24bpp bottom-up BMP. */
+  def encode(img: Image): Array[Byte] = {
+    val rs = rowSize(img.width)
+    val dataSize = rs * img.height
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(54 + dataSize) // file size
+    out.putInt(0)             // reserved
+    out.putInt(54)            // pixel data offset
+    out.putInt(40)            // BITMAPINFOHEADER size
+    out.putInt(img.width)
+    out.putInt(img.height)    // positive → bottom-up
+    out.putShort(1)           // planes
+    out.putShort(24)          // bpp
+    out.putInt(0)             // BI_RGB (uncompressed)
+    out.putInt(dataSize)
+    out.putInt(2835).putInt(2835) // 72 DPI
+    out.putInt(0).putInt(0)
+    var y = img.height - 1
+    while (y >= 0) { // bottom-up row order
+      out.put(img.bgr, y * img.width * 3, img.width * 3)
+      var pad = rs - img.width * 3
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    out.array()
+  }
+
+  /** Strict sniff: only byte strings that really are a well-formed
+    * uncompressed 24bpp BMP take the decode path (magic + declared file
+    * size matching the payload length rules out text that happens to
+    * start with "BM"). */
+  def isBmp(bytes: Array[Byte]): Boolean =
+    bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M' && {
+      val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      in.getInt(2) == bytes.length && in.getShort(28) == 24 && in.getInt(30) == 0
+    }
+
+  def decode(bytes: Array[Byte]): Image = {
+    val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val offset = in.getInt(10)
+    val w = in.getInt(18)
+    val hRaw = in.getInt(22)
+    require(in.getShort(28) == 24, "only 24bpp BMP supported")
+    require(in.getInt(30) == 0, "only uncompressed BMP supported")
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val rs = rowSize(w)
+    val bgr = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      System.arraycopy(bytes, offset + srcRow * rs, bgr, y * w * 3, w * 3)
+      y += 1
+    }
+    Image(w, h, bgr)
+  }
+}
+
+/** Multimodal column plumbing: the binary+struct schema, `Dataset
+  * [MediaRecord]` encoders, partition-parallel `mapPartitions` batch shape
+  * (the Scala analogue of arrow-batched `mapInPandas`), and the explode/
+  * repartition behavior of frame sampling.
   *
-  * Swapping the stub for a real codec changes ONLY the function bodies
-  * marked `STUB`; schemas, signatures and the physical plan stay as-is.
+  * IMAGES ARE REAL: records built by [[fromDocumentsBmp]] carry genuine
+  * 24-bit BMP payloads, and [[decodeFeatures]] / [[resize]] /
+  * [[decodeImageStats]] run a real pure-JVM decode/resample/re-encode on
+  * them ([[Bmp]]). Payloads in any OTHER format (audio/video — no codec
+  * ships in this container) fall back to the clearly-marked deterministic
+  * STUB paths; swapping in a real codec changes only those function
+  * bodies, not schemas, signatures, or the physical plan.
   */
 object Multimodal {
 
@@ -51,51 +138,132 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decode/feature-extract. Real version: decode image → pixel
-    * tensor → model features. Deterministic fake: 16-bucket byte histogram
-    * + additive checksum. Runs per-partition over iterator batches — the
-    * shape a real vectorized decoder needs (amortized codec init per
-    * partition, streaming through rows without materializing the
-    * partition). */
-  def decodeFeatures(ds: Dataset[MediaRecord])(
-      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+  /** Manufacture records with REAL 24-bit BMP payloads, one per document.
+    * Dimensions derive from doc_id (width = doc_id%64+16, height =
+    * doc_id%48+16) and each pixel's channels are closed-form in
+    * (doc_id, x, y) — so a cross-engine oracle can recompute the decoded
+    * statistics without a BMP decoder of its own, while the Spark side
+    * must genuinely parse the bytes it wrote. Encoding runs per-partition
+    * (amortized buffer allocation, streaming through rows). */
+  def fromDocumentsBmp(df: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
-    ds.mapPartitions { it =>
-      // per-partition "codec" initialization would go here (STUB)
-      it.map { r =>
-        val hist = new Array[Long](16)
-        var sum = 0L
-        var i = 0
-        while (i < r.payload.length) {
-          val b = r.payload(i) & 0xff
-          hist(b / 16) += 1
-          sum += b * (i + 1)
-          i += 1
+    df.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 64).toInt + 16
+        val h = (id % 48).toInt + 16
+        val bgr = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = (y * w + x) * 3
+            bgr(p)     = ((id * 3 + x * 7  + y * 11) % 256).toByte // B
+            bgr(p + 1) = ((id * 5 + x * 13 + y * 17) % 256).toByte // G
+            bgr(p + 2) = ((id * 7 + x * 19 + y * 23) % 256).toByte // R
+            x += 1
+          }
+          y += 1
         }
-        MediaFeatures(r.media_id, r.meta.kind, r.payload.length, hist, sum)
+        MediaRecord(id, Bmp.encode(Bmp.Image(w, h, bgr)),
+          MediaMeta("image", w, h, 0, 0L))
       }
     }
   }
 
-  /** STUB resize: real version decodes, resamples pixels, re-encodes.
-    * Fake: deterministic byte subsample to exactly w*h bytes (repeating
-    * cyclically when the payload is short). Metadata updates are real. */
+  /** Decode/feature-extract. BMP payloads take the REAL path: parse the
+    * header, decode the pixel rows, and compute the features over decoded
+    * pixel channel values (n_bytes = decoded size, not container size).
+    * Non-BMP payloads fall back to the deterministic STUB (raw-byte
+    * histogram) — no audio/video codec ships in this container. Runs
+    * per-partition over iterator batches — the shape a real vectorized
+    * decoder needs (amortized codec init per partition, streaming through
+    * rows without materializing the partition). */
+  def decodeFeatures(ds: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val data =
+          if (Bmp.isBmp(r.payload)) Bmp.decode(r.payload).bgr // real decode
+          else r.payload                                      // STUB fallback
+        val hist = new Array[Long](16)
+        var sum = 0L
+        var i = 0
+        while (i < data.length) {
+          val b = data(i) & 0xff
+          hist(b / 16) += 1
+          sum += b * (i + 1)
+          i += 1
+        }
+        MediaFeatures(r.media_id, r.meta.kind, data.length, hist, sum)
+      }
+    }
+  }
+
+  /** Real decoded image statistics: header dimensions + exact per-channel
+    * pixel sums. Fails loudly on non-BMP input — stats over undecodable
+    * bytes would be meaningless. */
+  def decodeImageStats(ds: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[ImageStats] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val img = Bmp.decode(r.payload)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < img.bgr.length) {
+          sb += img.bgr(i) & 0xff
+          sg += img.bgr(i + 1) & 0xff
+          sr += img.bgr(i + 2) & 0xff
+          i += 3
+        }
+        ImageStats(r.media_id, img.width, img.height, sr, sg, sb)
+      }
+    }
+  }
+
+  /** Resize. BMP payloads take the REAL path: decode, nearest-neighbor
+    * resample (source pixel = (x*W/w, y*H/h), integer floor), re-encode
+    * as BMP. Non-BMP payloads fall back to the STUB byte subsample.
+    * Metadata updates are real on both paths. */
   def resize(ds: Dataset[MediaRecord], w: Int, h: Int)(
       implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
     ds.mapPartitions { it =>
       it.map { r =>
-        val n = math.max(w * h, 1)
-        val out = new Array[Byte](n)
-        if (r.payload.nonEmpty) {
-          var i = 0
-          val stride = math.max(r.payload.length / n, 1)
-          while (i < n) {
-            out(i) = r.payload((i.toLong * stride % r.payload.length).toInt)
-            i += 1
+        if (Bmp.isBmp(r.payload)) {
+          val src = Bmp.decode(r.payload)
+          val bgr = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            val sy = y * src.height / h
+            var x = 0
+            while (x < w) {
+              val sx = x * src.width / w
+              val sp = (sy * src.width + sx) * 3
+              val dp = (y * w + x) * 3
+              bgr(dp) = src.bgr(sp); bgr(dp + 1) = src.bgr(sp + 1); bgr(dp + 2) = src.bgr(sp + 2)
+              x += 1
+            }
+            y += 1
           }
+          MediaRecord(r.media_id, Bmp.encode(Bmp.Image(w, h, bgr)),
+            r.meta.copy(width = w, height = h))
+        } else {
+          // STUB: deterministic byte subsample to exactly w*h bytes
+          // (repeating cyclically when the payload is short).
+          val n = math.max(w * h, 1)
+          val out = new Array[Byte](n)
+          if (r.payload.nonEmpty) {
+            var i = 0
+            val stride = math.max(r.payload.length / n, 1)
+            while (i < n) {
+              out(i) = r.payload((i.toLong * stride % r.payload.length).toInt)
+              i += 1
+            }
+          }
+          MediaRecord(r.media_id, out, r.meta.copy(width = w, height = h))
         }
-        MediaRecord(r.media_id, out, r.meta.copy(width = w, height = h))
       }
     }
   }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bmp, MediaMeta, MediaRecord, Multimodal}
+
+/** Pure-JVM BMP codec + the real decode paths in Multimodal. */
+class BmpCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkImage(w: Int, h: Int): Bmp.Image = {
+    val bgr = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < bgr.length) { bgr(i) = ((i * 31 + 7) % 256).toByte; i += 1 }
+    Bmp.Image(w, h, bgr)
+  }
+
+  test("encode/decode round-trips at widths with every padding remainder") {
+    // row stride pads to 4 bytes: w%4 ∈ {0,1,2,3} exercises all pad widths
+    for (w <- Seq(4, 5, 6, 7, 16, 33); h <- Seq(1, 3, 8)) {
+      val img = mkImage(w, h)
+      val bytes = Bmp.encode(img)
+      assert(Bmp.isBmp(bytes), s"w=$w h=$h should sniff as BMP")
+      val back = Bmp.decode(bytes)
+      assert(back.width == w && back.height == h)
+      assert(back.bgr.toSeq == img.bgr.toSeq, s"pixel mismatch at w=$w h=$h")
+    }
+  }
+
+  test("isBmp rejects text, truncated headers, and size-mismatched payloads") {
+    assert(!Bmp.isBmp("BMOC wrote some text here that is long enough to pass 54 bytes....".getBytes))
+    assert(!Bmp.isBmp(Array[Byte]('B', 'M', 1, 2)))
+    val valid = Bmp.encode(mkImage(5, 5))
+    assert(!Bmp.isBmp(valid.dropRight(1))) // declared size no longer matches
+    assert(Bmp.isBmp(valid))
+  }
+
+  test("decode handles top-down (negative height) BMPs") {
+    val img = mkImage(6, 4)
+    val bytes = Bmp.encode(img)
+    // flip to top-down: negate height, rows already bottom-up in the file →
+    // reverse the row order so the image content stays identical
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -4)
+    val rs = 6 * 3 + 2 // width 6 → 18 bytes + 2 pad
+    val rows = (0 until 4).map(r => bytes.slice(54 + r * rs, 54 + (r + 1) * rs))
+    rows.reverse.zipWithIndex.foreach { case (row, r) =>
+      System.arraycopy(row, 0, bytes, 54 + r * rs, rs)
+    }
+    val back = Bmp.decode(bytes)
+    assert(back.bgr.toSeq == img.bgr.toSeq)
+  }
+
+  test("decodeImageStats matches the generator's closed-form pixel function") {
+    val docs = spark.range(7).select(col("id").as("doc_id"))
+    val stats = Multimodal.decodeImageStats(Multimodal.fromDocumentsBmp(docs))
+      .collect().sortBy(_.media_id)
+    stats.foreach { s =>
+      val (w, h) = ((s.media_id % 64).toInt + 16, (s.media_id % 48).toInt + 16)
+      assert(s.width == w && s.height == h)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        er += (s.media_id * 7 + x * 19 + y * 23) % 256
+        eg += (s.media_id * 5 + x * 13 + y * 17) % 256
+        eb += (s.media_id * 3 + x * 7 + y * 11) % 256
+      }
+      assert((s.sum_r, s.sum_g, s.sum_b) == ((er, eg, eb)), s"id=${s.media_id}")
+    }
+  }
+
+  test("resize on BMP is a real nearest-neighbor resample, re-encoded as BMP") {
+    val docs = spark.range(3).select(col("id").as("doc_id"))
+    val resized = Multimodal.resize(Multimodal.fromDocumentsBmp(docs), 8, 8)
+      .collect().sortBy(_.media_id)
+    resized.foreach { r =>
+      assert(Bmp.isBmp(r.payload))
+      val img = Bmp.decode(r.payload)
+      assert(img.width == 8 && img.height == 8)
+      assert(r.meta.width == 8 && r.meta.height == 8)
+      val (w0, h0) = ((r.media_id % 64).toInt + 16, (r.media_id % 48).toInt + 16)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val (sx, sy) = (x * w0 / 8, y * h0 / 8)
+        assert(img.r(x, y) == ((r.media_id * 7 + sx * 19 + sy * 23) % 256).toInt,
+          s"id=${r.media_id} ($x,$y)")
+      }
+    }
+  }
+
+  test("decodeFeatures: BMP features come from decoded pixels; non-BMP keeps the stub path") {
+    val docs = spark.range(2).select(col("id").as("doc_id"))
+    val real = Multimodal.decodeFeatures(Multimodal.fromDocumentsBmp(docs))
+      .collect().sortBy(_.media_id)
+    real.foreach { f =>
+      val (w, h) = ((f.media_id % 64).toInt + 16, (f.media_id % 48).toInt + 16)
+      assert(f.n_bytes == w * h * 3, "n_bytes must be DECODED size, not container size")
+      assert(f.byte_histogram.sum == w * h * 3)
+    }
+    // non-BMP payload: histogram over the raw bytes (stub fallback)
+    val raw = Seq(MediaRecord(1L, Array[Byte](0, 17, 34, 51), MediaMeta("audio", 0, 0, 8000, 1L)))
+      .toDS()
+    val stub = Multimodal.decodeFeatures(raw).collect().head
+    assert(stub.n_bytes == 4)
+    assert(stub.byte_histogram.toSeq == Seq(1L, 1L, 1L, 1L) ++ Seq.fill(12)(0L))
+  }
+}

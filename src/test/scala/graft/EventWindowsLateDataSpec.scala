@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.EventWindows
+
+/** Watermark semantics of the streaming tumbling aggregation, pinned with
+  * a MemoryStream so batch boundaries (and therefore watermark advances)
+  * are exact. Spark's contract, which this spec encodes:
+  *   - a late event is DROPPED once its WINDOW is closed — i.e. when
+  *     window.end ≤ watermark (not merely when its timestamp is below the
+  *     watermark: a late row belonging to a still-open window is a valid
+  *     update and must be counted);
+  *   - a window is emitted exactly once, only after the watermark passes
+  *     its end (append mode), and carries the final counts.
+  * The watermark for batch N is derived from the max event time of batches
+  * < N, so each addData + processAllAvailable below steps it explicitly. */
+class EventWindowsLateDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(hm: String) = Timestamp.valueOf(s"2026-01-01 $hm:00")
+
+  private def emitted(): Map[Timestamp, (Long, Double)] =
+    spark.table("late_sink")
+      .select("window_start", "n_events", "sum_value")
+      .collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+
+  test("late data into a closed window is dropped; into an open window is counted; windows finalize once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = EventWindows.tumbling(
+      events.withWatermark("ts", "10 minutes"), "ts", "15 minutes")
+    val q = agg.writeStream.format("memory").queryName("late_sink")
+      .outputMode("append").start()
+    try {
+      // Batch 1: two events in window [10:00,10:15), one in [10:30,10:45).
+      // Max event time 10:40 → watermark advances to 10:30, and
+      // processAllAvailable's trailing no-data batch immediately flushes
+      // the now-closed [10:00,10:15) window. [10:30,10:45) stays open.
+      input.addData(
+        (ts("10:00"), "click", 1.0),
+        (ts("10:05"), "click", 1.0),
+        (ts("10:40"), "click", 1.0))
+      q.processAllAvailable()
+      assert(emitted() == Map(ts("10:00") -> ((2L, 2.0))),
+        "only the window passed by the watermark may be emitted")
+
+      // Batch 2 (watermark 10:30):
+      //   10:05 value=100 → its window was finalized above → DROPPED; the
+      //     value-100 payload makes any leak visible in count and sum;
+      //   10:32 → arrives after 10:40 did (out of order) but its window
+      //     [10:30,10:45) is still open → counted;
+      //   11:00 → advances the watermark to 10:50, whose no-data batch
+      //     flushes [10:30,10:45) with the out-of-order row included.
+      input.addData(
+        (ts("10:05"), "click", 100.0),
+        (ts("10:32"), "click", 1.0),
+        (ts("11:00"), "click", 1.0))
+      q.processAllAvailable()
+      assert(emitted() == Map(
+        ts("10:00") -> ((2L, 2.0)),
+        ts("10:30") -> ((2L, 2.0))),
+        "late row into a closed window leaked, or an open-window update was lost")
+
+      // Batch 3: nothing newly closed → emitted set must be STABLE (each
+      // window appears exactly once, never re-emitted or revised).
+      input.addData((ts("10:59"), "click", 1.0))
+      q.processAllAvailable()
+      assert(emitted() == Map(
+        ts("10:00") -> ((2L, 2.0)),
+        ts("10:30") -> ((2L, 2.0))),
+        "a finalized window was re-emitted or revised")
+    } finally q.stop()
+  }
+}
