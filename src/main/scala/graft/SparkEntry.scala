@@ -796,6 +796,18 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL audio decode: genuine PCM16 WAV payloads (RIFF header + sample
+    // data), parsed back for rate/length/amplitude stats. Same oracle
+    // technique as multimodal_decode: samples are closed-form in
+    // (doc_id, i), DuckDB recomputes without a codec.
+    "multimodal_audio" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.decodeAudioStats(
+        Multimodal.fromDocumentsWav(t(s, dir, "documents")))
+        .toDF()
+        .orderBy("media_id")
+    }),
+
     "multimodal_frames" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       Multimodal.frameSample(
@@ -1570,6 +1582,19 @@ object SparkEntry {
         |  CAST(sum((d.doc_id*3 + ((x.x * ((d.doc_id % 64) + 16)) // 8)*7
         |          + ((y.y * ((d.doc_id % 48) + 16)) // 8)*11) % 256) AS BIGINT) AS sum_b
         |FROM documents d, generate_series(0, 7) x(x), generate_series(0, 7) y(y)
+        |GROUP BY 1, 2, 3
+        |ORDER BY media_id""".stripMargin,
+
+    // Decoded-audio stats recomputed from the closed-form sample function
+    // sample(i) = (doc_id·131 + i·97) mod 2001 − 1000, n = doc_id%800+200.
+    "multimodal_audio" ->
+      """SELECT d.doc_id AS media_id,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST((d.doc_id % 800) + 200 AS BIGINT) AS n_samples,
+        |  CAST(sum(abs((d.doc_id*131 + i.i*97) % 2001 - 1000)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs((d.doc_id*131 + i.i*97) % 2001 - 1000)) AS INT) AS peak
+        |FROM documents d, generate_series(0, 999) i(i)
+        |WHERE i.i < (d.doc_id % 800) + 200
         |GROUP BY 1, 2, 3
         |ORDER BY media_id""".stripMargin,
 

@@ -107,18 +107,79 @@ private[graft] object Bmp {
   }
 }
 
+/** Per-clip decoded audio statistics: real header fields + exact sums over
+  * decoded PCM samples (longs, so the oracle compare is bit-exact). */
+final case class AudioStats(
+    media_id: Long,
+    sample_rate: Int,
+    n_samples: Long,
+    sum_abs: Long,
+    peak: Int)
+
+/** Minimal pure-JVM codec for canonical PCM WAV (public spec: RIFF header,
+  * `fmt ` chunk with audio format 1 = uncompressed PCM, 16-bit mono
+  * little-endian `data` chunk). Decoded form is an Array[Short]. */
+private[graft] object Wav {
+  def encode(sampleRateHz: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII"))
+    out.putInt(36 + dataSize) // RIFF chunk size
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII"))
+    out.putInt(16)            // fmt chunk size
+    out.putShort(1)           // PCM
+    out.putShort(1)           // mono
+    out.putInt(sampleRateHz)
+    out.putInt(sampleRateHz * 2) // byte rate
+    out.putShort(2)           // block align
+    out.putShort(16)          // bits per sample
+    out.put("data".getBytes("US-ASCII"))
+    out.putInt(dataSize)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Strict sniff: RIFF magic + declared chunk size matching the payload
+    * + canonical PCM16-mono fmt chunk at the fixed offset. */
+  def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 44 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E' && {
+        val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        in.getInt(4) == bytes.length - 8 &&
+          in.getShort(20) == 1 && in.getShort(22) == 1 && in.getShort(34) == 16
+      }
+
+  /** Returns (sampleRateHz, samples). Only the canonical 44-byte-header
+    * layout produced by [[encode]] (and by most PCM tools) is supported. */
+  def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+    require(isWav(bytes), "not a canonical PCM16 mono WAV")
+    val in = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val rate = in.getInt(24)
+    val dataSize = in.getInt(40)
+    val n = dataSize / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) { samples(i) = in.getShort(44 + i * 2); i += 1 }
+    (rate, samples)
+  }
+}
+
 /** Multimodal column plumbing: the binary+struct schema, `Dataset
   * [MediaRecord]` encoders, partition-parallel `mapPartitions` batch shape
   * (the Scala analogue of arrow-batched `mapInPandas`), and the explode/
   * repartition behavior of frame sampling.
   *
-  * IMAGES ARE REAL: records built by [[fromDocumentsBmp]] carry genuine
-  * 24-bit BMP payloads, and [[decodeFeatures]] / [[resize]] /
-  * [[decodeImageStats]] run a real pure-JVM decode/resample/re-encode on
-  * them ([[Bmp]]). Payloads in any OTHER format (audio/video — no codec
-  * ships in this container) fall back to the clearly-marked deterministic
-  * STUB paths; swapping in a real codec changes only those function
-  * bodies, not schemas, signatures, or the physical plan.
+  * IMAGES AND AUDIO ARE REAL: records built by [[fromDocumentsBmp]] carry
+  * genuine 24-bit BMP payloads and [[fromDocumentsWav]] genuine PCM16 WAV
+  * payloads; [[decodeFeatures]] / [[resize]] / [[decodeImageStats]] /
+  * [[decodeAudioStats]] run real pure-JVM decodes on them ([[Bmp]],
+  * [[Wav]]). Payloads in any OTHER format (video — no codec ships in this
+  * container) fall back to the clearly-marked deterministic STUB paths;
+  * swapping in a real codec changes only those function bodies, not
+  * schemas, signatures, or the physical plan.
   */
 object Multimodal {
 
@@ -170,6 +231,45 @@ object Multimodal {
     }
   }
 
+  /** Manufacture records with REAL PCM16 WAV payloads, one per document.
+    * Clip length derives from doc_id (n = doc_id%800+200 samples at 8 kHz)
+    * and each sample is closed-form in (doc_id, i) — so a cross-engine
+    * oracle can recompute decoded statistics without a WAV decoder, while
+    * the Spark side must genuinely parse the bytes it wrote. */
+  def fromDocumentsWav(df: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val Rate = 8000
+    df.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (id % 800).toInt + 200
+        val samples = Array.tabulate(n)(i => ((id * 131 + i * 97) % 2001 - 1000).toShort)
+        MediaRecord(id, Wav.encode(Rate, samples),
+          MediaMeta("audio", 0, 0, Rate, n.toLong * 1000 / Rate))
+      }
+    }
+  }
+
+  /** Real decoded audio statistics: header sample rate + exact sample
+    * count, absolute-value sum and peak. Fails loudly on non-WAV input. */
+  def decodeAudioStats(ds: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[AudioStats] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val (rate, samples) = Wav.decode(r.payload)
+        var (sumAbs, peak) = (0L, 0)
+        var i = 0
+        while (i < samples.length) {
+          val a = math.abs(samples(i).toInt)
+          sumAbs += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioStats(r.media_id, rate, samples.length.toLong, sumAbs, peak)
+      }
+    }
+  }
+
   /** Decode/feature-extract. BMP payloads take the REAL path: parse the
     * header, decode the pixel rows, and compute the features over decoded
     * pixel channel values (n_bytes = decoded size, not container size).
@@ -185,6 +285,8 @@ object Multimodal {
       it.map { r =>
         val data =
           if (Bmp.isBmp(r.payload)) Bmp.decode(r.payload).bgr // real decode
+          else if (Wav.isWav(r.payload))                      // real decode:
+            java.util.Arrays.copyOfRange(r.payload, 44, r.payload.length) // PCM bytes
           else r.payload                                      // STUB fallback
         val hist = new Array[Long](16)
         var sum = 0L

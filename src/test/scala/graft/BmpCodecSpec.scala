@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bmp, MediaMeta, MediaRecord, Multimodal}
+import graft.operators.{Bmp, MediaMeta, MediaRecord, Multimodal, Wav}
 
-/** Pure-JVM BMP codec + the real decode paths in Multimodal. */
+/** Pure-JVM BMP/WAV codecs + the real decode paths in Multimodal. */
 class BmpCodecSpec extends SparkSpec {
   import spark.implicits._
 
@@ -83,6 +83,46 @@ class BmpCodecSpec extends SparkSpec {
         assert(img.r(x, y) == ((r.media_id * 7 + sx * 19 + sy * 23) % 256).toInt,
           s"id=${r.media_id} ($x,$y)")
       }
+    }
+  }
+
+  test("WAV encode/decode round-trips samples and rate; sniff rejects near-misses") {
+    val samples = Array.tabulate(333)(i => ((i * 731 + 13) % 2001 - 1000).toShort)
+    val bytes = Wav.encode(16000, samples)
+    assert(Wav.isWav(bytes))
+    val (rate, back) = Wav.decode(bytes)
+    assert(rate == 16000)
+    assert(back.toSeq == samples.toSeq)
+    assert(!Wav.isWav(bytes.dropRight(1)))  // declared RIFF size mismatch
+    assert(!Wav.isWav("RIFFxxxxWAVEfmt and then a lot of text padding to reach 44".getBytes))
+    assert(!Bmp.isBmp(bytes))               // codecs must not cross-sniff
+    assert(!Wav.isWav(Bmp.encode(mkImage(5, 5))))
+  }
+
+  test("decodeAudioStats matches the generator's closed-form sample function") {
+    val docs = spark.range(5).select(col("id").as("doc_id"))
+    val stats = Multimodal.decodeAudioStats(Multimodal.fromDocumentsWav(docs))
+      .collect().sortBy(_.media_id)
+    stats.foreach { s =>
+      val n = (s.media_id % 800).toInt + 200
+      assert(s.sample_rate == 8000 && s.n_samples == n)
+      var (ea, ep) = (0L, 0)
+      for (i <- 0 until n) {
+        val v = math.abs((s.media_id * 131 + i * 97) % 2001 - 1000).toInt
+        ea += v; ep = math.max(ep, v)
+      }
+      assert((s.sum_abs, s.peak) == ((ea, ep)), s"id=${s.media_id}")
+    }
+  }
+
+  test("decodeFeatures: WAV features come from decoded PCM bytes") {
+    val docs = spark.range(2).select(col("id").as("doc_id"))
+    val feats = Multimodal.decodeFeatures(Multimodal.fromDocumentsWav(docs))
+      .collect().sortBy(_.media_id)
+    feats.foreach { f =>
+      val n = (f.media_id % 800).toInt + 200
+      assert(f.n_bytes == n * 2, "n_bytes must be the PCM data size, not the container size")
+      assert(f.kind == "audio")
     }
   }
 
