@@ -2,7 +2,7 @@ package graft.operators
 
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import graft.spec.{JobConfigException, JobSpec, Operation}
 import graft.sources.{DataSource, PathRef, TableRef, TargetRef}
 
@@ -225,72 +225,161 @@ object Writes {
       baseCondition: String,
       insertWhenNotMatched: Boolean)(implicit spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.{broadcast, col, lit, when}
+
+    // Canonical partition value — the value that determines the PHYSICAL
+    // directory a row lands in. null and "" both map to the default
+    // partition (__HIVE_DEFAULT_PARTITION__), so partition membership must
+    // be decided on this canonical form, never on the raw typed value:
+    // a partition directory is swapped wholesale, and any live row whose
+    // fragment is swapped but who missed the write set is silently lost.
+    def canonical(c: Column): Column = {
+      val s = c.cast("string")
+      when(s.isNull || s === "", lit(null).cast("string")).otherwise(s)
+    }
 
     val affected = Merge.affectedPartitions(target, source, primaryKeys,
-      updateColumns, baseCondition, insertWhenNotMatched, partCols).persist()
+      updateColumns, baseCondition, insertWhenNotMatched, partCols)
+      .select(partCols.map(c => canonical(col(c)).as(c)): _*)
+      .distinct()
+      .persist()
     try {
       val affectedRows = affected.collect()
       if (affectedRows.isEmpty) return // merge is a no-op; touch nothing
-      // Canonical partition-directory fragments (part1=v/part2=v…), using
-      // the same escaping Spark's own dynamic-partition writer applies, so
-      // the fragments match the directories the staging write produces.
-      val frags = affected
-        .select(partCols.map(c => col(c).cast("string")): _*)
-        .collect()
-        .map { row =>
-          partCols.indices.map { i =>
-            ExternalCatalogUtils.getPartitionPathString(partCols(i), row.getString(i))
-          }.mkString("/")
-        }
+      // Partition-directory fragments (part1=v/part2=v…), using the same
+      // escaping Spark's own dynamic-partition writer applies, so the
+      // fragments match the directories the staging write produces. The
+      // canonical distinct above guarantees one fragment per tuple —
+      // processing a fragment twice would swap it in, then mistake the
+      // second pass for an emptied partition and delete the data just
+      // published.
+      val frags = affectedRows.map { row =>
+        partCols.indices.map { i =>
+          ExternalCatalogUtils.getPartitionPathString(partCols(i), row.getString(i))
+        }.mkString("/")
+      }
 
       // Rows to rewrite = full merged contents of the affected partitions
       // (matched AND untouched rows of those partitions — a partition is
       // replaced wholesale or not at all). The affected tuples are
       // re-materialized as a fresh LOCAL DataFrame so the semi-join's right
       // side shares no lineage with `merged` (avoids self-join attribute
-      // ambiguity), with renamed columns and an explicit broadcast.
+      // ambiguity), with renamed columns and an explicit broadcast; both
+      // sides compare in canonical-fragment space.
       val local = spark
         .createDataFrame(affectedRows.toList.asJava, affected.schema)
         .select(partCols.map(c => col(c).as(s"__aff_$c")): _*)
       val joinCond = partCols
-        .map(c => col(c) <=> col(s"__aff_$c"))
+        .map(c => canonical(col(c)) <=> col(s"__aff_$c"))
         .reduce(_ && _)
       val writeSet = merged.join(broadcast(local), joinCond, "left_semi")
 
       val fs = location.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val suffix = UUID.randomUUID().toString.take(8)
       val staging = new org.apache.hadoop.fs.Path(
-        location.toString.stripSuffix("/") +
-          s"__graft_staging_${UUID.randomUUID().toString.take(8)}")
+        location.toString.stripSuffix("/") + s"__graft_staging_$suffix")
       alignedTo(writeSet, table).write.format("parquet")
         .partitionBy(partCols: _*).save(staging.toString)
 
+      // Sanity gate before anything destructive: every partition directory
+      // the staging write produced must be in the affected set. A fragment
+      // outside it would mean our escaping disagrees with the writer's —
+      // deleting the staging dir at the end would then silently discard
+      // data, so fail loudly instead.
+      val stagedFrags = listPartitionFragments(fs, staging, partCols.length)
+      val fragSet = frags.toSet
+      val unexpected = stagedFrags.filterNot(fragSet)
+      if (unexpected.nonEmpty)
+        throw new IllegalStateException(
+          "merge staging produced partition directories outside the " +
+            s"affected set (escaping mismatch?): ${unexpected.mkString(", ")}")
+
+      // Displaced partitions go to a SIBLING of the table location, not
+      // under it: a leftover `…=v__old` inside the table parses as a valid
+      // partition fragment and a later repair would register it as a bogus
+      // partition. The sibling dir mirrors the fragment layout so a failed
+      // swap can restore exactly.
+      val displaced = new org.apache.hadoop.fs.Path(
+        location.toString.stripSuffix("/") + s"__graft_displaced_$suffix")
+      val emptied = scala.collection.mutable.ListBuffer.empty[String]
       frags.foreach { frag =>
         val stagedDir = new org.apache.hadoop.fs.Path(staging, frag)
         val liveDir   = new org.apache.hadoop.fs.Path(location, frag)
         if (fs.exists(stagedDir)) {
-          val old = new org.apache.hadoop.fs.Path(liveDir + "__old")
-          val hadOld = fs.exists(liveDir) && fs.rename(liveDir, old)
+          val old = new org.apache.hadoop.fs.Path(displaced, frag)
+          val hadOld = fs.exists(liveDir)
+          if (hadOld) {
+            fs.mkdirs(old.getParent)
+            // Proceeding with liveDir still present is never safe: on
+            // HDFS-semantics filesystems the publish rename would move the
+            // staged dir INSIDE it, silently nesting new under old.
+            if (!fs.rename(liveDir, old))
+              throw new IllegalStateException(
+                s"merge swap: cannot move $liveDir aside")
+          }
           fs.mkdirs(liveDir.getParent)
           if (!fs.rename(stagedDir, liveDir)) {
             if (hadOld) fs.rename(old, liveDir) // restore
             throw new IllegalStateException(
               s"merge swap: cannot publish $stagedDir to $liveDir")
           }
-          if (hadOld) fs.delete(old, true)
         } else {
           // Affected but absent from the staged output: every row moved
           // out of this partition — it is now empty, remove it.
           fs.delete(liveDir, true)
+          emptied += frag
         }
       }
       fs.delete(staging, true)
+      fs.delete(displaced, true)
       // The files changed underneath the catalog: refresh caches and sync
-      // the metastore's partition list (new partitions from inserts/moves,
-      // dropped partitions from emptied ones).
+      // the metastore's partition list with TARGETED DDL — O(affected)
+      // metastore calls. (MSCK REPAIR would list the ENTIRE table location
+      // to diff partitions: at 10⁴–10⁵ partitions that's minutes of
+      // object-store listing per merge, growing with table size rather
+      // than merge size.)
       spark.catalog.refreshTable(table)
-      spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+      val live = fragSet -- emptied
+      if (live.nonEmpty)
+        spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS " +
+          live.toSeq.sorted.map(partitionSpecSql).mkString(" "))
+      emptied.foreach { frag =>
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS ${partitionSpecSql(frag)}")
+      }
     } finally affected.unpersist()
+  }
+
+  /** Enumerate `depth`-level partition directory fragments under `dir`
+    * (e.g. `p1=a/p2=b`), skipping non-directories (writer `_SUCCESS`
+    * markers). Listing is O(partitions actually written) — bounded by the
+    * merge's write set, not the table. */
+  private def listPartitionFragments(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      depth: Int): Seq[String] =
+    if (depth == 0) Seq("")
+    else
+      fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
+        listPartitionFragments(fs, st.getPath, depth - 1).map { rest =>
+          if (rest.isEmpty) st.getPath.getName else s"${st.getPath.getName}/$rest"
+        }
+      }
+
+  /** `p1=a/p2=b%20c` → `PARTITION (`p1`='a', `p2`='b c')` — the targeted
+    * DDL spec for one partition fragment. The null partition travels as
+    * the literal `__HIVE_DEFAULT_PARTITION__` sentinel, which the catalog
+    * itself uses for null partition values. */
+  private def partitionSpecSql(frag: String): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val parts = frag.split("/").toSeq.map { piece =>
+      val eq = piece.indexOf('=')
+      require(eq > 0, s"not a partition fragment: $piece")
+      val col = ExternalCatalogUtils.unescapePathName(piece.substring(0, eq))
+      val v   = ExternalCatalogUtils.unescapePathName(piece.substring(eq + 1))
+      val lit = v.replace("\\", "\\\\").replace("'", "\\'")
+      s"`$col`='$lit'"
+    }
+    s"PARTITION (${parts.mkString(", ")})"
   }
 
   /** Write to a staging sibling of `dest` via `write`, then swap it into

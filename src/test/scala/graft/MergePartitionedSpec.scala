@@ -47,6 +47,11 @@ class MergePartitionedSpec extends SparkSpec {
     df.select("k", "v", "note", "p").collect()
       .map(r => (0 until r.length).map(r.get).toSeq).toSet
 
+  /** The catalog's registered partition list — merge must keep it in sync
+    * via targeted ALTER TABLE DDL (no MSCK full-table listing). */
+  private def catalogPartitions(table: String): Set[String] =
+    sql(s"SHOW PARTITIONS $table").collect().map(_.getString(0)).toSet
+
   test("update touching one partition leaves every other partition's files byte-identical") {
     val tbl = "merge_part_upd"
     seed(tbl)
@@ -90,6 +95,8 @@ class MergePartitionedSpec extends SparkSpec {
     assert(contents(spark.table(tbl)) == expected)
     assert(contents(spark.table(tbl).filter(col("p") === "z")) ==
       Set(Seq(99L, 99.0, null, "z")))
+    assert(catalogPartitions(tbl) == Set("p=a", "p=b", "p=c", "p=d", "p=z"),
+      "inserted partition must be registered in the catalog")
     Seq("b", "c", "d").foreach { p =>
       assert(files(tbl, s"p=$p") == before(p),
         s"partition p=$p was rewritten by a merge that never touched it")
@@ -111,6 +118,8 @@ class MergePartitionedSpec extends SparkSpec {
 
     assert(contents(spark.table(tbl)) == expected)
     assert(files(tbl, "p=d").isEmpty, "emptied partition directory must be removed")
+    assert(catalogPartitions(tbl) == Set("p=a", "p=b", "p=c"),
+      "emptied partition must be dropped from the catalog")
     assert(spark.table(tbl).filter(col("p") === "d").count() == 0)
     assert(spark.table(tbl).filter(col("k") === 7).select("p").collect()
       .map(_.getString(0)).toSeq == Seq("c"))
