@@ -29,20 +29,31 @@ object IvfIndex {
 
   /** Top-k by cosine for each query via an IVF index trained on the fly.
     * Output shape matches Similarity: (query_id, neighbor_id, cosine,
-    * rank). Deterministic for a fixed seed. */
+    * rank). Deterministic for a fixed seed.
+    *
+    * `nlist = 0` (the default) auto-sizes the cell count to ~√n via
+    * [[autoNlist]] — one extra count action. Each probe scans roughly
+    * `nprobe/nlist` of the corpus, so a FIXED nlist quietly stops being
+    * an index as the corpus grows: at 10⁸ vectors, 16 cells with
+    * nprobe=4 means every query batch rescans 25% of the corpus. With
+    * auto sizing the scan fraction shrinks as the corpus grows
+    * (nprobe/√n), which is the behavior an index should have. Pass an
+    * explicit nlist only to pin reproducibility of a recorded recall. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       vecCol: String,
       idCol: String,
       k: Int,
-      nlist: Int = 16,
+      nlist: Int = 0,
       nprobe: Int = 4,
       iters: Int = 2,
       seed: Long = 42L): DataFrame = {
-    require(nprobe <= nlist, "nprobe must be <= nlist")
     GraftFunctions.register(corpus.sparkSession)
-    val centroids = train(corpus, vecCol, idCol, nlist, iters, seed)
+    val n = if (nlist > 0) -1L else corpus.count()
+    val effNlist = if (nlist > 0) nlist else autoNlist(n)
+    require(nprobe <= effNlist, "nprobe must be <= nlist")
+    val centroids = train(corpus, vecCol, idCol, effNlist, iters, seed, totalCount = n)
 
     val c = Similarity.normedBase(corpus, vecCol, idCol)
       .withColumn("__cell", nearestCell(col("__vec"), col("__norm"), centroids))
@@ -75,18 +86,24 @@ object IvfIndex {
     *     batch instead of all of it, and the expensive k-means + per-row
     *     assignment is paid ONCE at build time, not per session.
     *
-    * Overwrites any index already at `dir`. */
+    * Overwrites any index already at `dir`.
+    *
+    * `nlist = 0` (default) auto-sizes cells to ~√n ([[autoNlist]]); see
+    * [[ivfTopK]] for the nprobe/nlist scan-fraction trade. The index
+    * build already pays a full corpus pass, so the count is noise. */
   def writeIndex(
       corpus: DataFrame,
       vecCol: String,
       idCol: String,
       dir: String,
-      nlist: Int = 16,
+      nlist: Int = 0,
       iters: Int = 2,
       seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
-    val centroids = train(corpus, vecCol, idCol, nlist, iters, seed)
+    val n = if (nlist > 0) -1L else corpus.count()
+    val effNlist = if (nlist > 0) nlist else autoNlist(n)
+    val centroids = train(corpus, vecCol, idCol, effNlist, iters, seed, totalCount = n)
     import spark.implicits._
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cell", "vec")

@@ -14,13 +14,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed (and optionally sorted-within-buckets)
-    * catalog table. Overwrites any existing table of that name — and any
-    * STALE warehouse directory left by a previous session: a fresh
-    * session's catalog doesn't know the table, so `saveAsTable` with
-    * Overwrite refuses the existing managed location
-    * (LOCATION_ALREADY_EXISTS) instead of replacing it. `table` must be
-    * an unqualified name in the default database (its managed location
-    * is `<warehouse>/<lowercase name>`). */
+    * catalog table, STAGED: the (expensive — it carries the pay-once
+    * bucket shuffle) write lands in a staging table first, and only a
+    * successful write displaces the existing table, via a metadata-level
+    * rename. A failed or killed write therefore never destroys the table
+    * it was refreshing — the previous contents stay readable, bucketed,
+    * and joinable throughout. Any stale warehouse directory left at the
+    * target location by a previous session (a fresh catalog doesn't know
+    * the table, so a rename into it would fail) is cleared only after the
+    * staged write has succeeded. `table` must be an unqualified name in
+    * the default database (its managed location is
+    * `<warehouse>/<lowercase name>`). */
   def writeBucketed(
       df: DataFrame,
       table: String,
@@ -30,15 +34,28 @@ object Bucketing {
     require(bucketKeys.nonEmpty, "bucketing requires at least one key")
     require(!table.contains("."), "writeBucketed expects an unqualified table name")
     val spark = df.sparkSession
+    val stage = s"${table}__graft_stage_${java.util.UUID.randomUUID().toString.take(8)}"
+    val w = df.write.format("parquet").mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketKeys.head, bucketKeys.tail: _*)
+    try {
+      (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w)
+        .saveAsTable(stage)
+    } catch {
+      case e: Throwable =>
+        try spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+        catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+        throw e
+    }
+    // Staged write succeeded — publish: drop the displaced table (and any
+    // stale session-orphaned directory at its location), then rename the
+    // staging table into place. RENAME moves the managed location too, so
+    // this is metadata + one directory rename, no second data write.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    val w = df.write.format("parquet").mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, bucketKeys.head, bucketKeys.tail: _*)
-    (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w)
-      .saveAsTable(table)
+    spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
   }
 
   /** Co-located equi-join of two tables bucketed on the join keys: with

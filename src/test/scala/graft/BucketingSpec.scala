@@ -33,6 +33,37 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("a failed bucketed write leaves the existing table intact (stage-and-swap)") {
+    import spark.implicits._
+    val tbl = "b_swap_safety"
+    val good = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    Bucketing.writeBucketed(good, tbl, Seq("k"), 2)
+    assert(spark.table(tbl).count() == 3)
+
+    // A write whose evaluation fails mid-flight: raise_error fires on the
+    // second row, after the staged write has already started.
+    val bad = spark.range(4).select(
+      col("id").as("k"),
+      when(col("id") < 1, lit("x"))
+        .otherwise(raise_error(lit("injected write failure"))).as("v"))
+    intercept[Exception] {
+      Bucketing.writeBucketed(bad, tbl, Seq("k"), 2)
+    }
+
+    // old table still fully readable and still bucketed
+    assert(spark.table(tbl).count() == 3)
+    assert(spark.table(tbl).select("v").collect().map(_.getString(0)).toSet ==
+      Set("a", "b", "c"))
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+      .bucketSpec
+    assert(bucketSpec.exists(_.numBuckets == 2))
+    // no staging-table debris in the catalog
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith(s"${tbl}__graft_stage")))
+    sql(s"DROP TABLE $tbl")
+  }
+
   test("groupBy on the bucket key skips its exchange") {
     val agg = spark.table("b_lineitem")
       .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))

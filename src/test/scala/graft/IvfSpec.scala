@@ -42,6 +42,26 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("default nlist auto-sizes with the corpus: >16 cells beyond 256 vectors") {
+    // 1000 synthetic vectors → autoNlist picks ceil(√1000)=32 cells; the
+    // persisted centroids artifact makes the chosen nlist observable.
+    val emb = (0L until 1000L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.37 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_auto").toString
+    try {
+      IvfIndex.writeIndex(emb, "embedding", "vec_id", dir) // nlist = auto
+      val cells = spark.read.parquet(s"$dir/centroids").count()
+      assert(cells == 32, s"expected autoNlist(1000)=32 centroids, got $cells")
+      // the default-config probe is still a working index over those cells
+      val queries = emb.filter($"vec_id" < 5)
+      val out = IvfIndex.loadTopK(spark, dir, queries, "embedding", "vec_id", k = 3)
+      assert(out.count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF output is deterministic, ranked, and k-bounded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)
