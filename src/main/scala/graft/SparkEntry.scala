@@ -817,6 +817,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL video decode: payloads are PNG-frame sequences in the GVF
+    // container (PNG codec = the JDK's javax.imageio); the query parses
+    // the container, inflates every 2nd frame, and reports per-frame
+    // decoded dimensions + exact per-channel pixel sums. Pixels are
+    // closed-form in (doc_id, frame, x, y), so DuckDB recomputes the
+    // same stats without any codec — a container-offset, PNG-roundtrip,
+    // or channel-order bug all surface as value mismatches.
+    "multimodal_video" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.videoFrameStats(
+        Multimodal.fromDocumentsVideo(t(s, dir, "documents")), everyNth = 2)
+        .toDF()
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // As-of join: each purchase event picks up the latest preceding click
     // of the same user (union-sort formulation, one keyed shuffle).
     "asof_purchase_click" -> ((s, dir) => {
@@ -1606,6 +1621,24 @@ object SparkEntry {
         |WHERE frame_idx % 2 = 0
         |GROUP BY doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // Per-frame decoded video stats recomputed from the closed-form pixel
+    // function (channels are (doc_id·a + frame·b + x·c + y·d) mod 256;
+    // frame count / dimensions derive from doc_id; every 2nd frame kept).
+    "multimodal_video" ->
+      """SELECT d.doc_id AS media_id,
+        |  CAST(f.f AS INT) AS frame_idx,
+        |  CAST((d.doc_id % 16) + 8 AS INT) AS width,
+        |  CAST((d.doc_id % 12) + 8 AS INT) AS height,
+        |  CAST(sum((d.doc_id*7 + f.f*37 + x.x*19 + y.y*23) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((d.doc_id*5 + f.f*31 + x.x*13 + y.y*17) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((d.doc_id*3 + f.f*29 + x.x*7  + y.y*11) % 256) AS BIGINT) AS sum_b
+        |FROM documents d, generate_series(0, 4) f(f),
+        |  generate_series(0, 22) x(x), generate_series(0, 18) y(y)
+        |WHERE f.f < (d.doc_id % 4) + 2 AND f.f % 2 = 0
+        |  AND x.x < (d.doc_id % 16) + 8 AND y.y < (d.doc_id % 12) + 8
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "events_tumbling_15m" ->
       """SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP) AS window_start,

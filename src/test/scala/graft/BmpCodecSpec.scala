@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bmp, MediaMeta, MediaRecord, Multimodal, Wav}
+import graft.operators.{Bmp, Gvf, MediaMeta, MediaRecord, Multimodal, Wav}
 
-/** Pure-JVM BMP/WAV codecs + the real decode paths in Multimodal. */
+/** Pure-JVM BMP/WAV/GVF-video codecs + the real decode paths in
+  * Multimodal. */
 class BmpCodecSpec extends SparkSpec {
   import spark.implicits._
 
@@ -112,6 +113,74 @@ class BmpCodecSpec extends SparkSpec {
         ea += v; ep = math.max(ep, v)
       }
       assert((s.sum_abs, s.peak) == ((ea, ep)), s"id=${s.media_id}")
+    }
+  }
+
+  test("corrupt headers fail cleanly, never allocate from untrusted fields") {
+    val valid = Bmp.encode(mkImage(6, 4))
+    def mutated(off: Int, v: Int): Array[Byte] = {
+      val b = valid.clone()
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(off, v)
+      b
+    }
+    // width/height huge or negative, offset past the payload
+    intercept[IllegalArgumentException](Bmp.decode(mutated(18, Int.MaxValue)))
+    intercept[IllegalArgumentException](Bmp.decode(mutated(18, -5)))
+    intercept[IllegalArgumentException](Bmp.decode(mutated(22, 1 << 20)))
+    intercept[IllegalArgumentException](Bmp.decode(mutated(10, valid.length + 100)))
+    // WAV with a data-chunk size larger than the payload
+    val wav = Wav.encode(8000, Array.tabulate(50)(_.toShort))
+    val badWav = wav.clone()
+    java.nio.ByteBuffer.wrap(badWav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, wav.length * 4)
+    intercept[IllegalArgumentException](Wav.decode(badWav))
+  }
+
+  test("GVF video: PNG frames round-trip bit-exact; truncation fails loudly") {
+    val frames = (0 until 3).map { f =>
+      val img = mkImage(9, 5)
+      img.bgr.indices.foreach(i => img.bgr(i) = ((i * 13 + f * 41) % 256).toByte)
+      img
+    }
+    val bytes = Gvf.encode(10, frames)
+    assert(Gvf.isGvf(bytes))
+    assert(!Gvf.isGvf(Bmp.encode(mkImage(4, 4))))
+    val (fps, back) = Gvf.decode(bytes)
+    assert(fps == 10 && back.size == 3)
+    back.zip(frames).foreach { case (b, o) =>
+      assert(b.width == o.width && b.height == o.height)
+      assert(b.bgr.toSeq == o.bgr.toSeq, "PNG round-trip must be lossless")
+    }
+    intercept[IllegalArgumentException](Gvf.decode(bytes.dropRight(10)))
+    val badCount = bytes.clone()
+    java.nio.ByteBuffer.wrap(badCount).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, Int.MaxValue)
+    intercept[IllegalArgumentException](Gvf.decode(badCount))
+  }
+
+  test("videoFrameStats matches the generator's closed-form pixel function, everyNth sampling") {
+    val docs = spark.range(6).select(col("id").as("doc_id"))
+    val stats = Multimodal.videoFrameStats(
+      Multimodal.fromDocumentsVideo(docs), everyNth = 2)
+      .collect().sortBy(s => (s.media_id, s.frame_idx))
+    assert(stats.nonEmpty)
+    stats.foreach { s =>
+      val (w, h) = ((s.media_id % 16).toInt + 8, (s.media_id % 12).toInt + 8)
+      assert(s.width == w && s.height == h)
+      assert(s.frame_idx % 2 == 0, "everyNth=2 keeps even frames only")
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        er += (s.media_id * 7 + s.frame_idx * 37 + x * 19 + y * 23) % 256
+        eg += (s.media_id * 5 + s.frame_idx * 31 + x * 13 + y * 17) % 256
+        eb += (s.media_id * 3 + s.frame_idx * 29 + x * 7 + y * 11) % 256
+      }
+      assert((s.sum_r, s.sum_g, s.sum_b) == ((er, eg, eb)), s"id=${s.media_id} f=${s.frame_idx}")
+    }
+    // frame-count bookkeeping: id%4+2 frames, even indices kept
+    val byId = stats.groupBy(_.media_id)
+    (0L until 6L).foreach { id =>
+      val n = (id % 4).toInt + 2
+      assert(byId(id).length == (n + 1) / 2, s"id=$id")
     }
   }
 
