@@ -943,6 +943,16 @@ object SparkEntry {
       EventWindows.sliding(t(s, dir, "events"), "ts", "30 minutes", "15 minutes")
         .orderBy("window_start", "event_type")),
 
+    // STREAMING parity: the same tumbling aggregation run through
+    // Structured Streaming to completion (file source → watermark →
+    // windowed agg → memory sink, Trigger.AvailableNow) — oracled with
+    // the identical SQL as the batch query, so the driver asserts
+    // batch/stream parity as a value equality, not a spec-only claim.
+    "events_tumbling_streaming" -> ((s, dir) =>
+      EventWindows.tumblingAvailableNow(s, s"$dir/events.parquet", "ts",
+        "15 minutes", "30 minutes")
+        .orderBy("window_start", "event_type")),
+
     "events_sessions" -> ((s, dir) =>
       EventWindows.sessions(t(s, dir, "events"), "ts", "5 minutes")
         .orderBy("user_id", "session_start")),
@@ -1641,6 +1651,16 @@ object SparkEntry {
         |ORDER BY media_id, frame_idx""".stripMargin,
 
     "events_tumbling_15m" ->
+      """SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // Streaming path must equal the batch aggregation exactly — same SQL.
+    "events_tumbling_streaming" ->
       """SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value,

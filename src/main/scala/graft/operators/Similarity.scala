@@ -190,7 +190,13 @@ object Similarity {
     * `maxBucket` is recursively re-clustered by `IvfIndex.boundedCells`
     * rather than silently dropped — at 10⁸+ vectors the old fixed
     * nlist=16 + drop-over-cap default returned an empty pair set.
-    * Deterministic for a fixed seed. */
+    * Deterministic for a fixed seed.
+    *
+    * Corpora at or below `min(maxBucket, SmallNAllPairs)` rows skip the
+    * train/recursion machinery entirely and verify ALL pairs directly —
+    * exact by construction, and cheaper than clustering at that size
+    * (≤ ~8M broadcast-nested-loop cosines vs several k-means jobs). The
+    * scale path is untouched. */
   def cellBlockedCosinePairs(
       df: DataFrame,
       vecCol: String,
@@ -204,29 +210,57 @@ object Similarity {
     GraftFunctions.register(df.sparkSession)
     val base = normedBase(df, vecCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
     val n = base.count()
-    val nl = if (nlist > 0) nlist else IvfIndex.autoNlist(n)
-    val cells = IvfIndex.boundedCells(base, nl, probeCells, iters, seed, maxBucket, n,
-      mergeThreshold = threshold)
-    val l = cells.withColumnRenamed("__id", "id_a")
-    val r = cells.withColumnRenamed("__id", "id_b")
-    val result = l.join(r, Seq("__cell"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-      .join(base.withColumnsRenamed(
-        Map("__id" -> "id_a", "__vec" -> "__va", "__norm" -> "__na")), "id_a")
-      .join(base.withColumnsRenamed(
-        Map("__id" -> "id_b", "__vec" -> "__vb", "__norm" -> "__nb")), "id_b")
-      .withColumn("cosine",
-        cosineCol(col("__va"), col("__na"), col("__vb"), col("__nb")))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize, then release the cell + base caches
-    cells.unpersist()
+    val result =
+      if (n <= math.min(maxBucket, SmallNAllPairs)) {
+        // Small-n fast path. The candidate bound is the same as one full
+        // blocked cell (blocking cannot reduce a single cell below
+        // all-pairs), so this is never asymptotically worse — and it is
+        // exact, preserving the oracle contract. The broadcast + `<`
+        // predicate is an intentional bounded nested-loop, mirroring
+        // bruteForceTopK.
+        val l = base.withColumnsRenamed(
+          Map("__id" -> "id_a", "__vec" -> "__va", "__norm" -> "__na"))
+        val r = base.withColumnsRenamed(
+          Map("__id" -> "id_b", "__vec" -> "__vb", "__norm" -> "__nb"))
+        l.join(broadcast(r), col("id_a") < col("id_b"))
+          .withColumn("cosine",
+            cosineCol(col("__va"), col("__na"), col("__vb"), col("__nb")))
+          .filter(col("cosine") >= threshold)
+          .select("id_a", "id_b", "cosine")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      } else {
+        val nl = if (nlist > 0) nlist else IvfIndex.autoNlist(n)
+        val cells = IvfIndex.boundedCells(base, nl, probeCells, iters, seed, maxBucket, n,
+          mergeThreshold = threshold)
+        val l = cells.withColumnRenamed("__id", "id_a")
+        val r = cells.withColumnRenamed("__id", "id_b")
+        val out = l.join(r, Seq("__cell"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .dropDuplicates("id_a", "id_b")
+          .join(base.withColumnsRenamed(
+            Map("__id" -> "id_a", "__vec" -> "__va", "__norm" -> "__na")), "id_a")
+          .join(base.withColumnsRenamed(
+            Map("__id" -> "id_b", "__vec" -> "__vb", "__norm" -> "__nb")), "id_b")
+          .withColumn("cosine",
+            cosineCol(col("__va"), col("__na"), col("__vb"), col("__nb")))
+          .filter(col("cosine") >= threshold)
+          .select("id_a", "id_b", "cosine")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        out.count() // materialize before releasing the cell cache
+        cells.unpersist()
+        out
+      }
+    result.count() // materialize, then release the base cache
     base.unpersist()
     result
   }
+
+  /** Small-n cutoff for the all-pairs fast path in
+    * [[cellBlockedCosinePairs]]: 4096² / 2 ≈ 8M candidate cosines is
+    * cheaper than the clustering machinery's fixed job count, while a
+    * corpus near the 10k bucket cap with wide vectors is not. */
+  private[graft] val SmallNAllPairs = 4096L
 
   /** Window top-k with deterministic ordering (cosine desc, id asc). */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -69,12 +69,39 @@ object EventWindows {
     startToMemory(spark, sourceDir, tsCol, sinkTable,
       s => sessions(s.withWatermark(tsCol, watermark), tsCol, gap))
 
+  /** Run the SAME tumbling aggregation through Structured Streaming to
+    * COMPLETION and return the materialized result: file source →
+    * watermarked windowed agg → memory sink, `Trigger.AvailableNow` (the
+    * stream drains every available file, then stops). Output mode is
+    * `complete`, so every window is emitted when the stream finishes —
+    * append mode would hold back windows the final watermark hasn't
+    * passed, which can never reach parity with batch over a finite
+    * fixture. A single parquet file drains in one micro-batch (the
+    * watermark trails a batch behind, so nothing is late-dropped) —
+    * batch/streaming parity is exact, which the driver oracle asserts
+    * with the batch query's SQL. */
+  def tumblingAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      tsCol: String,
+      duration: String,
+      watermark: String): DataFrame = {
+    val sink = s"graft_stream_tumbling_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = startToMemory(spark, sourceDir, tsCol, sink,
+      s => tumbling(s.withWatermark(tsCol, watermark), tsCol, duration),
+      outputMode = "complete", availableNow = true)
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   private def startToMemory(
       spark: SparkSession,
       sourceDir: String,
       tsCol: String,
       sinkTable: String,
-      transform: DataFrame => DataFrame): StreamingQuery = {
+      transform: DataFrame => DataFrame,
+      outputMode: String = "append",
+      availableNow: Boolean = false): StreamingQuery = {
     // events.parquet carries TIMESTAMP(NANOS) → read ts as nanos-long and
     // convert, same as graft.Tables.events. The conf is only needed at
     // read-plan time (schema inference + reader construction below), so
@@ -94,11 +121,14 @@ object EventWindows {
       else spark.readStream.schema(schema).parquet(sourceDir)
     val stream = reader
       .withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
-    transform(stream)
+    val writer = transform(stream)
       .writeStream
       .format("memory")
       .queryName(sinkTable)
-      .outputMode("append")
+      .outputMode(outputMode)
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
       .start()
     } finally prevNanos match {
       case Some(v) => spark.conf.set(nanosKey, v)

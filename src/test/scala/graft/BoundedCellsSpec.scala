@@ -65,8 +65,18 @@ class BoundedCellsSpec extends SparkSpec {
 
   test("auto-sized nlist (default) stays exact on the clustered corpus") {
     val truth = truePairs(clustered, 0.8)
+    // maxBucket below the corpus size keeps this on the CLUSTERED path
+    // (default cap would take the small-n all-pairs shortcut).
     val got = Similarity.cellBlockedCosinePairs(
-      clustered, "embedding", "vec_id", 0.8, probeCells = 2)
+      clustered, "embedding", "vec_id", 0.8, probeCells = 2, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == truth, s"missing=${(truth -- got).take(5)} got=${got.size}")
+  }
+
+  test("small-n all-pairs fast path (default caps) is exact") {
+    val truth = truePairs(clustered, 0.8)
+    val got = Similarity.cellBlockedCosinePairs(
+      clustered, "embedding", "vec_id", 0.8) // n=240 ≤ 4096 → all-pairs path
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == truth, s"missing=${(truth -- got).take(5)} got=${got.size}")
   }

@@ -29,6 +29,17 @@ class EventWindowsLateDataSpec extends SparkSpec {
       .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2))))
       .toMap
 
+  test("availableNow streaming run equals the batch tumbling aggregation exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = EventWindows.tumbling(Tables.load(spark, sf, "events"), "ts", "15 minutes")
+      .collect().map(_.toSeq).toSet
+    val streamed = EventWindows.tumblingAvailableNow(
+      spark, s"$sf/events.parquet", "ts", "15 minutes", "30 minutes")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, "streaming-to-completion must equal batch")
+    assert(batch.nonEmpty)
+  }
+
   test("late data into a closed window is dropped; into an open window is counted; windows finalize once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
