@@ -201,6 +201,13 @@ final case class FrameStats(
   * frame payloads are REAL compressed images a generic tool can open,
   * and the decode path exercises a genuine codec, not byte slicing. */
 private[graft] object Gvf {
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // round-trips a temp file, which dominates runtime for small frames
+  // (measured ~10 s for ~7k frames at sf0.1 vs ~2 s in-memory). Media
+  // frames here are small by construction, so cache in memory. JVM-wide,
+  // set once per executor at class init.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Cap on frames declared by an (untrusted) header. */
   private val MaxFrames = 1 << 16
 
