@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
+import graft.sources.DataSource
 import graft.streaming.EventWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -404,6 +405,75 @@ object SparkEntry {
       s.table(tbl)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
+    }),
+
+    // CSV as a first-class path datasource: an overwrite job EXPORTS a
+    // parquet-sourced projection to a csv path target (header row, format
+    // driven by the target datasource), and the query reads the csv back
+    // through the same datasource factory (header + schema inference) and
+    // aggregates it. The oracle recomputes the aggregate from the parquet
+    // fixture — a write-format, header, or inference bug surfaces as a
+    // value/schema mismatch.
+    "etl_csv_export" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "orders").createOrReplaceTempView("__etl_orders_csv")
+      val out = etlScratch(dir, "csv_export")
+      EtlJob.fromYaml(
+        s"""version: 0
+           |source:
+           |  query: >-
+           |    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |    FROM __etl_orders_csv
+           |target:
+           |  datasource: csv
+           |  path: $out
+           |  operation: overwrite
+           |""".stripMargin).run()
+      DataSource("csv").readPath(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Recon with a CSV extract as one side: source `a` is the catalog
+    // parquet view, source `b` the csv file written above-style — the
+    // "diff the warehouse against the extract we shipped" use case. The
+    // csv side goes through DataSource("csv").readPath inside ReconJob.
+    "recon_csv_extract" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "orders").createOrReplaceTempView("__recon_orders_csv")
+      val out = etlScratch(dir, "csv_recon")
+      EtlJob.fromYaml(
+        s"""version: 0
+           |source:
+           |  query: SELECT o_orderstatus, o_totalprice FROM __recon_orders_csv
+           |target:
+           |  datasource: csv
+           |  path: $out
+           |  operation: overwrite
+           |""".stripMargin).run()
+      ReconJob.fromYaml(
+        s"""version: 0
+           |group_by: [o_orderstatus]
+           |data:
+           |  - name: a
+           |    query: SELECT o_orderstatus, o_totalprice FROM __recon_orders_csv
+           |    metrics:
+           |      - sum_price: round(sum(o_totalprice), 2)
+           |      - n: count(*)
+           |  - name: b
+           |    datasource: csv
+           |    path: $out
+           |    metrics:
+           |      - sum_price: round(sum(o_totalprice), 2)
+           |      - n: count(*)
+           |""".stripMargin).run()
+        // Counts and tolerance booleans only: the raw csv-side double sum
+        // can differ from the parquet side in the last ULP (different
+        // addition order), which the 1e-3 match tolerates but an exact
+        // hash compare of the sum would not.
+        .select("o_orderstatus", "a_n", "b_n", "match_n", "match_sum_price")
+        .orderBy("o_orderstatus")
     }),
 
     // Recon: two aggregation pipelines over lineitem reconciled on
@@ -1330,6 +1400,20 @@ object SparkEntry {
         |  count(DISTINCT l_partkey) AS n_parts,
         |  true AS orders_ok, true AS parts_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The csv written by the job is a faithful extract of orders, so the
+    // oracle recomputes the aggregate straight from the parquet fixture.
+    "etl_csv_export" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "recon_csv_extract" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS a_n, count(*) AS b_n,
+        |  true AS match_n, true AS match_sum_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "recon_lineitem" ->
       """WITH a AS (

@@ -87,8 +87,8 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
     }
 
   private[graft] def operate(source: DataFrame): Unit = spec.target.operation match {
-    case Operation.Append    => Writes.append(source, targetRef)
-    case Operation.Overwrite => Writes.overwrite(source, targetRef)
+    case Operation.Append    => Writes.append(source, targetRef, toDs)
+    case Operation.Overwrite => Writes.overwrite(source, targetRef, toDs)
     case Operation.Update =>
       Writes.merge(source, targetRef, toDs, spec.target.primaryKeyColumns,
         spec.target.updateColumns, spec.target.whereStatementOnTable,
@@ -120,8 +120,12 @@ object EtlJob {
 object Writes {
 
   /** O7 append / insert: name-resolved append (reference: etl/append.py,
-    * delta.py:65-102). Creates the table/path when absent. */
-  def append(source: DataFrame, ref: TargetRef)(implicit spark: SparkSession): Unit =
+    * delta.py:65-102). Creates the table/path when absent. Path targets
+    * honor the target datasource's file format (parquet/csv/json);
+    * catalog tables keep their own provider. */
+  def append(source: DataFrame, ref: TargetRef,
+      ds: DataSource = new graft.sources.ParquetCatalogSource)(
+      implicit spark: SparkSession): Unit =
     ref match {
       case TableRef(t) =>
         val w = source.write.format("parquet").mode(SaveMode.Append)
@@ -130,7 +134,8 @@ object Writes {
         val parts = if (spark.catalog.tableExists(t)) partitionColumns(t) else Nil
         (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(t)
       case PathRef(p) =>
-        source.write.mode(SaveMode.Append).parquet(p)
+        source.write.mode(SaveMode.Append)
+          .format(ds.pathFormat).options(ds.writeOptions).save(p)
     }
 
   /** O8 partition-scoped overwrite. The reference collects the source's
@@ -141,7 +146,9 @@ object Writes {
     * rewritten, untouched partitions survive; the partition set is computed
     * distributed, never on the driver. Non-partitioned targets degenerate
     * to full overwrite, same as the reference's `1=1` predicate. */
-  def overwrite(source: DataFrame, ref: TargetRef)(implicit spark: SparkSession): Unit =
+  def overwrite(source: DataFrame, ref: TargetRef,
+      ds: DataSource = new graft.sources.ParquetCatalogSource)(
+      implicit spark: SparkSession): Unit =
     ref match {
       case TableRef(t) if spark.catalog.tableExists(t) =>
         withConf("spark.sql.sources.partitionOverwriteMode", "dynamic") {
@@ -150,7 +157,8 @@ object Writes {
       case TableRef(t) =>
         source.write.format("parquet").mode(SaveMode.Overwrite).saveAsTable(t)
       case PathRef(p) =>
-        source.write.mode(SaveMode.Overwrite).parquet(p)
+        source.write.mode(SaveMode.Overwrite)
+          .format(ds.pathFormat).options(ds.writeOptions).save(p)
     }
 
   /** O9/O10 update/upsert via the Merge join-rewrite. The merged result is
@@ -171,6 +179,15 @@ object Writes {
       baseCondition: String,
       insertWhenNotMatched: Boolean)(implicit spark: SparkSession): Unit = {
 
+    // The staged-swap rewrite reads and writes parquet fragments; a
+    // csv/json path target has no partition/statistics story worth a
+    // merge — reject cleanly rather than corrupt.
+    if (ds.pathFormat != "parquet")
+      ref match {
+        case PathRef(_) => throw new JobConfigException(
+          s"update/upsert requires a parquet path target, not ${ds.pathFormat}")
+        case _ => ()
+      }
     val target = ds.read(ref)
     Merge.checkAmbiguousMatches(target, source, primaryKeys, baseCondition)
     val merged =
