@@ -804,6 +804,26 @@ object SparkEntry {
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))
         .orderBy("split", "lang")),
 
+    // Domain-mixture rebalancing: keep fractions that reshape the corpus
+    // toward a target lang mixture by down-sampling only (the most
+    // over-target domain keeps 100%); plan is one aggregate + tiny
+    // windows, and the oracle recomputes every fraction from the same
+    // counts.
+    "mixture_plan" -> ((s, dir) =>
+      Sampling.mixturePlan(t(s, dir, "documents"), "lang", MixtureShares)
+        .withColumn("actual_share", round(col("actual_share"), 6))
+        .withColumn("keep_frac", round(col("keep_frac"), 6))
+        .orderBy("lang")),
+
+    // The plan applied: deterministic hash resample per domain — kept
+    // counts are a pure function of (doc_id, seed, domain counts), which
+    // DuckDB reproduces exactly via the shared bucket/threshold SQL.
+    "mixture_resample" -> ((s, dir) =>
+      Sampling.resampleToMixture(t(s, dir, "documents"), "doc_id", "lang",
+        MixtureShares, seed = 13L)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")),
+
     // Concat-then-chunk sequence packing into 512-token windows, sharded
     // 8 ways (per-shard running sums — no global sort).
     "pack_sequences" -> ((s, dir) =>
@@ -1339,6 +1359,33 @@ object SparkEntry {
          |  lang, count(*) AS n
          |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
 
+    "mixture_plan" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |t AS (SELECT lang, n_docs,
+         |  ${mixtureCaseSql("lang")} AS target_share,
+         |  CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS actual_share
+         |  FROM c),
+         |r AS (SELECT *, target_share / actual_share AS ratio FROM t)
+         |SELECT lang, n_docs, target_share,
+         |  round(actual_share, 6) AS actual_share,
+         |  round(ratio / max(ratio) OVER (), 6) AS keep_frac
+         |FROM r ORDER BY lang""".stripMargin,
+
+    "mixture_resample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |t AS (SELECT lang,
+         |  ${mixtureCaseSql("lang")} AS target_share,
+         |  CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS actual_share
+         |  FROM c),
+         |r AS (SELECT lang, target_share / actual_share AS ratio FROM t),
+         |p AS (SELECT lang,
+         |  CAST(floor((ratio / max(ratio) OVER ()) * 10000) AS BIGINT) AS thresh
+         |  FROM r)
+         |SELECT d.lang, count(*) AS n_kept
+         |FROM documents d JOIN p USING (lang)
+         |WHERE ${Sampling.bucketSql("d.doc_id", 13L)} < p.thresh
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
     "pack_sequences" ->
       s"""WITH tok AS (
          |  SELECT doc_id, doc_id % 8 AS shard,
@@ -1855,6 +1902,19 @@ object SparkEntry {
 
   private def etlSuffix(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Target lang mixture shared by the mixture_* queries and their
+    * oracles (en is ~2× overweight in the fixture, so it downsamples
+    * while the rest keep (near-)full). */
+  private val MixtureShares = Seq(
+    "en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
+  /** DuckDB twin of the mixture target-share CASE, kept beside the data
+    * so query and oracle cannot drift. */
+  private def mixtureCaseSql(c: String): String =
+    "CAST(CASE " +
+      MixtureShares.map { case (k, v) => s"WHEN $c = '$k' THEN $v" }.mkString(" ") +
+      " ELSE 0.0 END AS DOUBLE)"
 
   // --- DuckDB expression builders for the text oracle (kept in one place
   // so the Spark implementation in TextFunctions and this SQL stay in

@@ -74,6 +74,62 @@ object Sampling {
     df.filter(bucket(col(idCol), seed) < threshold)
   }
 
+  /** Domain-mixture rebalancing plan: per-domain keep fractions that
+    * reshape the corpus toward `targetShares` by DOWN-sampling only
+    * (no row is ever duplicated — upsampling is a training-loader
+    * concern, not a storage one). The most over-target domain keeps
+    * 100% and every other domain keeps `ratio_d / max_e(ratio_e)` where
+    * `ratio_d = target_d / actual_d`, so kept counts land proportional
+    * to the target mixture with the largest possible surviving corpus.
+    * Domains absent from `targetShares` get share 0 and are dropped.
+    *
+    * Output: (domain, n_docs, target_share, actual_share, keep_frac).
+    * Cost: ONE map-side-combine aggregate over the corpus; the window
+    * functions run over |domains| rows. Fractions are plain double
+    * arithmetic over the counts, so any engine recomputes them
+    * bit-identically from the same counts (the DuckDB oracle does). */
+  def mixturePlan(
+      df: DataFrame,
+      domainCol: String,
+      targetShares: Seq[(String, Double)]): DataFrame = {
+    require(targetShares.nonEmpty, "at least one target share required")
+    require(targetShares.forall(_._2 >= 0), "target shares must be >= 0")
+    require(math.abs(targetShares.map(_._2).sum - 1.0) < 1e-9,
+      "target shares must sum to 1")
+    val target = targetShares.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (k, share)) => when(col(domainCol) === k, lit(share)).otherwise(acc)
+    }
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    df.groupBy(domainCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("target_share", target)
+      .withColumn("actual_share",
+        col("n_docs").cast("double") / sum("n_docs").over(all))
+      .withColumn("__ratio", col("target_share") / col("actual_share"))
+      .withColumn("keep_frac", col("__ratio") / max("__ratio").over(all))
+      .select(domainCol, "n_docs", "target_share", "actual_share", "keep_frac")
+  }
+
+  /** Apply a [[mixturePlan]]: deterministic hash resample at each
+    * domain's keep fraction. One broadcast join (|domains| rows) + the
+    * usual shuffle-free bucket filter — membership is a pure function of
+    * (id, seed, the domain counts), reproducible across runs and
+    * engines. */
+  def resampleToMixture(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targetShares: Seq[(String, Double)],
+      seed: Long): DataFrame = {
+    val plan = mixturePlan(df, domainCol, targetShares)
+      .select(col(domainCol),
+        floor(col("keep_frac") * lit(Buckets.toDouble)).cast("long").as("__thresh"))
+    df.join(broadcast(plan), domainCol)
+      .filter(bucket(col(idCol), seed) < col("__thresh"))
+      .drop("__thresh")
+  }
+
   /** Disjoint split assignment (train/val/test …): adds a `split` column
     * chosen by consecutive bucket ranges proportional to `weights`
     * (which must sum to ≤ 1; any remainder falls into the LAST split).

@@ -50,6 +50,36 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("test") - 1000L) < 150)
   }
 
+  test("mixture plan: most over-target domain keeps 100%, others scale by ratio; absent domains drop") {
+    val df = ids.withColumn("dom",
+      when(col("id") % 10 < 6, "en")         // 60% actual
+        .when(col("id") % 10 < 9, "fr")      // 30% actual
+        .otherwise("legacy"))                // 10%, absent from target
+    val plan = Sampling.mixturePlan(df, "dom",
+      Seq("en" -> 0.5, "fr" -> 0.5))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // fr ratio = .5/.3 > en ratio = .5/.6 → fr keeps all, en keeps
+    // (0.5/0.6)/(0.5/0.3) = 0.5
+    assert(plan("fr")._4 == 1.0)
+    assert(math.abs(plan("en")._4 - 0.5) < 1e-9)
+    assert(plan("legacy")._4 == 0.0)
+  }
+
+  test("mixture resample hits the target proportions and is deterministic") {
+    val df = ids.withColumn("dom",
+      when(col("id") % 10 < 6, "en").otherwise("fr"))
+    val shares = Seq("en" -> 0.5, "fr" -> 0.5)
+    val out = Sampling.resampleToMixture(df, "id", "dom", shares, seed = 21L)
+    val counts = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    // fr (4000 actual) keeps ~all; en (6000) downsamples to ~4000
+    assert(counts("fr") == 4000L)
+    assert(math.abs(counts("en") - 4000L) < 250, s"en kept ${counts("en")}")
+    // deterministic: identical row set on a re-run
+    val again = Sampling.resampleToMixture(df, "id", "dom", shares, seed = 21L)
+    assert(out.select("id").exceptAll(again.select("id")).isEmpty)
+  }
+
   test("bucketSql matches the Column implementation exactly") {
     // evaluate the SQL-string form through Spark itself: same arithmetic,
     // so any drift between the two forms breaks here before the oracle
