@@ -1033,6 +1033,17 @@ object SparkEntry {
       EventWindows.sliding(t(s, dir, "events"), "ts", "30 minutes", "15 minutes")
         .orderBy("window_start", "event_type")),
 
+    // STREAMING exact-dedup run to completion: keyed state
+    // (flatMapGroupsWithState) emits exactly one row per content
+    // fingerprint. Which doc represents a fingerprint depends on shuffle
+    // arrival order, so the oracle pins the order-insensitive invariant:
+    // the emitted row count = distinct normalized-md5 fingerprints, which
+    // DuckDB recomputes with its own md5.
+    "streaming_dedup_count" -> ((s, dir) =>
+      graft.streaming.StreamingDedup
+        .dedupAvailableNow(s, s"$dir/documents.parquet", "text", "doc_id")
+        .agg(count(lit(1)).as("n_unique"))),
+
     // STREAMING parity: the same tumbling aggregation run through
     // Structured Streaming to completion (file source → watermark →
     // windowed agg → memory sink, Trigger.AvailableNow) — oracled with
@@ -1789,6 +1800,11 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "streaming_dedup_count" ->
+      """SELECT count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+        |  AS n_unique
+        |FROM documents""".stripMargin,
 
     // Streaming path must equal the batch aggregation exactly — same SQL.
     "events_tumbling_streaming" ->

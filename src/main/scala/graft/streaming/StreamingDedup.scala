@@ -49,7 +49,8 @@ object StreamingDedup {
       sourceDir: String,
       textCol: String,
       idCol: String,
-      sinkTable: String): StreamingQuery = {
+      sinkTable: String,
+      availableNow: Boolean = false): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
     val f = new java.io.File(sourceDir)
     val reader =
@@ -57,11 +58,30 @@ object StreamingDedup {
         spark.readStream.schema(schema)
           .option("pathGlobFilter", f.getName).parquet(f.getParent)
       else spark.readStream.schema(schema).parquet(sourceDir)
-    firstPerFingerprint(reader, textCol, idCol)
+    val writer = firstPerFingerprint(reader, textCol, idCol)
       .writeStream
       .format("memory")
       .queryName(sinkTable)
       .outputMode("append")
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
       .start()
+  }
+
+  /** Run the streaming dedup to COMPLETION (Trigger.AvailableNow) and
+    * return the emitted (fp, id) rows. Which id represents a fingerprint
+    * depends on shuffle arrival order, but the emitted FINGERPRINT SET is
+    * exactly the distinct fingerprints of the input — one row each, which
+    * is the invariant a value oracle can pin across engines. */
+  def dedupAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val sink = s"graft_stream_dedup_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = streamToMemory(spark, sourceDir, textCol, idCol, sink, availableNow = true)
+    q.awaitTermination()
+    spark.table(sink)
   }
 }
