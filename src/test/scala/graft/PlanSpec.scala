@@ -77,6 +77,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Filter"), s"expected a filter over the scan:\n$p")
   }
 
+  test("mixture resample: plan side broadcasts, corpus side never shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.Sampling.resampleToMixture(docs, "doc_id", "lang",
+      Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15),
+      seed = 13L)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"per-domain thresholds must broadcast:\n$p")
+    // the only exchanges allowed are the tiny plan side's aggregate +
+    // broadcast; the corpus side must be scan → broadcast-join → filter.
+    assert(!p.contains("Exchange rangepartitioning"), s"no sort expected:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"corpus side must not shuffle (got $hashEx hash exchanges):\n$p")
+  }
+
   test("sequence packing shuffles once (hash by shard), no global sort") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), org.apache.spark.sql.functions.lit(100L).as("n_tokens"))
