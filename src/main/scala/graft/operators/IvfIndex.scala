@@ -156,6 +156,72 @@ object IvfIndex {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Append new vectors to a PERSISTED index without retraining: each new
+    * vector is assigned to its nearest STORED centroid and appended into
+    * the cell-partitioned assignments — one scan of the new data, no
+    * k-means, no rewrite of existing cells. This is the daily-feed path:
+    * at 100 TB you amortize one index build across many appends. The
+    * trade: centroids no longer reflect the appended distribution, so
+    * cells drift unbalanced as data drifts — watch [[cellImbalance]] and
+    * [[rebalance]] when it crosses your threshold (2-3× is a reasonable
+    * default; probe cost scales with the biggest probed cell). */
+  def appendToIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      newVecs: DataFrame,
+      vecCol: String,
+      idCol: String): Unit = {
+    GraftFunctions.register(spark)
+    val centroids: Seq[Seq[Double]] = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").select("vec")
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    Similarity.normedBase(newVecs, vecCol, idCol)
+      .withColumn("cell", nearestCell(col("__vec"), col("__norm"), centroids))
+      .select(col("__id").as("id"), col("__vec").as("vec"),
+        col("__norm").as("norm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assignments")
+  }
+
+  /** Cell-population imbalance of a persisted index: max/mean cell size.
+    * 1.0 = perfectly balanced; grows as appended data drifts from the
+    * training distribution. One count-aggregate over the (pruned, narrow)
+    * cell column; only nlist counts reach the driver. */
+  def cellImbalance(spark: org.apache.spark.sql.SparkSession, dir: String): Double = {
+    val Array(row) = spark.read.parquet(s"$dir/assignments")
+      .groupBy("cell").count()
+      .agg(max("count").cast("double").as("mx"), avg("count").as("av"))
+      .collect()
+    row.getDouble(0) / row.getDouble(1)
+  }
+
+  /** Retrain the index over its CURRENT contents (original + appended)
+    * and swap the fresh artifact into place. The rebuild is staged in a
+    * sibling directory, so a failed retrain leaves the live index intact
+    * and probing uninterrupted — same stage-and-swap discipline as the
+    * merge and bucketed-write paths. */
+  def rebalance(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      nlist: Int = 0,
+      iters: Int = 2,
+      seed: Long = 42L): Unit = {
+    val all = spark.read.parquet(s"$dir/assignments").select("id", "vec")
+      .localCheckpoint() // cut lineage: the rewrite deletes its own input
+    val staging = s"${dir.stripSuffix("/")}__graft_rebuild_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    writeIndex(all, "vec", "id", staging, nlist, iters, seed)
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(staging + "_old")
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new IllegalStateException(s"ivf rebalance: cannot move $live aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), live)) {
+      fs.rename(old, live)
+      throw new IllegalStateException(s"ivf rebalance: cannot publish $staging")
+    }
+    fs.delete(old, true)
+  }
+
   /** Rows the k-means TRAINING pass is allowed to touch. Clustering
     * quality depends on seeing a representative sample, not the whole
     * corpus: centroid estimates converge as O(1/√sample), so beyond a

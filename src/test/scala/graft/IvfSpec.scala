@@ -62,6 +62,45 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("index lifecycle: append without retrain, imbalance metric, staged rebalance") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_lc").toString + "/idx"
+    try {
+      // build on half, append the other half — no retrain
+      IvfIndex.writeIndex(emb.filter($"vec_id" % 2 === 0), "embedding", "vec_id",
+        dir, nlist = 8, iters = 2)
+      IvfIndex.appendToIndex(spark, dir, emb.filter($"vec_id" % 2 === 1),
+        "embedding", "vec_id")
+      assert(spark.read.parquet(s"$dir/assignments").count() == emb.count())
+      // appended index still answers: odd ids are reachable as neighbors
+      val out = IvfIndex.loadTopK(spark, dir, queries, "embedding", "vec_id",
+        k = 5, nprobe = 3)
+      assert(out.filter($"neighbor_id" % 2 === 1).count() > 0)
+      val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val got = out.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      assert((exact intersect got).size.toDouble / exact.size >= 0.4)
+
+      val imb = IvfIndex.cellImbalance(spark, dir)
+      assert(imb >= 1.0 && imb < 100.0, s"imbalance $imb")
+
+      // rebalance = retrain over current contents; value-identical to a
+      // fresh full-corpus build at the same (nlist, iters, seed)
+      IvfIndex.rebalance(spark, dir, nlist = 8, iters = 2)
+      val fresh = java.nio.file.Files.createTempDirectory("graft_ivf_fresh").toString + "/idx"
+      IvfIndex.writeIndex(emb, "embedding", "vec_id", fresh, nlist = 8, iters = 2)
+      val a = IvfIndex.loadTopK(spark, dir, queries, "embedding", "vec_id", k = 5, nprobe = 3)
+        .collect().map(_.toSeq).toSet
+      val b = IvfIndex.loadTopK(spark, fresh, queries, "embedding", "vec_id", k = 5, nprobe = 3)
+        .collect().map(_.toSeq).toSet
+      assert(a == b, "rebalanced index must equal a fresh build over the same rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("IVF output is deterministic, ranked, and k-bounded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)
