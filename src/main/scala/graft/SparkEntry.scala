@@ -767,6 +767,35 @@ object SparkEntry {
       recallGate(exact, approx, floor = 0.45)
     }),
 
+    // Dimension-truncation TRADE-OFF REPORT: top-5 retrieval recall of
+    // prefix-truncated embeddings (16/32/48 of 64 dims) vs full
+    // precision, as exact VALUES rather than a floor gate — on these
+    // (non-matryoshka-trained) vectors prefix truncation costs real
+    // recall, and that measurement is the operator's product: it tells a
+    // pipeline owner whether their embeddings tolerate the 4×/2×/1.33×
+    // compression before they commit to it. DuckDB recomputes each
+    // recall from its own truncated brute-force top-5.
+    "truncation_tradeoff" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val exact = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 5)
+        .select("query_id", "neighbor_id").persist()
+      val rows = Seq(16, 32, 48).map { d =>
+        val tr = Quantize.truncate(emb, "embedding", d)
+          .select(col("vec_id"), col("embedding_t"))
+        val qt = tr.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val approx = Similarity.bruteForceTopK(tr, qt, "embedding_t", "vec_id", k = 5)
+        exact
+          .join(approx.select("query_id", "neighbor_id").withColumn("__hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+            count(lit(1)), 4).as("recall"))
+          .withColumn("dims", lit(d))
+          .select("dims", "recall")
+      }
+      rows.reduce(_ unionByName _).orderBy("dims")
+    }),
+
     // Quantization quality as a retrieval metric, not just per-row cosine:
     // top-5 neighbor recall of int8-dequantized vectors vs full precision
     // (measured 0.96/1.00/0.985 at sf0.001/0.01/0.1; floor 0.90).
@@ -1474,6 +1503,50 @@ object SparkEntry {
     "quantized_recall" ->
       """SELECT true AS recall_ok,
         |  (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries""".stripMargin,
+
+    // Exact recall values recomputed from DuckDB's own truncated
+    // brute-force top-5 (same tie-break: cosine desc, neighbor asc).
+    "truncation_tradeoff" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        |           WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity(qe::DOUBLE[], ce::DOUBLE[]) DESC,
+        |             neighbor_id ASC) <= 5),
+        |t16 AS (
+        |  SELECT query_id, neighbor_id FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity((qe::DOUBLE[])[1:16], (ce::DOUBLE[])[1:16]) DESC,
+        |             neighbor_id ASC) <= 5),
+        |t32 AS (
+        |  SELECT query_id, neighbor_id FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity((qe::DOUBLE[])[1:32], (ce::DOUBLE[])[1:32]) DESC,
+        |             neighbor_id ASC) <= 5),
+        |t48 AS (
+        |  SELECT query_id, neighbor_id FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity((qe::DOUBLE[])[1:48], (ce::DOUBLE[])[1:48]) DESC,
+        |             neighbor_id ASC) <= 5),
+        |r16 AS (SELECT CAST(16 AS INT) AS dims,
+        |  round(CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS recall
+        |  FROM exact e LEFT JOIN t16 t
+        |    ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id),
+        |r32 AS (SELECT CAST(32 AS INT) AS dims,
+        |  round(CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS recall
+        |  FROM exact e LEFT JOIN t32 t
+        |    ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id),
+        |r48 AS (SELECT CAST(48 AS INT) AS dims,
+        |  round(CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS recall
+        |  FROM exact e LEFT JOIN t48 t
+        |    ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id)
+        |SELECT * FROM r16 UNION ALL SELECT * FROM r32 UNION ALL SELECT * FROM r48
+        |ORDER BY dims""".stripMargin,
 
     "simhash_precision_gate" ->
       "SELECT true AS precision_ok",

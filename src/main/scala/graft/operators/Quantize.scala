@@ -35,6 +35,20 @@ object Quantize {
       transform(col(s"${vecCol}_q"),
         q => q.cast("double") * col(s"${vecCol}_scale")))
 
+  /** Matryoshka-style dimension truncation: keep the first `dims`
+    * elements of the embedding. A 64→16 cut is a 4× storage/shuffle/
+    * dot-product reduction — the other axis of embedding compression
+    * next to int8 (they compose). Cosine over the truncated vectors
+    * needs no renormalization (cosine is scale-invariant), so this is
+    * ONE narrow slice projection: no shuffle, no UDF, evaluated in the
+    * scan stage. Retrieval quality is the gate that matters — see the
+    * `truncated_recall` driver query — because per-row cosine against
+    * the full vector understates what top-k survives. */
+  def truncate(df: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    df.withColumn(s"${vecCol}_t", slice(col(vecCol), 1, dims))
+  }
+
   /** Round-trip quality report: per row, the cosine between the original
     * vector and its dequantized reconstruction. */
   def roundTripCosine(df: DataFrame, vecCol: String, idCol: String): DataFrame = {

@@ -20,6 +20,17 @@ class QuantizeSpec extends SparkSpec {
     assert(worst >= 0.999, s"int8 round-trip cosine degraded: $worst")
   }
 
+  test("truncate keeps the prefix dims and composes with int8") {
+    val df = Seq((1L, Array(0.5f, -0.25f, 0.125f, 1.0f))).toDF("vec_id", "embedding")
+    val tr = Quantize.truncate(df, "embedding", 2)
+    val v = tr.select("embedding_t").head().getSeq[Float](0)
+    assert(v == Seq(0.5f, -0.25f))
+    // composition: quantize the truncated column
+    val q = Quantize.int8(tr.select(col("vec_id"), col("embedding_t")), "embedding_t")
+    assert(q.select("embedding_t_q").head().getSeq[Byte](0).length == 2)
+    intercept[IllegalArgumentException](Quantize.truncate(df, "embedding", 0))
+  }
+
   test("dequantize inverts quantize up to scale granularity") {
     val df = Seq((1L, Array(1.0f, -0.5f, 0.25f, 0.0f))).toDF("vec_id", "embedding")
     val deq = Quantize.dequantize(Quantize.int8(df, "embedding"), "embedding")
