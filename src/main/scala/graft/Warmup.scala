@@ -70,6 +70,30 @@ object Warmup {
     // init isn't charged to the first real query
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // Structured Streaming engine cold start (MicroBatchExecution, state
+    // store provider, memory sink) is ~1-2 s of class-load/JIT that is
+    // infrastructure, not any query's own cost: drain one tiny file
+    // stream through a watermarked windowed agg with AvailableNow.
+    {
+      val tmpS = java.nio.file.Files.createTempDirectory("graft_warm_stream").toString
+      spark.range(100).select(
+        timestamp_micros(col("id") * 60000000L).as("ts"),
+        (col("id") % 3).cast("string").as("event_type"),
+        col("id").cast("double").as("value"))
+        .write.mode("overwrite").parquet(s"$tmpS/ev")
+      val schema = spark.read.parquet(s"$tmpS/ev").schema
+      val q = graft.streaming.EventWindows.tumbling(
+        spark.readStream.schema(schema).parquet(s"$tmpS/ev")
+          .withWatermark("ts", "30 minutes"), "ts", "15 minutes")
+        .writeStream.format("memory")
+        .queryName("graft_warm_stream_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpS))
+    }
+
     // LSH-family pipeline shapes at the BENCH configs. These pipelines'
     // generated classes (OPH signature aggregates, packed simhash lanes,
     // band self-joins, hyperplane bucketing, k-means assignment) are the
