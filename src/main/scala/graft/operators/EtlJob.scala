@@ -61,6 +61,14 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
   private[graft] def validatePlan(source: DataFrame): Unit =
     spec.target.operation match {
       case Operation.Update | Operation.Upsert =>
+        // Fail BEFORE the target pre-sql hook runs: the same check in
+        // Writes.merge fires after that side effect.
+        targetRef match {
+          case PathRef(_) if toDs.pathFormat != "parquet" =>
+            throw new JobConfigException(
+              s"update/upsert requires a parquet path target, not ${toDs.pathFormat}")
+          case _ => ()
+        }
         val exists = targetRef match {
           case TableRef(t) => spark.catalog.tableExists(t)
           case PathRef(p) =>

@@ -74,4 +74,28 @@ class FileFormatSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("parquet path target"))
   }
+
+  test("csv merge target rejected at PLAN time, before the target pre-sql hook runs") {
+    val out = tmpDir("csv_merge_plan")
+    Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("__csv_merge_src")
+    Writes.overwrite(spark.table("__csv_merge_src"), PathRef(out), DataSource("csv"))
+    sql("DROP TABLE IF EXISTS csv_merge_canary")
+    val e = intercept[JobConfigException] {
+      EtlJob.fromYaml(
+        s"""version: 0
+           |source:
+           |  query: SELECT * FROM __csv_merge_src
+           |target:
+           |  datasource: csv
+           |  path: $out
+           |  operation: update
+           |  primary_key_column: k
+           |  update_column: v
+           |  pre_sql: CREATE TABLE csv_merge_canary (x INT) USING parquet
+           |""".stripMargin).run()
+    }
+    assert(e.getMessage.contains("parquet path target"))
+    assert(!spark.catalog.tableExists("csv_merge_canary"),
+      "validation must fire before the target pre-sql side effect")
+  }
 }
