@@ -837,6 +837,24 @@ object SparkEntry {
       kept.orderBy("doc_id")
     }),
 
+    // PII redaction over text with PLANTED synthetic PII (the fixture
+    // texts carry none, so the query derives an email + IPv4 per doc
+    // from doc_id — deterministic, so DuckDB rebuilds the same input and
+    // verifies the exact redacted output and audit counts; the regex
+    // patterns are Java/RE2-portable by construction).
+    "pii_redaction" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          substring(col("text"), 1, 40),
+          lit(" mail user"), col("doc_id").cast("string"), lit("@example.com "),
+          lit("ip 10."), pmod(col("doc_id"), lit(250)).cast("string"),
+          lit(".0."), pmod(col("doc_id"), lit(100)).cast("string"),
+          lit(" done")).as("text"))
+      TextAnalysis.redactPii(planted, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("text_redacted"))
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------------- sampling / packing / contam
     // Deterministic hash sampling: rebalance a corpus (keep 25% of the
     // dominant language, 60% of the rest) with NO shuffle — the filter is
@@ -1420,6 +1438,21 @@ object SparkEntry {
          |            WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split,
          |  lang, count(*) AS n
          |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "pii_redaction" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 40) || ' mail user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com ' || 'ip 10.' || CAST(doc_id % 250 AS VARCHAR)
+         |      || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' done' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Pattern}')) AS INT) AS n_ips,
+         |  regexp_replace(
+         |    regexp_replace(text, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g') AS text_redacted
+         |FROM planted ORDER BY doc_id""".stripMargin,
 
     "mixture_plan" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),

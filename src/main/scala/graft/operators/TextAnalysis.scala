@@ -28,6 +28,35 @@ object TextAnalysis {
     df.withColumn("__norm", normalizeText(col(textCol)))
       .withColumn("__toks", tokensFromNorm(col("__norm")))
 
+  // ---------------------------------------------------------- PII redaction
+
+  /** Email-address pattern. Deliberately restricted to syntax that means
+    * the same thing in Java regex (Spark) and RE2 (DuckDB, used by the
+    * oracle): character classes, +, bounded repetition — no backrefs, no
+    * lookaround. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (syntactic — matches 999.0.0.1 too; redaction wants
+    * recall over pedantry). */
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails and IPv4 addresses from `textCol`: adds
+    * `<textCol>_redacted` plus per-row match counts (`n_emails`,
+    * `n_ips`) so a pipeline can both clean and AUDIT — the counts are
+    * what you monitor at 100 TB, the redacted text is what you keep.
+    * Two regex passes per row in one codegen-able projection; no
+    * shuffle. Patterns are Java/RE2-portable so a SQL engine can verify
+    * the exact redacted output (the driver oracle does). */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val emailed = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    df.withColumn("n_emails",
+        coalesce(size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))), lit(0)))
+      .withColumn("n_ips",
+        coalesce(size(regexp_extract_all(col(textCol), lit(Ipv4Pattern), lit(0))), lit(0)))
+      .withColumn(s"${textCol}_redacted",
+        regexp_replace(emailed, Ipv4Pattern, "<IP>"))
+  }
+
   /** Projection adding the per-document metric columns (one expensive
     * expression each): `__ntok`, `__zh`, `__hits_{en,de,fr,es}`,
     * `__punct`, `__stop_ratio`, `__mtl`. Input must have __norm/__toks. */

@@ -158,4 +158,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(streamSet.nonEmpty, "streaming emitted no closed sessions")
     assert(streamSet.subsetOf(batchSet), "streaming sessions diverge from batch")
   }
+
+  test("redactPii replaces emails and IPv4 and counts matches") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to alice.smith+x@sub.example.org or 192.168.0.1 today"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.io and ips 10.0.0.1 8.8.8.8")).toDF("id", "text")
+    val out = graft.operators.TextAnalysis.redactPii(df, "text")
+      .select("id", "n_emails", "n_ips", "text_redacted")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1, 1, "write to <EMAIL> or <IP> today")))
+    assert(out(2L) == ((0, 0, "no pii here at all")))
+    assert(out(3L) == ((2, 2, "two mails <EMAIL> <EMAIL> and ips <IP> <IP>")))
+  }
 }
