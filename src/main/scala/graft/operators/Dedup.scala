@@ -299,9 +299,18 @@ object Dedup {
       iters: Int = 2,
       seed: Long = 42L,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val pairs = Similarity.cellBlockedCosinePairs(
+    // Pairs from the bounded blocking, PLUS the linear representative
+    // pass over cells the blocking had to drop (a coherent over-cap
+    // cluster): members within threshold of their cell's min-id
+    // representative are dropped too — SemDeDup's own centroid-proxy,
+    // one cosine per member. Without this, the giant boilerplate
+    // clusters a 10⁸-vector corpus actually contains would be the ONE
+    // thing semantic dedup silently skipped.
+    val (pairs, droppedLosers) = Similarity.cellPairsWithDroppedLosers(
       df, vecCol, idCol, threshold, nlist, probeCells, iters, seed, maxBucket)
-    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    val losers = pairs.select(col("id_b").as(idCol))
+      .unionByName(droppedLosers.withColumnRenamed("__id", idCol))
+      .distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 

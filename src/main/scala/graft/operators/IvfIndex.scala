@@ -349,6 +349,31 @@ object IvfIndex {
       maxBucket: Int,
       totalCount: Long,
       mergeThreshold: Double): DataFrame = {
+    val (cells, dropped) = boundedCellsWithDropped(base, nlist, probeCells,
+      iters, seed, maxBucket, totalCount, mergeThreshold)
+    dropped.unpersist()
+    cells
+  }
+
+  /** [[boundedCells]] variant that ALSO returns the `(__id, __cell)`
+    * memberships of cells that had to be dropped (still over cap after
+    * the no-progress/max-depth guard — one coherent cluster at the merge
+    * threshold that cannot shrink without separating would-be pairs).
+    * Pair enumeration over such a cell is quadratic by definition, but a
+    * LINEAR per-cell pass (e.g. compare members against a representative
+    * — what [[graft.operators.Dedup.semanticDedup]] does) is still
+    * possible, and at 10⁸-scale those giant boilerplate clusters are
+    * precisely the content most worth deduping. Both returned frames are
+    * persisted+materialized; caller unpersists both. */
+  private[graft] def boundedCellsWithDropped(
+      base: DataFrame,
+      nlist: Int,
+      probeCells: Int,
+      iters: Int,
+      seed: Long,
+      maxBucket: Int,
+      totalCount: Long,
+      mergeThreshold: Double): (DataFrame, DataFrame) = {
     val centroids = train(base, "__vec", "__id", nlist, iters, seed, totalCount)
     val probe = math.min(probeCells, math.max(1, centroids.size))
     var pending = base
@@ -363,6 +388,7 @@ object IvfIndex {
     // per level even while every cell shrinks ×probe/fanout.)
     var prevWorst = Long.MaxValue
     var exhausted = false
+    var droppedMembers: Option[DataFrame] = None
     while (!exhausted) {
       val counts = pending.groupBy("__cell").count()
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -379,9 +405,14 @@ object IvfIndex {
         exhausted = true
       } else if (depth >= MaxSplitDepth || worst >= prevWorst) {
         log.warn(
-          s"boundedCells: dropping $nOver unsplittable cell(s) / $overRows member rows " +
-            s"still over cap $maxBucket at depth $depth — near-identical content; " +
-            "run exact dedup first to recover these pairs")
+          s"boundedCells: $nOver cell(s) / $overRows member rows still over cap " +
+            s"$maxBucket at depth $depth cannot shrink further (coherent cluster at " +
+            "the merge threshold) — excluded from PAIR enumeration; callers with a " +
+            "linear per-cell strategy receive them via boundedCellsWithDropped")
+        val d = pending.join(over, Seq("__cell"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        d.count() // materialize before the per-level caches are released
+        droppedMembers = Some(d)
         exhausted = true
       } else {
         prevWorst = worst
@@ -401,7 +432,7 @@ object IvfIndex {
     val result = done.reduce(_ unionByName _).persist(StorageLevel.MEMORY_AND_DISK)
     result.count() // materialize, then release every per-level cache
     levels.foreach(_.unpersist())
-    result
+    (result, droppedMembers.getOrElse(pending.limit(0)))
   }
 
   /** Farthest-first (k-center) seeding PER parent cell, distributed:

@@ -206,10 +206,36 @@ object Similarity {
       probeCells: Int = 2,
       iters: Int = 2,
       seed: Long = 42L,
-      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    cellPairsWithDroppedLosers(df, vecCol, idCol, threshold, nlist,
+      probeCells, iters, seed, maxBucket)._1
+
+  /** [[cellBlockedCosinePairs]] plus the LINEAR fallback for cells the
+    * bounded blocking had to drop (a coherent over-cap cluster at the
+    * threshold — unenumerable as pairs by definition): members of each
+    * dropped cell are compared against that cell's min-id REPRESENTATIVE
+    * only — one cosine per member, the SemDeDup centroid-proxy move —
+    * and those within threshold of the representative come back as
+    * `__id` "losers" (the representative itself never does). Dedup
+    * callers union these with the pair-derived losers, so giant
+    * boilerplate clusters still dedup at 10⁸ scale instead of silently
+    * surviving. Pair-surface callers ignore the second frame. Returns
+    * (pairs, droppedLosers); pairs is persisted (caller may unpersist),
+    * droppedLosers is small and lazy. */
+  private[graft] def cellPairsWithDroppedLosers(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      nlist: Int = 0,
+      probeCells: Int = 2,
+      iters: Int = 2,
+      seed: Long = 42L,
+      maxBucket: Int = Dedup.DefaultMaxBucket): (DataFrame, DataFrame) = {
     GraftFunctions.register(df.sparkSession)
     val base = normedBase(df, vecCol, idCol).persist(StorageLevel.MEMORY_AND_DISK)
     val n = base.count()
+    var droppedLosers = base.select("__id").limit(0)
     val result =
       if (n <= math.min(maxBucket, SmallNAllPairs)) {
         // Small-n fast path. The candidate bound is the same as one full
@@ -230,8 +256,21 @@ object Similarity {
           .persist(StorageLevel.MEMORY_AND_DISK)
       } else {
         val nl = if (nlist > 0) nlist else IvfIndex.autoNlist(n)
-        val cells = IvfIndex.boundedCells(base, nl, probeCells, iters, seed, maxBucket, n,
-          mergeThreshold = threshold)
+        val (cells, dropped) = IvfIndex.boundedCellsWithDropped(base, nl, probeCells,
+          iters, seed, maxBucket, n, mergeThreshold = threshold)
+        // Linear representative pass over dropped cells: O(members)
+        // cosines, never O(members²).
+        val reps = dropped.groupBy("__cell").agg(min(col("__id")).as("__rep"))
+        droppedLosers = dropped.join(reps, "__cell")
+          .filter(col("__id") =!= col("__rep"))
+          .join(base, "__id")
+          .join(base.withColumnsRenamed(
+            Map("__id" -> "__rep", "__vec" -> "__rv", "__norm" -> "__rn")), "__rep")
+          .filter(cosineCol(col("__vec"), col("__norm"), col("__rv"), col("__rn"))
+            >= threshold)
+          .select("__id").distinct()
+          .localCheckpoint() // materialize before dropped/base unpersist
+        dropped.unpersist()
         val l = cells.withColumnRenamed("__id", "id_a")
         val r = cells.withColumnRenamed("__id", "id_b")
         val out = l.join(r, Seq("__cell"))
@@ -253,7 +292,7 @@ object Similarity {
       }
     result.count() // materialize, then release the base cache
     base.unpersist()
-    result
+    (result, droppedLosers)
   }
 
   /** Small-n cutoff for the all-pairs fast path in

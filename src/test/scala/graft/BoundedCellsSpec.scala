@@ -113,6 +113,29 @@ class BoundedCellsSpec extends SparkSpec {
     assert(kept == expected, s"kept=$kept")
   }
 
+  test("semanticDedup dedups an over-cap coherent cluster via the representative pass") {
+    val rnd = new scala.util.Random(4242)
+    // one tight cluster of 60 > cap 40 (cannot shrink at threshold 0.8 —
+    // pairs are dropped) + a well-separated small cluster of 12
+    val big = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(Dim) { d =>
+        (if (d == 0) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.05f
+      })
+    }
+    val small = (0 until 12).map { i =>
+      (500L + i, Array.tabulate(Dim) { d =>
+        (if (d == 8) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.05f
+      })
+    }
+    val df = (big ++ small).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "embedding", "vec_id", 0.8,
+      nlist = 1, probeCells = 2, maxBucket = 40)
+      .select("vec_id").as[Long].collect().toSet
+    // pair enumeration over the big cluster is impossible under the cap;
+    // the linear representative pass must still collapse it to min-id 0
+    assert(kept == Set(0L, 500L), s"kept=$kept")
+  }
+
   test("autoNlist scales with corpus size and clamps") {
     assert(IvfIndex.autoNlist(100L) == 16)
     assert(IvfIndex.autoNlist(10000L) == 100)
