@@ -837,6 +837,16 @@ object SparkEntry {
       kept.orderBy("doc_id")
     }),
 
+    // Per-column data-quality profile (nulls / exact distincts / min /
+    // max, one scan + stack unpivot) over stably-formatted column types
+    // (long/string/date — cross-engine float formatting is NOT part of
+    // the contract, so the double column stays out of the driver query).
+    "table_profile" -> ((s, dir) =>
+      Profile.tableProfile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"),
+        exact = true)
+        .orderBy("column_name")),
+
     // PII redaction over text with PLANTED synthetic PII (the fixture
     // texts carry none, so the query derives an email + IPv4 per doc
     // from doc_id — deterministic, so DuckDB rebuilds the same input and
@@ -1438,6 +1448,34 @@ object SparkEntry {
          |            WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split,
          |  lang, count(*) AS n
          |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "table_profile" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*),
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*),
+        |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT o_orderdate),
+        |    CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+        |  FROM orders)
+        |SELECT * FROM p ORDER BY column_name""".stripMargin,
 
     "pii_redaction" ->
       s"""WITH planted AS (
