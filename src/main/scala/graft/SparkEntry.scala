@@ -465,13 +465,17 @@ object SparkEntry {
            |    datasource: csv
            |    path: $out
            |    metrics:
-           |      - sum_price: round(sum(o_totalprice), 2)
+           |      - sum_price: round(sum(o_totalprice * 1.0005), 2)
            |      - n: count(*)
            |""".stripMargin).run()
         // Counts and tolerance booleans only: the raw csv-side double sum
         // can differ from the parquet side in the last ULP (different
         // addition order), which the 1e-3 match tolerates but an exact
-        // hash compare of the sum would not.
+        // hash compare of the sum would not. The csv side is scaled by
+        // 1.0005 so match_sum_price=true is a REAL tolerance decision
+        // (ratio ≈ 5e-4 < 1e-3), not an equality that any comparison
+        // logic would satisfy — and the oracle recomputes the same
+        // decision from the parquet fixture.
         .select("o_orderstatus", "a_n", "b_n", "match_n", "match_sum_price")
         .orderBy("o_orderstatus")
     }),
@@ -793,7 +797,14 @@ object SparkEntry {
           .withColumn("dims", lit(d))
           .select("dims", "recall")
       }
-      rows.reduce(_ unionByName _).orderBy("dims")
+      val report = rows.reduce(_ unionByName _).orderBy("dims")
+      // Materialize the three recall rows, then release the cached exact
+      // frame — returning the lazy plan would leak the persist for the
+      // rest of the session (the cached side is consumed three times
+      // above, so the collect pays the plan exactly once).
+      val materialized = report.collect().toIndexedSeq
+      exact.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(materialized, 1), report.schema)
     }),
 
     // Quantization quality as a retrieval metric, not just per-row cosine:
@@ -1452,26 +1463,26 @@ object SparkEntry {
     "table_profile" ->
       """WITH p AS (
         |  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
-        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
         |    count(DISTINCT o_orderkey) AS n_distinct,
         |    CAST(min(o_orderkey) AS VARCHAR) AS min_value,
         |    CAST(max(o_orderkey) AS VARCHAR) AS max_value
         |  FROM orders
         |  UNION ALL
         |  SELECT 'o_custkey', count(*),
-        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    count(DISTINCT o_custkey),
         |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
         |  FROM orders
         |  UNION ALL
         |  SELECT 'o_orderstatus', count(*),
-        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    count(DISTINCT o_orderstatus),
         |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
         |  FROM orders
         |  UNION ALL
         |  SELECT 'o_orderdate', count(*),
-        |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    count(DISTINCT o_orderdate),
         |    CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
         |  FROM orders)
@@ -1636,11 +1647,22 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // The csv is a faithful extract of orders, so both recon sides are
+    // recomputed from the parquet fixture and the booleans are the SAME
+    // tolerance decisions ReconJob must make (count equality; 1.0005
+    // drift ratio vs the 1e-3 tolerance) — not literal constants.
     "recon_csv_extract" ->
-      """SELECT o_orderstatus,
-        |  count(*) AS a_n, count(*) AS b_n,
-        |  true AS match_n, true AS match_sum_price
-        |FROM orders GROUP BY o_orderstatus
+      """WITH a AS (
+        |  SELECT o_orderstatus, round(sum(o_totalprice), 2) AS s, count(*) AS n
+        |  FROM orders GROUP BY o_orderstatus),
+        |b AS (
+        |  SELECT o_orderstatus, round(sum(o_totalprice * 1.0005), 2) AS s, count(*) AS n
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT a.o_orderstatus, a.n AS a_n, b.n AS b_n,
+        |  a.n = b.n AS match_n,
+        |  CASE WHEN a.s = b.s THEN true
+        |       ELSE abs((a.s - b.s) / b.s) < 0.001 END AS match_sum_price
+        |FROM a JOIN b USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin,
 
     "recon_lineitem" ->

@@ -18,8 +18,12 @@ object Bucketing {
     * bucket shuffle) write lands in a staging table first, and only a
     * successful write displaces the existing table, via a metadata-level
     * rename. A failed or killed write therefore never destroys the table
-    * it was refreshing — the previous contents stay readable, bucketed,
-    * and joinable throughout. Any stale warehouse directory left at the
+    * it was refreshing, and the publish itself is ordered so that a crash
+    * at any point leaves a live copy of the data: the displaced table is
+    * renamed aside (not dropped) before the staged table takes its name,
+    * and is deleted only after the swap succeeds — at worst the data is
+    * briefly reachable under the aside name instead of the canonical one,
+    * never gone. Any stale warehouse directory left at the
     * target location by a previous session (a fresh catalog doesn't know
     * the table, so a rename into it would fail) is cleared only after the
     * staged write has succeeded. `table` must be an unqualified name in
@@ -46,16 +50,27 @@ object Bucketing {
         catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
         throw e
     }
-    // Staged write succeeded — publish: drop the displaced table (and any
-    // stale session-orphaned directory at its location), then rename the
-    // staging table into place. RENAME moves the managed location too, so
-    // this is metadata + one directory rename, no second data write.
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // Staged write succeeded — publish in three steps, each of which
+    // leaves a live copy of the data: (1) rename the displaced table
+    // ASIDE (metadata + dir rename, no deletion), (2) rename the staged
+    // table into place, (3) only then drop the aside. A crash between any
+    // two steps loses nothing: before (2) the previous contents are
+    // queryable under the aside name, after (2) the new contents are live
+    // under the target name and the aside is garbage to clean up — never
+    // a window with neither table. RENAME moves the managed location too,
+    // so no second data write happens.
+    val aside = s"${table}__graft_old_${java.util.UUID.randomUUID().toString.take(8)}"
+    if (spark.catalog.tableExists(table))
+      spark.sql(s"ALTER TABLE `$table` RENAME TO `$aside`")
+    // A stale directory at the target location with no catalog entry (a
+    // previous session's orphan) would make the rename-into-place fail;
+    // the staged write has already succeeded, so clearing it is safe.
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `$aside`")
   }
 
   /** Co-located equi-join of two tables bucketed on the join keys: with
