@@ -627,6 +627,22 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")),
 
+    // Transitive-closure clustering over the near-dup pairs: the pair
+    // emitters above produce EDGES; a curation run keeps one doc per
+    // connected component (A~B, B~C ⇒ one cluster of three, even with A
+    // and C not directly similar). Large-star/small-star contraction —
+    // O(log n) keyed-shuffle rounds, no driver state — labels all 500
+    // docs; DuckDB recomputes the same closure with a recursive CTE over
+    // its own all-pairs Jaccard ground truth.
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+        numHashes = 32, bands = 16, threshold = 0.6)
+      Components.clusters(docs.select("doc_id"), "doc_id", pairs)
+        .select("doc_id", "cluster", "is_canonical")
+        .orderBy("doc_id")
+    }),
+
     // The driver-facing SimHash query: runs the full simHashPairs
     // pipeline and gates its MEANING, since the exact pair values are
     // not SQL-reproducible (xxhash64): the fraction of reported pairs
@@ -1086,6 +1102,46 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Range join as a binned EQUI-join (RangeJoin.pointInInterval):
+    // orders priced into overlapping price bands — a plain non-equi join
+    // here plans a broadcast nested loop (O(n·bands) comparisons); the
+    // binning rewrite hash-joins on the bin id. Aggregates are count +
+    // min/max (order-independent, cross-engine-safe doubles).
+    "range_join_bands" -> ((s, dir) => {
+      val bands = s.range(0, 24).select(
+        col("id").as("band"),
+        (col("id") * 25000.0).as("lo"),
+        (col("id") * 25000.0 + 35000.0).as("hi"))
+      val pts = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      RangeJoin.pointInInterval(pts, "o_totalprice", bands, "lo", "hi",
+          binWidth = 25000.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("min_price"),
+          round(max("o_totalprice"), 2).as("max_price"))
+        .orderBy("band")
+    }),
+
+    // Interval-overlap flavor (RangeJoin.intervalOverlap): each order
+    // carries a [price, price+5000) interval; which bands does it
+    // touch? Exercises the first-shared-bin dedup at data volume (every
+    // pair must appear exactly once for the counts to hash-match).
+    "range_join_overlap" -> ((s, dir) => {
+      val bands = s.range(0, 24).select(
+        col("id").as("band"),
+        (col("id") * 25000.0).as("blo"),
+        (col("id") * 25000.0 + 35000.0).as("bhi"))
+      val oiv = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_totalprice").as("olo"),
+        (col("o_totalprice") + 5000.0).as("ohi"))
+      RangeJoin.intervalOverlap(oiv, "olo", "ohi", bands, "blo", "bhi",
+          binWidth = 25000.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("band")
+    }),
+
     // Recon loaded through the FILE-based factory with ${param}
     // substitution — the recon twin of etl_fromconfig_upsert.
     "recon_fromconfig" -> ((s, dir) => {
@@ -1381,6 +1437,39 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE i::double / (sa.n + sb.n - i) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Recursive-CTE transitive closure over the all-pairs Jaccard ground
+    // truth (the same edge set dedup_minhash_pairs proves Spark's LSH
+    // reproduces exactly): cluster = min reachable doc_id.
+    "dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM tok),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g FROM pos),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE i::double / (sa.n + sb.n - i) >= 0.6),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.s, e.v FROM reach r JOIN edges e ON r.t = e.u),
+        |comp AS (SELECT s AS doc_id, least(min(t), s) AS cluster FROM reach GROUP BY s)
+        |SELECT d.doc_id,
+        |  coalesce(c.cluster, d.doc_id) AS cluster,
+        |  coalesce(c.cluster, d.doc_id) = d.doc_id AS is_canonical
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_pairs" ->
       """WITH nrm AS (
@@ -1739,6 +1828,25 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "range_join_bands" ->
+      """WITH bands AS (
+        |  SELECT i AS band, i * 25000.0 AS lo, i * 25000.0 + 35000.0 AS hi
+        |  FROM generate_series(0, 23) t(i))
+        |SELECT band, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM bands JOIN orders ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "range_join_overlap" ->
+      """WITH bands AS (
+        |  SELECT i AS band, i * 25000.0 AS blo, i * 25000.0 + 35000.0 AS bhi
+        |  FROM generate_series(0, 23) t(i))
+        |SELECT band, count(*) AS n
+        |FROM bands JOIN orders
+        |  ON o_totalprice < bhi AND blo < o_totalprice + 5000.0
+        |GROUP BY band ORDER BY band""".stripMargin,
 
     "skew_join_supplier" ->
       """WITH f AS (SELECT least(l_suppkey, 10) AS k, l_quantity FROM lineitem),

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list — the
+  * missing last mile of every near-dup pipeline: pair emitters
+  * ([[Dedup.minHashLsh]], [[Dedup.ngramJaccardPairs]], [[Similarity]]
+  * cosine pairs) produce EDGES, but a curation run needs CLUSTERS (one
+  * canonical doc kept per duplicate group, where duplicate is the
+  * transitive closure of pairwise similarity — A~B, B~C ⇒ {A,B,C} is one
+  * group even when A and C are not directly similar).
+  *
+  * Algorithm: alternating large-star / small-star contraction (Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+  * MapReduce and Beyond", SoCC 2014). Each round is two keyed
+  * aggregations + joins over the edge set; the edge set converges to a
+  * union of stars centered at each component's minimum node in
+  * O(log² n) rounds (in practice 2–4 for dedup graphs, whose components
+  * are small and dense). Nothing is ever collected to the driver and no
+  * per-component state is held anywhere, so the same plan runs on 10⁹
+  * edges across 1000 executors: each round shuffles on node id exactly
+  * like a groupBy, and `localCheckpoint` caps the lineage so the
+  * iteration count never deepens the plan.
+  *
+  * Compare the naive alternatives this replaces: min-label propagation
+  * converges in O(diameter) rounds (a 10⁶-long chain needs 10⁶ rounds);
+  * driver-side union-find needs every edge on one machine.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given by `edges`.
+    * Self-loops are ignored, duplicate and reversed edges are welcome.
+    * Returns one row per distinct node appearing in `edges`:
+    * `(node, component)`, where `component` is the smallest node id
+    * reachable (node ids may be any orderable type; both endpoint
+    * columns must share it). Nodes with no edges simply don't appear —
+    * callers treat absent nodes as singleton components (see
+    * [[clusters]]). */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    // Canonical undirected form (u < v), self-loops and duplicates out.
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val allNodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct().localCheckpoint()
+
+    var round = 0
+    var converged = e.isEmpty
+    while (!converged && round < maxRounds) {
+      // Large-star: every node connects its strictly-larger neighbors to
+      // the minimum of its closed neighborhood. Operates on the
+      // symmetric (both-directions) view so each node sees its full
+      // neighborhood.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = sym.where(col("v") > col("u"))
+        .join(lsMin, "u")
+        // m ≤ u < v, so (m, v) is already canonical.
+        .select(col("m").as("u"), col("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // Small-star: every node connects its not-larger neighbors (and
+      // itself) to the minimum among them. In canonical form the
+      // not-larger neighbors of h are exactly the `u` of edges (u, h).
+      val ssMin = afterLarge.groupBy(col("v").as("h")).agg(min(col("u")).as("m"))
+      val afterSmall = afterLarge
+        .join(ssMin, afterLarge("v") === ssMin("h"))
+        .where(col("u") =!= col("m"))
+        .select(col("m").as("u"), afterLarge("u").as("v"))
+        .union(ssMin.select(col("m").as("u"), col("h").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // Fixpoint ⇔ identical canonical edge set (cheap count gate first,
+      // set difference only when counts already agree).
+      converged = afterSmall.count() == e.count() &&
+        afterSmall.exceptAll(e).isEmpty
+      e = afterSmall
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds")
+
+    // At the fixpoint the edge set is a union of stars (componentMin, x):
+    // a node's component is its minimum in-star neighbor; star centers
+    // (and would-be singletons) map to themselves.
+    val comp = e.groupBy(col("v").as("node")).agg(min(col("u")).as("component"))
+    allNodes.join(comp, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** Cluster assignment for a corpus: every row of `df` labeled with the
+    * smallest `idCol` reachable through `pairs` (its near-dup cluster
+    * representative; rows in no pair are their own singleton cluster)
+    * plus an `is_canonical` flag — `filter(col("is_canonical"))` IS
+    * transitive-closure dedup. */
+  def clusters(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, idACol, idBCol)
+      .withColumnRenamed("node", idCol)
+      .withColumnRenamed("component", "cluster")
+    df.join(cc, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("is_canonical", col("cluster") === col(idCol))
+  }
+}
