@@ -553,6 +553,17 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // BM25 relevance of every matching doc to a fixed term query — one
+    // tokenize pass, per-doc tf/dl in one keyed shuffle, corpus stats
+    // reduced to a single broadcast row; the score expression has a
+    // fixed term order so both engines add the same doubles in the same
+    // sequence (the final ln ULP is absorbed by the 4-dp round).
+    "bm25_ranking" -> ((s, dir) =>
+      Ranking.bm25(t(s, dir, "documents"), "text", "doc_id",
+        Seq("join", "vector", "merge"))
+        .withColumn("bm25", round(col("bm25"), 4))
+        .orderBy("doc_id")),
+
     // Gopher-style repetition profile (dup-line fractions + top-bigram
     // char coverage). The test corpus is single-line, so the line metrics
     // are pinned at 0 by the oracle (the spec exercises them on
@@ -718,6 +729,23 @@ object SparkEntry {
 
     // The driver-facing ANN/IVF queries: each runs the FULL approximate
     // top-k pipeline (annTopK / ivfTopK) and reports its
+    // Semantic left join (exact flavor — the verifiable contract; the
+    // ANN flavor is the same call with exact=false, recall-gated like
+    // ann_recall): every probe row keeps its identity and gains its
+    // best-match corpus row above the cosine floor, NULL when nothing
+    // clears it.
+    "semantic_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val l = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select("vec_id", "embedding")
+      val r = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+        .select("vec_id", "embedding")
+      Similarity.semanticJoin(l, r, "embedding", "vec_id", minCosine = 0.3)
+        .select(col("vec_id"), col("match_id"),
+          round(col("match_cosine"), 4).as("match_cosine"))
+        .orderBy("vec_id")
+    }),
+
     // recall@5 of the approximate ANN paths, measured against the exact
     // brute-force top-5 INSIDE Spark (left join on (query, neighbor)).
     // The oracle pins a quality floor: DuckDB computes the exact side's
@@ -873,6 +901,15 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"),
         exact = true)
         .orderBy("column_name")),
+
+    // Quantile profile: discrete percentiles are actual data values, so
+    // both engines report bit-identical doubles (interpolated/approx
+    // quantiles would differ in the last ULP or by sketch design).
+    "numeric_profile" -> ((s, dir) =>
+      Profile.quantileProfile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("column_name", "quantile")),
 
     // PII redaction over text with PLANTED synthetic PII (the fixture
     // texts carry none, so the query derives an email + IPv4 per doc
@@ -1142,6 +1179,30 @@ object SparkEntry {
         .orderBy("band")
     }),
 
+    // Z-order (Morton-curve) layout at data volume: events clustered on
+    // (user_id, value), then scanned with a predicate on BOTH layout
+    // dims — per-file min/max stay narrow on each dim, so a pruning scan
+    // touches ~sqrt of the files where a single-column sort touches all
+    // (LayoutSpec measures that ratio; here the oracle proves the layout
+    // changed bytes, never rows).
+    "zorder_scan" -> ((s, dir) => {
+      val p = s"/tmp/graft_layout/events_${etlSuffix(dir)}"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.sources.Layout.zorderWrite(
+        t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+        Seq("user_id", "value"), p, numFiles = 8)
+      s.read.parquet(p)
+        .where(col("user_id").between(30, 80) &&
+          col("value") >= 50.0 && col("value") < 200.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(min("value"), 4).as("min_value"),
+          round(max("value"), 4).as("max_value"))
+        .orderBy("event_type")
+    }),
+
     // Recon loaded through the FILE-based factory with ${param}
     // substitution — the recon twin of etl_fromconfig_upsert.
     "recon_fromconfig" -> ((s, dir) => {
@@ -1202,6 +1263,16 @@ object SparkEntry {
 
     "events_sessions" -> ((s, dir) =>
       EventWindows.sessions(t(s, dir, "events"), "ts", "5 minutes")
+        .orderBy("user_id", "session_start")),
+
+    // Streaming parity for gap-sessionization: the SAME session_window
+    // aggregation drained through Structured Streaming to completion
+    // (AvailableNow, complete mode) and oracled with the batch query's
+    // SQL — session state lives in the state store, eviction driven by
+    // the watermark.
+    "events_sessions_streaming" -> ((s, dir) =>
+      EventWindows.sessionsAvailableNow(s, s"$dir/events.parquet", "ts",
+        "5 minutes", "30 minutes")
         .orderBy("user_id", "session_start")),
 
     "events_json_stats" -> ((s, dir) =>
@@ -1577,6 +1648,22 @@ object SparkEntry {
         |  FROM orders)
         |SELECT * FROM p ORDER BY column_name""".stripMargin,
 
+    "numeric_profile" ->
+      """WITH probs(i, q) AS (
+        |  VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 0.9), (5, 0.99)),
+        |a AS (SELECT
+        |  quantile_disc(l_quantity, [0.25, 0.5, 0.75, 0.9, 0.99]) AS vq,
+        |  quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.9, 0.99]) AS ve,
+        |  quantile_disc(l_discount, [0.25, 0.5, 0.75, 0.9, 0.99]) AS vd
+        |  FROM lineitem)
+        |SELECT column_name, CAST(q AS DOUBLE) AS quantile, value FROM (
+        |  SELECT 'l_quantity' AS column_name, q, CAST(vq[i] AS DOUBLE) AS value FROM probs, a
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', q, CAST(ve[i] AS DOUBLE) FROM probs, a
+        |  UNION ALL
+        |  SELECT 'l_discount', q, CAST(vd[i] AS DOUBLE) FROM probs, a)
+        |ORDER BY column_name, quantile""".stripMargin,
+
     "pii_redaction" ->
       s"""WITH planted AS (
          |  SELECT doc_id,
@@ -1654,6 +1741,23 @@ object SparkEntry {
          |  CAST(max(shared_ngrams) AS BIGINT) AS max_shared_ngrams,
          |  CAST(sum(shared_ngrams) AS BIGINT) AS total_shared_ngrams
          |FROM pairs GROUP BY bench_id ORDER BY bench_id""".stripMargin,
+
+    "semantic_join" ->
+      """WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+        |scored AS (
+        |  SELECT l.vec_id AS vec_id, r.vec_id AS match_id,
+        |    list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS cos_raw
+        |  FROM l CROSS JOIN r),
+        |best AS (
+        |  SELECT vec_id, match_id, cos_raw,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_raw DESC, match_id ASC) AS rk
+        |  FROM scored)
+        |SELECT l.vec_id, b.match_id, round(b.cos_raw, 4) AS match_cosine
+        |FROM l LEFT JOIN (
+        |  SELECT * FROM best WHERE rk = 1 AND cos_raw >= 0.3) b USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
 
     "ann_recall" ->
       """SELECT true AS recall_ok,
@@ -1839,6 +1943,15 @@ object SparkEntry {
         |FROM bands JOIN orders ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
 
+    "zorder_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(min(value), 4) AS min_value,
+        |  round(max(value), 4) AS max_value
+        |FROM events
+        |WHERE user_id BETWEEN 30 AND 80 AND value >= 50.0 AND value < 200.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "range_join_overlap" ->
       """WITH bands AS (
         |  SELECT i AS band, i * 25000.0 AS blo, i * 25000.0 + 35000.0 AS bhi
@@ -1905,6 +2018,38 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token ASC
         |LIMIT 20""".stripMargin,
+
+    "bm25_ranking" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+        |  FROM documents
+        |  WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''),
+        |per AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |    sum(CASE WHEN t = 'join' THEN 1 ELSE 0 END) AS tf0,
+        |    sum(CASE WHEN t = 'vector' THEN 1 ELSE 0 END) AS tf1,
+        |    sum(CASE WHEN t = 'merge' THEN 1 ELSE 0 END) AS tf2
+        |  FROM tok GROUP BY doc_id),
+        |g AS (
+        |  SELECT count(*) AS nd, sum(dl) AS sdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM per)
+        |SELECT doc_id, round(
+        |    ln((nd - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf0 AS DOUBLE) * 2.2)
+        |      / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / nd)))
+        |  + ln((nd - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf1 AS DOUBLE) * 2.2)
+        |      / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / nd)))
+        |  + ln((nd - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf2 AS DOUBLE) * 2.2)
+        |      / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / nd)))
+        |  , 4) AS bm25
+        |FROM per, g
+        |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "repetition_profile" ->
       """WITH rawlines AS (
@@ -2151,6 +2296,25 @@ object SparkEntry {
     // event is >= 5 minutes (Spark merges only strictly-overlapping
     // [ts, ts+gap) intervals); session_end = last ts + gap.
     "events_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              < INTERVAL '5 minutes' THEN 0 ELSE 1 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) AS TIMESTAMP) + INTERVAL '5 minutes' AS session_end,
+        |  user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // Identical oracle to events_sessions — that equality IS the parity
+    // claim for the streaming path.
+    "events_sessions_streaming" ->
       """WITH e AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)

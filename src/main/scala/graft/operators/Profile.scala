@@ -47,4 +47,93 @@ object Profile {
         s"stack(${cols.size}, $stackArgs) AS " +
           "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"))
   }
+
+  /** Per-column quantile profile over NUMERIC columns: discrete
+    * percentiles (`percentile_disc` semantics — the value at 1-based
+    * sorted position max(1, ceil(p·n)), nulls ignored). Each reported
+    * value is an actual data value, which makes the profile
+    * engine-portable: two engines agreeing on the sorted order report
+    * bit-identical doubles, where interpolated or approximate quantiles
+    * differ in the last ULP or by sketch design.
+    *
+    * NOT implemented with the `percentile_disc` aggregate: that is a
+    * buffering `TypedImperativeAggregate` whose merge concatenates every
+    * value of the column onto a single node — at 10⁸+ rows it's an OOM,
+    * and at sf0.1 it already measured 10 s for three columns. Instead,
+    * exact DISTRIBUTED rank selection per column:
+    *   1. range-repartition the non-null values (partition i holds a
+    *      contiguous, ordered slice of the domain);
+    *   2. per-partition counts → cumulative offsets (P longs to the
+    *      driver, nothing else leaves the executors);
+    *   3. each target global rank resolves to (partition, local rank);
+    *   4. `row_number` within each partition + a broadcast join on
+    *      (partition, local rank) picks the values.
+    * Memory per task is one partition's slice (spills if needed); every
+    * stage is a keyed shuffle or broadcast — the same plan works when
+    * the column is 10 TB. `approx_percentile` (mergeable GK sketch)
+    * remains the cheaper one-pass alternative where a toleranced answer
+    * is acceptable (ProfileSpec shows the gating pattern). */
+  def quantileProfile(
+      df: DataFrame,
+      cols: Seq[String],
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    require(cols.nonEmpty, "profile requires at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probabilities must be in [0,1]: $probs")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+
+    val perCol = cols.map { c =>
+      val vals = df.select(col(c).cast("double").as("__v"))
+        .where(col("__v").isNotNull)
+      val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val ranged = vals.repartitionByRange(nParts, col("__v"))
+        .withColumn("__pid", spark_partition_id())
+        .persist()
+      try {
+        val counts = ranged.groupBy("__pid").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        val n = counts.map(_._2).sum
+        if (n == 0L) {
+          probs.map(p => (c, p, Option.empty[Double]))
+        } else {
+          // Range partition i holds a lower slice than i+1, so global
+          // rank r lives in the first partition whose cumulative count
+          // reaches r.
+          val offsets = counts.scanLeft(0L)(_ + _._2).init
+          val targets = probs.map { p =>
+            val r = math.max(1L, math.ceil(p * n).toLong)
+            val idx = counts.indices.find(i => offsets(i) + counts(i)._2 >= r).get
+            (counts(idx)._1, r - offsets(idx), p)
+          }
+          val targetDf = spark.createDataFrame(targets)
+            .toDF("__pid", "__local", "__prob")
+          val ranked = ranged.withColumn("__rn",
+            row_number().over(Window.partitionBy("__pid").orderBy("__v")))
+          ranked
+            .join(broadcast(targetDf),
+              ranked("__pid") === targetDf("__pid") &&
+                col("__rn") === col("__local"))
+            .select(col("__prob"), col("__v"))
+            .collect()
+            .map(r => (c, r.getDouble(0), Some(r.getDouble(1))))
+            .toSeq
+        }
+      } finally ranged.unpersist()
+    }
+    val rows = perCol.flatten.map { case (c, p, v) =>
+      (c, p, v.map(java.lang.Double.valueOf).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("column_name",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("quantile",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
 }

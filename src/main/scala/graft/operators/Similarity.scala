@@ -100,6 +100,38 @@ object Similarity {
     topK(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Semantic (nearest-neighbor) LEFT join: every row of `left` keeps
+    * its columns and gains `match_id`/`match_cosine` — the id of the
+    * single most-similar `right` row by embedding cosine (tie-break:
+    * higher cosine, then lower id) when that best match clears
+    * `minCosine`; NULLs otherwise. A LEFT join because the curation uses
+    * ("attach the nearest reference doc / cluster exemplar / labeled
+    * example") must not silently drop unmatched rows.
+    *
+    * `exact = true` scores all |left|·|right| pairs with the left side
+    * broadcast — the verifiable contract, right-sized when the probe
+    * side fits a broadcast. `exact = false` goes through the
+    * hyperplane-LSH candidate stage (bucket equi-join, no cross
+    * product) — the 100 TB path; gate its recall against the exact
+    * contract the way `ann_recall` does. */
+  def semanticJoin(
+      left: DataFrame,
+      right: DataFrame,
+      vecCol: String,
+      idCol: String,
+      minCosine: Double,
+      exact: Boolean = true,
+      tables: Int = 16,
+      planesPerTable: Int = 6): DataFrame = {
+    val top =
+      (if (exact) bruteForceTopK(right, left, vecCol, idCol, k = 1)
+       else annTopK(right, left, vecCol, idCol, k = 1, tables, planesPerTable))
+        .where(col("cosine") >= minCosine)
+        .select(col("query_id").as(idCol), col("neighbor_id").as("match_id"),
+          col("cosine").as("match_cosine"))
+    left.join(top, Seq(idCol), "left")
+  }
+
   /** Shared LSH stage: bucket = integer of hyperplane sign bits, one
     * (table, bucket) row per LSH table. Hyperplane weights are seeded
     * pseudo-random literals — identical across invocations, so corpus and

@@ -94,6 +94,26 @@ object EventWindows {
     spark.table(sink)
   }
 
+  /** Gap-sessionization through Structured Streaming to COMPLETION —
+    * the session twin of [[tumblingAvailableNow]]: file source →
+    * watermarked `session_window` agg → memory sink, complete mode so
+    * every closed-or-open session is emitted when the finite source
+    * drains, giving exact batch parity the driver oracle can assert
+    * with the batch query's SQL. */
+  def sessionsAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      tsCol: String,
+      gap: String,
+      watermark: String): DataFrame = {
+    val sink = s"graft_stream_sessions_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = startToMemory(spark, sourceDir, tsCol, sink,
+      s => sessions(s.withWatermark(tsCol, watermark), tsCol, gap),
+      outputMode = "complete", availableNow = true)
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   private def startToMemory(
       spark: SparkSession,
       sourceDir: String,

@@ -40,6 +40,17 @@ class EventWindowsLateDataSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("availableNow streaming sessionization equals the batch session windows exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = EventWindows.sessions(Tables.load(spark, sf, "events"), "ts", "5 minutes")
+      .collect().map(_.toSeq).toSet
+    val streamed = EventWindows.sessionsAvailableNow(
+      spark, s"$sf/events.parquet", "ts", "5 minutes", "30 minutes")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, "streaming sessionization must equal batch")
+    assert(batch.nonEmpty)
+  }
+
   test("late data into a closed window is dropped; into an open window is counted; windows finalize once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]

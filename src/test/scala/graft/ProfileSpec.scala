@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Profile
+import org.apache.spark.sql.functions.expr
 
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
@@ -25,5 +26,41 @@ class ProfileSpec extends SparkSpec {
     val dist = p.getLong(3)
     assert(math.abs(dist - 10000L) < 600, s"approx distinct too far off: $dist")
     intercept[IllegalArgumentException](Profile.tableProfile(df, Seq("nope")))
+  }
+
+  test("quantileProfile: SQL-standard discrete percentiles (actual data values)") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val q = Profile.quantileProfile(df, Seq("x"), Seq(0.25, 0.5, 0.75, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // percentile_disc: smallest value whose cume_dist >= p.
+    assert(q == Map(0.25 -> 1.0, 0.5 -> 2.0, 0.75 -> 3.0, 1.0 -> 4.0))
+  }
+
+  test("quantileProfile: multi-column, nulls ignored, approx within tolerance of exact") {
+    val rnd = new scala.util.Random(13)
+    val df = Seq.tabulate(4000)(i =>
+      (rnd.nextDouble() * 100, if (i % 7 == 0) None else Some(rnd.nextGaussian() * 10)))
+      .toDF("u", "g")
+    val q = Profile.quantileProfile(df, Seq("u", "g"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(q("u") - 50.0) < 5.0 && math.abs(q("g")) < 1.5)
+    // The documented 100 TB pattern: approx_percentile gated against the
+    // exact contract within its accuracy budget.
+    val approx = df.agg(expr("approx_percentile(u, 0.5, 1000)")).head.getDouble(0)
+    assert(math.abs(approx - q("u")) < 1.0, s"approx $approx vs exact ${q("u")}")
+  }
+
+  test("distributed rank selection ≡ percentile_disc aggregate (duplicate-heavy)") {
+    val rnd = new scala.util.Random(97)
+    // Coarse values force duplicates across range-partition boundaries.
+    val df = Seq.fill(5000)(rnd.nextInt(40).toDouble).toDF("x")
+    val probs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val got = Profile.quantileProfile(df, Seq("x"), probs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val want = probs.map { p =>
+      p -> df.agg(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY x)"))
+        .head.getDouble(0)
+    }.toMap
+    assert(got == want, s"got $got want $want")
   }
 }
