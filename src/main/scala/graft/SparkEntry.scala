@@ -553,6 +553,13 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // Vocabulary coverage: top-500 corpus vocabulary (count desc, token
+    // asc — deterministic), per-language token totals + OOV rate. The
+    // tokenizer-prep "how big a vocab do we need" question in one pass.
+    "vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text", "lang", 500)
+        .orderBy("lang")),
+
     // BM25 relevance of every matching doc to a fixed term query — one
     // tokenize pass, per-doc tf/dl in one keyed shuffle, corpus stats
     // reduced to a single broadcast row; the score expression has a
@@ -910,6 +917,15 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount"),
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
         .orderBy("column_name", "quantile")),
+
+    // Fixed-width histogram with width_bucket under/overflow semantics
+    // and empty bins materialized (26 rows always: data-independent
+    // shape, diffable across snapshots). w = 25000 exactly, so the edge
+    // arithmetic is bit-identical cross-engine.
+    "histogram_price" -> ((s, dir) =>
+      Profile.histogram(t(s, dir, "orders"), "o_totalprice",
+        lo = 0.0, hi = 600000.0, nBins = 24)
+        .orderBy("bin")),
 
     // PII redaction over text with PLANTED synthetic PII (the fixture
     // texts carry none, so the query derives an email + IPv4 per doc
@@ -1647,6 +1663,38 @@ object SparkEntry {
         |    CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
         |  FROM orders)
         |SELECT * FROM p ORDER BY column_name""".stripMargin,
+
+    "histogram_price" ->
+      """WITH b AS (SELECT unnest(generate_series(0, 25)) AS bin),
+        |c AS (
+        |  SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+        |              WHEN o_totalprice >= 600000.0 THEN 25
+        |              ELSE CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT) + 1
+        |         END AS bin, count(*) AS n
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1)
+        |SELECT b.bin,
+        |  (b.bin - 1) * CAST(25000.0 AS DOUBLE) AS lo_edge,
+        |  b.bin * CAST(25000.0 AS DOUBLE) AS hi_edge,
+        |  coalesce(c.n, 0) AS n
+        |FROM b LEFT JOIN c USING (bin)
+        |ORDER BY bin""".stripMargin,
+
+    "vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+        |  FROM documents
+        |  WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''),
+        |vocab AS (
+        |  SELECT t FROM (
+        |    SELECT t, count(*) AS n FROM tok GROUP BY t
+        |    ORDER BY n DESC, t ASC LIMIT 500)),
+        |j AS (
+        |  SELECT lang, CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok LEFT JOIN vocab v USING (t))
+        |SELECT lang, count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     "numeric_profile" ->
       """WITH probs(i, q) AS (

@@ -48,6 +48,38 @@ object Profile {
           "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"))
   }
 
+  /** Fixed-width histogram of a numeric column over [lo, hi): bins
+    * 1..nBins, with underflow in bin 0 and overflow in bin nBins+1
+    * (`width_bucket` semantics), EMPTY BINS INCLUDED — a profile whose
+    * shape doesn't depend on the data is joinable/diffable across
+    * snapshots, which is the point of profiling. One scan + one tiny
+    * keyed aggregate; the bin frame is a generated `spark.range`, so the
+    * output is exactly nBins+2 rows no matter the data. Nulls are
+    * ignored. */
+  def histogram(
+      df: DataFrame,
+      c: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int): DataFrame = {
+    require(df.columns.contains(c), s"no such column: $c")
+    require(nBins > 0 && hi > lo, s"need nBins>0 and hi>lo, got $nBins, [$lo, $hi)")
+    val spark = df.sparkSession
+    val w = (hi - lo) / nBins
+    val x = col(c).cast("double")
+    val bin = when(x < lo, lit(0L))
+      .when(x >= hi, lit(nBins + 1L))
+      .otherwise(floor((x - lo) / w).cast("long") + 1L)
+    val counts = df.where(x.isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+    spark.range(0, nBins + 2).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(lo) + (col("bin") - 1L) * w).as("lo_edge"),
+        (lit(lo) + col("bin") * w).as("hi_edge"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Per-column quantile profile over NUMERIC columns: discrete
     * percentiles (`percentile_disc` semantics — the value at 1-based
     * sorted position max(1, ceil(p·n)), nulls ignored). Each reported

@@ -266,4 +266,33 @@ object TextAnalysis {
       .filter(qualityCol >= minQuality)
       .drop(metricCols: _*)
   }
+
+  /** Vocabulary coverage: build the top-`vocabSize` token vocabulary by
+    * corpus frequency (ties broken by token, ascending — deterministic
+    * and engine-portable), then report per-group token totals,
+    * out-of-vocabulary occurrences, and the OOV rate. The tokenizer-prep
+    * question every pipeline asks ("how big a vocab until OOV is
+    * negligible per language?") as one pass over the corpus:
+    * tokenize-once explode, a keyed count for the vocab, and a broadcast
+    * anti-lookup for the coverage — the corpus never moves twice. */
+  def vocabCoverage(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val toks = withNormToks(df, textCol)
+      .select(col(groupCol), explode(col("__toks")).as("__t"))
+    val vocab = toks.groupBy("__t").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__t").asc)
+      .limit(vocabSize)
+      .select(col("__t"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("__t"), "left")
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
 }

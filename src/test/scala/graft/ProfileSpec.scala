@@ -50,6 +50,21 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(approx - q("u")) < 1.0, s"approx $approx vs exact ${q("u")}")
   }
 
+  test("histogram: width_bucket semantics, empty bins materialized, nulls ignored") {
+    val df = Seq[java.lang.Double](-5.0, 0.0, 0.5, 9.999, 10.0, 25.0, 99.9, 100.0, 140.0, null)
+      .toDF("x")
+    val h = Profile.histogram(df, "x", lo = 0.0, hi = 100.0, nBins = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(h.size == 12, "nBins+2 rows always")
+    assert(h(0L)._3 == 1)                         // underflow: -5.0
+    assert(h(1L) == ((0.0, 10.0, 3L)))            // 0.0, 0.5, 9.999
+    assert(h(2L)._3 == 1)                         // 10.0 (left-closed)
+    assert(h(3L)._3 == 1 && h(10L)._3 == 1)       // 25.0; 99.9
+    assert(h(11L)._3 == 2)                        // overflow: 100.0, 140.0
+    assert(h(5L)._3 == 0, "empty bins present with n=0")
+    intercept[IllegalArgumentException](Profile.histogram(df, "x", 5.0, 5.0, 10))
+  }
+
   test("distributed rank selection ≡ percentile_disc aggregate (duplicate-heavy)") {
     val rnd = new scala.util.Random(97)
     // Coarse values force duplicates across range-partition boundaries.

@@ -172,4 +172,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((0, 0, "no pii here at all")))
     assert(out(3L) == ((2, 2, "two mails <EMAIL> <EMAIL> and ips <IP> <IP>")))
   }
+
+  test("vocabCoverage: top-k vocab with deterministic ties, per-group OOV rate") {
+    val docs = Seq(
+      ("en", "aa aa aa bb bb cc"),
+      ("en", "aa bb zz"),
+      ("de", "aa qq rr")).toDF("lang", "text")
+    // Corpus counts: aa=5 bb=3 cc=1 zz=1 qq=1 rr=1 — vocabSize=2 keeps
+    // {aa, bb}; ties at 1 are never reached. OOV: en has cc+zz (2 of 9),
+    // de has qq+rr (2 of 3).
+    val out = TextAnalysis.vocabCoverage(docs, "text", "lang", vocabSize = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("en") == ((9L, 2L, 0.222222)))
+    assert(out("de") == ((3L, 2L, 0.666667)))
+    // tie-break determinism: vocabSize=3 must pick cc (count 1, smallest
+    // token among the five count-1 candidates is "cc").
+    val out3 = TextAnalysis.vocabCoverage(docs, "text", "lang", vocabSize = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out3("en") == 1L && out3("de") == 2L)
+  }
 }
