@@ -918,6 +918,17 @@ object SparkEntry {
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
         .orderBy("column_name", "quantile")),
 
+    // Exact join-cardinality profile — the pre-flight check before a
+    // 100 TB join: predicted output rows (Σ nl·nr over shared keys),
+    // per-side max key multiplicity (the SkewJoin decision inputs), and
+    // the heaviest single key's contribution. Counts only shuffle; data
+    // rows never move.
+    "join_cardinality" -> ((s, dir) =>
+      Profile.joinCardinality(
+        t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "k"),
+        t(s, dir, "orders").withColumnRenamed("o_orderkey", "k"),
+        Seq("k"))),
+
     // Fixed-width histogram with width_bucket under/overflow semantics
     // and empty bins materialized (26 rows always: data-independent
     // shape, diffable across snapshots). w = 25000 exactly, so the edge
@@ -1663,6 +1674,17 @@ object SparkEntry {
         |    CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
         |  FROM orders)
         |SELECT * FROM p ORDER BY column_name""".stripMargin,
+
+    "join_cardinality" ->
+      """WITH lc AS (SELECT l_orderkey AS k, count(*) AS nl FROM lineitem GROUP BY 1),
+        |rc AS (SELECT o_orderkey AS k, count(*) AS nr FROM orders GROUP BY 1),
+        |j AS (SELECT nl, nr, nl * nr AS rws FROM lc JOIN rc USING (k))
+        |SELECT CAST(coalesce(sum(rws), 0) AS BIGINT) AS predicted_rows,
+        |  count(*) AS n_join_keys,
+        |  CAST(coalesce(max(nl), 0) AS BIGINT) AS max_left_mult,
+        |  CAST(coalesce(max(nr), 0) AS BIGINT) AS max_right_mult,
+        |  CAST(coalesce(max(rws), 0) AS BIGINT) AS max_key_rows
+        |FROM j""".stripMargin,
 
     "histogram_price" ->
       """WITH b AS (SELECT unnest(generate_series(0, 25)) AS bin),

@@ -48,6 +48,39 @@ object Profile {
           "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"))
   }
 
+  /** Join-cardinality profile: EXACTLY how many rows `left ⋈ right` on
+    * `keys` would produce, and how that mass distributes over keys —
+    * the number you want BEFORE launching a 100 TB join, because a
+    * multiplicative key (n_left × n_right per key) is how a 10⁹-row
+    * join becomes a 10¹³-row job. Output is ONE row:
+    *   - `predicted_rows`: Σ_key n_left(key)·n_right(key) — the exact
+    *     inner-join row count;
+    *   - `n_join_keys`: keys present on both sides;
+    *   - `max_left_mult` / `max_right_mult`: the heaviest key's row
+    *     count per side (the [[SkewJoin]] decision inputs);
+    *   - `max_key_rows`: the largest single key's output contribution —
+    *     if this alone exceeds what one task should hold, no amount of
+    *     partitioning saves the plain join; salt or hot/cold-split it.
+    * Cost: one keyed count per side (map-side combined) + a join over
+    * the DISTINCT KEYS only — never the data rows. */
+  def joinCardinality(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "joinCardinality requires join keys")
+    val lc = left.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__nl"))
+    val rc = right.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__nr"))
+    lc.join(rc, keys)
+      .select((col("__nl") * col("__nr")).as("__rows"),
+        col("__nl"), col("__nr"))
+      .agg(
+        coalesce(sum(col("__rows")), lit(0L)).as("predicted_rows"),
+        count(lit(1)).as("n_join_keys"),
+        coalesce(max(col("__nl")), lit(0L)).as("max_left_mult"),
+        coalesce(max(col("__nr")), lit(0L)).as("max_right_mult"),
+        coalesce(max(col("__rows")), lit(0L)).as("max_key_rows"))
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): bins
     * 1..nBins, with underflow in bin 0 and overflow in bin nBins+1
     * (`width_bucket` semantics), EMPTY BINS INCLUDED — a profile whose

@@ -68,8 +68,13 @@ object Layout {
     val nb = (1 << bitsPerDim) - 1
     val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
     // Single pass for ALL dimensions' boundaries (one job, not one per
-    // dim — at 100 TB each quantile pass is a full scan).
-    val boundaries = df.stat.approxQuantile(dims.toArray, probs, 0.001).toSeq
+    // dim — at 100 TB each quantile pass is a full scan). Boundary
+    // precision only needs to resolve bucket edges, so the relative
+    // error tracks the bucket width (quarter-bucket): tighter bits →
+    // tighter summaries, and a coarse curve never pays for precision it
+    // cannot encode.
+    val err = 0.25 / (nb + 1)
+    val boundaries = df.stat.approxQuantile(dims.toArray, probs, err).toSeq
     df.withColumn("__z", zvalue(dims, boundaries, bitsPerDim))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

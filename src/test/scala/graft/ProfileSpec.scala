@@ -50,6 +50,25 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(approx - q("u")) < 1.0, s"approx $approx vs exact ${q("u")}")
   }
 
+  test("joinCardinality: exact prediction incl. multiplicative keys, nulls, disjoint sides") {
+    val rnd = new scala.util.Random(23)
+    val left = (Seq.fill(3000)((rnd.nextInt(50), rnd.nextInt(10))) ++
+      Seq((999, 1), (999, 2)) ++ Seq.fill(5)((-1, 0)))
+      .map { case (k, v) => (if (k == -1) None else Some(k), v) }
+      .toDF("k", "v")
+    val right = (Seq.fill(800)((Option(rnd.nextInt(60)), rnd.nextInt(10))) ++
+      Seq.fill(3)((Option.empty[Int], 0)))
+      .toDF("k", "w")
+    val p = Profile.joinCardinality(left, right, Seq("k")).collect().head
+    val actual = left.join(right, Seq("k")).count()
+    assert(p.getLong(0) == actual, s"predicted ${p.getLong(0)} vs actual $actual")
+    assert(p.getLong(4) <= p.getLong(0) && p.getLong(1) > 0)
+    // disjoint key spaces → all-zero profile, single row
+    val d = Profile.joinCardinality(
+      Seq(1, 2).toDF("k"), Seq(7, 8).toDF("k"), Seq("k")).collect().head
+    assert(d.getLong(0) == 0 && d.getLong(1) == 0 && d.getLong(4) == 0)
+  }
+
   test("histogram: width_bucket semantics, empty bins materialized, nulls ignored") {
     val df = Seq[java.lang.Double](-5.0, 0.0, 0.5, 9.999, 10.0, 25.0, 99.9, 100.0, 140.0, null)
       .toDF("x")
