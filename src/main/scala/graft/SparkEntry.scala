@@ -661,6 +661,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Leakage-safe splits: assignment by near-dup CLUSTER, so no split
+    // boundary ever separates two near-duplicates (train never holds a
+    // near-copy of a test doc). DuckDB recomputes the transitive
+    // closure AND the split hash — the whole composition cross-checked.
+    "leakage_safe_splits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+        numHashes = 32, bands = 16, threshold = 0.6)
+      Components.leakageSafeSplits(docs.select("doc_id"), "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11L)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"))
+        .orderBy("split")
+    }),
+
     // The driver-facing SimHash query: runs the full simHashPairs
     // pipeline and gates its MEANING, since the exact pair values are
     // not SQL-reproducible (xxhash64): the fraction of reported pairs
@@ -1568,6 +1584,45 @@ object SparkEntry {
         |  coalesce(c.cluster, d.doc_id) = d.doc_id AS is_canonical
         |FROM documents d LEFT JOIN comp c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Same closure as dedup_clusters, then the split hash applied to the
+    // CLUSTER representative — weights (.8/.1/.1) → bucket bounds
+    // 8000/9000, same formula as split_counts.
+    "leakage_safe_splits" ->
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM tok),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g FROM pos),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT id_a, id_b
+         |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE i::double / (sa.n + sb.n - i) >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |reach(s, t) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.s, e.v FROM reach r JOIN edges e ON r.t = e.u),
+         |comp AS (SELECT s AS doc_id, least(min(t), s) AS cluster FROM reach GROUP BY s),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |sp AS (
+         |  SELECT doc_id, cluster,
+         |    CASE WHEN ${Sampling.bucketSql("cluster", 11L)} < 8000 THEN 'train'
+         |         WHEN ${Sampling.bucketSql("cluster", 11L)} < 9000 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM lab)
+         |SELECT split, count(*) AS n_docs, count(DISTINCT cluster) AS n_clusters
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "dedup_ngram_pairs" ->
       """WITH nrm AS (

@@ -99,6 +99,26 @@ object Components {
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
+  /** Leakage-safe train/val/test assignment: [[clusters]] the corpus by
+    * its near-dup pairs, then split by CLUSTER id rather than row id —
+    * so a near-duplicate (or exact duplicate) of a test document can
+    * never sit in train. Splitting by row id quietly leaks: at
+    * pretraining scale a few percent of docs have a near-copy, and a
+    * hash split scatters each copy-pair across splits with probability
+    * 2·p(1-p). Split membership stays deterministic and engine-portable
+    * (the same multiplicative-hash bucket [[Sampling.assignSplits]]
+    * uses, applied to the cluster representative). */
+  def leakageSafeSplits(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      weights: Seq[(String, Double)],
+      seed: Long,
+      idACol: String = "id_a",
+      idBCol: String = "id_b"): DataFrame =
+    Sampling.assignSplits(
+      clusters(df, idCol, pairs, idACol, idBCol), "cluster", weights, seed)
+
   /** Cluster assignment for a corpus: every row of `df` labeled with the
     * smallest `idCol` reachable through `pairs` (its near-dup cluster
     * representative; rows in no pair are their own singleton cluster)

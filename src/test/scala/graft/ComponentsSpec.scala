@@ -86,6 +86,23 @@ class ComponentsSpec extends SparkSpec {
       (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
   }
 
+  test("leakageSafeSplits: near-dup clusters never straddle a split boundary") {
+    val rnd = new Random(5)
+    val docs = (1L to 400L).toDF("doc_id")
+    // Random pair soup → clusters of varied size.
+    val pairs = Seq.fill(150)((rnd.nextInt(400).toLong + 1, rnd.nextInt(400).toLong + 1))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val out = Components.leakageSafeSplits(docs, "doc_id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L)
+      .select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 400, "every doc assigned")
+    val splitsPerCluster = out.groupBy(_._2).values.map(_.map(_._3).distinct.size)
+    assert(splitsPerCluster.forall(_ == 1), "a cluster straddles splits")
+    val bySplit = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test") && bySplit("train") > bySplit("test"))
+  }
+
   test("clusters composes with minHashLsh pairs: canonical filter is transitive dedup") {
     val base = "the quick brown fox jumps over the lazy dog near the quiet river bank " +
       "while morning light spreads across the wide green valley floor"
