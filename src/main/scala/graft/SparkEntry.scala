@@ -645,6 +645,23 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")),
 
+    // The daily-batch path: the corpus (80% of docs) is shingled ONCE
+    // into a persisted (id, sig) store; the new batch (20%) is deduped
+    // against store + itself without re-shingling the corpus. Must emit
+    // exactly the batch-touching subset of the full-corpus pair set —
+    // DuckDB recomputes that subset from all-pairs Jaccard ground truth.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val sigs = s"/tmp/graft_minhash/sigs_${etlSuffix(dir)}"
+      Dedup.writeMinHashSignatures(corpus, "text", "doc_id", sigs, numHashes = 32)
+      Dedup.minHashLshIncremental(s, batch, corpus, "text", "doc_id", sigs,
+        numHashes = 32, bands = 16, threshold = 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Transitive-closure clustering over the near-dup pairs: the pair
     // emitters above produce EDGES; a curation run keeps one doc per
     // connected component (A~B, B~C ⇒ one cluster of three, even with A
@@ -989,6 +1006,27 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11L)
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))
         .orderBy("split", "lang")),
+
+    // Deterministic global shuffle into training shards: shard + order
+    // key are pure hash functions of doc_id, so DuckDB recomputes the
+    // ENTIRE permutation — order_checksum (Σ pos·doc_id over the
+    // within-shard shuffle order) pins every position, not just
+    // membership.
+    "shuffle_shards" -> ((s, dir) => {
+      val sh = Sampling.shuffleShards(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        numShards = 7, seed = 3L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("shuffle_ord", "doc_id")
+      sh.withColumn("pos", row_number().over(w))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("sum_ids"),
+          (min(col("shuffle_ord") * lit(10000000000L) + col("doc_id")) %
+            lit(10000000000L)).as("first_doc"),
+          sum(col("pos") * col("doc_id")).as("order_checksum"))
+        .orderBy("shard")
+    }),
 
     // Domain-mixture rebalancing: keep fractions that reshape the corpus
     // toward a target lang mixture by down-sampling only (the most
@@ -1552,6 +1590,27 @@ object SparkEntry {
         |WHERE i::double / (sa.n + sb.n - i) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Same all-pairs ground truth, restricted to pairs touching the
+    // batch slice (doc_id % 5 = 0) — corpus-internal pairs are the
+    // already-deduped past and must NOT reappear.
+    "dedup_incremental" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM tok),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g FROM pos),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(i::double / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE i::double / (sa.n + sb.n - i) >= 0.6
+        |  AND (id_a % 5 = 0 OR id_b % 5 = 0)
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Recursive-CTE transitive closure over the all-pairs Jaccard ground
     // truth (the same edge set dedup_minhash_pairs proves Spark's LSH
     // reproduces exactly): cluster = min reachable doc_id.
@@ -1701,6 +1760,25 @@ object SparkEntry {
          |            WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split,
          |  lang, count(*) AS n
          |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    // Recomputes the full shuffle permutation: same two bucket mixes for
+    // the order key, same shard hash, row_number over (shard, ord, id).
+    "shuffle_shards" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    ${Sampling.bucketSql("doc_id", 5L)} % 7 AS shard,
+         |    ${Sampling.bucketSql("doc_id", 3L)} * 10000 +
+         |      ${Sampling.bucketSql("doc_id", 4L)} AS ord
+         |  FROM documents),
+         |r AS (
+         |  SELECT shard, doc_id, ord,
+         |    row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS pos
+         |  FROM s)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(min(ord * 10000000000 + doc_id) % 10000000000 AS BIGINT) AS first_doc,
+         |  CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
 
     "table_profile" ->
       """WITH p AS (

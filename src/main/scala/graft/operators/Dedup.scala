@@ -275,6 +275,117 @@ object Dedup {
       explodedWordShingles(_, textCol, idCol, shingleSize),
       numHashes, bands, threshold, DefaultMaxBucket)
 
+  // ------------------------------------------------- incremental minhash
+
+  /** Persist the OPH minhash signature store for a corpus slice: one
+    * narrow `(id, sig)` parquet row per document — the artifact
+    * [[minHashLshIncremental]] dedups later batches against. At 100 TB
+    * the corpus is shingled exactly ONCE, here; every subsequent daily
+    * batch pays shingling only for its own documents. Store size is
+    * ~`numHashes`·8 bytes per doc (e.g. 256 GB per trillion docs at
+    * k=32) — a rounding error next to the corpus it summarizes. */
+  def writeMinHashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64): Unit =
+    minhashSigs(explodedWordShingles(df, textCol, idCol, shingleSize), numHashes)
+      .select(col("__id").as("id"), col("__sig").as("sig"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Near-dup pairs of a NEW batch against a corpus summarized by a
+    * [[writeMinHashSignatures]] store, plus within-batch pairs — without
+    * re-shingling or re-hashing the stored corpus. Emits exactly the
+    * pairs [[minHashLsh]] over corpus ∪ batch would emit that touch at
+    * least one batch doc (corpus-internal pairs were dealt with when the
+    * corpus was deduped); same `(id_a, id_b, jaccard)` contract,
+    * `id_a < id_b`.
+    *
+    * Scale shape: band hashes are recomputed from the narrow stored
+    * signatures (16 slice+hash structs per row — no text touched); the
+    * batch-vs-store candidate join is an equi-join on (band, bandhash)
+    * whose batch side AQE broadcasts in the daily-batch regime, so
+    * stored-corpus band rows never shuffle. Exact-Jaccard verification
+    * re-shingles ONLY candidate docs — `corpus` is semi-joined down to
+    * the ids the band join surfaced before any text is read.
+    *
+    * Contract: `corpus` must be the data the store was built from (it
+    * supplies text for candidate verification), and batch ids must be
+    * disjoint from corpus ids. */
+  def minHashLshIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      sigPath: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val stored = spark.read.parquet(sigPath)
+      .select(col("id").as("__id"), col("sig").as("__sig"))
+    val fresh = minhashSigs(
+      explodedWordShingles(batch, textCol, idCol, shingleSize), numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("b"),
+        xxhash64(slice(col("__sig"), bi * rows + 1, rows)).as("h"))
+    }
+    def banded(sigs: DataFrame, isNew: Boolean) = sigs
+      .select(col("__id"), explode(array(bandCols: _*)).as("__bh"))
+      .select(col("__id"), lit(isNew).as("__new"),
+        col("__bh.b").as("__band"), col("__bh.h").as("__bandhash"))
+    // Cap hot band buckets over the UNION — a boilerplate bucket is hot
+    // because of its total population, stored + new alike. Eager
+    // localCheckpoint, NOT persist: this node is referenced by four join
+    // branches, each of which verifyJaccard references again — with lazy
+    // lineage the logical tree DUPLICATES multiplicatively per level
+    // (measured: a 2.1 MB plan string, 126 BroadcastExchange nodes, 40+
+    // concurrent single-task broadcast jobs re-deriving band rows, ~14 s
+    // for a query whose useful work is ~1 s). The checkpoint replaces
+    // the subtree with an RDD-scan leaf, same as the iterative lineage
+    // cuts in Components.clusters / IvfIndex k-means. Narrow rows (id,
+    // flag, band, hash), so the retained footprint is small relative to
+    // the signature store itself.
+    val capped = capBuckets(
+      banded(stored, isNew = false).unionByName(banded(fresh, isNew = true)),
+      Seq("__band", "__bandhash"), maxBucket)
+      .localCheckpoint()
+    val newB = capped.filter(col("__new")).drop("__new")
+    val oldB = capped.filter(!col("__new")).drop("__new")
+    val l = newB.select(col("__band"), col("__bandhash"), col("__id").as("id_a"))
+    val r = newB.select(col("__band"), col("__bandhash"), col("__id").as("id_b"))
+    val newNew = l.join(r, Seq("__band", "__bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val newOld = newB.select(col("__band"), col("__bandhash"), col("__id").as("__n"))
+      .join(oldB.select(col("__band"), col("__bandhash"), col("__id").as("__o")),
+        Seq("__band", "__bandhash"))
+      .select(least(col("__n"), col("__o")).as("id_a"),
+        greatest(col("__n"), col("__o")).as("id_b"))
+    val candidates = newNew.union(newOld).dropDuplicates("id_a", "id_b")
+    val sigs = stored.unionByName(fresh)
+    // Same lineage cut before verification: verifyJaccard references the
+    // candidate set three times (id extraction + the pair join).
+    val prefiltered = sigPrefilter(candidates, sigs, numHashes, threshold)
+      .localCheckpoint()
+    val docs = corpus.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val result = verifyJaccard(docs, idCol, prefiltered, threshold,
+      explodedWordShingles(_, textCol, idCol, shingleSize))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize, then release the upstream caches
+    fresh.unpersist()
+    result
+  }
+
   /** Keep one representative per near-dup cluster found by minHashLsh:
     * drops every id that appears as the greater member of a qualifying
     * pair (transitive chains collapse to their smallest id stepwise). */

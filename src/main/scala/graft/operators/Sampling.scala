@@ -153,4 +153,41 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Deterministic global shuffle for training output: every row gets a
+    * `shard` in [0, numShards) and a within-shard `shuffle_ord` key, both
+    * pure functions of (id, seed) — no RNG, no state, rerunning on the
+    * same corpus reproduces the identical permutation. Training loaders
+    * want data order decorrelated from ingest order (crawl runs, domain
+    * blocks); the scale-correct form is exactly this — a hash order key
+    * and ONE shuffle when the shards are written, never a global sort of
+    * the corpus by a random() column (non-reproducible, and a repartition
+    * +sort anyway). `shuffle_ord` composes two independent [[bucket]]
+    * mixes into a [0, 10^8) key so ties are rare; consumers break
+    * residual ties on the id. Engine-portable by construction — the same
+    * arithmetic is expressible via [[bucketSql]], so a SQL oracle can
+    * recompute the full permutation. */
+  def shuffleShards(
+      df: DataFrame, idCol: String, numShards: Int, seed: Long): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    df.withColumn("shard",
+        pmod(bucket(col(idCol), seed + 2), lit(numShards.toLong)))
+      .withColumn("shuffle_ord",
+        bucket(col(idCol), seed) * lit(Buckets) + bucket(col(idCol), seed + 1))
+  }
+
+  /** Materialize the shuffled corpus as `numShards` parquet shard
+    * directories, rows inside each shard in shuffle order: one hash
+    * repartition + per-partition sort (the sort is local — no global
+    * range exchange), then a partitioned write. */
+  def writeShuffledShards(
+      df: DataFrame,
+      idCol: String,
+      path: String,
+      numShards: Int,
+      seed: Long): Unit =
+    shuffleShards(df, idCol, numShards, seed)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_ord"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

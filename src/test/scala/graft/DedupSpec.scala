@@ -129,4 +129,22 @@ class DedupSpec extends SparkSpec {
     val capped = Dedup.capBuckets(buckets, Seq("__band", "__bandhash"), 2)
     assertRows(capped, Seq("__id"), Set(Seq(4L), Seq(5L)))
   }
+
+  test("incremental minhash against a signature store ≡ full LSH restricted to batch pairs") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = all.filter(pmod($"doc_id", lit(5)) =!= 0)
+    val batch = all.filter(pmod($"doc_id", lit(5)) === 0)
+    val sigPath = java.nio.file.Files.createTempDirectory("graft_sigs_").toString
+    Dedup.writeMinHashSignatures(corpus, "text", "doc_id", sigPath, numHashes = 32)
+    val inc = Dedup.minHashLshIncremental(spark, batch, corpus, "text", "doc_id",
+      sigPath, numHashes = 32, bands = 16, threshold = 0.6)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minHashLsh(all, "text", "doc_id",
+      numHashes = 32, bands = 16, threshold = 0.6)
+      .filter(pmod($"id_a", lit(5)) === 0 || pmod($"id_b", lit(5)) === 0)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(inc == full, s"incremental ${inc.size} pairs vs full ${full.size}: " +
+      s"missing=${full -- inc} extra=${inc -- full}")
+    assert(inc.nonEmpty, "fixture produced no batch-touching pairs")
+  }
 }

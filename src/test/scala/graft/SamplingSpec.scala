@@ -88,4 +88,38 @@ class SamplingSpec extends SparkSpec {
     val viaCol = ids.select(col("id"), Sampling.bucket(col("id"), 7L).as("b"))
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
+
+  test("shuffleShards: deterministic permutation, decorrelated from id order") {
+    val n = 2000L
+    val df = (0L until n).toDF("id")
+    val a = Sampling.shuffleShards(df, "id", numShards = 8, seed = 9L)
+      .select("id", "shard", "shuffle_ord").as[(Long, Long, Long)].collect()
+    val b = Sampling.shuffleShards(df, "id", numShards = 8, seed = 9L)
+      .select("id", "shard", "shuffle_ord").as[(Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)), "not reproducible")
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8), "shard out of range")
+    val counts = a.groupBy(_._2).view.mapValues(_.size)
+    assert(counts.values.forall(c => c > n / 16 && c < n / 4), s"skewed shards: $counts")
+    // Shuffle order must decorrelate from ingest (id) order: adjacent
+    // ids land adjacent in shuffle order only by coincidence.
+    val ordById = a.sortBy(_._1).map(_._3)
+    val adjacentMonotone = ordById.sliding(2).count(p => p(1) > p(0))
+    assert(math.abs(adjacentMonotone - n / 2) < n / 5, s"order correlates: $adjacentMonotone")
+  }
+
+  test("writeShuffledShards: shard dirs hold rows in shuffle order") {
+    val df = (0L until 500L).toDF("id")
+    val path = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    Sampling.writeShuffledShards(df, "id", path, numShards = 4, seed = 1L)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 500 && back.select("id").distinct().count() == 500)
+    // Within each shard FILE the row order is the shuffle order.
+    val expect = Sampling.shuffleShards(df, "id", 4, 1L)
+    for (sh <- 0 until 4) {
+      val got = spark.read.parquet(s"$path/shard=$sh").select("id").as[Long].collect()
+      val want = expect.filter(col("shard") === sh)
+        .orderBy("shuffle_ord", "id").select("id").as[Long].collect()
+      assert(got.sameElements(want), s"shard $sh order mismatch")
+    }
+  }
 }
