@@ -1011,7 +1011,11 @@ object SparkEntry {
     // key are pure hash functions of doc_id, so DuckDB recomputes the
     // ENTIRE permutation — order_checksum (Σ pos·doc_id over the
     // within-shard shuffle order) pins every position, not just
-    // membership.
+    // membership. The per-shard row_number window here is a
+    // VERIFICATION construct (one task per shard — fine at oracle SFs);
+    // the production path is Sampling.writeShuffledShards, which needs
+    // no window: repartition + sortWithinPartitions keeps every shard's
+    // order local to its write task at any scale.
     "shuffle_shards" -> ((s, dir) => {
       val sh = Sampling.shuffleShards(
         t(s, dir, "documents").select("doc_id"), "doc_id",
