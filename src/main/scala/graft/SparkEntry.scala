@@ -553,6 +553,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // Per-document top-3 TF-IDF keywords: tf × ln((N+1)/(df+1)), ties
+    // by term — one multiply over identically-derived operands, so
+    // DuckDB reproduces scores AND ranks bit-exactly (bm25 discipline).
+    "tfidf_keywords" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(t(s, dir, "documents"), "text", "doc_id", k = 3)
+        .withColumn("tfidf", round(col("tfidf"), 6))
+        .orderBy("doc_id", "rank")),
+
     // Vocabulary coverage: top-500 corpus vocabulary (count desc, token
     // asc — deterministic), per-language token totals + OOV rate. The
     // tokenizer-prep "how big a vocab do we need" question in one pass.
@@ -2225,6 +2233,24 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token ASC
         |LIMIT 20""".stripMargin,
+
+    "tfidf_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents
+        |  WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf AS DOUBLE) * ln((n.n + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        |      FROM sc)
+        |SELECT doc_id, term, rank, round(tfidf, 6) AS tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "bm25_ranking" ->
       """WITH tok AS (

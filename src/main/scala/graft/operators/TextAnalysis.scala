@@ -295,4 +295,39 @@ object TextAnalysis {
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
+
+  /** Top-`k` TF-IDF keywords per document: raw term frequency within the
+    * doc × smoothed inverse document frequency `ln((N+1)/(df+1))`, ties
+    * broken by term ascending (deterministic and engine-portable — the
+    * score is ONE multiply over identically-derived operands, so ranks
+    * agree bit-for-bit cross-engine, same discipline as bm25Rank).
+    * Complements corpus-level [[vocabCoverage]]/top-token counts with
+    * the per-document signal (doc tagging, routing, cluster labeling).
+    *
+    * Scale shape: tokenize-once explode; `tf` is one (doc, term) keyed
+    * count; `df` reuses tf's already-distinct pairs (a term-keyed count,
+    * map-side partial — never a countDistinct); the idf join is keyed on
+    * term (vocabulary-sized right side, AQE broadcasts it when small);
+    * top-k is one window shuffle keyed by doc. The corpus text is read
+    * exactly once. */
+  def tfidfKeywords(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val n = df.count()
+    val toks = withNormToks(df, textCol)
+      .select(col(idCol), explode(col("__toks")).as("term"))
+    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf", col("tf").cast("double") *
+        log(lit((n + 1).toDouble) / (col("df").cast("double") + lit(1.0))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("rank"), col("tfidf"))
+  }
 }

@@ -191,4 +191,36 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(out3("en") == 1L && out3("de") == 2L)
   }
+
+  test("tfidfKeywords matches a naive driver-side computation") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val corpus = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(8 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    val k = 3
+    val out = TextAnalysis.tfidfKeywords(docs, "text", "doc_id", k)
+      .as[(Long, String, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(r => (r._2, r._4)).toSeq).toMap
+    // naive ground truth
+    val n = corpus.size
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val dfreq = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size)
+    val naive = toks.map { case (id, ts) =>
+      val tf = ts.groupBy(identity).view.mapValues(_.size)
+      val scored = tf.map { case (term, f) =>
+        term -> f.toDouble * math.log((n + 1).toDouble / (dfreq(term) + 1.0))
+      }.toSeq.sortBy { case (term, s) => (-s, term) }.take(k)
+      id -> scored
+    }
+    corpus.foreach { case (id, _) =>
+      val got = out(id); val want = naive(id)
+      assert(got.map(_._1) == want.map(_._1), s"doc $id terms: $got vs $want")
+      got.zip(want).foreach { case ((_, g), (_, w)) =>
+        assert(math.abs(g - w) < 1e-9, s"doc $id score: $g vs $w") }
+    }
+  }
 }
