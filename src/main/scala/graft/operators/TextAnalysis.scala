@@ -305,11 +305,16 @@ object TextAnalysis {
     * the per-document signal (doc tagging, routing, cluster labeling).
     *
     * Scale shape: tokenize-once explode; `tf` is one (doc, term) keyed
-    * count; `df` reuses tf's already-distinct pairs (a term-keyed count,
-    * map-side partial — never a countDistinct); the idf join is keyed on
-    * term (vocabulary-sized right side, AQE broadcasts it when small);
-    * top-k is one window shuffle keyed by doc. The corpus text is read
-    * exactly once. */
+    * count, eagerly checkpointed because BOTH the df branch and the
+    * score join read it — lazily the tokenize+aggregate subtree
+    * duplicates per branch (measured 4 parquet scans in the executed
+    * plan; AQE does not reuse the exchanges). `df` is then a term-keyed
+    * count with map-side partials (never a countDistinct, and never a
+    * per-term window — a whole-partition window over a stopword term
+    * would put ~every doc in one task); the idf join is keyed on term
+    * (vocabulary-sized right side, AQE broadcasts it when small); top-k
+    * is one window shuffle keyed by doc with WindowGroupLimit pushing
+    * rank<=k map-side. */
   def tfidfKeywords(
       df: DataFrame,
       textCol: String,
@@ -320,6 +325,7 @@ object TextAnalysis {
     val toks = withNormToks(df, textCol)
       .select(col(idCol), explode(col("__toks")).as("term"))
     val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "term")
       .withColumn("tfidf", col("tf").cast("double") *
