@@ -18,7 +18,15 @@ object Bench {
     // queries are added, which would shuffle which queries absorb any
     // residual first-use cost — sorted names keep per-query timings
     // comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated subset for local iteration; the driver
+    // sets no filter and always times the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Full evaluation of every column: count() would let Catalyst prune
       // the whole projection, timing nothing for scan-project queries.

@@ -7,18 +7,27 @@ import org.apache.spark.sql.functions._
   * check a curation pipeline runs before and after every transform):
   * row count, null count, distinct count, min/max — one row per column.
   *
-  * Shape: ONE wide aggregate (map-side partial combine) followed by a
-  * `stack` unpivot, so the corpus is scanned once and nothing but the
-  * single aggregate row moves. min/max are cast to string so columns of
-  * any type share one output schema.
+  * min/max are cast to string so columns of any type share one output
+  * schema.
   *
-  * Distinct counting has two modes:
-  *   - `exact = false` (default): `approx_count_distinct` (HLL) — one
-  *     plain aggregation pass, the only sane choice at 10⁸+ rows;
-  *   - `exact = true`: `count(DISTINCT c)` per column. Spark plans
-  *     multi-column exact distincts through an Expand (one input row
-  *     duplicated per profiled column), so cost scales ×|cols| — fine
-  *     for validation at test scale, deliberate at 100 TB.
+  * Distinct counting has two modes, each with its own scale-safe plan:
+  *   - `exact = false` (default): `approx_count_distinct` (HLL) in ONE
+  *     wide aggregate (map-side partial combine) + a `stack` unpivot —
+  *     one corpus scan, nothing but a single aggregate row moves; the
+  *     sane choice at 10⁸+ rows.
+  *   - `exact = true`: per-column TWO-LEVEL aggregation —
+  *     `groupBy(c).count` (narrow keyed shuffle, map-side combined)
+  *     followed by a global roll-up over the group counts, one branch
+  *     per column, unioned. Deliberately NOT `count(DISTINCT c)` per
+  *     column in one aggregate: Spark plans multi-column exact
+  *     distincts through an Expand that duplicates every input row
+  *     ×|cols| into one shuffle — at 100 TB that's |cols|× the corpus
+  *     through a single exchange. The per-column branches instead each
+  *     scan ONE column (parquet column pruning: total I/O ≈ one full
+  *     scan) and shuffle only distinct values. Measured at sf0.1: the
+  *     Expand plan was the suite's most expensive query (17.7 s); the
+  *     two-level plan removes the Expand node entirely (pinned by
+  *     ProfileSpec's executed-plan assertion).
   */
 object Profile {
 
@@ -29,23 +38,42 @@ object Profile {
     require(cols.nonEmpty, "profile requires at least one column")
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
 
-    val aggs = cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__dist_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
-    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    if (exact) {
+      // Per-column branches: (group counts) -> (roll-up). A null group
+      // carries the null count; min/max ignore nulls by SQL semantics.
+      val perCol = cols.map { c =>
+        df.select(col(c).as("__v"))
+          .groupBy("__v")
+          .agg(count(lit(1)).as("__cnt"))
+          .agg(
+            coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"),
+            coalesce(sum(when(col("__v").isNull, col("__cnt")).otherwise(0L)),
+              lit(0L)).as("n_nulls"),
+            count(when(col("__v").isNotNull, lit(1))).as("n_distinct"),
+            min(col("__v")).cast("string").as("min_value"),
+            max(col("__v")).cast("string").as("max_value"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      }
+      perCol.reduce(_ unionAll _)
+    } else {
+      val aggs = cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+          approx_count_distinct(col(c)).as(s"__dist_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c"))
+      }
+      val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
 
-    val stackArgs = cols.map { c =>
-      s"'$c', __n, __nulls_$c, __dist_$c, __min_$c, __max_$c"
-    }.mkString(", ")
-    row
-      .select(expr(
-        s"stack(${cols.size}, $stackArgs) AS " +
-          "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"))
+      val stackArgs = cols.map { c =>
+        s"'$c', __n, __nulls_$c, __dist_$c, __min_$c, __max_$c"
+      }.mkString(", ")
+      row
+        .select(expr(
+          s"stack(${cols.size}, $stackArgs) AS " +
+            "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"))
+    }
   }
 
   /** Join-cardinality profile: EXACTLY how many rows `left ⋈ right` on

@@ -304,11 +304,16 @@ object TextAnalysis {
     * Complements corpus-level [[vocabCoverage]]/top-token counts with
     * the per-document signal (doc tagging, routing, cluster labeling).
     *
-    * Scale shape: tokenize-once explode; `tf` is one (doc, term) keyed
-    * count, eagerly checkpointed because BOTH the df branch and the
-    * score join read it — lazily the tokenize+aggregate subtree
-    * duplicates per branch (measured 4 parquet scans in the executed
-    * plan; AQE does not reuse the exchanges). `df` is then a term-keyed
+    * Scale shape: ONE corpus scan, literally — tokenize-once
+    * `explode_outer` (zero-token docs surface as a null-term row, so
+    * the corpus size N is recoverable downstream without a second
+    * scan); `tf` is one (doc, term) keyed count, eagerly checkpointed
+    * because the N action, the df branch and the score join all read
+    * it — lazily the tokenize+aggregate subtree duplicates per branch
+    * (measured 4 parquet scans in the executed plan; AQE does not
+    * reuse the exchanges). N = distinct docs in the CHECKPOINTED tf
+    * (exact: null-term rows keep empty docs counted), an action over
+    * doc×term pairs, never the corpus. `df` is then a term-keyed
     * count with map-side partials (never a countDistinct, and never a
     * per-term window — a whole-partition window over a stopword term
     * would put ~every doc in one task); the idf join is keyed on term
@@ -321,13 +326,14 @@ object TextAnalysis {
       idCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val n = df.count()
     val toks = withNormToks(df, textCol)
-      .select(col(idCol), explode(col("__toks")).as("term"))
+      .select(col(idCol), explode_outer(col("__toks")).as("term"))
     val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "term")
+    val n = tf.select(countDistinct(col(idCol))).first().getLong(0)
+    val real = tf.where(col("term").isNotNull)
+    val dfreq = real.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = real.join(dfreq, "term")
       .withColumn("tfidf", col("tf").cast("double") *
         log(lit((n + 1).toDouble) / (col("df").cast("double") + lit(1.0))))
     val w = org.apache.spark.sql.expressions.Window

@@ -20,6 +20,19 @@ class ProfileSpec extends SparkSpec {
     assert(p("x") == ((4L, 1L, 2L, "10", "30")))
   }
 
+  test("exact mode plans per-column two-level aggregates — no Expand node") {
+    // Multi-column count(DISTINCT) in one aggregate goes through an
+    // Expand that duplicates every input row ×|cols| into one shuffle —
+    // the scale-killer this plan shape exists to avoid. Pin its absence
+    // in the EXECUTED plan (same style as RangeJoinSpec's no-nested-loop
+    // property).
+    val df = Seq((1L, "a", 10), (2L, "b", 20), (3L, "a", 20)).toDF("id", "s", "x")
+    val p = Profile.tableProfile(df, Seq("id", "s", "x"), exact = true)
+    p.collect()
+    val plan = p.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"exact profile must not plan an Expand:\n$plan")
+  }
+
   test("approx mode counts distincts within HLL error; unknown column rejected") {
     val df = spark.range(10000).toDF("id")
     val p = Profile.tableProfile(df, Seq("id")).collect().head
