@@ -775,13 +775,11 @@ object SparkEntry {
       Quantize.roundTripCosine(t(s, dir, "embeddings"), "embedding", "vec_id")
         .orderBy("vec_id")),
 
-    // The driver-facing ANN/IVF queries: each runs the FULL approximate
-    // top-k pipeline (annTopK / ivfTopK) and reports its
     // Semantic left join (exact flavor — the verifiable contract; the
-    // ANN flavor is the same call with exact=false, recall-gated like
-    // ann_recall): every probe row keeps its identity and gains its
-    // best-match corpus row above the cosine floor, NULL when nothing
-    // clears it.
+    // ANN flavor is the same call with exact=false, recall-gated by
+    // semantic_join_ann): every probe row keeps its identity and gains
+    // its best-match corpus row above the cosine floor, NULL when
+    // nothing clears it.
     "semantic_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val l = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
@@ -794,8 +792,10 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
-    // recall@5 of the approximate ANN paths, measured against the exact
-    // brute-force top-5 INSIDE Spark (left join on (query, neighbor)).
+    // The driver-facing ANN/IVF queries: each runs the FULL approximate
+    // top-k pipeline (annTopK / ivfTopK) and reports its recall@5,
+    // measured against the exact brute-force top-5 INSIDE Spark (left
+    // join on (query, neighbor)).
     // The oracle pins a quality floor: DuckDB computes the exact side's
     // query count and asserts recall_ok = true — if a code change drops
     // recall below the floor, Spark emits false and the driver flags a

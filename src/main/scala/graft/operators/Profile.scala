@@ -153,14 +153,20 @@ object Profile {
     * buffering `TypedImperativeAggregate` whose merge concatenates every
     * value of the column onto a single node — at 10⁸+ rows it's an OOM,
     * and at sf0.1 it already measured 10 s for three columns. Instead,
-    * exact DISTRIBUTED rank selection per column:
-    *   1. range-repartition the non-null values (partition i holds a
-    *      contiguous, ordered slice of the domain);
-    *   2. per-partition counts → cumulative offsets (P longs to the
-    *      driver, nothing else leaves the executors);
-    *   3. each target global rank resolves to (partition, local rank);
-    *   4. `row_number` within each partition + a broadcast join on
-    *      (partition, local rank) picks the values.
+    * exact DISTRIBUTED rank selection, ALL COLUMNS IN ONE PASS (the
+    * columns are melted to (column, value) rows first, so k columns do
+    * not cost k scans + k shuffles the way a per-column loop would):
+    *   1. melt to (__c, __v) and range-repartition on (__c, __v) —
+    *      tuple ordering makes each column's partitions contiguous and
+    *      ordered, exactly as a per-column range shuffle would, just
+    *      sharing one exchange;
+    *   2. per-(partition, column) counts → per-column cumulative
+    *      offsets (≤ P·k longs to the driver, nothing else leaves the
+    *      executors);
+    *   3. each target (column, global rank) resolves to (partition,
+    *      column, local rank);
+    *   4. `row_number` over (__pid, __c) + a broadcast join picks the
+    *      values.
     * Memory per task is one partition's slice (spills if needed); every
     * stage is a keyed shuffle or broadcast — the same plan works when
     * the column is 10 TB. `approx_percentile` (mergeable GK sketch)
@@ -177,45 +183,58 @@ object Profile {
     val spark = df.sparkSession
     import org.apache.spark.sql.expressions.Window
 
-    val perCol = cols.map { c =>
-      val vals = df.select(col(c).cast("double").as("__v"))
-        .where(col("__v").isNotNull)
-      val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val ranged = vals.repartitionByRange(nParts, col("__v"))
-        .withColumn("__pid", spark_partition_id())
-        .persist()
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    val melted = df
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS (__c, __v)"))
+      .where(col("__v").isNotNull)
+    val ranged = melted.repartitionByRange(nParts, col("__c"), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val collected =
       try {
-        val counts = ranged.groupBy("__pid").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-        val n = counts.map(_._2).sum
-        if (n == 0L) {
-          probs.map(p => (c, p, Option.empty[Double]))
-        } else {
-          // Range partition i holds a lower slice than i+1, so global
-          // rank r lives in the first partition whose cumulative count
-          // reaches r.
-          val offsets = counts.scanLeft(0L)(_ + _._2).init
-          val targets = probs.map { p =>
-            val r = math.max(1L, math.ceil(p * n).toLong)
-            val idx = counts.indices.find(i => offsets(i) + counts(i)._2 >= r).get
-            (counts(idx)._1, r - offsets(idx), p)
+        val counts = ranged.groupBy("__pid", "__c").count().collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        // For a fixed column, partitions in pid order hold ascending
+        // value slices (the range ordering is (__c, __v)), so global
+        // rank r lives in the first of ITS COLUMN'S partitions whose
+        // cumulative count reaches r.
+        val targets = cols.flatMap { c =>
+          val pc = counts.filter(_._2 == c).sortBy(_._1)
+          val n = pc.map(_._3).sum
+          if (n == 0L) Nil
+          else {
+            val offsets = pc.scanLeft(0L)(_ + _._3).init
+            probs.map { p =>
+              val r = math.max(1L, math.ceil(p * n).toLong)
+              val idx = pc.indices.find(i => offsets(i) + pc(i)._3 >= r).get
+              (pc(idx)._1, c, r - offsets(idx), p)
+            }
           }
-          val targetDf = spark.createDataFrame(targets)
-            .toDF("__pid", "__local", "__prob")
-          val ranked = ranged.withColumn("__rn",
-            row_number().over(Window.partitionBy("__pid").orderBy("__v")))
-          ranked
-            .join(broadcast(targetDf),
-              ranked("__pid") === targetDf("__pid") &&
-                col("__rn") === col("__local"))
-            .select(col("__prob"), col("__v"))
-            .collect()
-            .map(r => (c, r.getDouble(0), Some(r.getDouble(1))))
-            .toSeq
         }
+        val found =
+          if (targets.isEmpty) Seq.empty[(String, Double, Option[Double])]
+          else {
+            val targetDf = spark.createDataFrame(targets)
+              .toDF("__pid", "__c", "__local", "__prob")
+            val ranked = ranged.withColumn("__rn",
+              row_number().over(Window.partitionBy("__pid", "__c").orderBy("__v")))
+            ranked
+              .join(broadcast(targetDf),
+                ranked("__pid") === targetDf("__pid") &&
+                  ranked("__c") === targetDf("__c") &&
+                  col("__rn") === col("__local"))
+              .select(ranked("__c"), col("__prob"), col("__v"))
+              .collect()
+              .map(r => (r.getString(0), r.getDouble(1), Some(r.getDouble(2))))
+              .toSeq
+          }
+        // All-null/empty columns still report every probe, as NULLs.
+        val present = found.map(_._1).toSet
+        found ++ cols.filterNot(present)
+          .flatMap(c => probs.map(p => (c, p, Option.empty[Double])))
       } finally ranged.unpersist()
-    }
-    val rows = perCol.flatten.map { case (c, p, v) =>
+    val rows = collected.map { case (c, p, v) =>
       (c, p, v.map(java.lang.Double.valueOf).orNull)
     }
     spark.createDataFrame(

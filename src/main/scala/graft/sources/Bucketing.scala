@@ -71,6 +71,18 @@ object Bucketing {
     if (fs.exists(loc)) fs.delete(loc, true)
     spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
     spark.sql(s"DROP TABLE IF EXISTS `$aside`")
+    // Sweep asides orphaned by EARLIER publishes that crashed between
+    // steps (2) and (3): each leaks a full table copy (catalog entry +
+    // data dir) indefinitely otherwise. Safe now — the swap above
+    // succeeded, so the canonical name serves the new contents and any
+    // older `__graft_old_*` is garbage by construction. This bounds
+    // crashed-publish garbage to at most one generation.
+    val stalePattern = s"${table.toLowerCase}__graft_old_*"
+    spark.sessionState.catalog
+      .listTables("default", stalePattern)
+      .map(_.table)
+      .filterNot(_.equalsIgnoreCase(aside))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
   /** Co-located equi-join of two tables bucketed on the join keys: with

@@ -64,6 +64,22 @@ class BucketingSpec extends SparkSpec {
     sql(s"DROP TABLE $tbl")
   }
 
+  test("a successful publish sweeps asides orphaned by earlier crashed publishes") {
+    import spark.implicits._
+    val tbl = "b_sweep"
+    // Simulate a previous publish that crashed between swap and drop:
+    // an aside table left behind with the displaced contents.
+    Seq((1L, "stale")).toDF("k", "v").write.format("parquet")
+      .saveAsTable(s"${tbl}__graft_old_deadbeef")
+    Bucketing.writeBucketed(Seq((1L, "fresh"), (2L, "fresh")).toDF("k", "v"),
+      tbl, Seq("k"), 2)
+    assert(spark.table(tbl).count() == 2)
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith(s"${tbl}__graft_old")),
+      "stale aside must be swept after a successful swap")
+    sql(s"DROP TABLE $tbl")
+  }
+
   test("groupBy on the bucket key skips its exchange") {
     val agg = spark.table("b_lineitem")
       .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
