@@ -57,9 +57,35 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
     * of a clean JobConfigException naming the offending key. Runs after
     * the source view is built (schema known, no data read) and before any
     * target side effect. Comparison is case-insensitive, matching Spark's
-    * default resolution. */
+    * default resolution.
+    *
+    * Schema-drift contract (the reference got this from Delta's write-time
+    * schema enforcement, delta.py:91-100; parquet enforces nothing, so the
+    * contract lives here): against an EXISTING target,
+    *   - append requires the exact target column set with matching types
+    *     (a drifted daily feed fails plan-time with the columns named,
+    *     never half-writes);
+    *   - update/upsert allow MISSING source columns (upsert's documented
+    *     NULL-for-unlisted-columns insert semantics) but reject EXTRA
+    *     source columns and retyped shared columns — the merge rewrite
+    *     would otherwise silently republish the table with a changed
+    *     schema.
+    * Path targets are drift-checked only for parquet (self-describing
+    * schema); csv/json inference is not a contract to enforce against. */
   private[graft] def validatePlan(source: DataFrame): Unit =
     spec.target.operation match {
+      case Operation.Append =>
+        val checkable = targetRef match {
+          case TableRef(t) => spark.catalog.tableExists(t)
+          case PathRef(p) =>
+            toDs.pathFormat == "parquet" && {
+              val hp = new org.apache.hadoop.fs.Path(p)
+              hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+            }
+        }
+        if (checkable)
+          EtlJob.checkSchemaDrift(source.schema, toDs.read(targetRef).schema,
+            appendSemantics = true)
       case Operation.Update | Operation.Upsert =>
         // Fail BEFORE the target pre-sql hook runs: the same check in
         // Writes.merge fires after that side effect.
@@ -80,7 +106,8 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
             s"${spec.target.operation} requires an existing target, " +
               s"but ${targetRef} does not exist")
         val srcCols = source.schema.fieldNames.map(_.toLowerCase).toSet
-        val tgtCols = toDs.read(targetRef).schema.fieldNames.map(_.toLowerCase).toSet
+        val tgtSchema = toDs.read(targetRef).schema
+        val tgtCols = tgtSchema.fieldNames.map(_.toLowerCase).toSet
         def check(role: String, cols: Seq[String], schema: Set[String], side: String): Unit = {
           val missing = cols.filterNot(c => schema.contains(c.toLowerCase))
           if (missing.nonEmpty)
@@ -91,6 +118,7 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
         check("primary_key_column", spec.target.primaryKeyColumns, tgtCols, "target")
         check("update_column", spec.target.updateColumns, srcCols, "source")
         check("update_column", spec.target.updateColumns, tgtCols, "target")
+        EtlJob.checkSchemaDrift(source.schema, tgtSchema, appendSemantics = false)
       case _ => ()
     }
 
@@ -110,6 +138,46 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
 
 object EtlJob {
   val SourceView = "__source_view"
+
+  /** Schema-drift check against an existing target (see [[EtlJob.validatePlan]]'s
+    * contract). `appendSemantics = true` additionally requires every
+    * target column in the source (append must supply the full row);
+    * merge semantics allow missing source columns (NULL-insert).
+    * Name comparison is case-insensitive; types compare exactly
+    * (nullability is not part of the contract). */
+  private[graft] def checkSchemaDrift(
+      src: org.apache.spark.sql.types.StructType,
+      tgt: org.apache.spark.sql.types.StructType,
+      appendSemantics: Boolean): Unit = {
+    val srcTypes = src.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val tgtTypes = tgt.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val extra = src.fieldNames.filterNot(n => tgtTypes.contains(n.toLowerCase))
+    if (extra.nonEmpty)
+      throw new JobConfigException(
+        s"schema drift: source column(s) ${extra.mkString(", ")} do not exist " +
+          "in the target schema (drop them in the source query, or recreate " +
+          "the target with the evolved schema)")
+    if (appendSemantics) {
+      val missing = tgt.fieldNames.filterNot(n => srcTypes.contains(n.toLowerCase))
+      if (missing.nonEmpty)
+        throw new JobConfigException(
+          s"schema drift: target column(s) ${missing.mkString(", ")} are " +
+            "missing from the source — append must supply every target column")
+    }
+    // An untyped NULL literal (void) is the reference's own idiom for
+    // "no value for this column" (the golden scenarios feed `NULL AS c5`)
+    // — castable to any target type, so never drift.
+    val retyped = src.fields.flatMap { f =>
+      tgtTypes.get(f.name.toLowerCase).collect {
+        case t if t != f.dataType &&
+            f.dataType != org.apache.spark.sql.types.NullType =>
+          s"${f.name} (source ${f.dataType.simpleString}, target ${t.simpleString})"
+      }
+    }
+    if (retyped.nonEmpty)
+      throw new JobConfigException(
+        s"schema drift: column type mismatch — ${retyped.mkString("; ")}")
+  }
 
   /** Factory mirroring `init_etl_job` (parent.py:10-65): YAML → ${param}
     * substitution → lowercased keys → operation dispatch. */
@@ -176,8 +244,18 @@ object Writes {
     * the stage-and-swap happens per affected partition — only partitions
     * containing matched, inserted, or moved rows are written and swapped;
     * everything else is left byte-identical on disk (the parquet analogue
-    * of Delta's file-pruned MERGE). Multi-writer isolation is out of scope
-    * (the reference delegated it to Delta). */
+    * of Delta's file-pruned MERGE).
+    *
+    * Multi-writer isolation is DETECTION-ONLY (the reference inherited
+    * real optimistic concurrency from Delta's txn log, delta.py:104-148):
+    * a `…__graft_lock` sentinel next to the target location is created
+    * exclusively before any side effect and removed afterwards, so a
+    * second merge on the same target fails fast with
+    * [[graft.spec.ConcurrentWriteException]] instead of interleaving
+    * renames with the first (which can silently corrupt). A lock left by
+    * a CRASHED merge (process death skips the finally) must be removed
+    * manually — the error message names the file; this is the documented
+    * trade of a lock file vs a transaction log. */
   def merge(
       source: DataFrame,
       ref: TargetRef,
@@ -196,11 +274,26 @@ object Writes {
           s"update/upsert requires a parquet path target, not ${ds.pathFormat}")
         case _ => ()
       }
-    val target = ds.read(ref)
-    Merge.checkAmbiguousMatches(target, source, primaryKeys, baseCondition)
-    val merged =
-      Merge(target, source, primaryKeys, updateColumns, baseCondition, insertWhenNotMatched)
+    withMergeLock(ref) {
+      val target = ds.read(ref)
+      Merge.checkAmbiguousMatches(target, source, primaryKeys, baseCondition)
+      val merged =
+        Merge(target, source, primaryKeys, updateColumns, baseCondition, insertWhenNotMatched)
+      mergeResolved(source, target, merged, ref, primaryKeys, updateColumns,
+        baseCondition, insertWhenNotMatched)
+    }
+  }
 
+  /** The post-lock body of [[merge]]: plan the rewrite and swap it in. */
+  private def mergeResolved(
+      source: DataFrame,
+      target: DataFrame,
+      merged: DataFrame,
+      ref: TargetRef,
+      primaryKeys: Seq[String],
+      updateColumns: Seq[String],
+      baseCondition: String,
+      insertWhenNotMatched: Boolean)(implicit spark: SparkSession): Unit = {
     ref match {
       case TableRef(t) =>
         val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
@@ -227,6 +320,48 @@ object Writes {
         swapIntoPlace(hadoopPath,
           stage => merged.write.mode(SaveMode.Overwrite).parquet(stage.toString))
     }
+  }
+
+  /** Lock-sentinel path for a merge target: a SIBLING of the target
+    * location (never under it — a file inside a parquet directory would
+    * be read as data/corrupt a listing). */
+  private[graft] def mergeLockPath(ref: TargetRef)(
+      implicit spark: SparkSession): org.apache.hadoop.fs.Path = {
+    val loc = ref match {
+      case TableRef(t) =>
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+        new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(ident).location).toString
+      case PathRef(p) => p
+    }
+    new org.apache.hadoop.fs.Path(loc.stripSuffix("/") + "__graft_lock")
+  }
+
+  /** Run `body` holding the create-exclusive merge lock for `ref`; fail
+    * fast with [[ConcurrentWriteException]] when another merge holds it.
+    * The lock is acquired BEFORE any action or side effect (even the
+    * ambiguity pre-check) and removed on every exit except process
+    * death. */
+  private def withMergeLock[A](ref: TargetRef)(body: => A)(
+      implicit spark: SparkSession): A = {
+    val lock = mergeLockPath(ref)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val acquired =
+      try {
+        // create(overwrite = false) refuses an existing file — the
+        // create-exclusive primitive every Hadoop filesystem offers.
+        val out = fs.create(lock, false)
+        out.writeBytes(s"graft merge lock acquired ${java.time.Instant.now()}\n")
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!acquired)
+      throw new graft.spec.ConcurrentWriteException(
+        s"another merge appears to be in progress on $ref (lock file $lock " +
+          "exists). If no merge is running, a previous merge crashed " +
+          "mid-flight — inspect the target and remove the lock file to recover.")
+    try body
+    finally fs.delete(lock, false)
   }
 
   /** Partition-scoped merge rewrite: write ONLY the partitions the merge

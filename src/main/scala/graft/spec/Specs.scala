@@ -7,6 +7,13 @@ import scala.jdk.CollectionConverters._
   * Mirrors the reference's `JobConfigException` (pyzzle/base_job.py:4-5). */
 final class JobConfigException(msg: String) extends RuntimeException(msg)
 
+/** Raised when a merge detects another in-flight merge on the same target.
+  * The reference inherited multi-writer isolation from Delta's optimistic
+  * transaction log (pyzzle/datasource/delta.py:104-148); the parquet
+  * stage-and-swap rewrite is single-writer, so concurrent merges are
+  * DETECTED (lock sentinel) and refused rather than silently interleaved. */
+final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
 /** Target write operation. Dispatch is case-insensitive and `insert` is a
   * strict alias of `append` (reference: etl/parent.py:56-63, delta.py:90). */
 sealed trait Operation
