@@ -792,6 +792,26 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // The ANN flavor of the semantic join (exact=false — hyperplane-LSH
+    // candidates instead of the broadcast cross product, the 100 TB
+    // path), gated on TOP-1 agreement with the exact contract above:
+    // recall = fraction of exact best-match pairs the ANN flavor also
+    // attaches. Floor 0.40 sits under the minimum measured across
+    // sf0.001/0.01/0.1 (0.455/0.633/0.65 — BASELINE.md records them).
+    "semantic_join_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val l = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select("vec_id", "embedding")
+      val r = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+        .select("vec_id", "embedding")
+      def pairs(exact: Boolean) =
+        Similarity.semanticJoin(l, r, "embedding", "vec_id", minCosine = 0.3,
+          exact = exact)
+          .where(col("match_id").isNotNull)
+          .select(col("vec_id").as("query_id"), col("match_id").as("neighbor_id"))
+      recallGate(pairs(exact = true), pairs(exact = false), floor = 0.40)
+    }),
+
     // The driver-facing ANN/IVF queries: each runs the FULL approximate
     // top-k pipeline (annTopK / ivfTopK) and reports its recall@5,
     // measured against the exact brute-force top-5 INSIDE Spark (left
@@ -984,6 +1004,30 @@ object SparkEntry {
     // from doc_id — deterministic, so DuckDB rebuilds the same input and
     // verifies the exact redacted output and audit counts; the regex
     // patterns are Java/RE2-portable by construction).
+    // C4 line-rule quality filter over a DETERMINISTIC multi-line
+    // fixture planted from the documents table (the pii_redaction
+    // pattern — the corpus has no native line structure): line 1 ends
+    // terminal and is kept iff long enough; line 2 always fails (short,
+    // no punctuation); line 3 plants "javascript"; line 4 plants a `{`
+    // page-killer on every 7th doc and a keepable tail line otherwise.
+    // Every rule is a string expression DuckDB evaluates identically,
+    // so the oracle recomputes counts AND the keep verdict per doc.
+    "line_rules" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(substring(col("text"), 1, 40), lit(" and so it ends.")),
+          lit("too short"),
+          concat(lit("enable javascript to view document "),
+            col("doc_id").cast("string"), lit(" now.")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("brace line { for doc "),
+              col("doc_id").cast("string"), lit(".")))
+            .otherwise(concat(substring(col("text"), 41, 40),
+              lit(" tail words linger here too.")))).as("text"))
+      TextAnalysis.lineRules(planted, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "pii_redaction" -> ((s, dir) => {
       val planted = t(s, dir, "documents").select(col("doc_id"),
         concat(
@@ -1367,6 +1411,23 @@ object SparkEntry {
       EventWindows.sessionsAvailableNow(s, s"$dir/events.parquet", "ts",
         "5 minutes", "30 minutes")
         .orderBy("user_id", "session_start")),
+
+    // WATERMARK LATE-DATA GATE: the tumbling aggregation drained as TWO
+    // checkpointed AvailableNow runs (even event_ids first), so the
+    // watermark restored for run 2 is deterministic and DuckDB
+    // recomputes the engine's own numRowsDroppedByWatermark counter plus
+    // the emitted window set exactly: run-2 rows whose window closed
+    // under wm = max(run-1 ts) − 30 min are dropped (the metric counts
+    // their DISTINCT GROUPS — it fires post-shuffle at the state
+    // operator); append mode emits the (window, type) groups the FINAL
+    // watermark passed.
+    "streaming_late_counts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val b1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      val b2 = ev.filter(pmod(col("event_id"), lit(2)) =!= 0)
+      EventWindows.tumblingLateAudit(s, Seq(b1, b2), "ts",
+        "15 minutes", "30 minutes")
+    }),
 
     "events_json_stats" -> ((s, dir) =>
       t(s, dir, "events")
@@ -1879,6 +1940,43 @@ object SparkEntry {
         |  SELECT 'l_discount', q, CAST(vd[i] AS DOUBLE) FROM probs, a)
         |ORDER BY column_name, quantile""".stripMargin,
 
+    // Recomputes the ENTIRE line-rule evaluation — planted fixture,
+    // per-line normalize/keep rules, per-doc verdict — in DuckDB's list
+    // lambdas. len() is BIGINT there, so the int-typed counts cast.
+    "line_rules" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' and so it ends.' || chr(10) ||
+        |    'too short' || chr(10) ||
+        |    'enable javascript to view document ' || CAST(doc_id AS VARCHAR) || ' now.' || chr(10) ||
+        |    (CASE WHEN doc_id % 7 = 0
+        |      THEN 'brace line { for doc ' || CAST(doc_id AS VARCHAR) || '.'
+        |      ELSE substr(text, 41, 40) || ' tail words linger here too.' END) AS text
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id, text,
+        |    list_filter(
+        |      list_transform(string_split(text, chr(10)),
+        |        l -> trim(regexp_replace(lower(l), '\s+', ' ', 'g'))),
+        |      l -> l <> '') AS lines
+        |  FROM planted),
+        |kept AS (
+        |  SELECT doc_id, text, lines,
+        |    list_filter(lines, l ->
+        |      regexp_matches(l, '[.!?"]$')
+        |      AND len(string_split(l, ' ')) >= 5
+        |      AND NOT contains(l, 'javascript')) AS keep_lines
+        |  FROM norm)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS INT) AS n_lines,
+        |  CAST(len(keep_lines) AS INT) AS n_kept_lines,
+        |  CAST(coalesce(list_sum(list_transform(keep_lines, l -> len(l))), 0) AS BIGINT)
+        |    AS kept_chars,
+        |  (len(keep_lines) >= 3
+        |    AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')) AS keep
+        |FROM kept ORDER BY doc_id""".stripMargin,
+
     "pii_redaction" ->
       s"""WITH planted AS (
          |  SELECT doc_id,
@@ -1973,6 +2071,18 @@ object SparkEntry {
         |FROM l LEFT JOIN (
         |  SELECT * FROM best WHERE rk = 1 AND cos_raw >= 0.3) b USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
+
+    // n_queries = probes whose exact best match clears the 0.3 floor —
+    // the denominator of the recall gate, recomputed independently.
+    "semantic_join_ann" ->
+      """WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+        |best AS (
+        |  SELECT l.vec_id,
+        |    max(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[])) AS c
+        |  FROM l CROSS JOIN r GROUP BY l.vec_id)
+        |SELECT true AS recall_ok, count(*) AS n_queries
+        |FROM best WHERE c >= 0.3""".stripMargin,
 
     "ann_recall" ->
       """SELECT true AS recall_ok,
@@ -2483,6 +2593,39 @@ object SparkEntry {
       """SELECT count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
         |  AS n_unique
         |FROM documents""".stripMargin,
+
+    // Independent recomputation of the watermark machinery: Spark tracks
+    // max event time in FLOOR MILLISECONDS (EventTimeStats), so the
+    // watermark mirrors date_trunc to ms; a batch-2 row is dropped iff
+    // its window closed under wm1 = ms(max batch-1 ts) − 30 min, and a
+    // (window, type) group is emitted iff the final watermark passed its
+    // end. All three outputs — emitted window count, emitted row mass,
+    // and the engine's numRowsDroppedByWatermark — must match.
+    "streaming_late_counts" ->
+      """WITH b1 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        |b2 AS (SELECT * FROM events WHERE event_id % 2 = 1),
+        |wm1 AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '30 minutes' AS w FROM b1),
+        |wmf AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '30 minutes' AS w FROM events),
+        |live AS (
+        |  SELECT * FROM b1
+        |  UNION ALL
+        |  SELECT * FROM b2
+        |  WHERE NOT (time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes'
+        |             <= (SELECT w FROM wm1))),
+        |emitted AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts) AS ws, event_type, count(*) AS n
+        |  FROM live
+        |  WHERE time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes'
+        |        <= (SELECT w FROM wmf)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_events,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT DISTINCT time_bucket(INTERVAL '15 minutes', ts), event_type
+        |     FROM b2
+        |     WHERE time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes'
+        |           <= (SELECT w FROM wm1))) AS n_dropped_late
+        |FROM emitted""".stripMargin,
 
     // Streaming path must equal the batch aggregation exactly — same SQL.
     "events_tumbling_streaming" ->

@@ -114,6 +114,53 @@ object TextAnalysis {
         l => trim(regexp_replace(lower(l), "\\s+", " "))),
       l => l =!= "")
 
+  /** C4-style line-rule quality filter (Raffel et al. 2020, §2.2 — the
+    * "Colossal Clean Crawled Corpus" cleaning heuristics), as per-line
+    * array expressions that ride the scan stage (no shuffle — the same
+    * embarrassingly-parallel shape as [[profile]]):
+    *
+    * a LINE is kept iff it
+    *   - ends in a terminal punctuation mark (`.`, `!`, `?`, `"`) after
+    *     whitespace normalization,
+    *   - has at least `minWordsPerLine` whitespace words, and
+    *   - does not contain the word "javascript" (case-insensitive);
+    * a DOCUMENT is kept iff it
+    *   - retains at least `minLinesPerDoc` lines,
+    *   - does not contain "lorem ipsum" (case-insensitive), and
+    *   - does not contain a curly brace `{`.
+    *
+    * Output per document: `n_lines` (non-empty lines), `n_kept_lines`,
+    * `kept_chars` (characters surviving the line filter), and the
+    * document-level `keep` verdict. Every rule is a deterministic string
+    * expression both engines evaluate identically, so the driver oracle
+    * recomputes the whole verdict — not just counts. */
+  def lineRules(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minWordsPerLine: Int = 5,
+      minLinesPerDoc: Int = 3): DataFrame = {
+    require(minWordsPerLine > 0 && minLinesPerDoc > 0,
+      s"thresholds must be positive: $minWordsPerLine, $minLinesPerDoc")
+    val lines = normLines(col(textCol))
+    val keptLines = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(l, " ")) >= minWordsPerLine &&
+        !l.contains("javascript"))
+    df.select(
+        col(idCol),
+        size(lines).as("n_lines"),
+        size(keptLines).as("n_kept_lines"),
+        aggregate(keptLines, lit(0L), (acc, x) => acc + length(x).cast("long"))
+          .as("kept_chars"),
+        lower(col(textCol)).as("__lc"))
+      .withColumn("keep",
+        col("n_kept_lines") >= minLinesPerDoc &&
+          !col("__lc").contains("lorem ipsum") &&
+          !col("__lc").contains("{"))
+      .drop("__lc")
+  }
+
   /** Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
     * Models", table A1): per document,
     *

@@ -114,6 +114,73 @@ object EventWindows {
     spark.table(sink)
   }
 
+  /** LATE-DATA AUDIT: the tumbling aggregation drained INCREMENTALLY —
+    * one `Trigger.AvailableNow` run per input batch against a PERSISTENT
+    * CHECKPOINT, the standard production shape for a periodic job over
+    * an arriving feed. This structure is what makes late-dropping
+    * deterministic AND real: each run's trailing no-data batch commits
+    * the advanced watermark and EVICTS closed windows, so the next run
+    * restores wm_k = max(event time of batches < k) − delay from the
+    * commit log and drops batch-k rows whose window is closed
+    * (window.end ≤ wm_k; EventWindowsLateDataSpec pins the row-level
+    * semantics). A single AvailableNow run over the same files would
+    * drop NOTHING — eviction lags the watermark by a batch, so late
+    * rows merge into still-live state (measured: 0 dropped over a
+    * 2-file drain); the per-run commit is the fence that closes windows.
+    *
+    * Returns ONE row (n_windows, n_events, n_dropped_late) aggregated
+    * over every run's append-mode output; the dropped count is the
+    * state operator's own `numRowsDroppedByWatermark` metric summed
+    * over runs — the engine's counter, not a recomputation, which is
+    * what makes the oracle cross-check a real gate on watermark
+    * behavior. The metric fires at the stateful operator, which sits
+    * AFTER the partial aggregate and its exchange — what it counts is
+    * late (window, group) MERGED ROWS, i.e. distinct late groups per
+    * run, not late input rows (measured: 499 late input rows across
+    * 497 groups → metric 497). The oracle recomputes exactly that. */
+  def tumblingLateAudit(
+      spark: SparkSession,
+      batches: Seq[DataFrame],
+      tsCol: String,
+      duration: String,
+      watermark: String): DataFrame = {
+    require(batches.nonEmpty, "late audit needs at least one batch")
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_late")
+    val ckpt = stage.resolve("__checkpoint").toString
+    // The memory sink cannot recover a checkpoint; the parquet FILE sink
+    // is the fault-tolerant one (and the one a real periodic job uses).
+    val out = stage.resolve("__out").toString
+    var dropped = 0L
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = stage.resolve(s"__tmp_$i")
+      b.coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      val dest = new java.io.File(stage.toFile, f"batch_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      tmp.toFile.listFiles().foreach(_.delete())
+      tmp.toFile.delete()
+
+      val src = spark.readStream.schema(b.schema)
+        .option("pathGlobFilter", "batch_*.parquet")
+        .parquet(stage.toString)
+      val q = tumbling(src.withWatermark(tsCol, watermark), tsCol, duration)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      dropped += q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsDroppedByWatermark).sum
+    }
+    spark.read.parquet(out).agg(
+      count(lit(1)).as("n_windows"),
+      coalesce(sum(col("n_events")), lit(0L)).as("n_events"))
+      .withColumn("n_dropped_late", lit(dropped))
+  }
+
   private def startToMemory(
       spark: SparkSession,
       sourceDir: String,

@@ -51,6 +51,28 @@ class EventWindowsLateDataSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("tumblingLateAudit: incremental checkpointed drains drop closed-window groups, counts hand-verified") {
+    val b1 = Seq(
+      (ts("10:00"), "c", 1.0),
+      (ts("10:05"), "c", 1.0),
+      (ts("11:00"), "c", 1.0)).toDF("ts", "event_type", "value")
+    // Run-1 watermark commits at max(b1) − 10 min = 10:50:
+    //   10:05 → window [10:00,10:15) closed → its GROUP dropped (1);
+    //   10:55 → [10:45,11:00) open → counted;
+    //   11:40 → final wm 11:30 → emits [10:45,11:00) and [11:00,11:15),
+    //           holds [11:30,11:45).
+    val b2 = Seq(
+      (ts("10:05"), "c", 100.0),
+      (ts("10:55"), "c", 1.0),
+      (ts("11:40"), "c", 1.0)).toDF("ts", "event_type", "value")
+    val row = EventWindows.tumblingLateAudit(spark, Seq(b1, b2),
+      "ts", "15 minutes", "10 minutes").collect().head
+    // emitted: [10:00,10:15)×2 (run 1), [10:45,11:00)×1, [11:00,11:15)×1
+    assert(row.getLong(0) == 3, s"n_windows: $row")
+    assert(row.getLong(1) == 4, s"n_events: $row")
+    assert(row.getLong(2) == 1, s"n_dropped_late: $row")
+  }
+
   test("late data into a closed window is dropped; into an open window is counted; windows finalize once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]

@@ -159,6 +159,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(streamSet.subsetOf(batchSet), "streaming sessions diverge from batch")
   }
 
+  test("lineRules applies C4 keep rules per line and per document") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // 3 keepable lines → keep
+      (1L, "this line has enough words to pass.\nshort one\n" +
+        "another line that carries plenty of words!\n" +
+        "and a third line asking a proper question?"),
+      // only 2 keepable lines → dropped by minLinesPerDoc
+      (2L, "this line has enough words to pass.\n" +
+        "another line that carries plenty of words!"),
+      // javascript line doesn't count; lorem ipsum kills the doc
+      (3L, "Enable JavaScript to continue reading this page.\n" +
+        "lorem ipsum dolor sit amet consectetur adipiscing elit.\n" +
+        "a real sentence with enough words to pass muster.\n" +
+        "another real sentence with enough words to pass.\n" +
+        "one more real sentence with enough words here."),
+      // curly brace kills the doc even with enough kept lines
+      (4L, "function f() { return 1; } is not prose at all.\n" +
+        "a real sentence with enough words to pass muster.\n" +
+        "another real sentence with enough words to pass.\n" +
+        "one more real sentence with enough words here."),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.lineRules(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L)._2 == 3 && out(1L)._4, s"doc 1: ${out(1L)}")
+    assert(out(1L)._1 == 4, "all four non-empty lines counted")
+    assert(out(2L) == ((2, 2, 77L, false)), s"doc 2: ${out(2L)}")
+    // doc 3: lorem-ipsum line ends terminally and has ≥5 words → KEPT as
+    // a line (4 kept incl. it, javascript line rejected), doc still dies
+    // on the page-level lorem-ipsum rule
+    assert(out(3L)._2 == 4 && !out(3L)._4, s"doc 3: ${out(3L)}")
+    assert(out(4L)._2 == 4 && !out(4L)._4, s"doc 4: ${out(4L)}")
+    assert(out(5L) == ((0, 0, 0L, false)), s"doc 5: ${out(5L)}")
+    // kept_chars = characters of the kept lines only
+    val k1 = "this line has enough words to pass.".length +
+      "another line that carries plenty of words!".length +
+      "and a third line asking a proper question?".length
+    assert(out(1L)._3 == k1.toLong)
+  }
+
   test("redactPii replaces emails and IPv4 and counts matches") {
     import spark.implicits._
     val df = Seq(
