@@ -1377,6 +1377,31 @@ object SparkEntry {
       EventWindows.sliding(t(s, dir, "events"), "ts", "30 minutes", "15 minutes")
         .orderBy("window_start", "event_type")),
 
+    // Sliding-window streaming parity — completes the window-family
+    // parity set (tumbling and session already drain to completion and
+    // oracle with the batch SQL).
+    "events_sliding_streaming" -> ((s, dir) =>
+      EventWindows.slidingAvailableNow(s, s"$dir/events.parquet", "ts",
+        "30 minutes", "15 minutes", "30 minutes")
+        .orderBy("window_start", "event_type")),
+
+    // BOUNDED-STATE streaming dedup (TTL): emit the first event per
+    // (user, type) key per retention epoch; state evicted by EVENT-TIME
+    // TIMEOUT once the watermark passes last-seen + 3 days — the fix
+    // for unbounded dedup state on an endless stream. Drained as two
+    // checkpointed runs (even event_ids first) so eviction points are
+    // deterministic; the oracle recomputes emissions, re-emissions
+    // after eviction, the exact emitted ids (checksum), and the
+    // late-filtered row count.
+    "streaming_dedup_ttl" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val b1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      val b2 = ev.filter(pmod(col("event_id"), lit(2)) =!= 0)
+      graft.streaming.StreamingDedup.ttlDedupAudit(s, Seq(b1, b2),
+        Seq("user_id", "event_type"), "ts", "event_id",
+        watermarkDelay = "30 minutes", retentionMs = 3L * 24 * 3600 * 1000)
+    }),
+
     // STREAMING exact-dedup run to completion: keyed state
     // (flatMapGroupsWithState) emits exactly one row per content
     // fingerprint. Which doc represents a fingerprint depends on shuffle
@@ -2667,6 +2692,54 @@ object SparkEntry {
         |FROM expanded
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // Streaming path must equal the batch sliding aggregation — same SQL.
+    "events_sliding_streaming" ->
+      """WITH b AS (
+        |  SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP) AS bk,
+        |         event_type, value
+        |  FROM events),
+        |expanded AS (
+        |  SELECT bk AS window_start, event_type, value FROM b
+        |  UNION ALL
+        |  SELECT bk - INTERVAL '15 minutes', event_type, value FROM b)
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM expanded
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // Full recomputation of the TTL-dedup contract: run-1 emits min id
+    // per key; run-2's visible rows are those the watermark filter keeps
+    // (ts >= wm1); a key re-emits iff unseen OR its state timed out
+    // (wm1 strictly beyond ms-floored last-seen + retention, fired by
+    // run-1's trailing no-data batch). The checksum pins the exact ids.
+    "streaming_dedup_ttl" ->
+      """WITH b1 AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        |b2 AS (SELECT * FROM events WHERE event_id % 2 = 1),
+        |wm1 AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '30 minutes' AS w FROM b1),
+        |s1 AS (
+        |  SELECT user_id, event_type, min(event_id) AS eid,
+        |         date_trunc('milliseconds', max(ts)) AS mx
+        |  FROM b1 GROUP BY 1, 2),
+        |v2 AS (SELECT * FROM b2 WHERE ts >= (SELECT w FROM wm1)),
+        |s2 AS (SELECT user_id, event_type, min(event_id) AS eid FROM v2 GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT s2.user_id, s2.event_type, s2.eid
+        |  FROM s2 LEFT JOIN s1 USING (user_id, event_type)
+        |  WHERE s1.eid IS NULL
+        |     OR (SELECT w FROM wm1) > s1.mx + INTERVAL '3 days'),
+        |em AS (
+        |  SELECT user_id, event_type, eid FROM s1
+        |  UNION ALL
+        |  SELECT user_id, event_type, eid FROM r2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_emitted,
+        |  CAST(count(DISTINCT CAST(user_id AS VARCHAR) || chr(1) || event_type) AS BIGINT)
+        |    AS n_keys,
+        |  CAST(coalesce(sum(eid), 0) AS BIGINT) AS id_checksum,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b2
+        |   WHERE ts < (SELECT w FROM wm1)) AS n_late_rows
+        |FROM em""".stripMargin,
 
     // Gap-based sessionization: new session when the gap to the previous
     // event is >= 5 minutes (Spark merges only strictly-overlapping

@@ -94,6 +94,25 @@ object EventWindows {
     spark.table(sink)
   }
 
+  /** Sliding windows through Structured Streaming to COMPLETION — the
+    * sliding twin of [[tumblingAvailableNow]] (complete mode, finite
+    * source drains, exact batch parity the driver oracle asserts with
+    * the batch query's SQL). */
+  def slidingAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      tsCol: String,
+      duration: String,
+      slide: String,
+      watermark: String): DataFrame = {
+    val sink = s"graft_stream_sliding_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = startToMemory(spark, sourceDir, tsCol, sink,
+      s => sliding(s.withWatermark(tsCol, watermark), tsCol, duration, slide),
+      outputMode = "complete", availableNow = true)
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   /** Gap-sessionization through Structured Streaming to COMPLETION —
     * the session twin of [[tumblingAvailableNow]]: file source →
     * watermarked `session_window` agg → memory sink, complete mode so
@@ -144,38 +163,9 @@ object EventWindows {
       tsCol: String,
       duration: String,
       watermark: String): DataFrame = {
-    require(batches.nonEmpty, "late audit needs at least one batch")
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_late")
-    val ckpt = stage.resolve("__checkpoint").toString
-    // The memory sink cannot recover a checkpoint; the parquet FILE sink
-    // is the fault-tolerant one (and the one a real periodic job uses).
-    val out = stage.resolve("__out").toString
-    var dropped = 0L
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val tmp = stage.resolve(s"__tmp_$i")
-      b.coalesce(1).write.parquet(tmp.toString)
-      val part = tmp.toFile.listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-      val dest = new java.io.File(stage.toFile, f"batch_$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      tmp.toFile.listFiles().foreach(_.delete())
-      tmp.toFile.delete()
-
-      val src = spark.readStream.schema(b.schema)
-        .option("pathGlobFilter", "batch_*.parquet")
-        .parquet(stage.toString)
-      val q = tumbling(src.withWatermark(tsCol, watermark), tsCol, duration)
-        .writeStream.format("parquet").outputMode("append")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      dropped += q.recentProgress.toSeq
-        .flatMap(_.stateOperators.toSeq).map(_.numRowsDroppedByWatermark).sum
-    }
-    spark.read.parquet(out).agg(
+    val (emitted, dropped) = StagedDrain.run(spark, batches,
+      s => tumbling(s.withWatermark(tsCol, watermark), tsCol, duration))
+    emitted.agg(
       count(lit(1)).as("n_windows"),
       coalesce(sum(col("n_events")), lit(0L)).as("n_events"))
       .withColumn("n_dropped_late", lit(dropped))

@@ -42,6 +42,103 @@ object StreamingDedup {
       .toDF("fp", idCol)
   }
 
+  /** BOUNDED-STATE streaming dedup — the 100 TB fix for
+    * [[firstPerFingerprint]]'s structural flaw: `NoTimeout` state grows
+    * by one entry per distinct key FOREVER, which on an unbounded stream
+    * is an unbounded state store. Here each key's state carries only its
+    * max event time and an EVENT-TIME TIMEOUT at `maxTs + retentionMs`:
+    * once the watermark passes that, the state is evicted, and a key
+    * seen again AFTER eviction emits again. Semantics: "emit the first
+    * event per key per retention epoch" — alert suppression / feed
+    * dedup with a TTL, state bounded by keys ACTIVE within the
+    * retention window, not keys ever seen.
+    *
+    * Determinism contract (what the driver oracle recomputes exactly):
+    *   - emission picks the MIN `idCol` among the key's rows in the
+    *     batch (never arrival order);
+    *   - state max-ts is the max over ALL of the key's batch rows
+    *     (the group iterator sees the whole batch — not arrival order);
+    *   - timestamps are ms-floored (`Timestamp.getTime`), matching the
+    *     engine's ms-granular watermark;
+    *   - a timeout fires in the first batch where watermark >
+    *     maxTs + retention AND the key has no data (Spark calls the
+    *     timeout path only for data-less groups; an incremental drain's
+    *     trailing no-data batch is what makes eviction deterministic —
+    *     see [[StagedDrain]]);
+    *   - input rows below the watermark are late-filtered before the
+    *     operator (counted row-wise in numRowsDroppedByWatermark).
+    * Output: one (`key`, idCol) row per emission, `key` the
+    * `\u0001`-joined key columns. */
+  def firstPerKeyTtl(
+      docs: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      idCol: String,
+      watermarkDelay: String,
+      retentionMs: Long): DataFrame = {
+    require(keyCols.nonEmpty, "ttl dedup needs at least one key column")
+    require(retentionMs > 0, s"retention must be positive: $retentionMs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // The watermarked TIMESTAMP column must survive UNTRANSFORMED to
+    // the stateful operator: projecting it away — or even wrapping it in
+    // a cast — strips the watermark metadata from the attribute and
+    // analysis fails with "Watermark must be specified". A bare alias
+    // preserves it; ms-flooring happens in the lambda via
+    // Timestamp.getTime.
+    val keyed = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(
+        concat_ws("\u0001", keyCols.map(c => col(c).cast("string")): _*).as("k"),
+        col(tsCol).as("__ts"),
+        col(idCol).cast("long").as("__id"))
+      .as[(String, java.sql.Timestamp, Long)]
+    keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: String, rows: Iterator[(String, java.sql.Timestamp, Long)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq
+            val batchMax = rs.iterator.map(_._2.getTime).max
+            val newMax = if (state.exists) math.max(state.get, batchMax) else batchMax
+            val out =
+              if (state.exists) Iterator.empty
+              else Iterator((k, rs.iterator.map(_._3).min))
+            state.update(newMax)
+            state.setTimeoutTimestamp(newMax + retentionMs)
+            out
+          }
+      }
+      .toDF("key", idCol)
+  }
+
+  /** [[firstPerKeyTtl]] drained incrementally over staged batches (one
+    * checkpointed AvailableNow run each — [[StagedDrain]]), aggregated to
+    * ONE auditable row: emissions, distinct keys (emissions − keys =
+    * re-emissions after TTL eviction), an id checksum pinning EXACTLY
+    * which rows were emitted, and the engine's late-row counter. Every
+    * number is a deterministic function of the batch contents, which the
+    * driver oracle recomputes in DuckDB. */
+  def ttlDedupAudit(
+      spark: SparkSession,
+      batches: Seq[DataFrame],
+      keyCols: Seq[String],
+      tsCol: String,
+      idCol: String,
+      watermarkDelay: String,
+      retentionMs: Long): DataFrame = {
+    val (emitted, late) = StagedDrain.run(spark, batches,
+      df => firstPerKeyTtl(df, keyCols, tsCol, idCol, watermarkDelay, retentionMs))
+    emitted.agg(
+      count(lit(1)).as("n_emitted"),
+      countDistinct(col("key")).as("n_keys"),
+      coalesce(sum(col(idCol)), lit(0L)).as("id_checksum"))
+      .withColumn("n_late_rows", lit(late))
+  }
+
   /** Streaming variant over a parquet file source → in-memory sink table.
     * Mirrors EventWindows.streamTumblingToMemory's single-file handling. */
   def streamToMemory(

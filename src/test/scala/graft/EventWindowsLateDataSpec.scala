@@ -40,6 +40,18 @@ class EventWindowsLateDataSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("availableNow streaming sliding windows equal the batch sliding aggregation exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = EventWindows.sliding(Tables.load(spark, sf, "events"), "ts",
+      "30 minutes", "15 minutes")
+      .collect().map(_.toSeq).toSet
+    val streamed = EventWindows.slidingAvailableNow(
+      spark, s"$sf/events.parquet", "ts", "30 minutes", "15 minutes", "30 minutes")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, "streaming sliding windows must equal batch")
+    assert(batch.nonEmpty)
+  }
+
   test("availableNow streaming sessionization equals the batch session windows exactly") {
     val sf = "/root/testdata/sf0.001"
     val batch = EventWindows.sessions(Tables.load(spark, sf, "events"), "ts", "5 minutes")
