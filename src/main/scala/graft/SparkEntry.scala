@@ -561,6 +561,22 @@ object SparkEntry {
         .withColumn("tfidf", round(col("tfidf"), 6))
         .orderBy("doc_id", "rank")),
 
+    // Stupid-Backoff trigram LM scoring (the CCNet/Gopher perplexity
+    // quality filter): train on the 80% hash-split of the corpus, score
+    // the held-out 20% — held-out docs contain unseen n-grams, so the
+    // backoff chain is exercised and oracle-checked. The per-doc
+    // log-score sum is an ORDERED fold (sort_array + aggregate), so
+    // DuckDB's `sum(ls ORDER BY pos)` adds the same doubles in the same
+    // sequence — bit-identical before the 6-dp round.
+    "lm_doc_scores" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      LanguageModel.stupidBackoffScores(
+        d.filter(Sampling.bucket(col("doc_id"), 7L) >= 2000),
+        d.filter(Sampling.bucket(col("doc_id"), 7L) < 2000),
+        "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary coverage: top-500 corpus vocabulary (count desc, token
     // asc — deterministic), per-language token totals + OOV rate. The
     // tokenizer-prep "how big a vocab do we need" question in one pass.
@@ -2386,6 +2402,69 @@ object SparkEntry {
         |      FROM sc)
         |SELECT doc_id, term, rank, round(tfidf, 6) AS tfidf
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Recomputes the whole model: same tokenization, same hash split,
+    // gram counts rolled up identically, the same backoff CASE with
+    // ln(0.4) embedded as the SAME literal, and the per-doc sum ordered
+    // by position so the fold matches Spark's aggregate() bit-for-bit.
+    "lm_doc_scores" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${oracleNormExpr("text")} AS nrm,
+         |    ${Sampling.bucketSql("doc_id", 7L)} AS bk
+         |  FROM documents),
+         |tokl AS (
+         |  SELECT doc_id, bk,
+         |    CASE WHEN nrm = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(nrm, ' ') END AS l
+         |  FROM base),
+         |tpos AS (SELECT l, unnest(range(1, len(l) + 1)) AS i FROM tokl WHERE bk >= 2000),
+         |tctx AS (SELECT l[i] AS w,
+         |           CASE WHEN i >= 2 THEN l[i-1] END AS b,
+         |           CASE WHEN i >= 3 THEN l[i-2] END AS a FROM tpos),
+         |uni AS (SELECT w, count(*) AS c FROM tctx GROUP BY w),
+         |bi  AS (SELECT b, w, count(*) AS c FROM tctx WHERE b IS NOT NULL GROUP BY b, w),
+         |tri AS (SELECT a, b, w, count(*) AS c FROM tctx WHERE a IS NOT NULL GROUP BY a, b, w),
+         |nn AS (SELECT count(*)::double AS n FROM tctx),
+         |spos AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM tokl WHERE bk < 2000),
+         |sctx AS (SELECT doc_id, i - 1 AS pos, l[i] AS w,
+         |           CASE WHEN i >= 2 THEN l[i-1] END AS b,
+         |           CASE WHEN i >= 3 THEN l[i-2] END AS a FROM spos),
+         |sc AS (
+         |  SELECT s.doc_id, s.pos, s.w,
+         |    t3.c AS c3, d3.c AS c3d, b2.c AS c2, u2.c AS c2d, u1.c AS c1
+         |  FROM sctx s
+         |  LEFT JOIN tri t3 ON s.a = t3.a AND s.b = t3.b AND s.w = t3.w
+         |  LEFT JOIN bi d3 ON s.a = d3.b AND s.b = d3.w
+         |  LEFT JOIN bi b2 ON s.b = b2.b AND s.w = b2.w
+         |  LEFT JOIN uni u2 ON s.b = u2.w
+         |  LEFT JOIN uni u1 ON s.w = u1.w),
+         |lsq AS (
+         |  SELECT doc_id, pos, c1,
+         |    CASE
+         |      WHEN pos >= 2 AND c3 IS NOT NULL THEN ln(c3::double / c3d::double)
+         |      WHEN pos >= 2 AND c2 IS NOT NULL THEN (${LanguageModel.lnAlphaSql}) + ln(c2::double / c2d::double)
+         |      WHEN pos >= 2 AND c1 IS NOT NULL THEN (${LanguageModel.lnAlphaSql}) + (${LanguageModel.lnAlphaSql}) + ln(c1::double / n)
+         |      WHEN pos >= 2 THEN (${LanguageModel.lnAlphaSql}) + (${LanguageModel.lnAlphaSql}) + ln(1.0 / n)
+         |      WHEN pos = 1 AND c2 IS NOT NULL THEN ln(c2::double / c2d::double)
+         |      WHEN pos = 1 AND c1 IS NOT NULL THEN (${LanguageModel.lnAlphaSql}) + ln(c1::double / n)
+         |      WHEN pos = 1 THEN (${LanguageModel.lnAlphaSql}) + ln(1.0 / n)
+         |      WHEN c1 IS NOT NULL THEN ln(c1::double / n)
+         |      ELSE ln(1.0 / n)
+         |    END AS ls
+         |  FROM sc CROSS JOIN nn),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |    sum(ls ORDER BY pos) AS lp
+         |  FROM lsq GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  COALESCE(p.n_tokens, 0) AS n_tokens,
+         |  COALESCE(p.n_oov, 0) AS n_oov,
+         |  round(COALESCE(p.lp, 0.0), 6) AS logprob,
+         |  CASE WHEN p.n_tokens > 0 THEN round(p.lp / p.n_tokens, 6) END AS avg_logprob
+         |FROM tokl t LEFT JOIN perdoc p USING (doc_id)
+         |WHERE t.bk < 2000
+         |ORDER BY doc_id""".stripMargin,
 
     "bm25_ranking" ->
       """WITH tok AS (
