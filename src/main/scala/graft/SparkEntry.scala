@@ -561,6 +561,24 @@ object SparkEntry {
         .withColumn("tfidf", round(col("tfidf"), 6))
         .orderBy("doc_id", "rank")),
 
+    // Snapshot diff between two corpus versions (the incremental-pipeline
+    // pre-flight): the "new" snapshot is a deterministic hash-picked
+    // mutation of documents — 5% removed, 10% edited, 5% cloned under new
+    // ids — and the diff classifies every id added/removed/changed/
+    // unchanged from narrow (id, md5 fingerprint) frames. The oracle
+    // rebuilds the mutation AND the verdicts from scratch.
+    "corpus_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val bk = Sampling.bucket(col("doc_id"), 13L)
+      val mutated = d.filter(bk >= 500)
+        .withColumn("text",
+          when(bk < 1500, concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+        .unionByName(d.filter(bk >= 9500)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      Snapshot.diffSummary(d, mutated, "doc_id", Seq("text", "lang", "source"))
+        .orderBy("status")
+    }),
+
     // Stupid-Backoff trigram LM scoring (the CCNet/Gopher perplexity
     // quality filter): train on the 80% hash-split of the corpus, score
     // the held-out 20% — held-out docs contain unseen n-grams, so the
@@ -2402,6 +2420,47 @@ object SparkEntry {
         |      FROM sc)
         |SELECT doc_id, term, rank, round(tfidf, 6) AS tfidf
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Rebuilds the mutated snapshot (same hash picks), fingerprints both
+    // sides with the same NUL/SOH-sentinel concat + md5, and re-derives
+    // every verdict through its own full outer join.
+    "corpus_diff" ->
+      s"""WITH bkt AS (
+         |  SELECT doc_id, ${Sampling.bucketSql("doc_id", 13L)} AS bk
+         |  FROM documents),
+         |news AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN b.bk < 1500 THEN d.text || ' [v2]' ELSE d.text END AS text,
+         |    d.lang, d.source
+         |  FROM documents d JOIN bkt b USING (doc_id) WHERE b.bk >= 500
+         |  UNION ALL
+         |  SELECT d.doc_id + 10000000, d.text, d.lang, d.source
+         |  FROM documents d JOIN bkt b USING (doc_id) WHERE b.bk >= 9500),
+         |ofp AS (
+         |  SELECT doc_id, md5(concat_ws(chr(1),
+         |    coalesce(text, chr(0)), coalesce(lang, chr(0)),
+         |    coalesce(source, chr(0)))) AS fp
+         |  FROM documents),
+         |nfp AS (
+         |  SELECT doc_id, md5(concat_ws(chr(1),
+         |    coalesce(text, chr(0)), coalesce(lang, chr(0)),
+         |    coalesce(source, chr(0)))) AS fp
+         |  FROM news),
+         |verdicts AS (
+         |  SELECT coalesce(o.doc_id, n.doc_id) AS id,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'removed'
+         |         WHEN o.fp = n.fp THEN 'unchanged'
+         |         ELSE 'changed' END AS status
+         |  FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id),
+         |agg AS (
+         |  SELECT status, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum
+         |  FROM verdicts GROUP BY status)
+         |SELECT st.status, COALESCE(agg.n, 0) AS n,
+         |  COALESCE(agg.id_sum, 0) AS id_sum
+         |FROM (VALUES ('added'), ('removed'), ('changed'), ('unchanged')) st(status)
+         |LEFT JOIN agg USING (status)
+         |ORDER BY status""".stripMargin,
 
     // Recomputes the whole model: same tokenization, same hash split,
     // gram counts rolled up identically, the same backoff CASE with
