@@ -561,6 +561,22 @@ object SparkEntry {
         .withColumn("tfidf", round(col("tfidf"), 6))
         .orderBy("doc_id", "rank")),
 
+    // Token-budget selection: the best documents by quality score until a
+    // global 15k-token budget is spent — exact distributed prefix sum
+    // (range partition + per-partition offsets), never a global sort. The
+    // oracle's single global window cumsum must agree row-for-row: the
+    // integer running totals make membership engine-exact.
+    "budget_select" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val prepared = t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        qualityScore(col("text")).as("quality"))
+      Sampling.budgetSelect(prepared, "doc_id", "n_tokens", "quality",
+        budget = 15000L)
+        .orderBy("doc_id")
+    }),
+
     // Snapshot diff between two corpus versions (the incremental-pipeline
     // pre-flight): the "new" snapshot is a deterministic hash-picked
     // mutation of documents — 5% removed, 10% edited, 5% cloned under new
@@ -2420,6 +2436,24 @@ object SparkEntry {
         |      FROM sc)
         |SELECT doc_id, term, rank, round(tfidf, 6) AS tfidf
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // The scale-shaped distributed prefix sum must equal this one global
+    // window cumsum exactly — integer token totals, same (quality desc,
+    // id asc) total order.
+    "budget_select" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN ${oracleNormExpr("text")} = '' THEN 0
+         |              ELSE len(${oracleTokensExpr("text")}) END AS BIGINT) AS n_tokens,
+         |    ${oracleQualityExpr("text")} AS quality
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens, quality,
+         |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+         |                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM p)
+         |SELECT doc_id, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin,
 
     // Rebuilds the mutated snapshot (same hash picks), fingerprints both
     // sides with the same NUL/SOH-sentinel concat + md5, and re-derives

@@ -176,6 +176,59 @@ object Sampling {
         bucket(col(idCol), seed) * lit(Buckets) + bucket(col(idCol), seed + 1))
   }
 
+  /** Greedy selection under a GLOBAL token budget: keep documents in
+    * (`qualityCol` desc, `idCol` asc) order while the running token total
+    * stays ≤ `budget` — "take the best `budget` tokens", the standard
+    * final step when a curated pool must shrink to a target training
+    * size. Token counts are exact integers, so the running total (and
+    * therefore membership) is bit-reproducible across runs and engines;
+    * because counts are non-negative the cumulative sum is monotone and
+    * the kept set is a strict PREFIX of the quality ordering.
+    *
+    * Scale shape: the naive formulation is one global window cumsum —
+    * a single-partition sort at 100 TB. Instead, the exact distributed
+    * prefix sum (same machinery as [[Profile.quantileProfile]]'s rank
+    * selection): range-repartition on the order key, localCheckpoint to
+    * pin partition identity, per-partition token sums (≤ P longs to the
+    * driver), cumulative offsets back via a broadcast join, and a
+    * per-partition window supplies the local component. One wide
+    * shuffle + one tiny collect; no global sort ever happens.
+    *
+    * Output: the kept rows plus `cum_tokens` (inclusive running total).
+    * `tokenCol` must be non-negative; NULL counts as 0. */
+  def budgetSelect(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      qualityCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df
+      .withColumn("__tok", coalesce(col(tokenCol).cast("long"), lit(0L)))
+      .repartitionByRange(nParts, col(qualityCol).desc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pins partition ids: offsets below stay valid
+    val partSums = ranged.groupBy("__pid").agg(sum("__tok").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (partSums.isEmpty) return ranged.withColumn("cum_tokens", lit(0L))
+      .where(lit(false)).drop("__tok", "__pid")
+    val offsets = partSums.map(_._2).scanLeft(0L)(_ + _).init
+    val offDf = spark.createDataFrame(
+      partSums.map(_._1).zip(offsets).toSeq).toDF("__pid2", "__off")
+    val w = Window.partitionBy("__pid")
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__local_cum", sum(col("__tok")).over(w))
+      .join(broadcast(offDf), col("__pid") === col("__pid2"))
+      .withColumn("cum_tokens", col("__off") + col("__local_cum"))
+      .where(col("cum_tokens") <= budget)
+      .drop("__tok", "__pid", "__pid2", "__off", "__local_cum")
+  }
+
   /** Materialize the shuffled corpus as `numShards` parquet shard
     * directories, rows inside each shard in shuffle order: one hash
     * repartition + per-partition sort (the sort is local — no global
