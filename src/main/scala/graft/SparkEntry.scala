@@ -561,6 +561,20 @@ object SparkEntry {
         .withColumn("tfidf", round(col("tfidf"), 6))
         .orderBy("doc_id", "rank")),
 
+    // Passage-level contamination: winnowing fingerprint overlap between
+    // the corpus and a bench set built by EXCERPTING 400-char spans from
+    // hash-picked docs — a planted copied-passage signal both engines can
+    // derive. Every pair verdict (incl. the cross-doc ones from shared
+    // boilerplate sentences) is recomputed by the oracle from raw text.
+    "passage_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(Sampling.bucket(col("doc_id"), 17L) < 300)
+        .select(col("doc_id"), substring(col("text"), 40, 400).as("text"))
+      Contamination.passageOverlap(d, bench, "text", "doc_id",
+        minShared = 2, maxTrainDf = 100)
+        .orderBy("bench_id", "train_id")
+    }),
+
     // Token-budget selection: the best documents by quality score until a
     // global 15k-token budget is spent — exact distributed prefix sum
     // (range partition + per-partition offsets), never a global sort. The
@@ -2437,6 +2451,34 @@ object SparkEntry {
         |SELECT doc_id, term, rank, round(tfidf, 6) AS tfidf
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // Re-derives the bench excerpts, winnows BOTH sides with the same
+    // rolling-hash/window-min arithmetic (shared CTE builder with the
+    // winnow_profile oracle), applies the same DF guard and thresholds.
+    "passage_overlap" ->
+      s"""WITH tnorm AS (
+         |  SELECT doc_id, ${oracleNormExpr("text")} AS norm FROM documents),
+         |bsel AS (
+         |  SELECT doc_id, substr(text, 40, 400) AS t FROM documents
+         |  WHERE ${Sampling.bucketSql("doc_id", 17L)} < 300),
+         |bnorm AS (SELECT doc_id, ${oracleNormExpr("t")} AS norm FROM bsel),
+         |${winnowSelCtes("tnorm", "t_")},
+         |${winnowSelCtes("bnorm", "b_")},
+         |rare AS (SELECT wmin FROM t_sel GROUP BY wmin HAVING count(*) <= 100),
+         |bsizes AS (SELECT doc_id AS bench_id, count(*) AS bench_fps
+         |           FROM b_sel GROUP BY 1),
+         |pairs AS (
+         |  SELECT b.doc_id AS bench_id, t.doc_id AS train_id,
+         |    count(*) AS shared_fps
+         |  FROM b_sel b JOIN t_sel t ON b.wmin = t.wmin
+         |  JOIN rare r ON b.wmin = r.wmin
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT p.bench_id, p.train_id,
+         |  CAST(p.shared_fps AS BIGINT) AS shared_fps,
+         |  CAST(s.bench_fps AS BIGINT) AS bench_fps,
+         |  round(p.shared_fps / s.bench_fps, 6) AS overlap_frac
+         |FROM pairs p JOIN bsizes s USING (bench_id)
+         |ORDER BY bench_id, train_id""".stripMargin,
+
     // The scale-shaped distributed prefix sum must equal this one global
     // window cumsum exactly — integer token totals, same (quality desc,
     // id asc) total order.
@@ -3026,6 +3068,31 @@ object SparkEntry {
 
   private def oracleTokensExpr(c: String): String =
     s"string_split(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')), ' ')"
+
+  /** Winnowing fingerprint CTE chain (k=8, w=16, B=257, M=1e9+7) over a
+    * source CTE `src` exposing (doc_id, norm). Emits four CTE bodies
+    * prefixed `p`; `${p}sel` is the distinct (doc_id, wmin) fingerprint
+    * set — the same selection `TextAnalysis.winnowFingerprints` makes.
+    * Shared by the winnow_profile and passage_overlap oracles. */
+  private def winnowSelCtes(src: String, p: String): String = {
+    val M = 1000000007L; val B = 257L; val k = 8; val w = 16
+    val pows = Array.fill(k)(1L)
+    for (j <- k - 2 to 0 by -1) pows(j) = pows(j + 1) * B % M
+    val terms = pows.zipWithIndex.map { case (pw, j) =>
+      s"CAST(unicode(substr(norm, CAST(i + $j AS INT), 1)) AS BIGINT) * $pw"
+    }.mkString(" + ")
+    s"""${p}sized AS (SELECT doc_id, norm, length(norm) AS n FROM $src),
+       |${p}grams AS (
+       |  SELECT doc_id, i, n - ${k - 1} AS nh, ($terms) % $M AS h
+       |  FROM ${p}sized, unnest(range(1, n - ${k - 2})) r(i) WHERE n >= $k),
+       |${p}wins AS (
+       |  SELECT doc_id, i, nh,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin
+       |  FROM ${p}grams),
+       |${p}sel AS (SELECT DISTINCT doc_id, wmin FROM ${p}wins
+       |            WHERE i <= greatest(nh - ${w - 1}, 1))""".stripMargin
+  }
 
   /** DuckDB recomputation of `TextAnalysis.winnowFingerprints` (k=8,
     * w=16, B=257, M=1e9+7): same power constants, same window-min

@@ -56,6 +56,49 @@ object Contamination {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** PASSAGE-level contamination via winnowing fingerprint overlap:
+    * where [[ngramOverlap]] needs whole word n-grams to coincide, this
+    * catches a copied SPAN — winnowing guarantees any shared substring of
+    * ≥ w + k - 1 chars contributes at least one shared fingerprint
+    * (Schleimer et al. SIGMOD'03, the MOSS guarantee), so a bench answer
+    * pasted mid-paragraph into a train doc surfaces even when everything
+    * around it differs. Same scale shape as the n-gram path: both sides
+    * reduce to (doc, fingerprint) rows — 8-byte longs, never text — with
+    * a train-side document-frequency guard killing boilerplate hot keys
+    * before the equi-join; pair volume is bounded by true overlap.
+    *
+    * Output: (bench_id, train_id, shared_fps, bench_fps, overlap_frac)
+    * for pairs sharing ≥ `minShared` fingerprints; `overlap_frac` =
+    * shared/bench fingerprint-set fraction (containment of the bench doc
+    * in the train doc, the decontamination triage number). */
+  def passageOverlap(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      w: Int = 16,
+      minShared: Int = 2,
+      maxTrainDf: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val tf = TextAnalysis.winnowFingerprints(train, textCol, idCol, k, w)
+      .select(col(idCol).as("train_id"), explode(col("fingerprints")).as("__fp"))
+    val bf = TextAnalysis.winnowFingerprints(bench, textCol, idCol, k, w)
+      .select(col(idCol).as("bench_id"), col("fingerprints"))
+    val bsizes = bf.select(col("bench_id"),
+      size(col("fingerprints")).cast("long").as("bench_fps"))
+    val bx = bf.select(col("bench_id"), explode(col("fingerprints")).as("__fp"))
+    val rare = tf.groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxTrainDf).drop("__df")
+    bx.join(tf.join(rare, "__fp"), "__fp")
+      .groupBy("bench_id", "train_id")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .join(bsizes, "bench_id")
+      .withColumn("overlap_frac",
+        round(col("shared_fps") / col("bench_fps"), 6))
+  }
+
   /** Per-bench-doc contamination summary: how many train docs it collides
     * with and the max shared-gram count — the triage view an eval owner
     * reads before deciding what to strike. */
