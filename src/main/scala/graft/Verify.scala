@@ -23,12 +23,36 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    // Per-query wall-clock guard: one pathological query must never zero
+    // the whole round's correctness artifact (r7: passage_overlap's
+    // interpreted-eval blowup timed out the entire driver sweep at 63/100
+    // queries dumped). Each query runs in its own thread under a job
+    // group; past the budget we cancel the group, log, and move on.
+    val timeoutSec = sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_SEC")
+      .map(_.toInt).getOrElse(300)
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      val t0 = System.nanoTime()
+      val worker = new Thread(() => {
+        try {
+          // Thread-local: must be set on the thread that runs the jobs.
+          spark.sparkContext.setJobGroup(s"verify-$name", name,
+            interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally spark.sparkContext.clearJobGroup()
+      }, s"verify-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutSec * 1000L)
+      if (worker.isAlive) {
+        System.err.println(
+          s"[verify] $name exceeded ${timeoutSec}s — cancelled and skipped")
+        spark.sparkContext.cancelJobGroup(s"verify-$name")
+        worker.join(30000L)
+      } else
+        println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

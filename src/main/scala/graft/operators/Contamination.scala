@@ -81,9 +81,20 @@ object Contamination {
       minShared: Int = 2,
       maxTrainDf: Int = 1000): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    // Eager localCheckpoint on BOTH winnow branches before explode/join:
+    // in this plan shape Catalyst inlines the `split(__norm, "")` char
+    // array into the k-term rolling-hash lambda, the tree blows past
+    // codegen limits, and Spark falls back to INTERPRETED eval that
+    // re-executes split per term per position — O(k·n²) per document
+    // (measured r7: 18+ min at sf0.01, 14 MiB task binaries). The
+    // checkpoint materializes the narrow (id, fingerprints ARRAY<LONG>)
+    // rows — tiny relative to the text — and replaces the subtree with an
+    // RDD-scan leaf, same lineage cut as Dedup.minHashLshIncremental.
     val tf = TextAnalysis.winnowFingerprints(train, textCol, idCol, k, w)
+      .localCheckpoint()
       .select(col(idCol).as("train_id"), explode(col("fingerprints")).as("__fp"))
     val bf = TextAnalysis.winnowFingerprints(bench, textCol, idCol, k, w)
+      .localCheckpoint()
       .select(col(idCol).as("bench_id"), col("fingerprints"))
     val bsizes = bf.select(col("bench_id"),
       size(col("fingerprints")).cast("long").as("bench_fps"))

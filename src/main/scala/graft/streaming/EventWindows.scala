@@ -179,37 +179,30 @@ object EventWindows {
       transform: DataFrame => DataFrame,
       outputMode: String = "append",
       availableNow: Boolean = false): StreamingQuery = {
-    // events.parquet carries TIMESTAMP(NANOS) → read ts as nanos-long and
-    // convert, same as graft.Tables.events. The conf is only needed at
-    // read-plan time (schema inference + reader construction below), so
-    // save/restore it instead of leaking the session-wide behavior change.
-    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val prevNanos = spark.conf.getOption(nanosKey)
-    spark.conf.set(nanosKey, "true")
-    try {
-    val schema = spark.read.parquet(sourceDir).schema
-    // The file-stream source wants a directory; a single-file input becomes
-    // its parent dir + a glob filter for just that file.
-    val f = new java.io.File(sourceDir)
-    val reader =
-      if (f.isFile)
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else spark.readStream.schema(schema).parquet(sourceDir)
-    val stream = reader
-      .withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
-    val writer = transform(stream)
-      .writeStream
-      .format("memory")
-      .queryName(sinkTable)
-      .outputMode(outputMode)
-    (if (availableNow)
-       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-     else writer)
-      .start()
-    } finally prevNanos match {
-      case Some(v) => spark.conf.set(nanosKey, v)
-      case None    => spark.conf.unset(nanosKey)
+    // events.parquet has shipped as both TIMESTAMP(NANOS) and
+    // timestamp[us] across fixture regenerations — infer the schema under
+    // the nanos-tolerant conf and let Tables.adaptEventTs normalize ts to
+    // a session-TZ timestamp whichever encoding this fixture carries.
+    graft.Tables.withNanosAsLong(spark) {
+      val schema = spark.read.parquet(sourceDir).schema
+      // The file-stream source wants a directory; a single-file input
+      // becomes its parent dir + a glob filter for just that file.
+      val f = new java.io.File(sourceDir)
+      val reader =
+        if (f.isFile)
+          spark.readStream.schema(schema)
+            .option("pathGlobFilter", f.getName).parquet(f.getParent)
+        else spark.readStream.schema(schema).parquet(sourceDir)
+      val stream = graft.Tables.adaptEventTs(reader, tsCol)
+      val writer = transform(stream)
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode(outputMode)
+      (if (availableNow)
+         writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+       else writer)
+        .start()
     }
   }
 }

@@ -35,6 +35,37 @@ class ContaminationSpec extends SparkSpec {
     assert(rep == Seq((100L, 1L, 13L, 13L)))
   }
 
+  test("passage overlap flags the leaked span via shared winnow fingerprints") {
+    // The leaked span is far longer than w + k - 1 chars, so winnowing
+    // guarantees >= 1 shared fingerprint; minShared=2 still passes because
+    // the span covers many windows. The clean bench doc must not pair.
+    val pairs = Contamination.passageOverlap(train, bench, "text", "doc_id")
+      .select("bench_id", "train_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 0L)))
+    assert(!pairs.exists(_._1 == 101L))
+    val frac = Contamination.passageOverlap(train, bench, "text", "doc_id")
+      .filter(col("bench_id") === 100L && col("train_id") === 0L)
+      .select("overlap_frac").as[Double].head()
+    assert(frac > 0.5 && frac <= 1.0) // bench doc is contained in train doc 0
+  }
+
+  test("passage overlap stays out of interpreted eval on real documents") {
+    // r7 regression guard: without the localCheckpoint lineage cut this
+    // plan shape fell out of codegen into interpreted eval that re-ran
+    // split() per rolling-hash term — O(k·n²)/doc, 18+ min at sf0.01.
+    // With the cut, sf0.001 runs in a few seconds; budget is 10× that.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val benchDocs = docs.filter(col("doc_id") % 97 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val t0 = System.nanoTime()
+    Contamination.passageOverlap(docs, benchDocs, "text", "doc_id")
+      .queryExecution.toRdd.foreach(_ => ())
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, f"passage_overlap took $secs%.1f s at sf0.001 — interpreted-eval blowup is back")
+  }
+
   test("document-frequency guard drops boilerplate grams") {
     // the same 8-gram in ALL train docs → df=3 > maxTrainDf=2 → ignored
     val boiler = "all rights reserved unauthorized reproduction strictly prohibited worldwide"
