@@ -625,6 +625,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style quality verdict (Rae et al. 2021 table A1): the full
+    // filter stack — word-count/shape rules + repetition gates + the
+    // Stupid-Backoff LM fluency floor — composed into ONE keep/drop per
+    // document, each gate compared on the 6-dp rounded metric so DuckDB
+    // reaches the identical boolean. Thresholds are fixture-scaled (docs
+    // are 10-99 words of single-line token soup; of Gopher's stop set
+    // only "the" occurs, so the distinct-stopword floor is 1).
+    "quality_verdict" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Quality.verdict(d,
+        d.filter(Sampling.bucket(col("doc_id"), 7L) >= 2000),
+        "text", "doc_id",
+        minWords = 20,
+        minStopHits = 1,
+        maxTopBigramCharFrac = 0.1,
+        minAvgLogprob = -2.9)
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary coverage: top-500 corpus vocabulary (count desc, token
     // asc — deterministic), per-language token totals + OOV rate. The
     // tokenizer-prep "how big a vocab do we need" question in one pass.
@@ -729,6 +748,39 @@ object SparkEntry {
       val sigs = s"/tmp/graft_minhash/sigs_${etlSuffix(dir)}"
       Dedup.writeMinHashSignatures(corpus, "text", "doc_id", sigs, numHashes = 32)
       Dedup.minHashLshIncremental(s, batch, corpus, "text", "doc_id", sigs,
+        numHashes = 32, bands = 16, threshold = 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // INCREMENTAL CURATION END-TO-END: Snapshot.diff FEEDS the
+    // incremental near-dup path — the daily-crawl composition. Classify
+    // the new snapshot against the old (same mutation as corpus_diff:
+    // 5% removed, 10% changed, 5% added-as-copies), shingle ONLY the
+    // added/changed docs, and dedup them against the unchanged corpus
+    // via a signature store written once from the unchanged side —
+    // never re-shingling it. At 100 TB the re-shingled fraction is the
+    // churn rate, not the corpus. Emits exactly the batch-touching
+    // near-dup pairs of the new corpus; DuckDB rebuilds the mutated
+    // snapshot, the diff classes, and all-pairs Jaccard ground truth
+    // restricted to batch-touching pairs.
+    "incremental_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val bk = Sampling.bucket(col("doc_id"), 13L)
+      val newSnap = docs.filter(bk >= 500)
+        .withColumn("text",
+          when(bk < 1500, concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+        .unionByName(docs.filter(bk >= 9500)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      val d = Snapshot.diff(docs, newSnap, "doc_id", Seq("text", "lang", "source"))
+      val batch = newSnap.join(
+        d.filter(col("status").isin("added", "changed")).select("doc_id"),
+        Seq("doc_id"))
+      val stable = newSnap.join(
+        d.filter(col("status") === "unchanged").select("doc_id"), Seq("doc_id"))
+      val sigs = s"/tmp/graft_minhash/sigs_cur_${etlSuffix(dir)}"
+      Dedup.writeMinHashSignatures(stable, "text", "doc_id", sigs, numHashes = 32)
+      Dedup.minHashLshIncremental(s, batch, stable, "text", "doc_id", sigs,
         numHashes = 32, bands = 16, threshold = 0.6)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")
@@ -1773,6 +1825,44 @@ object SparkEntry {
         |  AND (id_a % 5 = 0 OR id_b % 5 = 0)
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Rebuilds the mutated snapshot (same hash picks as corpus_diff),
+    // derives the batch (changed: 500<=bk<1500; added: shifted ids),
+    // then recomputes all-pairs trigram Jaccard over the NEW corpus and
+    // keeps batch-touching pairs above threshold — the exact contract
+    // of diff→incremental-LSH.
+    "incremental_curation" ->
+      s"""WITH bkt AS (
+         |  SELECT doc_id, ${Sampling.bucketSql("doc_id", 13L)} AS bk
+         |  FROM documents),
+         |news AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN b.bk < 1500 THEN d.text || ' [v2]' ELSE d.text END AS text
+         |  FROM documents d JOIN bkt b USING (doc_id) WHERE b.bk >= 500
+         |  UNION ALL
+         |  SELECT d.doc_id + 10000000, d.text
+         |  FROM documents d JOIN bkt b USING (doc_id) WHERE b.bk >= 9500),
+         |batchids AS (
+         |  SELECT doc_id FROM bkt WHERE bk >= 500 AND bk < 1500
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 FROM bkt WHERE bk >= 9500),
+         |tok AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM news),
+         |pos AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM tok),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g FROM pos),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(i::double / (sa.n + sb.n - i), 4) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE i::double / (sa.n + sb.n - i) >= 0.6
+         |  AND (id_a IN (SELECT doc_id FROM batchids)
+         |    OR id_b IN (SELECT doc_id FROM batchids))
+         |ORDER BY id_a, id_b""".stripMargin,
+
     // Recursive-CTE transitive closure over the all-pairs Jaccard ground
     // truth (the same edge set dedup_minhash_pairs proves Spark's LSH
     // reproduces exactly): cluster = min reachable doc_id.
@@ -2599,6 +2689,132 @@ object SparkEntry {
          |  CASE WHEN p.n_tokens > 0 THEN round(p.lp / p.n_tokens, 6) END AS avg_logprob
          |FROM tokl t LEFT JOIN perdoc p USING (doc_id)
          |WHERE t.bk < 2000
+         |ORDER BY doc_id""".stripMargin,
+
+    // The full Gopher stack recomputed from scratch: LM trained on the
+    // bk>=2000 split scoring ALL docs (same CTEs as lm_doc_scores), the
+    // repetition metrics (same CTEs as repetition_profile), the scan-rule
+    // metrics, then every gate compared on the 6-dp rounded value —
+    // thresholds mirror the query call (fixture-scaled) and Quality's
+    // published defaults.
+    "quality_verdict" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${oracleNormExpr("text")} AS nrm,
+         |    ${Sampling.bucketSql("doc_id", 7L)} AS bk
+         |  FROM documents),
+         |tokl AS (
+         |  SELECT doc_id, bk, nrm,
+         |    CASE WHEN nrm = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(nrm, ' ') END AS l
+         |  FROM base),
+         |tpos AS (SELECT l, unnest(range(1, len(l) + 1)) AS i FROM tokl WHERE bk >= 2000),
+         |tctx AS (SELECT l[i] AS w,
+         |           CASE WHEN i >= 2 THEN l[i-1] END AS b,
+         |           CASE WHEN i >= 3 THEN l[i-2] END AS a FROM tpos),
+         |uni AS (SELECT w, count(*) AS c FROM tctx GROUP BY w),
+         |bi  AS (SELECT b, w, count(*) AS c FROM tctx WHERE b IS NOT NULL GROUP BY b, w),
+         |tri AS (SELECT a, b, w, count(*) AS c FROM tctx WHERE a IS NOT NULL GROUP BY a, b, w),
+         |nn AS (SELECT count(*)::double AS n FROM tctx),
+         |spos AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM tokl),
+         |sctx AS (SELECT doc_id, i - 1 AS pos, l[i] AS w,
+         |           CASE WHEN i >= 2 THEN l[i-1] END AS b,
+         |           CASE WHEN i >= 3 THEN l[i-2] END AS a FROM spos),
+         |sc AS (
+         |  SELECT s.doc_id, s.pos, s.w,
+         |    t3.c AS c3, d3.c AS c3d, b2.c AS c2, u2.c AS c2d, u1.c AS c1
+         |  FROM sctx s
+         |  LEFT JOIN tri t3 ON s.a = t3.a AND s.b = t3.b AND s.w = t3.w
+         |  LEFT JOIN bi d3 ON s.a = d3.b AND s.b = d3.w
+         |  LEFT JOIN bi b2 ON s.b = b2.b AND s.w = b2.w
+         |  LEFT JOIN uni u2 ON s.b = u2.w
+         |  LEFT JOIN uni u1 ON s.w = u1.w),
+         |lsq AS (
+         |  SELECT doc_id, pos,
+         |    CASE
+         |      WHEN pos >= 2 AND c3 IS NOT NULL THEN ln(c3::double / c3d::double)
+         |      WHEN pos >= 2 AND c2 IS NOT NULL THEN (${LanguageModel.lnAlphaSql}) + ln(c2::double / c2d::double)
+         |      WHEN pos >= 2 AND c1 IS NOT NULL THEN (${LanguageModel.lnAlphaSql}) + (${LanguageModel.lnAlphaSql}) + ln(c1::double / n)
+         |      WHEN pos >= 2 THEN (${LanguageModel.lnAlphaSql}) + (${LanguageModel.lnAlphaSql}) + ln(1.0 / n)
+         |      WHEN pos = 1 AND c2 IS NOT NULL THEN ln(c2::double / c2d::double)
+         |      WHEN pos = 1 AND c1 IS NOT NULL THEN (${LanguageModel.lnAlphaSql}) + ln(c1::double / n)
+         |      WHEN pos = 1 THEN (${LanguageModel.lnAlphaSql}) + ln(1.0 / n)
+         |      WHEN c1 IS NOT NULL THEN ln(c1::double / n)
+         |      ELSE ln(1.0 / n)
+         |    END AS ls
+         |  FROM sc CROSS JOIN nn),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_tokens, sum(ls ORDER BY pos) AS lp
+         |  FROM lsq GROUP BY doc_id),
+         |lmscore AS (
+         |  SELECT t.doc_id,
+         |    CASE WHEN p.n_tokens > 0 THEN round(p.lp / p.n_tokens, 6) END AS avg_logprob
+         |  FROM tokl t LEFT JOIN perdoc p USING (doc_id)),
+         |rawlines AS (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS rl FROM documents),
+         |nl AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(rl), '\\s+', ' ', 'g')) AS nrl FROM rawlines),
+         |per_line AS (
+         |  SELECT doc_id, nrl, count(*) AS c, length(nrl) AS len
+         |  FROM nl WHERE nrl <> '' GROUP BY doc_id, nrl),
+         |line_stats AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         |         count(*) AS n_distinct,
+         |         CAST(sum(c*len) AS BIGINT) AS chars_total,
+         |         CAST(sum(len) AS BIGINT) AS chars_distinct
+         |  FROM per_line GROUP BY doc_id),
+         |big AS (
+         |  SELECT doc_id, length(nrm) AS normlen, l[i] || ' ' || l[i+1] AS b
+         |  FROM tokl, unnest(range(1, len(l))) AS r(i)
+         |  WHERE len(l) >= 2 AND nrm <> ''),
+         |counted AS (SELECT doc_id, normlen, b, count(*) AS c FROM big GROUP BY doc_id, normlen, b),
+         |winner AS (
+         |  SELECT doc_id, round(c * length(b) * 1.0 / normlen, 6) AS f,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, length(b) DESC, b ASC) AS rn
+         |  FROM counted),
+         |rep AS (
+         |  SELECT d.doc_id,
+         |    round(CASE WHEN coalesce(ls.n_lines, 0) = 0 THEN 0.0
+         |               ELSE 1.0 - ls.n_distinct * 1.0 / ls.n_lines END, 6) AS dup_line_frac,
+         |    round(CASE WHEN coalesce(ls.chars_total, 0) = 0 THEN 0.0
+         |               ELSE 1.0 - ls.chars_distinct * 1.0 / ls.chars_total END, 6) AS dup_line_char_frac,
+         |    coalesce(w.f, 0.0) AS top_bigram_char_frac
+         |  FROM documents d
+         |  LEFT JOIN line_stats ls USING (doc_id)
+         |  LEFT JOIN (SELECT doc_id, f FROM winner WHERE rn = 1) w USING (doc_id)),
+         |rules AS (
+         |  SELECT doc_id,
+         |    CAST(len(l) AS BIGINT) AS n_words,
+         |    round(CASE WHEN len(l) = 0 THEN 0.0
+         |               ELSE (length(nrm) - (len(l) - 1)) * 1.0 / len(l) END, 6) AS mean_word_len,
+         |    round(CASE WHEN len(l) = 0 THEN 0.0
+         |               ELSE len(list_filter(l, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(l) END, 6) AS alpha_word_frac,
+         |    round(CASE WHEN len(l) = 0 THEN 0.0
+         |               ELSE ((length(nrm) - length(replace(nrm, '#', '')))
+         |                     + len(regexp_extract_all(nrm, '\\.\\.\\.'))) * 1.0 / len(l) END, 6) AS symbol_word_ratio,
+         |    CAST(len(list_intersect(list_distinct(l),
+         |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_hits
+         |  FROM tokl),
+         |v AS (
+         |  SELECT r.doc_id, r.n_words, r.mean_word_len, r.alpha_word_frac,
+         |    r.symbol_word_ratio, r.n_stop_hits,
+         |    p.dup_line_frac, p.dup_line_char_frac, p.top_bigram_char_frac,
+         |    s.avg_logprob,
+         |    (CASE WHEN r.n_words < 20 OR r.n_words > 100000 THEN 1 ELSE 0 END
+         |     + CASE WHEN r.mean_word_len < 3.0 OR r.mean_word_len > 10.0 THEN 1 ELSE 0 END
+         |     + CASE WHEN r.alpha_word_frac < 0.8 THEN 1 ELSE 0 END
+         |     + CASE WHEN r.symbol_word_ratio > 0.1 THEN 1 ELSE 0 END
+         |     + CASE WHEN r.n_stop_hits < 1 THEN 1 ELSE 0 END
+         |     + CASE WHEN p.dup_line_frac > 0.3 THEN 1 ELSE 0 END
+         |     + CASE WHEN p.dup_line_char_frac > 0.2 THEN 1 ELSE 0 END
+         |     + CASE WHEN p.top_bigram_char_frac > 0.1 THEN 1 ELSE 0 END
+         |     + CASE WHEN s.avg_logprob IS NULL OR NOT (s.avg_logprob >= -2.9) THEN 1 ELSE 0 END
+         |    ) AS n_failed
+         |  FROM rules r JOIN rep p USING (doc_id) JOIN lmscore s USING (doc_id))
+         |SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+         |  symbol_word_ratio, n_stop_hits, dup_line_frac, dup_line_char_frac,
+         |  top_bigram_char_frac, avg_logprob,
+         |  CAST(n_failed AS BIGINT) AS n_failed, n_failed = 0 AS keep
+         |FROM v
          |ORDER BY doc_id""".stripMargin,
 
     "bm25_ranking" ->
