@@ -575,6 +575,32 @@ object SparkEntry {
         .orderBy("bench_id", "train_id")
     }),
 
+    // Decontamination END-TO-END: the strike ACTION over the passage
+    // report — every corpus doc sharing >= 2 winnow fingerprints with
+    // the (excerpt-planted) bench set is removed, and the result is the
+    // per-source audit a pipeline owner actually reads: how many docs
+    // survived, how many were struck, and the surviving token mass. The
+    // oracle recomputes the full winnow pipeline, the strike set, AND
+    // the per-source rollup from raw text.
+    "decontaminate_by_source" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = t(s, dir, "documents")
+      val bench = d.filter(Sampling.bucket(col("doc_id"), 17L) < 300)
+        .select(col("doc_id"), substring(col("text"), 40, 400).as("text"))
+      val cleaned = Contamination.decontaminate(d, bench, "text", "doc_id",
+        minShared = 2, maxTrainDf = 100)
+      val kept = cleaned.groupBy("source").agg(
+        count(lit(1)).as("n_kept"),
+        sum(tokenCount(col("text")).cast("long")).as("kept_tokens"))
+      d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_struck"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        .orderBy("source")
+    }),
+
     // Token-budget selection: the best documents by quality score until a
     // global 15k-token budget is spent — exact distributed prefix sum
     // (range partition + per-partition offsets), never a global sort. The
@@ -2568,6 +2594,41 @@ object SparkEntry {
          |  round(p.shared_fps / s.bench_fps, 6) AS overlap_frac
          |FROM pairs p JOIN bsizes s USING (bench_id)
          |ORDER BY bench_id, train_id""".stripMargin,
+
+    // Same winnow/strike pipeline as passage_overlap's oracle, then the
+    // per-source rollup over the surviving docs.
+    "decontaminate_by_source" ->
+      s"""WITH tnorm AS (
+         |  SELECT doc_id, ${oracleNormExpr("text")} AS norm FROM documents),
+         |bsel AS (
+         |  SELECT doc_id, substr(text, 40, 400) AS t FROM documents
+         |  WHERE ${Sampling.bucketSql("doc_id", 17L)} < 300),
+         |bnorm AS (SELECT doc_id, ${oracleNormExpr("t")} AS norm FROM bsel),
+         |${winnowSelCtes("tnorm", "t_")},
+         |${winnowSelCtes("bnorm", "b_")},
+         |rare AS (SELECT wmin FROM t_sel GROUP BY wmin HAVING count(*) <= 100),
+         |pairs AS (
+         |  SELECT t.doc_id AS train_id
+         |  FROM b_sel b JOIN t_sel t ON b.wmin = t.wmin
+         |  JOIN rare r ON b.wmin = r.wmin
+         |  GROUP BY b.doc_id, t.doc_id HAVING count(*) >= 2),
+         |flagged AS (SELECT DISTINCT train_id FROM pairs),
+         |kept AS (
+         |  SELECT d.source, d.doc_id, ${oracleNormExpr("d.text")} AS norm
+         |  FROM documents d
+         |  WHERE d.doc_id NOT IN (SELECT train_id FROM flagged)),
+         |ks AS (
+         |  SELECT source, count(*) AS n_kept,
+         |    CAST(sum(CASE WHEN norm = '' THEN 0
+         |                  ELSE len(string_split(norm, ' ')) END) AS BIGINT) AS kept_tokens
+         |  FROM kept GROUP BY 1),
+         |ts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+         |SELECT t.source, t.n_docs,
+         |  t.n_docs - CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_struck,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+         |FROM ts t LEFT JOIN ks k USING (source)
+         |ORDER BY source""".stripMargin,
 
     // The scale-shaped distributed prefix sum must equal this one global
     // window cumsum exactly — integer token totals, same (quality desc,

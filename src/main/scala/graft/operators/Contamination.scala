@@ -110,6 +110,29 @@ object Contamination {
         round(col("shared_fps") / col("bench_fps"), 6))
   }
 
+  /** The decontamination ACTION on top of [[passageOverlap]]'s report:
+    * strike every train document that shares >= `minShared` winnowing
+    * fingerprints with any bench document, returning the cleaned train
+    * frame with all its original columns. Scale shape: the flagged-id
+    * set is bounded by true overlap (typically orders of magnitude
+    * smaller than the corpus) and the strike itself is one left-anti
+    * keyed shuffle — at 100 TB the cost is the winnow pass, which is
+    * scan-stage arithmetic. */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      w: Int = 16,
+      minShared: Int = 2,
+      maxTrainDf: Int = 1000): DataFrame = {
+    val flagged =
+      passageOverlap(train, bench, textCol, idCol, k, w, minShared, maxTrainDf)
+        .select(col("train_id").as(idCol)).distinct()
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Per-bench-doc contamination summary: how many train docs it collides
     * with and the max shared-gram count — the triage view an eval owner
     * reads before deciding what to strike. */

@@ -49,6 +49,14 @@ class ContaminationSpec extends SparkSpec {
     assert(frac > 0.5 && frac <= 1.0) // bench doc is contained in train doc 0
   }
 
+  test("decontaminate strikes the leaking doc and keeps the clean ones") {
+    val cleaned = Contamination.decontaminate(train, bench, "text", "doc_id")
+    val keptIds = cleaned.select("doc_id").as[Long].collect().toSet
+    assert(keptIds == Set(1L, 2L), s"kept: $keptIds")
+    // All original columns survive the strike.
+    assert(cleaned.columns.toSeq == train.columns.toSeq)
+  }
+
   test("passage overlap stays out of interpreted eval on real documents") {
     // r7 regression guard: without the localCheckpoint lineage cut this
     // plan shape fell out of codegen into interpreted eval that re-ran
