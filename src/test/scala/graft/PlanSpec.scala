@@ -112,4 +112,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"contamination degenerated to a pairwise join:\n$p")
   }
+
+  test("quality verdict: LM count tables broadcast; no pairwise joins") {
+    val p = plan(SparkEntry.queries("quality_verdict")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"LM count-table joins should broadcast at this size:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quality verdict degenerated to a pairwise join:\n$p")
+  }
+
+  test("decontaminate strike is a keyed anti-join, never pairwise") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.Contamination.decontaminate(
+      docs,
+      docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), substring(col("text"), 40, 200).as("text")),
+      "text", "doc_id", maxTrainDf = 100)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontaminate degenerated to a pairwise join:\n$p")
+  }
 }
