@@ -26,22 +26,48 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    // Per-query wall-clock guard, same rationale as Verify's: one
+    // pathological query must never zero the round's bench artifact
+    // (r7: BENCH rc=124 with no numbers because one query ran 18+ min).
+    // The query runs on its own thread under a cancellable job group;
+    // past the budget it is cancelled, recorded at its elapsed time,
+    // and listed in `errors`.
+    val timeoutSec = sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_SEC")
+      .map(_.toInt).getOrElse(600)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // Full evaluation of every column: count() would let Catalyst prune
-      // the whole projection, timing nothing for scan-project queries.
-      try fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-      catch {
-        case e: Throwable =>
-          failures ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val worker = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(s"bench-$name", name,
+            interruptOnCancel = true)
+          // Full evaluation of every column: count() would let Catalyst
+          // prune the whole projection, timing nothing for scan-project
+          // queries.
+          fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+        } catch {
+          case e: Throwable =>
+            failures ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        } finally spark.sparkContext.clearJobGroup()
+      }, s"bench-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutSec * 1000L)
+      if (worker.isAlive) {
+        failures ::= name
+        System.err.println(
+          s"[bench] $name exceeded ${timeoutSec}s — cancelled")
+        spark.sparkContext.cancelJobGroup(s"bench-$name")
+        worker.join(30000L)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val errs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // distinct: a timed-out query reports once, even though the cancel
+    // also surfaces as an exception on the worker thread.
+    val errs = failures.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     if (failures.nonEmpty)
       System.err.println(s"[bench] ${failures.size} queries failed: ${failures.mkString(", ")}")

@@ -828,6 +828,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Retention POLICY over the near-dup clusters: keep the
+    // HIGHEST-QUALITY doc per cluster (ties → lowest id), not the
+    // arbitrary min-id canonical — what a curation run actually wants
+    // (dedup should discard the worse copies). Quality is the engine's
+    // deterministic heuristic score, the per-cluster argmax is a
+    // row_number over cluster groups (clusters are small, the window
+    // never sees a partition bigger than the largest cluster). DuckDB
+    // recomputes the closure, the score, and the argmax.
+    "dedup_keep_best" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+        numHashes = 32, bands = 16, threshold = 0.6)
+      val clustered = Components.clusters(docs.select("doc_id"), "doc_id", pairs)
+      val scored = clustered.join(
+        docs.select(col("doc_id"), qualityScore(col("text")).as("quality")),
+        Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("quality").desc, col("doc_id").asc)
+      scored
+        .withColumn("__rn", row_number().over(w))
+        .select(col("doc_id"), col("cluster"), col("quality"),
+          (col("__rn") === 1).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Leakage-safe splits: assignment by near-dup CLUSTER, so no split
     // boundary ever separates two near-duplicates (train never holds a
     // near-copy of a test doc). DuckDB recomputes the transitive
@@ -1921,6 +1947,44 @@ object SparkEntry {
         |  coalesce(c.cluster, d.doc_id) = d.doc_id AS is_canonical
         |FROM documents d LEFT JOIN comp c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Same closure as dedup_clusters, then the quality argmax per
+    // cluster (ties → lowest id) instead of the min-id canonical.
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM tok),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g FROM pos),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE i::double / (sa.n + sb.n - i) >= 0.6),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, t) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.s, e.v FROM reach r JOIN edges e ON r.t = e.u),
+         |comp AS (SELECT s AS doc_id, least(min(t), s) AS cluster FROM reach GROUP BY s),
+         |q AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+         |    ${oracleQualityExpr("d.text")} AS quality
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id, cluster, quality,
+         |    row_number() OVER (PARTITION BY cluster
+         |                       ORDER BY quality DESC, doc_id ASC) AS rn
+         |  FROM q)
+         |SELECT doc_id, cluster, quality, rn = 1 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // Same closure as dedup_clusters, then the split hash applied to the
     // CLUSTER representative — weights (.8/.1/.1) → bucket bounds
