@@ -20,6 +20,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The planted multi-line fixture shared by `line_rules` and its
+    * streaming-parity twin: a kept line, a too-short line, a javascript
+    * line, and (every 7th doc) a brace line that fails the whole doc.
+    * Pure projections, so it applies to batch and streaming frames
+    * alike. */
+  private def plantedLineDoc(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      concat_ws("\n",
+        concat(substring(col("text"), 1, 40), lit(" and so it ends.")),
+        lit("too short"),
+        concat(lit("enable javascript to view document "),
+          col("doc_id").cast("string"), lit(" now.")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("brace line { for doc "),
+            col("doc_id").cast("string"), lit(".")))
+          .otherwise(concat(substring(col("text"), 41, 40),
+            lit(" tail words linger here too.")))).as("text"))
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): multi-join
     * revenue-by-nation over region/nation/customer/orders/lineitem. */
   // q1 rather than q5 for the smoke check: q5 at sf0.001 survives with a
@@ -1180,21 +1198,23 @@ object SparkEntry {
     // page-killer on every 7th doc and a keepable tail line otherwise.
     // Every rule is a string expression DuckDB evaluates identically,
     // so the oracle recomputes counts AND the keep verdict per doc.
-    "line_rules" -> ((s, dir) => {
-      val planted = t(s, dir, "documents").select(col("doc_id"),
-        concat_ws("\n",
-          concat(substring(col("text"), 1, 40), lit(" and so it ends.")),
-          lit("too short"),
-          concat(lit("enable javascript to view document "),
-            col("doc_id").cast("string"), lit(" now.")),
-          when(pmod(col("doc_id"), lit(7)) === 0,
-            concat(lit("brace line { for doc "),
-              col("doc_id").cast("string"), lit(".")))
-            .otherwise(concat(substring(col("text"), 41, 40),
-              lit(" tail words linger here too.")))).as("text"))
-      TextAnalysis.lineRules(planted, "text", "doc_id")
-        .orderBy("doc_id")
-    }),
+    "line_rules" -> ((s, dir) =>
+      TextAnalysis.lineRules(plantedLineDoc(t(s, dir, "documents")),
+        "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // STREAMING parity for the curation scan stage: the SAME planted
+    // multi-line fixture + C4 line rules run through Structured
+    // Streaming to completion (file source → stateless transform →
+    // memory sink, AvailableNow). Stateless transforms need no
+    // watermark and emit every row in the draining batch, so parity
+    // with the batch query is exact — the oracle asserts it with the
+    // IDENTICAL batch SQL.
+    "line_rules_streaming" -> ((s, dir) =>
+      graft.streaming.StatelessStream.transformAvailableNow(
+        s, s"$dir/documents.parquet",
+        df => TextAnalysis.lineRules(plantedLineDoc(df), "text", "doc_id"))
+        .orderBy("doc_id")),
 
     "pii_redaction" -> ((s, dir) => {
       val planted = t(s, dir, "documents").select(col("doc_id"),
@@ -2212,39 +2232,11 @@ object SparkEntry {
     // Recomputes the ENTIRE line-rule evaluation — planted fixture,
     // per-line normalize/keep rules, per-doc verdict — in DuckDB's list
     // lambdas. len() is BIGINT there, so the int-typed counts cast.
-    "line_rules" ->
-      """WITH planted AS (
-        |  SELECT doc_id,
-        |    substr(text, 1, 40) || ' and so it ends.' || chr(10) ||
-        |    'too short' || chr(10) ||
-        |    'enable javascript to view document ' || CAST(doc_id AS VARCHAR) || ' now.' || chr(10) ||
-        |    (CASE WHEN doc_id % 7 = 0
-        |      THEN 'brace line { for doc ' || CAST(doc_id AS VARCHAR) || '.'
-        |      ELSE substr(text, 41, 40) || ' tail words linger here too.' END) AS text
-        |  FROM documents),
-        |norm AS (
-        |  SELECT doc_id, text,
-        |    list_filter(
-        |      list_transform(string_split(text, chr(10)),
-        |        l -> trim(regexp_replace(lower(l), '\s+', ' ', 'g'))),
-        |      l -> l <> '') AS lines
-        |  FROM planted),
-        |kept AS (
-        |  SELECT doc_id, text, lines,
-        |    list_filter(lines, l ->
-        |      regexp_matches(l, '[.!?"]$')
-        |      AND len(string_split(l, ' ')) >= 5
-        |      AND NOT contains(l, 'javascript')) AS keep_lines
-        |  FROM norm)
-        |SELECT doc_id,
-        |  CAST(len(lines) AS INT) AS n_lines,
-        |  CAST(len(keep_lines) AS INT) AS n_kept_lines,
-        |  CAST(coalesce(list_sum(list_transform(keep_lines, l -> len(l))), 0) AS BIGINT)
-        |    AS kept_chars,
-        |  (len(keep_lines) >= 3
-        |    AND NOT contains(lower(text), 'lorem ipsum')
-        |    AND NOT contains(text, '{')) AS keep
-        |FROM kept ORDER BY doc_id""".stripMargin,
+    "line_rules" -> lineRulesOracleSql,
+
+    // Streaming parity is asserted as VALUE EQUALITY: the identical
+    // batch SQL gates the streamed result.
+    "line_rules_streaming" -> lineRulesOracleSql,
 
     "pii_redaction" ->
       s"""WITH planted AS (
@@ -3490,6 +3482,42 @@ object SparkEntry {
 
   private def oracleNormExpr(c: String): String =
     s"trim(regexp_replace(lower($c), '\\s+', ' ', 'g'))"
+
+  /** Shared by `line_rules` and `line_rules_streaming` — streaming
+    * parity is asserted with the identical batch SQL. */
+  private val lineRulesOracleSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 40) || ' and so it ends.' || chr(10) ||
+      |    'too short' || chr(10) ||
+      |    'enable javascript to view document ' || CAST(doc_id AS VARCHAR) || ' now.' || chr(10) ||
+      |    (CASE WHEN doc_id % 7 = 0
+      |      THEN 'brace line { for doc ' || CAST(doc_id AS VARCHAR) || '.'
+      |      ELSE substr(text, 41, 40) || ' tail words linger here too.' END) AS text
+      |  FROM documents),
+      |norm AS (
+      |  SELECT doc_id, text,
+      |    list_filter(
+      |      list_transform(string_split(text, chr(10)),
+      |        l -> trim(regexp_replace(lower(l), '\s+', ' ', 'g'))),
+      |      l -> l <> '') AS lines
+      |  FROM planted),
+      |kept AS (
+      |  SELECT doc_id, text, lines,
+      |    list_filter(lines, l ->
+      |      regexp_matches(l, '[.!?"]$')
+      |      AND len(string_split(l, ' ')) >= 5
+      |      AND NOT contains(l, 'javascript')) AS keep_lines
+      |  FROM norm)
+      |SELECT doc_id,
+      |  CAST(len(lines) AS INT) AS n_lines,
+      |  CAST(len(keep_lines) AS INT) AS n_kept_lines,
+      |  CAST(coalesce(list_sum(list_transform(keep_lines, l -> len(l))), 0) AS BIGINT)
+      |    AS kept_chars,
+      |  (len(keep_lines) >= 3
+      |    AND NOT contains(lower(text), 'lorem ipsum')
+      |    AND NOT contains(text, '{')) AS keep
+      |FROM kept ORDER BY doc_id""".stripMargin
 
   private def oraclePunctExpr(c: String): String =
     s"""round(CASE WHEN length(${oracleNormExpr(c)}) = 0 THEN 0.0

@@ -121,6 +121,12 @@ class PlanSpec extends SparkSpec {
       s"quality verdict degenerated to a pairwise join:\n$p")
   }
 
+  test("incremental curation: diff + incremental LSH stay keyed, never pairwise") {
+    val p = plan(SparkEntry.queries("incremental_curation")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental curation degenerated to a pairwise join:\n$p")
+  }
+
   test("decontaminate strike is a keyed anti-join, never pairwise") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.operators.Contamination.decontaminate(
