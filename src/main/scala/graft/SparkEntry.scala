@@ -688,6 +688,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Boilerplate mining: corpus-wide top-20 word trigrams with
+    // occurrence AND document frequency — the evidence view behind
+    // every DF guard (contamination maxTrainDf, LSH bucket caps).
+    // Deterministic total order (occurrences desc, gram asc); DuckDB
+    // recomputes the same strict n-grams, both frequencies, and the
+    // top-k cut.
+    "top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, k = 20)),
+
     // Vocabulary coverage: top-500 corpus vocabulary (count desc, token
     // asc — deterministic), per-language token totals + OOV rate. The
     // tokenizer-prep "how big a vocab do we need" question in one pass.
@@ -2195,6 +2205,24 @@ object SparkEntry {
         |  coalesce(c.n, 0) AS n
         |FROM b LEFT JOIN c USING (bin)
         |ORDER BY bin""".stripMargin,
+
+    // Strict trigrams (docs under 3 tokens contribute nothing), both
+    // frequencies from the per-(doc, gram) pre-aggregate, same
+    // (occurrences desc, gram asc) cut.
+    "top_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |  WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''),
+        |g AS (
+        |  SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+        |  FROM tok, unnest(range(1, len(toks) - 1)) r(i)
+        |  WHERE len(toks) >= 3),
+        |per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT g AS ngram, CAST(sum(c) AS BIGINT) AS n_occurrences,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM per GROUP BY 1
+        |ORDER BY n_occurrences DESC, ngram ASC LIMIT 20""".stripMargin,
 
     "vocab_coverage" ->
       """WITH tok AS (

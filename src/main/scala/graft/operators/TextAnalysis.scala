@@ -314,6 +314,37 @@ object TextAnalysis {
       .drop(metricCols: _*)
   }
 
+  /** Corpus-wide top-`k` word `n`-grams with occurrence AND document
+    * frequency — the boilerplate-mining view that justifies every DF
+    * guard in the engine (Contamination's `maxTrainDf`, the LSH bucket
+    * caps): grams appearing in many documents ARE the license headers
+    * and navigation chrome a curation run wants to identify. Strict
+    * n-grams: docs shorter than `n` tokens contribute nothing.
+    *
+    * Scale shape: per-(doc, gram) pre-aggregate (map-side combine
+    * collapses within-doc repeats before the shuffle), one keyed
+    * shuffle on the gram, then a TakeOrdered top-k — no global sort
+    * materialization. Deterministic total order: occurrences desc,
+    * gram asc. */
+  def topNgrams(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1, k >= 1: $n, $k")
+    val grams =
+      when(size(col("__toks")) >= n,
+        expr(s"transform(sequence(1, size(__toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(__toks, i, $n)))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    withNormToks(df, textCol)
+      .select(col(idCol), explode(grams).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy("__g")
+      .agg(sum("__c").as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .select(col("__g").as("ngram"), col("n_occurrences"), col("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   /** Vocabulary coverage: build the top-`vocabSize` token vocabulary by
     * corpus frequency (ties broken by token, ascending — deterministic
     * and engine-portable), then report per-group token totals,
