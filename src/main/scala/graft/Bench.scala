@@ -9,11 +9,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Must match Verify/SparkSpec: Tables.adaptEventTs casts
+      // TIMESTAMP_NTZ through the session time zone, so a non-UTC host
+      // would shift every events/streaming window assignment.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Warmup.run(spark, sfDir)
-    var failures = List.empty[String]
+    // Concurrent: appended from worker threads (a cancelled worker can
+    // outlive its 30s grace join and race the main thread's reads).
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     // Sorted order: Map iteration order is hash-based and shifts when
     // queries are added, which would shuffle which queries absorb any
     // residual first-use cost — sorted names keep per-query timings
@@ -32,8 +38,16 @@ object Bench {
     // The query runs on its own thread under a cancellable job group;
     // past the budget it is cancelled, recorded at its elapsed time,
     // and listed in `errors`.
+    // Validated parse: a malformed env value must not throw before any
+    // query runs — that would zero the artifact, the exact failure the
+    // guard exists to prevent.
     val timeoutSec = sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_SEC")
-      .map(_.toInt).getOrElse(600)
+      .flatMap { s =>
+        val p = scala.util.Try(s.toInt).toOption.filter(_ > 0)
+        if (p.isEmpty) System.err.println(
+          s"[bench] ignoring malformed SPARK_GRAFT_QUERY_TIMEOUT_SEC=$s")
+        p
+      }.getOrElse(600)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val worker = new Thread(() => {
@@ -46,31 +60,38 @@ object Bench {
           fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
         } catch {
           case e: Throwable =>
-            failures ::= name
+            failures.add(name)
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         } finally spark.sparkContext.clearJobGroup()
       }, s"bench-$name")
       worker.setDaemon(true)
       worker.start()
       worker.join(timeoutSec * 1000L)
-      if (worker.isAlive) {
-        failures ::= name
-        System.err.println(
-          s"[bench] $name exceeded ${timeoutSec}s — cancelled")
-        spark.sparkContext.cancelJobGroup(s"bench-$name")
-        worker.join(30000L)
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        if (worker.isAlive) {
+          // Record the elapsed at detection, not after the cancellation
+          // wait — the 30s grace join must not inflate the reported time.
+          val atTimeout = (System.nanoTime() - t0) / 1e9
+          failures.add(name)
+          System.err.println(
+            s"[bench] $name exceeded ${timeoutSec}s — cancelled")
+          spark.sparkContext.cancelJobGroup(s"bench-$name")
+          worker.join(30000L)
+          atTimeout
+        } else (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // distinct: a timed-out query reports once, even though the cancel
     // also surfaces as an exception on the worker thread.
-    val errs = failures.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    import scala.jdk.CollectionConverters._
+    val failed = failures.asScala.toList.distinct
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    if (failures.nonEmpty)
-      System.err.println(s"[bench] ${failures.size} queries failed: ${failures.mkString(", ")}")
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()
   }
 }

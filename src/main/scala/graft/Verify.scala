@@ -28,8 +28,15 @@ object Verify {
     // interpreted-eval blowup timed out the entire driver sweep at 63/100
     // queries dumped). Each query runs in its own thread under a job
     // group; past the budget we cancel the group, log, and move on.
+    // Validated parse: a malformed env value must not throw before any
+    // query runs — that would zero the whole artifact.
     val timeoutSec = sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_SEC")
-      .map(_.toInt).getOrElse(300)
+      .flatMap { s =>
+        val p = scala.util.Try(s.toInt).toOption.filter(_ > 0)
+        if (p.isEmpty) System.err.println(
+          s"[verify] ignoring malformed SPARK_GRAFT_QUERY_TIMEOUT_SEC=$s")
+        p
+      }.getOrElse(300)
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val worker = new Thread(() => {

@@ -246,16 +246,17 @@ object Writes {
     * everything else is left byte-identical on disk (the parquet analogue
     * of Delta's file-pruned MERGE).
     *
-    * Multi-writer isolation is DETECTION-ONLY (the reference inherited
-    * real optimistic concurrency from Delta's txn log, delta.py:104-148):
-    * a `…__graft_lock` sentinel next to the target location is created
-    * exclusively before any side effect and removed afterwards, so a
-    * second merge on the same target fails fast with
-    * [[graft.spec.ConcurrentWriteException]] instead of interleaving
-    * renames with the first (which can silently corrupt). A lock left by
-    * a CRASHED merge (process death skips the finally) must be removed
-    * manually — the error message names the file; this is the documented
-    * trade of a lock file vs a transaction log. */
+    * Multi-writer isolation is LEASE-BASED (the parquet analog of the
+    * optimistic concurrency the reference inherited from Delta's txn log,
+    * delta.py:104-148): a `…__graft_lock` sentinel next to the target
+    * location is created exclusively before any side effect; a second
+    * merge on the same target WAITS (bounded by graft.merge.lock.waitMs)
+    * and serializes behind the first instead of interleaving renames
+    * (which can silently corrupt). A live holder heartbeats the sentinel;
+    * a lock left by a CRASHED merge goes stale after
+    * graft.merge.lock.leaseMs and is broken automatically by the next
+    * waiter. [[graft.spec.ConcurrentWriteException]] fires only when the
+    * wait budget is exhausted against a live (refreshed) lease. */
   def merge(
       source: DataFrame,
       ref: TargetRef,
@@ -337,31 +338,88 @@ object Writes {
     new org.apache.hadoop.fs.Path(loc.stripSuffix("/") + "__graft_lock")
   }
 
-  /** Run `body` holding the create-exclusive merge lock for `ref`; fail
-    * fast with [[ConcurrentWriteException]] when another merge holds it.
-    * The lock is acquired BEFORE any action or side effect (even the
-    * ambiguity pre-check) and removed on every exit except process
-    * death. */
+  /** Run `body` holding the merge lease for `ref` — the parquet-feasible
+    * analog of Delta's optimistic concurrency
+    * (reference: source/pyzzle/datasource/delta.py:104-148, where the txn
+    * log serializes concurrent writers).
+    *
+    * Protocol: create-exclusive lock file (the one atomic primitive every
+    * Hadoop filesystem offers) carrying owner id + acquisition time. A
+    * contender RETRIES until `graft.merge.lock.waitMs` (default 10 min),
+    * so two schedulers overlapping the same job serialize instead of one
+    * erroring. While held, a daemon heartbeat re-stamps the file every
+    * lease/3; a lock whose modification time is older than
+    * `graft.merge.lock.leaseMs` (default 15 min) is a crashed holder —
+    * the contender breaks it via atomic RENAME (only one breaker can win
+    * the rename) and re-contends on create-exclusive.
+    * [[ConcurrentWriteException]] fires only at wait timeout. */
   private def withMergeLock[A](ref: TargetRef)(body: => A)(
       implicit spark: SparkSession): A = {
     val lock = mergeLockPath(ref)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val acquired =
+    def confMs(key: String, default: Long): Long =
+      scala.util.Try(spark.conf.get(key).toLong).toOption
+        .filter(_ > 0).getOrElse(default)
+    val waitMs  = confMs("graft.merge.lock.waitMs", 600000L)
+    val leaseMs = confMs("graft.merge.lock.leaseMs", 900000L)
+    val pollMs  = confMs("graft.merge.lock.pollMs", 1000L)
+    val owner = java.util.UUID.randomUUID().toString
+
+    def stamp(overwrite: Boolean): Boolean =
       try {
-        // create(overwrite = false) refuses an existing file — the
-        // create-exclusive primitive every Hadoop filesystem offers.
-        val out = fs.create(lock, false)
-        out.writeBytes(s"graft merge lock acquired ${java.time.Instant.now()}\n")
+        val out = fs.create(lock, overwrite)
+        out.writeBytes(
+          s"graft merge lock owner=$owner stamped=${java.time.Instant.now()}\n")
         out.close()
         true
       } catch { case _: java.io.IOException => false }
+
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    var acquired = stamp(overwrite = false)
+    while (!acquired && System.nanoTime() < deadline) {
+      val status = try Some(fs.getFileStatus(lock))
+                   catch { case _: java.io.IOException => None }
+      status match {
+        case Some(s)
+            if System.currentTimeMillis() - s.getModificationTime > leaseMs =>
+          // Stale lease (holder crashed or lost its heartbeat). Rename is
+          // the atomic arbiter: of N contenders observing the same stale
+          // lock, exactly one rename succeeds; that one deletes the
+          // tombstone and ALL contenders re-race on create-exclusive. A
+          // live holder is never broken — its heartbeat keeps mtime fresh.
+          val tomb = new org.apache.hadoop.fs.Path(
+            lock.toString + s".stale.$owner")
+          if (scala.util.Try(fs.rename(lock, tomb)).getOrElse(false))
+            fs.delete(tomb, false)
+        case Some(_) => Thread.sleep(math.min(pollMs,
+          math.max(1L, (deadline - System.nanoTime()) / 1000000L)))
+        case None => () // holder just released — re-contend immediately
+      }
+      acquired = stamp(overwrite = false)
+    }
     if (!acquired)
       throw new graft.spec.ConcurrentWriteException(
-        s"another merge appears to be in progress on $ref (lock file $lock " +
-          "exists). If no merge is running, a previous merge crashed " +
-          "mid-flight — inspect the target and remove the lock file to recover.")
+        s"timed out after ${waitMs}ms waiting for the merge lock on $ref " +
+          s"(lock file $lock held and refreshed by another writer). If no " +
+          "merge is running, remove the lock file to recover; a crashed " +
+          s"holder clears itself after the ${leaseMs}ms lease.")
+    // Heartbeat: keep the lease visibly alive for merges longer than the
+    // lease. Overwrite is safe — only the holder heartbeats this path.
+    val hbPeriod = math.max(leaseMs / 3, 50L)
+    val hb = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(hbPeriod)
+        stamp(overwrite = true)
+      } catch { case _: InterruptedException => () }
+    }, s"graft-merge-lease-$owner")
+    hb.setDaemon(true)
+    hb.start()
     try body
-    finally fs.delete(lock, false)
+    finally {
+      hb.interrupt()
+      hb.join(5000L)
+      fs.delete(lock, false)
+    }
   }
 
   /** Partition-scoped merge rewrite: write ONLY the partitions the merge

@@ -39,6 +39,13 @@ object StatelessStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink)
+    // The memory sink pins the full result in driver memory for as long
+    // as its temp view exists; repeated invocations (Verify + Bench both
+    // drive this) would accumulate. Eagerly checkpoint the result into
+    // block storage (released by the ContextCleaner once the returned
+    // frame is unreferenced) and drop the view immediately.
+    val out = spark.table(sink).localCheckpoint(eager = true)
+    spark.catalog.dropTempView(sink)
+    out
   }
 }

@@ -17,12 +17,13 @@ class MergeGuardSpec extends SparkSpec {
 
   private val ds = new ParquetCatalogSource
 
-  test("two interleaved merges: the second fails fast, the first publishes intact") {
+  test("two interleaved merges serialize: B waits for A's lease, then publishes") {
     val dir = Files.createTempDirectory("graft-lock").toString + "/t"
     Seq((1L, "old"), (2L, "old")).toDF("pk", "v").write.parquet(dir)
 
     // Writer A's source sleeps inside evaluation, so A holds the lock
-    // while its actions run; the main thread interleaves writer B.
+    // while its actions run; the main thread interleaves writer B, which
+    // under lease semantics WAITS for A instead of failing fast.
     val slow = spark.range(1, 3).as[Long]
       .mapPartitions { it => Thread.sleep(4000); it }
       .toDF("pk").withColumn("v", lit("A"))
@@ -34,45 +35,86 @@ class MergeGuardSpec extends SparkSpec {
       try Writes.merge(slow, PathRef(dir), ds, Seq("pk"), Seq("v"), "1=1", false)
       catch { case t: Throwable => aFailure = Some(t) })
     a.start()
+    spark.conf.set("graft.merge.lock.pollMs", "100")
     try {
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
       while (!fs.exists(lock) && System.nanoTime() < deadline) Thread.sleep(50)
       assert(fs.exists(lock), "writer A never acquired the lock")
 
+      // B blocks on A's live lease (fresh mtime keeps it unbreakable),
+      // acquires after A releases, and applies ON TOP of A's result.
       val b = Seq((1L, "B")).toDF("pk", "v")
-      val e = intercept[ConcurrentWriteException] {
-        Writes.merge(b, PathRef(dir), ds, Seq("pk"), Seq("v"), "1=1", false)
-      }
-      assert(e.getMessage.contains("__graft_lock"))
-    } finally a.join(30000)
+      Writes.merge(b, PathRef(dir), ds, Seq("pk"), Seq("v"), "1=1", false)
+    } finally {
+      a.join(30000)
+      spark.conf.unset("graft.merge.lock.pollMs")
+    }
 
     assert(aFailure.isEmpty, s"writer A failed: $aFailure")
     assert(!fs.exists(lock), "lock must be released after a successful merge")
-    // target reflects A's merge, untouched by B's refused attempt
+    // serialized order: A rewrote both rows, then B updated pk=1 — B's
+    // update landing on A's value proves it ran after, not interleaved
     assertRows(spark.read.parquet(dir), Seq("pk", "v"),
-      Set(Seq(1L, "A"), Seq(2L, "A")))
+      Set(Seq(1L, "B"), Seq(2L, "A")))
   }
 
-  test("a stale lock (crashed merge) fails cleanly, names the file, and clears on removal") {
+  test("a stale lease (crashed merge) is broken and the merge proceeds") {
     sql("DROP TABLE IF EXISTS lock_stale")
     Seq((1L, "old")).toDF("pk", "v").write.format("parquet").saveAsTable("lock_stale")
     val lock = Writes.mergeLockPath(TableRef("lock_stale"))
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(lock, false).close()
     try {
+      // lease 300ms, no heartbeat on the orphan lock: after the lease
+      // passes, the waiter breaks it (atomic rename) and proceeds.
+      spark.conf.set("graft.merge.lock.waitMs", "20000")
+      spark.conf.set("graft.merge.lock.leaseMs", "300")
+      spark.conf.set("graft.merge.lock.pollMs", "100")
+      Thread.sleep(500)
       val src = Seq((1L, "new")).toDF("pk", "v")
-      val e = intercept[ConcurrentWriteException] {
-        Writes.merge(src, TableRef("lock_stale"), ds, Seq("pk"), Seq("v"), "1=1", false)
-      }
-      assert(e.getMessage.contains(lock.toString))
-      // refused before any side effect
-      assertRows(spark.table("lock_stale"), Seq("pk", "v"), Set(Seq(1L, "old")))
-      fs.delete(lock, false)
       Writes.merge(src, TableRef("lock_stale"), ds, Seq("pk"), Seq("v"), "1=1", false)
       assertRows(spark.table("lock_stale"), Seq("pk", "v"), Set(Seq(1L, "new")))
+      assert(!fs.exists(lock), "broken-then-reacquired lock must be released")
     } finally {
+      spark.conf.unset("graft.merge.lock.waitMs")
+      spark.conf.unset("graft.merge.lock.leaseMs")
+      spark.conf.unset("graft.merge.lock.pollMs")
       if (fs.exists(lock)) fs.delete(lock, false)
       sql("DROP TABLE IF EXISTS lock_stale")
+    }
+  }
+
+  test("ConcurrentWriteException fires only at wait timeout, target intact") {
+    sql("DROP TABLE IF EXISTS lock_timeout")
+    Seq((1L, "old")).toDF("pk", "v").write.format("parquet").saveAsTable("lock_timeout")
+    val lock = Writes.mergeLockPath(TableRef("lock_timeout"))
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lock, false).close()
+    try {
+      // lease far beyond the wait: the lock stays unbreakable, so the
+      // waiter exhausts its budget and THEN raises, naming the file.
+      spark.conf.set("graft.merge.lock.waitMs", "1200")
+      spark.conf.set("graft.merge.lock.leaseMs", "600000")
+      spark.conf.set("graft.merge.lock.pollMs", "100")
+      val src = Seq((1L, "new")).toDF("pk", "v")
+      val t0 = System.nanoTime()
+      val e = intercept[ConcurrentWriteException] {
+        Writes.merge(src, TableRef("lock_timeout"), ds, Seq("pk"), Seq("v"), "1=1", false)
+      }
+      val waited = (System.nanoTime() - t0) / 1e6
+      assert(waited >= 1200, s"raised after only ${waited}ms — not at timeout")
+      assert(e.getMessage.contains(lock.toString))
+      // refused before any side effect
+      assertRows(spark.table("lock_timeout"), Seq("pk", "v"), Set(Seq(1L, "old")))
+      fs.delete(lock, false)
+      Writes.merge(src, TableRef("lock_timeout"), ds, Seq("pk"), Seq("v"), "1=1", false)
+      assertRows(spark.table("lock_timeout"), Seq("pk", "v"), Set(Seq(1L, "new")))
+    } finally {
+      spark.conf.unset("graft.merge.lock.waitMs")
+      spark.conf.unset("graft.merge.lock.leaseMs")
+      spark.conf.unset("graft.merge.lock.pollMs")
+      if (fs.exists(lock)) fs.delete(lock, false)
+      sql("DROP TABLE IF EXISTS lock_timeout")
     }
   }
 
