@@ -619,6 +619,38 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Artifact-reuse decontamination: report → persist → strike. The
+    // passage report is computed AT MOST ONCE per fixture (Reports.cached
+    // fingerprints the input files; a regen invalidates) and the strike +
+    // rollup consume only the persisted parquet — the pipeline shape a
+    // 100 TB owner runs, where the analysis scan is paid once and the
+    // action re-applies from the artifact. Same final semantics as
+    // decontaminate_by_source, so the oracle recomputes everything from
+    // raw text and must still agree.
+    "decontaminate_from_report" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = t(s, dir, "documents")
+      val report = Reports.cached(s, s"$dir/documents.parquet",
+        "passage_report_" + etlSuffix(dir)) {
+        val bench = d.filter(Sampling.bucket(col("doc_id"), 17L) < 300)
+          .select(col("doc_id"), substring(col("text"), 40, 400).as("text"))
+        Contamination.passageOverlap(d, bench, "text", "doc_id",
+          minShared = 2, maxTrainDf = 100)
+      }
+      val cleaned = Contamination.decontaminateWithReport(d, report, "doc_id",
+        minShared = 2)
+      val kept = cleaned.groupBy("source").agg(
+        count(lit(1)).as("n_kept"),
+        sum(tokenCount(col("text")).cast("long")).as("kept_tokens"))
+      d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_struck"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        .orderBy("source")
+    }),
+
     // Token-budget selection: the best documents by quality score until a
     // global 15k-token budget is spent — exact distributed prefix sum
     // (range partition + per-partition offsets), never a global sort. The
@@ -870,15 +902,9 @@ object SparkEntry {
       val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
         numHashes = 32, bands = 16, threshold = 0.6)
       val clustered = Components.clusters(docs.select("doc_id"), "doc_id", pairs)
-      val scored = clustered.join(
+      Components.keepBest(clustered,
         docs.select(col("doc_id"), qualityScore(col("text")).as("quality")),
-        Seq("doc_id"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("cluster").orderBy(col("quality").desc, col("doc_id").asc)
-      scored
-        .withColumn("__rn", row_number().over(w))
-        .select(col("doc_id"), col("cluster"), col("quality"),
-          (col("__rn") === 1).as("keep"))
+        "doc_id", "quality")
         .orderBy("doc_id")
     }),
 
@@ -2681,38 +2707,12 @@ object SparkEntry {
 
     // Same winnow/strike pipeline as passage_overlap's oracle, then the
     // per-source rollup over the surviving docs.
-    "decontaminate_by_source" ->
-      s"""WITH tnorm AS (
-         |  SELECT doc_id, ${oracleNormExpr("text")} AS norm FROM documents),
-         |bsel AS (
-         |  SELECT doc_id, substr(text, 40, 400) AS t FROM documents
-         |  WHERE ${Sampling.bucketSql("doc_id", 17L)} < 300),
-         |bnorm AS (SELECT doc_id, ${oracleNormExpr("t")} AS norm FROM bsel),
-         |${winnowSelCtes("tnorm", "t_")},
-         |${winnowSelCtes("bnorm", "b_")},
-         |rare AS (SELECT wmin FROM t_sel GROUP BY wmin HAVING count(*) <= 100),
-         |pairs AS (
-         |  SELECT t.doc_id AS train_id
-         |  FROM b_sel b JOIN t_sel t ON b.wmin = t.wmin
-         |  JOIN rare r ON b.wmin = r.wmin
-         |  GROUP BY b.doc_id, t.doc_id HAVING count(*) >= 2),
-         |flagged AS (SELECT DISTINCT train_id FROM pairs),
-         |kept AS (
-         |  SELECT d.source, d.doc_id, ${oracleNormExpr("d.text")} AS norm
-         |  FROM documents d
-         |  WHERE d.doc_id NOT IN (SELECT train_id FROM flagged)),
-         |ks AS (
-         |  SELECT source, count(*) AS n_kept,
-         |    CAST(sum(CASE WHEN norm = '' THEN 0
-         |                  ELSE len(string_split(norm, ' ')) END) AS BIGINT) AS kept_tokens
-         |  FROM kept GROUP BY 1),
-         |ts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
-         |SELECT t.source, t.n_docs,
-         |  t.n_docs - CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_struck,
-         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
-         |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
-         |FROM ts t LEFT JOIN ks k USING (source)
-         |ORDER BY source""".stripMargin,
+    "decontaminate_by_source" -> deconBySourceSql,
+
+    // The artifact-reuse variant has IDENTICAL final semantics — the
+    // report detour (persist + re-read) must be invisible in the result,
+    // so the same from-raw-text oracle gates it.
+    "decontaminate_from_report" -> deconBySourceSql,
 
     // The scale-shaped distributed prefix sum must equal this one global
     // window cumsum exactly — integer token totals, same (quality desc,
@@ -3406,6 +3406,43 @@ object SparkEntry {
 
   private def etlSuffix(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Shared oracle for decontaminate_by_source AND its artifact-reuse
+    * twin decontaminate_from_report: the report persist/re-read detour
+    * must be invisible in the result, so one from-raw-text SQL gates
+    * both (winnow/strike pipeline + per-source rollup). */
+  private def deconBySourceSql: String =
+    s"""WITH tnorm AS (
+       |  SELECT doc_id, ${oracleNormExpr("text")} AS norm FROM documents),
+       |bsel AS (
+       |  SELECT doc_id, substr(text, 40, 400) AS t FROM documents
+       |  WHERE ${Sampling.bucketSql("doc_id", 17L)} < 300),
+       |bnorm AS (SELECT doc_id, ${oracleNormExpr("t")} AS norm FROM bsel),
+       |${winnowSelCtes("tnorm", "t_")},
+       |${winnowSelCtes("bnorm", "b_")},
+       |rare AS (SELECT wmin FROM t_sel GROUP BY wmin HAVING count(*) <= 100),
+       |pairs AS (
+       |  SELECT t.doc_id AS train_id
+       |  FROM b_sel b JOIN t_sel t ON b.wmin = t.wmin
+       |  JOIN rare r ON b.wmin = r.wmin
+       |  GROUP BY b.doc_id, t.doc_id HAVING count(*) >= 2),
+       |flagged AS (SELECT DISTINCT train_id FROM pairs),
+       |kept AS (
+       |  SELECT d.source, d.doc_id, ${oracleNormExpr("d.text")} AS norm
+       |  FROM documents d
+       |  WHERE d.doc_id NOT IN (SELECT train_id FROM flagged)),
+       |ks AS (
+       |  SELECT source, count(*) AS n_kept,
+       |    CAST(sum(CASE WHEN norm = '' THEN 0
+       |                  ELSE len(string_split(norm, ' ')) END) AS BIGINT) AS kept_tokens
+       |  FROM kept GROUP BY 1),
+       |ts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT t.source, t.n_docs,
+       |  t.n_docs - CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_struck,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+       |FROM ts t LEFT JOIN ks k USING (source)
+       |ORDER BY source""".stripMargin
 
   /** Target lang mixture shared by the mixture_* queries and their
     * oracles (en is ~2× overweight in the fixture, so it downsamples

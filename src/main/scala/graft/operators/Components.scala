@@ -119,6 +119,28 @@ object Components {
     Sampling.assignSplits(
       clusters(df, idCol, pairs, idACol, idBCol), "cluster", weights, seed)
 
+  /** Keep-best retention over a PRE-COMPUTED cluster assignment — the
+    * artifact-reuse variant of the clusters→score→argmax composition:
+    * `clustered` is a persisted [[clusters]] output (or any frame with
+    * `idCol` + `clusterCol`), `scores` maps `idCol` to `scoreCol`. Marks
+    * the highest-scoring doc per cluster (ties → lowest id) with
+    * `keep = true`. The window partitions by cluster — near-dup clusters
+    * are small, so no partition ever exceeds the largest cluster; the
+    * expensive pair emission + transitive closure is NOT re-run. */
+  def keepBest(
+      clustered: DataFrame,
+      scores: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      clusterCol: String = "cluster"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(clusterCol).orderBy(col(scoreCol).desc, col(idCol).asc)
+    clustered.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col(clusterCol), col(scoreCol),
+        (col("__rn") === 1).as("keep"))
+  }
+
   /** Cluster assignment for a corpus: every row of `df` labeled with the
     * smallest `idCol` reachable through `pairs` (its near-dup cluster
     * representative; rows in no pair are their own singleton cluster)

@@ -133,6 +133,30 @@ object Contamination {
     train.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** The strike action over a PRE-COMPUTED overlap report — the
+    * artifact-reuse variant of [[decontaminate]]: `report` is (any frame
+    * with) a `train_id` column, typically a persisted [[passageOverlap]]
+    * or [[ngramOverlap]] output (see [[Reports.cached]]). The analysis
+    * scan is NOT re-run; the strike is one left-anti keyed shuffle
+    * against the bounded flagged-id set, so re-applying (or re-applying
+    * at a different `minShared` read off the report) costs only the
+    * action. `minSharedCol`, when set, re-filters the report on that
+    * column ≥ `minShared` before striking. */
+  def decontaminateWithReport(
+      train: DataFrame,
+      report: DataFrame,
+      idCol: String,
+      minShared: Int = 1,
+      minSharedCol: Option[String] = Some("shared_fps")): DataFrame = {
+    val filtered = minSharedCol match {
+      case Some(c) if report.columns.contains(c) =>
+        report.filter(col(c) >= minShared)
+      case _ => report
+    }
+    val flagged = filtered.select(col("train_id").as(idCol)).distinct()
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Per-bench-doc contamination summary: how many train docs it collides
     * with and the max shared-gram count — the triage view an eval owner
     * reads before deciding what to strike. */
