@@ -132,6 +132,32 @@ object Similarity {
     left.join(top, Seq(idCol), "left")
   }
 
+  /** The PERSISTED-INDEX flavor of [[semanticJoin]]: best-match
+    * attachment against a corpus already indexed by
+    * [[IvfIndex.writeIndex]]. For REPEATED joins against the same
+    * reference corpus this is the 100 TB shape: the k-means train and
+    * per-row cell assignment were paid once at build time, each probe
+    * batch reads only its nprobe cells via partition pruning, and the
+    * index survives sessions (plus daily [[IvfIndex.appendToIndex]]
+    * feeds) — where the hyperplane-LSH flavor re-buckets the full corpus
+    * on every call. Same output contract as [[semanticJoin]]; recall < 1
+    * by construction — gate it against the exact contract like
+    * `semantic_join_ann`/`semantic_join_ivf` do. */
+  def semanticJoinIvf(
+      spark: org.apache.spark.sql.SparkSession,
+      left: DataFrame,
+      indexDir: String,
+      vecCol: String,
+      idCol: String,
+      minCosine: Double,
+      nprobe: Int = 4): DataFrame = {
+    val top = IvfIndex.loadTopK(spark, indexDir, left, vecCol, idCol, k = 1, nprobe)
+      .where(col("cosine") >= minCosine)
+      .select(col("query_id").as(idCol), col("neighbor_id").as("match_id"),
+        col("cosine").as("match_cosine"))
+    left.join(top, Seq(idCol), "left")
+  }
+
   /** Shared LSH stage: bucket = integer of hyperplane sign bits, one
     * (table, bucket) row per LSH table. Hyperplane weights are seeded
     * pseudo-random literals — identical across invocations, so corpus and
