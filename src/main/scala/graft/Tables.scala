@@ -46,6 +46,45 @@ object Tables {
         s"events.$tsCol: unexpected physical type $other")
     }
 
+  /** Fixture-schema canary: one diagnosis line per fixture column whose
+    * PHYSICAL encoding is outside the set this codebase has absorbed —
+    * run as a Verify pre-flight so a driver fixture regen that ships a
+    * new encoding produces a one-line "here's what changed and where to
+    * add the case" instead of a dozen red queries with per-query stack
+    * traces (the r7 failure mode: 13 events/streaming/asof queries died
+    * on a TIMESTAMP(NANOS)→timestamp[us] regen before [[adaptEventTs]]
+    * learned both). Empty result = all encodings seen before. */
+  def fixtureDiagnostics(spark: SparkSession, dir: String): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def check(table: String, column: String, known: String)(
+        ok: DataType => Boolean): Unit =
+      try {
+        val df =
+          if (table == "events") withNanosAsLong(spark) {
+            spark.read.parquet(s"$dir/$table.parquet")
+          } else spark.read.parquet(s"$dir/$table.parquet")
+        val dt = df.schema(column).dataType
+        if (!ok(dt)) out +=
+          s"$table.$column: UNSEEN physical type ${dt.sql} (known encodings: " +
+            s"$known) — teach the adapter the new case before trusting any " +
+            s"query over $table"
+      } catch {
+        case e: Exception =>
+          out += s"$table.parquet: unreadable/missing ($column check): " +
+            s"${e.getMessage.linesIterator.next()}"
+      }
+    check("events", "ts", "BIGINT nanos, TIMESTAMP_NTZ, TIMESTAMP") {
+      case LongType | TimestampNTZType | TimestampType => true
+      case _ => false
+    }
+    check("embeddings", "embedding", "ARRAY<FLOAT>, ARRAY<DOUBLE>") {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    out.toSeq
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")

@@ -15,6 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture-schema canary: a driver regen that ships a new physical
+    // encoding gets ONE loud diagnosis line up front, not a dozen red
+    // queries (the r7 failure mode). Queries still run — partial
+    // artifacts beat empty ones — but the cause is unmissable.
+    val diags = Tables.fixtureDiagnostics(spark, sfDir)
+    diags.foreach(d => System.err.println(s"[verify] FIXTURE-SCHEMA CANARY: $d"))
     // Optional comma-separated subset for fast local iteration; the
     // driver sets no filter and always dumps the full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

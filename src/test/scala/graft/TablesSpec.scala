@@ -58,6 +58,38 @@ class TablesSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("adaptEventTs fails loudly (named column + type) on an unseen encoding") {
+    import spark.implicits._
+    val df = Seq("2024-01-01").toDF("ts") // STRING ts: never shipped
+    val e = intercept[IllegalStateException] { Tables.adaptEventTs(df) }
+    assert(e.getMessage.contains("ts") && e.getMessage.toLowerCase.contains("unexpected"),
+      e.getMessage)
+  }
+
+  test("fixtureDiagnostics: clean fixture is silent, unseen encodings get one line each") {
+    import spark.implicits._
+    val real = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$real/events.parquet").exists())
+    assert(Tables.fixtureDiagnostics(spark, real).isEmpty,
+      "the shipped fixture must report no diagnostics")
+
+    // Doctored regen: STRING ts and ARRAY<STRING> embedding — both unseen.
+    val dir = java.nio.file.Files.createTempDirectory("graft-canary").toString
+    Seq(("2024-01-01", 1L)).toDF("ts", "event_id")
+      .write.parquet(s"$dir/events.parquet")
+    Seq((1L, Seq("a", "b"))).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val diags = Tables.fixtureDiagnostics(spark, dir)
+    assert(diags.size == 2, diags.mkString("\n"))
+    assert(diags.exists(d => d.contains("events.ts") && d.contains("UNSEEN")), diags)
+    assert(diags.exists(d => d.contains("embeddings.embedding") && d.contains("UNSEEN")), diags)
+
+    // Missing file → a readable one-liner, not a stack trace.
+    val empty = java.nio.file.Files.createTempDirectory("graft-canary-empty").toString
+    val missing = Tables.fixtureDiagnostics(spark, empty)
+    assert(missing.size == 2 && missing.forall(_.contains("unreadable/missing")), missing)
+  }
+
   test("adaptEventTs round-trips a re-written batch (StagedDrain shape)") {
     // StagedDrain writes batches back to parquet as TIMESTAMP and re-reads;
     // adapting twice must be stable.
