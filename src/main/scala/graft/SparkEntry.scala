@@ -872,6 +872,43 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // STREAMING incremental curation: the composition above as ONE
+    // Structured Streaming query — quality gate + row-local minhash vs
+    // the persisted signature store (stream-static band join, candidates
+    // verified with exact Jaccard) + exact dedup with TTL keyed state —
+    // drained over two staged micro-batches. Emits one verdict row per
+    // fingerprint: keeper id, batch-duplicate count, distinct store
+    // matches, best Jaccard, kept. The oracle recomputes every verdict
+    // from raw text (mutation, quality, stage assignment, first-batch
+    // emission, all-pairs batch-vs-stable Jaccard).
+    "incremental_curation_streaming" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val bk = Sampling.bucket(col("doc_id"), 13L)
+      val newSnap = docs.filter(bk >= 500)
+        .withColumn("text",
+          when(bk < 1500, concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+        .unionByName(docs.filter(bk >= 9500)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      val d = Snapshot.diff(docs, newSnap, "doc_id", Seq("text", "lang", "source"))
+      val batch = newSnap.join(
+        d.filter(col("status").isin("added", "changed")).select("doc_id"),
+        Seq("doc_id"))
+      val stable = newSnap.join(
+        d.filter(col("status") === "unchanged").select("doc_id"), Seq("doc_id"))
+      val sigs = s"/tmp/graft_minhash/sigs_curs_${etlSuffix(dir)}"
+      Dedup.writeMinHashSignatures(stable, "text", "doc_id", sigs, numHashes = 32)
+      val stageBk = Sampling.bucket(col("doc_id"), 23L)
+      def staged(cond: org.apache.spark.sql.Column, ts: String) = batch.filter(cond)
+        .select("doc_id", "text")
+        .withColumn("__ts", lit(ts).cast("timestamp"))
+      graft.streaming.StreamingCuration.curate(s,
+        Seq(staged(stageBk < 5000, "2024-01-01 00:00:00"),
+          staged(stageBk >= 5000, "2024-01-01 01:00:00")),
+        stable.select("doc_id", "text"), sigs, "text", "doc_id", "__ts",
+        numHashes = 32, bands = 16, threshold = 0.6)
+        .orderBy("doc_id")
+    }),
+
     // Transitive-closure clustering over the near-dup pairs: the pair
     // emitters above produce EDGES; a curation run keeps one doc per
     // connected component (A~B, B~C ⇒ one cluster of three, even with A
@@ -1997,6 +2034,68 @@ object SparkEntry {
          |  AND (id_a IN (SELECT doc_id FROM batchids)
          |    OR id_b IN (SELECT doc_id FROM batchids))
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Recomputes every streaming verdict from raw text: the mutation,
+    // the quality gate, the stage split, first-batch emission per
+    // fingerprint (min-id keeper, batch-dup count), and the store-match
+    // stats from all-pairs batch-vs-stable trigram Jaccard (band recall
+    // 1.0 at these parameters — the incremental-LSH family guarantee).
+    "incremental_curation_streaming" ->
+      s"""WITH bkt AS (
+         |  SELECT doc_id, ${Sampling.bucketSql("doc_id", 13L)} AS bk FROM documents),
+         |batch AS (
+         |  SELECT d.doc_id, d.text || ' [v2]' AS text
+         |  FROM documents d JOIN bkt b USING (doc_id) WHERE b.bk >= 500 AND b.bk < 1500
+         |  UNION ALL
+         |  SELECT d.doc_id + 10000000, d.text
+         |  FROM documents d JOIN bkt b USING (doc_id) WHERE b.bk >= 9500),
+         |stab AS (
+         |  SELECT d.doc_id, d.text
+         |  FROM documents d JOIN bkt b USING (doc_id) WHERE b.bk >= 1500),
+         |q AS (
+         |  SELECT doc_id, ${oracleNormExpr("text")} AS nrm,
+         |    CASE WHEN ${Sampling.bucketSql("doc_id", 23L)} < 5000 THEN 0 ELSE 1 END AS stage
+         |  FROM batch WHERE ${oracleQualityExpr("text")} >= 0.5),
+         |fs AS (SELECT md5(nrm) AS fp, min(stage) AS st FROM q GROUP BY 1),
+         |grp AS (
+         |  SELECT q.doc_id, q.nrm, f.fp
+         |  FROM q JOIN fs f ON md5(q.nrm) = f.fp AND q.stage = f.st),
+         |keeper AS (
+         |  SELECT fp, min(doc_id) AS doc_id, count(*) - 1 AS n_batch_dups
+         |  FROM grp GROUP BY fp),
+         |ktext AS (
+         |  SELECT k.doc_id, g.nrm FROM keeper k
+         |  JOIN grp g ON g.fp = k.fp AND g.doc_id = k.doc_id),
+         |btok AS (SELECT doc_id, string_split(nrm, ' ') AS toks FROM ktext),
+         |bpos AS (SELECT doc_id, toks,
+         |  unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM btok),
+         |bgr AS (SELECT DISTINCT doc_id,
+         |  array_to_string(list_slice(toks, i, i + 2), ' ') AS g FROM bpos),
+         |bsz AS (SELECT doc_id, count(*) AS n FROM bgr GROUP BY 1),
+         |stok AS (SELECT doc_id, string_split(${oracleNormExpr("text")}, ' ') AS toks
+         |  FROM stab),
+         |spos AS (SELECT doc_id, toks,
+         |  unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM stok),
+         |sgr AS (SELECT DISTINCT doc_id,
+         |  array_to_string(list_slice(toks, i, i + 2), ' ') AS g FROM spos),
+         |ssz AS (SELECT doc_id, count(*) AS n FROM sgr GROUP BY 1),
+         |inter AS (
+         |  SELECT b.doc_id AS bid, s.doc_id AS sid, count(*) AS i
+         |  FROM bgr b JOIN sgr s USING (g) GROUP BY 1, 2),
+         |mt AS (
+         |  SELECT bid, sid, i::double / (bs.n + ss.n - i) AS jac
+         |  FROM inter JOIN bsz bs ON bs.doc_id = bid JOIN ssz ss ON ss.doc_id = sid
+         |  WHERE i::double / (bs.n + ss.n - i) >= 0.6),
+         |agg AS (
+         |  SELECT bid AS doc_id, count(*) AS nm, round(max(jac), 4) AS bj
+         |  FROM mt GROUP BY 1)
+         |SELECT k.doc_id,
+         |  CAST(k.n_batch_dups AS INT) AS n_batch_dups,
+         |  CAST(coalesce(a.nm, 0) AS INT) AS n_store_matches,
+         |  a.bj AS best_jaccard,
+         |  a.doc_id IS NULL AS kept
+         |FROM keeper k LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // Recursive-CTE transitive closure over the all-pairs Jaccard ground
     // truth (the same edge set dedup_minhash_pairs proves Spark's LSH

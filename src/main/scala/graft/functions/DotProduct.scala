@@ -101,12 +101,32 @@ object GraftFunctions {
     DotProduct(children.head, children(1))
   }
 
-  def register(spark: SparkSession): Unit =
+  val MinhashSigName = "graft_minhash_sig"
+
+  private val sigInfo = new ExpressionInfo(classOf[MinhashSig].getName, MinhashSigName)
+  private val sigBuilder = (children: Seq[Expression]) => {
+    require(children.length == 3,
+      s"$MinhashSigName takes (tokens, shingleSize, numHashes)")
+    def litInt(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$MinhashSigName $what must be an integer literal, got $other")
+    }
+    MinhashSig(children.head,
+      litInt(children(1), "shingleSize"), litInt(children(2), "numHashes"))
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(DotName), dotInfo, dotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(MinhashSigName), sigInfo, sigBuilder)
+  }
 
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(DotName), dotInfo, dotBuilder))
+    ext.injectFunction((FunctionIdentifier(MinhashSigName), sigInfo, sigBuilder))
+  }
 }
 
 /** `spark.sql.extensions` entry point. */

@@ -138,6 +138,44 @@ object Dedup {
           i => coalesce(element_at(col("__mm"), i), col("__g"))).as("__sig"))
   }
 
+  /** ROW-LOCAL twin of [[minhashSigs]] for STREAMING inputs: identical
+    * region-partitioned OPH signature (same shingle hashes, same region
+    * rehashes, same slot layout, same global-min densification —
+    * equality with the batch signatures is pinned by
+    * StreamingCurationSpec), computed by the native
+    * [[graft.functions.MinhashSig]] expression inside one row, because a
+    * streaming scan stage cannot host an aggregation without becoming a
+    * stateful operator. (An interpreted-HOF fold was tried first:
+    * ~150 s for the 5k-doc sf0.1 batch, ~50× the whole pipeline — the
+    * per-element×slot lambda machinery, same lesson as the batch path's
+    * explode+groupBy choice.) Caller must have run
+    * `GraftFunctions.register(spark)`. */
+  private[graft] def rowLocalMinhashSig(
+      text: Column, shingleSize: Int, numHashes: Int): Column =
+    call_function(graft.functions.GraftFunctions.MinhashSigName,
+      tokens(text), lit(shingleSize), lit(numHashes))
+
+  /** Band-hash struct array `array<struct<b:int, h:long>>` from a
+    * signature column — the single definition both the batch band join
+    * and the streaming scan derive band keys from. */
+  private[graft] def bandStructs(sig: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    array((0 until bands).map { bi =>
+      struct(lit(bi).as("b"), xxhash64(slice(sig, bi * rows + 1, rows)).as("h"))
+    }: _*)
+  }
+
+  /** Static `(__id, __band, __bandhash)` frame from a persisted
+    * [[writeMinHashSignatures]] store — the corpus side of a streaming
+    * batch-vs-store band join. */
+  private[graft] def bandedStore(
+      spark: org.apache.spark.sql.SparkSession,
+      sigPath: String, numHashes: Int, bands: Int): DataFrame =
+    spark.read.parquet(sigPath)
+      .select(col("id").as("__id"),
+        explode(bandStructs(col("sig"), numHashes, bands)).as("__bh"))
+      .select(col("__id"), col("__bh.b").as("__band"), col("__bh.h").as("__bandhash"))
+
   /** LSH band candidate pairs from persisted OPH signatures `(__id, __sig)`.
     *
     * band hash = xxhash64 of the band's signature slice; candidates come

@@ -25,6 +25,51 @@ class StreamingCurationSpec extends SparkSpec {
       .select("doc_id", "lang", "quality", "split")
   }
 
+  test("native row-local minhash signature equals the batch signature store") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(docsPath).limit(200).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sig").toString + "/sigs"
+    Dedup.writeMinHashSignatures(docs, "text", "doc_id", tmp, numHashes = 32)
+    graft.functions.GraftFunctions.register(spark)
+    val rowLocal = docs.select(col("doc_id").as("id"),
+      Dedup.rowLocalMinhashSig(col("text"), 3, 32).as("rsig"))
+    val stored = spark.read.parquet(tmp)
+    assert(stored.count() == 200)
+    val mismatched = stored.join(rowLocal, "id")
+      .filter(not(col("sig") === col("rsig")))
+    assert(mismatched.count() == 0,
+      "row-local signature must be bit-identical to the batch aggregate")
+  }
+
+  test("streaming incremental curation: exact-dup keeper, store match, TTL suppression") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.StreamingCuration
+    val stable = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words here for doc two ok"))
+      .toDF("doc_id", "text")
+    val sigs = java.nio.file.Files.createTempDirectory("graft-curs").toString + "/sigs"
+    Dedup.writeMinHashSignatures(stable, "text", "doc_id", sigs, numHashes = 32)
+    def b(ts: String, rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .withColumn("__ts", lit(ts).cast("timestamp"))
+    val b0 = b("2024-01-01 00:00:00",
+      10L -> "alpha beta gamma delta epsilon zeta eta theta", // = stable 1
+      11L -> "unique fresh content nobody else shares at all",
+      12L -> "alpha beta gamma delta epsilon zeta eta theta") // exact dup of 10
+    val b1 = b("2024-01-01 01:00:00",
+      13L -> "alpha beta gamma delta epsilon zeta eta theta", // suppressed (state)
+      14L -> "another unique thing entirely with its own words")
+    val out = StreamingCuration.curate(spark, Seq(b0, b1), stable, sigs,
+      "text", "doc_id", "__ts", minQuality = -1.0)
+    assertRows(out,
+      Seq("doc_id", "n_batch_dups", "n_store_matches", "best_jaccard", "kept"),
+      Set(
+        Seq(10L, 1, 1, 1.0, false), // keeper of {10,12}, struck by stable 1
+        Seq(11L, 0, 0, null, true),
+        Seq(14L, 0, 0, null, true))) // emitted in batch 1; 13 suppressed
+  }
+
   test("streaming curation equals batch curation row-for-row") {
     // single-FILE parquet source: stream the parent dir with a glob
     // (readStream.parquet requires a directory)
