@@ -554,6 +554,39 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // The vs_first N-way extension: same three sources, but every
+    // non-first source gains delta/match columns against source `a` (the
+    // declared baseline) — the "which source drifted" answer the
+    // reference's exactly-two guard leaves unanswered for 3+ sources.
+    // Default behavior is untouched (recon_threeway above still emits
+    // bare aggregates); the mode is an explicit compare_mode opt-in.
+    "recon_threeway_pairwise" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "lineitem").createOrReplaceTempView("__recon_li3p")
+      ReconJob.fromYaml(
+        """version: 0
+          |group_by: [l_returnflag]
+          |compare_mode: vs_first
+          |data:
+          |  - name: a
+          |    query: SELECT * FROM __recon_li3p
+          |    metrics:
+          |      - sum_price: round(sum(l_extendedprice), 2)
+          |      - n: count(*)
+          |  - name: b
+          |    query: SELECT l_returnflag, l_extendedprice * 1.0005 AS l_extendedprice FROM __recon_li3p
+          |    metrics:
+          |      - sum_price: round(sum(l_extendedprice), 2)
+          |      - n: count(*)
+          |  - name: c
+          |    query: SELECT l_returnflag, l_extendedprice FROM __recon_li3p WHERE l_linestatus = 'F'
+          |    metrics:
+          |      - sum_price: round(sum(l_extendedprice), 2)
+          |      - n: count(*)
+          |""".stripMargin).run()
+        .orderBy("l_returnflag")
+    }),
+
     // -------------------------------------------------------- text analysis
     "text_profile" -> ((s, dir) =>
       TextAnalysis.profile(t(s, dir, "documents"), "text", "doc_id")
@@ -2669,6 +2702,37 @@ object SparkEntry {
         |         count(*) AS c_n
         |  FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag)
         |SELECT l_returnflag, a_sum_price, a_n, b_sum_price, b_n, c_sum_price, c_n
+        |FROM a FULL JOIN b USING (l_returnflag) FULL JOIN c USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // vs_first mode: per non-first source, delta/match vs the baseline
+    // `a` (tolerance denominator = baseline), shared metrics sorted.
+    "recon_threeway_pairwise" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, round(sum(l_extendedprice), 2) AS a_sum_price,
+        |         count(*) AS a_n
+        |  FROM lineitem GROUP BY l_returnflag),
+        |b AS (
+        |  SELECT l_returnflag, round(sum(l_extendedprice * 1.0005), 2) AS b_sum_price,
+        |         count(*) AS b_n
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, round(sum(l_extendedprice), 2) AS c_sum_price,
+        |         count(*) AS c_n
+        |  FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag)
+        |SELECT l_returnflag, a_sum_price, a_n, b_sum_price, b_n, c_sum_price, c_n,
+        |  abs(a_n - b_n) AS delta_b_n,
+        |  a_n = b_n AS match_b_n,
+        |  abs(a_sum_price - b_sum_price) AS delta_b_sum_price,
+        |  CASE WHEN b_sum_price = a_sum_price THEN true
+        |       ELSE abs((b_sum_price - a_sum_price) / a_sum_price) < 0.001 END
+        |    AS match_b_sum_price,
+        |  abs(a_n - c_n) AS delta_c_n,
+        |  a_n = c_n AS match_c_n,
+        |  abs(a_sum_price - c_sum_price) AS delta_c_sum_price,
+        |  CASE WHEN c_sum_price = a_sum_price THEN true
+        |       ELSE abs((c_sum_price - a_sum_price) / a_sum_price) < 0.001 END
+        |    AS match_c_sum_price
         |FROM a FULL JOIN b USING (l_returnflag) FULL JOIN c USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
 

@@ -62,22 +62,45 @@ final class ReconJob(val spec: ReconSpec)(implicit spark: SparkSession) {
     }
     var joined = prefixed.map(_._2).reduce(_.join(_, spec.groupBy, "full"))
 
-    // Delta/match columns only for the exactly-two-source case
-    // (reference guard: recon.py:149).
-    if (spec.data.length == 2) {
-      val Seq((n1, _, m1), (n2, _, m2)) = prefixed.toSeq
-      val shared = m1.intersect(m2).sorted
-      val types = joined.schema.map(f => f.name -> f.dataType).toMap
-      shared.foreach { m =>
-        val (a, b) = (col(s"${n1}_$m"), col(s"${n2}_$m"))
-        (types(s"${n1}_$m"), types(s"${n2}_$m")) match {
-          case (t1: NumericType, t2: NumericType) =>
-            joined = joined
-              .withColumn(s"delta_$m", abs(a - b))
-              .withColumn(s"match_$m", matchColumn(a, b, isFloating(t1) || isFloating(t2)))
-          case _ => () // non-numeric metric: no delta/match, mirrors intended skip
+    val types = joined.schema.map(f => f.name -> f.dataType).toMap
+    spec.compareMode match {
+      // Reference parity: delta/match columns only for the exactly-two-
+      // source case (reference guard: recon.py:149); tolerance denominator
+      // is the SECOND source (recon.py:172).
+      case "auto" if spec.data.length == 2 =>
+        val Seq((n1, _, m1), (n2, _, m2)) = prefixed.toSeq
+        m1.intersect(m2).sorted.foreach { m =>
+          val (a, b) = (col(s"${n1}_$m"), col(s"${n2}_$m"))
+          (types(s"${n1}_$m"), types(s"${n2}_$m")) match {
+            case (t1: NumericType, t2: NumericType) =>
+              joined = joined
+                .withColumn(s"delta_$m", abs(a - b))
+                .withColumn(s"match_$m", matchColumn(a, b, isFloating(t1) || isFloating(t2)))
+            case _ => () // non-numeric metric: no delta/match, mirrors intended skip
+          }
         }
-      }
+      // Opt-in N-way extension: every non-first source compared against
+      // the FIRST (the declared baseline), one delta/match pair per
+      // (source, shared numeric metric) — so a 3+-way recon names WHICH
+      // source drifted instead of emitting bare per-source aggregates.
+      // Tolerance denominator is the baseline. Purely additive: the
+      // joined aggregate columns are identical to auto mode.
+      case "vs_first" if spec.data.length >= 2 =>
+        val (n1, _, m1) = prefixed.head
+        prefixed.tail.foreach { case (ni, _, mi) =>
+          m1.intersect(mi).sorted.foreach { m =>
+            val (a, b) = (col(s"${n1}_$m"), col(s"${ni}_$m"))
+            (types(s"${n1}_$m"), types(s"${ni}_$m")) match {
+              case (t1: NumericType, t2: NumericType) =>
+                joined = joined
+                  .withColumn(s"delta_${ni}_$m", abs(a - b))
+                  .withColumn(s"match_${ni}_$m",
+                    matchColumn(b, a, isFloating(t1) || isFloating(t2)))
+              case _ => ()
+            }
+          }
+        }
+      case _ => ()
     }
     joined
   }

@@ -202,7 +202,20 @@ final case class ReconSource(
       "Either 'query', 'table' or 'path' should be provided in each recon's element")
 }
 
-final case class ReconSpec(version: String, groupBy: Seq[String], data: Seq[ReconSource])
+/** `compareMode`: "auto" (reference parity — delta/match columns only
+  * when EXACTLY two sources, recon.py:149) or "vs_first" (opt-in N-way
+  * extension: every non-first source gains `delta_<name>_<metric>` /
+  * `match_<name>_<metric>` columns against the FIRST source, answering
+  * "which source drifted" for 3+ sources). */
+final case class ReconSpec(
+    version: String,
+    groupBy: Seq[String],
+    data: Seq[ReconSource],
+    compareMode: String = "auto") {
+  if (!Set("auto", "vs_first").contains(compareMode))
+    throw new JobConfigException(
+      s"compare_mode must be 'auto' or 'vs_first', got '$compareMode'")
+}
 
 object ReconSpec {
   import Yaml._
@@ -239,6 +252,7 @@ object ReconSpec {
         path = str(d, "path"),
         metrics = metrics)
     }
-    ReconSpec(str(cfg, "version").getOrElse("0"), groupBy, sources)
+    ReconSpec(str(cfg, "version").getOrElse("0"), groupBy, sources,
+      str(cfg, "compare_mode").getOrElse("auto"))
   }
 }

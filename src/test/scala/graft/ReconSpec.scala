@@ -53,6 +53,50 @@ class ReconSpec extends SparkSpec {
     assert(out.columns.toSet == Set("k", "a_total", "b_total", "c_total"))
   }
 
+  test("vs_first mode: each later source gets delta/match vs the baseline; auto untouched") {
+    seed()
+    val out = ReconJob.fromYaml(
+      """version: 0
+        |group_by: [k]
+        |compare_mode: vs_first
+        |data:
+        |  - name: a
+        |    query: SELECT * FROM recon_base
+        |    metrics: [{total: sum(amount)}, {rows: count(*)}]
+        |  - name: b
+        |    query: SELECT k, amount * 1.0002 AS amount FROM recon_base
+        |    metrics: [{total: sum(amount)}, {rows: count(*)}]
+        |  - name: c
+        |    query: SELECT k, amount * 2 AS amount FROM recon_base
+        |    metrics: [{total: sum(amount)}, {rows: count(*)}]
+        |""".stripMargin).run()
+    assert(out.columns.toSet == Set("k",
+      "a_total", "a_rows", "b_total", "b_rows", "c_total", "c_rows",
+      "delta_b_total", "match_b_total", "delta_b_rows", "match_b_rows",
+      "delta_c_total", "match_c_total", "delta_c_rows", "match_c_rows"))
+    // b drifts 2e-4 (inside tolerance), c doubles (outside); counts match.
+    assert(out.filter(!col("match_b_total") || !col("match_b_rows") ||
+      !col("match_c_rows")).isEmpty)
+    assert(out.filter(col("match_c_total")).isEmpty)
+
+    // An invalid mode fails loudly at spec parse, not mid-plan.
+    val e = intercept[graft.spec.JobConfigException] {
+      ReconJob.fromYaml(
+        """version: 0
+          |group_by: [k]
+          |compare_mode: pairwise_all
+          |data:
+          |  - name: a
+          |    query: SELECT * FROM recon_base
+          |    metrics: [{total: sum(amount)}]
+          |  - name: b
+          |    query: SELECT * FROM recon_base
+          |    metrics: [{total: sum(amount)}]
+          |""".stripMargin).run()
+    }
+    assert(e.getMessage.contains("compare_mode"))
+  }
+
   test("float tolerance: within 1e-3 matches, b=0 vs a!=0 mismatches, 0=0 matches") {
     Seq((1, 1000.0), (2, 5.0), (3, 0.0)).toDF("k", "v")
       .createOrReplaceTempView("recon_a")
