@@ -15,7 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * state-TTL outcomes are pure functions of the batch contents, which an
   * external engine can recompute. (A single AvailableNow run over the
   * same files drops nothing: eviction lags the watermark by a batch.)
-  */
+  *
+  * TEST HARNESS ONLY — the `coalesce(1)` staging that makes batch
+  * contents deterministic serializes each batch through one task; a
+  * production ingest path must keep the source's natural parallelism
+  * (plain `readStream` over the landing directory, no staging), where
+  * the same transforms run unchanged. */
 private[streaming] object StagedDrain {
 
   /** Drain `batches` through `transform` one checkpointed AvailableNow
