@@ -684,6 +684,34 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // TIME TRAVEL over a parquet-native versioned table — the workflow
+    // the reference inherited from Delta's `VERSION AS OF` (delta.py:28),
+    // rebuilt on immutable file groups + create-exclusive manifests:
+    // v0 = snapshot commit, v1 = APPEND (shares v0's files — the daily
+    // 100 TB crawl path writes only the batch), v2 = full-rewrite
+    // snapshot. Every row of the output is a historical read
+    // (`Versioned.read(dir, v)`) aggregated to (n_rows, id checksum),
+    // so the oracle recomputing each version's membership from raw
+    // documents gates the whole commit/append/read round trip.
+    "time_travel_versions" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val tbl = s"/tmp/graft_versioned/docs_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val bk = Sampling.bucket(col("doc_id"), 29L)
+      Versioned.commit(docs.filter(bk < 7000), tbl)
+      Versioned.append(docs.filter(bk >= 7000), tbl)
+      Versioned.commit(docs.filter(col("lang") =!= "en"), tbl)
+      val per = (0L to 2L).map { v =>
+        Versioned.read(s, tbl, v)
+          .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"))
+          .withColumn("version", lit(v))
+      }.reduce(_.unionByName(_))
+      per.join(Versioned.versions(s, tbl).select("version", "mode"), Seq("version"))
+        .select("version", "mode", "n_rows", "id_sum")
+        .orderBy("version")
+    }),
+
     // Token-budget selection: the best documents by quality score until a
     // global 15k-token budget is spent — exact distributed prefix sum
     // (range partition + per-partition offsets), never a global sort. The
@@ -2915,6 +2943,23 @@ object SparkEntry {
     // report detour (persist + re-read) must be invisible in the result,
     // so the same from-raw-text oracle gates it.
     "decontaminate_from_report" -> deconBySourceSql,
+
+    // Recomputes each version's row membership from raw documents: v0 =
+    // hash-bucket subset, v1 = full corpus (append closed the set), v2 =
+    // the non-en rewrite. Counts + id checksums gate the historical reads.
+    "time_travel_versions" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, ${Sampling.bucketSql("doc_id", 29L)} AS bk FROM documents)
+         |SELECT CAST(0 AS BIGINT) AS version, 'snapshot' AS mode,
+         |  count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM documents d JOIN b USING (doc_id) WHERE b.bk < 7000
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), 'append', count(*), CAST(sum(doc_id) AS BIGINT)
+         |FROM documents
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'snapshot', count(*), CAST(sum(doc_id) AS BIGINT)
+         |FROM documents WHERE lang <> 'en'
+         |ORDER BY version""".stripMargin,
 
     // The scale-shaped distributed prefix sum must equal this one global
     // window cumsum exactly — integer token totals, same (quality desc,

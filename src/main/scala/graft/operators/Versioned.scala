@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** Parquet-native versioned tables — the time-travel workflow the
+  * reference inherited implicitly from Delta
+  * (source/pyzzle/datasource/delta.py:28, `VERSION AS OF`), rebuilt on
+  * the two primitives bare parquet offers: immutable data files and
+  * create-exclusive manifest publication.
+  *
+  * Layout under `tableDir`:
+  *   - `files/<uuid>/` — immutable parquet file groups, written once,
+  *     never modified or deleted by commits;
+  *   - `_versions/v<n>.json` — one manifest per version listing the file
+  *     groups that version reads. The manifest is the COMMIT: it is
+  *     published with create-exclusive, so version numbers are an atomic
+  *     total order even under concurrent committers (the loser of a
+  *     create race retries at the next number — same arbiter as the
+  *     merge lease), and a crashed writer leaves only unreferenced data
+  *     files, never a torn version.
+  *
+  * Two commit modes, mirroring Delta's economics:
+  *   - [[commit]] — full snapshot: writes the frame, manifest lists only
+  *     the new group. Cost ∝ snapshot size.
+  *   - [[append]] — writes ONLY the new rows and lists parent groups +
+  *     the new one. Cost ∝ appended batch; at 100 TB this is the daily
+  *     crawl path — a year of appends shares all prior files, exactly
+  *     like Delta's add-only log. (Row-level updates compose as
+  *     `commit(read(latest) merged)`, paying the rewrite Delta's
+  *     copy-on-write also pays at file granularity.)
+  *
+  * Reads ([[read]], any historical version) are plain parquet scans of
+  * the manifest's groups — predicate pushdown, column pruning, and
+  * partition parallelism all intact; no log replay. [[diffVersions]]
+  * composes with [[Snapshot.diff]] for row-level "what changed between
+  * v3 and v7". */
+object Versioned {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(tableDir: String, v: Long) =
+    new Path(s"$tableDir/_versions/v$v.json")
+
+  /** Largest committed version, or -1 for an empty/absent table. */
+  def latestVersion(spark: SparkSession, tableDir: String): Long = {
+    val p = new Path(s"$tableDir/_versions")
+    val f = fs(spark, tableDir)
+    if (!f.exists(p)) -1L
+    else f.listStatus(p).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  private def readManifest(
+      spark: SparkSession, tableDir: String, v: Long): (Seq[String], Long, String) = {
+    val f = fs(spark, tableDir)
+    val in = f.open(manifestPath(tableDir, v))
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // Minimal JSON of our own writing: {"version":n,"mode":"...","files":["g1",...],"n_rows":n}
+    val files = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(raw)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val nRows = "\"n_rows\":(\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong).getOrElse(0L)
+    val mode = "\"mode\":\"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
+    (files, nRows, mode)
+  }
+
+  /** Publish `groups` as the next version. Create-exclusive decides the
+    * version number under concurrency; the data files are already
+    * durable before the manifest appears, so a reader can never observe
+    * a version whose data is incomplete. */
+  private def publish(
+      spark: SparkSession, tableDir: String, groups: Seq[String],
+      nRows: Long, mode: String): Long = {
+    val f = fs(spark, tableDir)
+    var v = latestVersion(spark, tableDir) + 1
+    while (true) {
+      try {
+        val out = f.create(manifestPath(tableDir, v), false)
+        out.writeBytes(
+          s"""{"version":$v,"mode":"$mode","files":[${groups.map("\"" + _ + "\"").mkString(",")}],""" +
+            s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"}""")
+        out.close()
+        return v
+      } catch { case _: java.io.IOException => v += 1 } // lost the race: next number
+    }
+    v // unreachable
+  }
+
+  private def writeGroup(df: DataFrame, tableDir: String): (String, Long) = {
+    val group = java.util.UUID.randomUUID().toString
+    df.write.parquet(s"$tableDir/files/$group")
+    val n = df.sparkSession.read.parquet(s"$tableDir/files/$group").count()
+    (group, n)
+  }
+
+  /** Commit `df` as a FULL-SNAPSHOT version; returns the version number. */
+  def commit(df: DataFrame, tableDir: String): Long = {
+    val spark = df.sparkSession
+    val (group, n) = writeGroup(df, tableDir)
+    publish(spark, tableDir, Seq(group), n, "snapshot")
+  }
+
+  /** Commit `df` as an APPEND version: parent file groups are shared,
+    * only the new rows are written. Returns the version number. */
+  def append(df: DataFrame, tableDir: String): Long = {
+    val spark = df.sparkSession
+    val parent = latestVersion(spark, tableDir)
+    val (parentGroups, parentRows, _) =
+      if (parent < 0) (Seq.empty[String], 0L, "")
+      else readManifest(spark, tableDir, parent)
+    val (group, n) = writeGroup(df, tableDir)
+    publish(spark, tableDir, parentGroups :+ group, parentRows + n, "append")
+  }
+
+  /** Read a version (default: latest) — `VERSION AS OF` for parquet.
+    * A plain multi-path parquet scan: pushdown and pruning intact. */
+  def read(spark: SparkSession, tableDir: String, version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else latestVersion(spark, tableDir)
+    require(v >= 0, s"no versions committed under $tableDir")
+    val (groups, _, _) = readManifest(spark, tableDir, v)
+    require(groups.nonEmpty, s"version $v of $tableDir lists no files")
+    spark.read.parquet(groups.map(g => s"$tableDir/files/$g"): _*)
+  }
+
+  /** Version history: (version, mode, n_rows), ascending. */
+  def versions(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    (0L to latestVersion(spark, tableDir)).flatMap { v =>
+      scala.util.Try(readManifest(spark, tableDir, v)).toOption
+        .map { case (_, n, mode) => (v, mode, n) }
+    }.toDF("version", "mode", "n_rows")
+  }
+
+  /** Row-level diff between two versions (see [[Snapshot.diff]]). */
+  def diffVersions(
+      spark: SparkSession, tableDir: String, oldV: Long, newV: Long,
+      idCol: String, compareCols: Seq[String]): DataFrame =
+    Snapshot.diff(read(spark, tableDir, oldV), read(spark, tableDir, newV),
+      idCol, compareCols)
+}

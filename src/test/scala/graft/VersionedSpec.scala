@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Versioned
+
+/** Parquet-native time travel: immutable file groups + create-exclusive
+  * manifests. Pins the Delta-workflow properties a user relies on:
+  * historical reads are stable, appends share parent files (no rewrite),
+  * and concurrent committers serialize to distinct versions. */
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl() = Files.createTempDirectory("graft-versioned").toString + "/t"
+
+  test("commit / append / read: every historical version stays readable and exact") {
+    val dir = tbl()
+    val v0 = Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val v1 = Versioned.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    val v2 = Versioned.commit(Seq((9L, "z")).toDF("id", "v"), dir)
+    assert(Seq(v0, v1, v2) == Seq(0L, 1L, 2L))
+    assert(Versioned.latestVersion(spark, dir) == 2L)
+    assertRows(Versioned.read(spark, dir, 0), Seq("id"), Set(Seq(1L), Seq(2L)))
+    assertRows(Versioned.read(spark, dir, 1), Seq("id"), Set(Seq(1L), Seq(2L), Seq(3L)))
+    assertRows(Versioned.read(spark, dir), Seq("id"), Set(Seq(9L))) // latest
+    assertRows(Versioned.versions(spark, dir), Seq("version", "mode", "n_rows"),
+      Set(Seq(0L, "snapshot", 2L), Seq(1L, "append", 3L), Seq(2L, "snapshot", 1L)))
+  }
+
+  test("append shares parent file groups — only the batch is written") {
+    val dir = tbl()
+    Versioned.commit(spark.range(100).toDF("id"), dir)
+    val before = new java.io.File(s"$dir/files").listFiles().map(_.getName).toSet
+    Versioned.append(spark.range(100, 110).toDF("id"), dir)
+    val after = new java.io.File(s"$dir/files").listFiles().map(_.getName).toSet
+    assert(before.subsetOf(after) && after.size == before.size + 1,
+      "append must add exactly one group and leave parent groups untouched")
+    assert(Versioned.read(spark, dir, 1).count() == 110)
+    // v0 is unaffected by the append — time travel reads the old manifest
+    assert(Versioned.read(spark, dir, 0).count() == 100)
+  }
+
+  test("concurrent committers get distinct versions, both readable") {
+    val dir = tbl()
+    Versioned.commit(spark.range(5).toDF("id"), dir)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (0 until 2).map { i =>
+      new Thread(() => results.add(
+        Versioned.commit(spark.range(i * 100, i * 100 + 10).toDF("id"), dir)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    import scala.jdk.CollectionConverters._
+    val vs = results.asScala.toSet
+    assert(vs.size == 2 && vs.subsetOf(Set(1L, 2L)),
+      s"concurrent commits must serialize to distinct versions, got $vs")
+    vs.foreach(v => assert(Versioned.read(spark, dir, v).count() == 10))
+  }
+
+  test("diffVersions classifies row-level changes between versions") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Versioned.commit(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), dir)
+    val d = Versioned.diffVersions(spark, dir, 0, 1, "id", Seq("v"))
+    assertRows(d.select("id", "status"), Seq("id", "status"),
+      Set(Seq(1L, "removed"), Seq(2L, "changed"), Seq(3L, "added")))
+  }
+
+  test("reading an uncommitted version or empty table fails loudly") {
+    val dir = tbl()
+    intercept[IllegalArgumentException] { Versioned.read(spark, dir) }
+    Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    intercept[Exception] { Versioned.read(spark, dir, 7) }
+  }
+}
