@@ -136,6 +136,30 @@ object Versioned {
     }.toDF("version", "mode", "n_rows")
   }
 
+  /** Delete file groups referenced ONLY by versions older than
+    * `keepFrom` and drop those versions' manifests — the Delta VACUUM
+    * analog. Retention is by VERSION (not wall-clock): everything
+    * `>= keepFrom` stays fully readable, shared groups survive as long
+    * as ANY kept version lists them. Returns (droppedVersions,
+    * deletedGroups). Irreversible; callers choose `keepFrom` the way
+    * they would a Delta retention window. */
+  def vacuum(spark: SparkSession, tableDir: String, keepFrom: Long): (Long, Long) = {
+    val f = fs(spark, tableDir)
+    val latest = latestVersion(spark, tableDir)
+    require(keepFrom >= 0 && keepFrom <= latest,
+      s"keepFrom must be within [0, $latest]: $keepFrom")
+    val all = (0L to latest).flatMap { v =>
+      scala.util.Try(readManifest(spark, tableDir, v)).toOption.map(m => v -> m._1)
+    }
+    val keptGroups = all.collect { case (v, gs) if v >= keepFrom => gs }.flatten.toSet
+    val dropGroups = all.collect { case (v, gs) if v < keepFrom => gs }.flatten.toSet
+      .diff(keptGroups)
+    dropGroups.foreach(g => f.delete(new Path(s"$tableDir/files/$g"), true))
+    val dropVersions = all.collect { case (v, _) if v < keepFrom => v }
+    dropVersions.foreach(v => f.delete(manifestPath(tableDir, v), false))
+    (dropVersions.size.toLong, dropGroups.size.toLong)
+  }
+
   /** Row-level diff between two versions (see [[Snapshot.diff]]). */
   def diffVersions(
       spark: SparkSession, tableDir: String, oldV: Long, newV: Long,

@@ -66,6 +66,45 @@ class VersionedSpec extends SparkSpec {
       Set(Seq(1L, "removed"), Seq(2L, "changed"), Seq(3L, "added")))
   }
 
+  test("vacuum drops only groups no kept version references") {
+    val dir = tbl()
+    Versioned.commit(spark.range(10).toDF("id"), dir)   // v0: group A
+    Versioned.append(spark.range(10, 15).toDF("id"), dir) // v1: A + B
+    Versioned.append(spark.range(15, 18).toDF("id"), dir) // v2: A + B + C
+    val (droppedV, deletedG) = Versioned.vacuum(spark, dir, keepFrom = 1)
+    // v0's manifest goes, but its group is SHARED by v1/v2 — nothing deleted.
+    assert((droppedV, deletedG) == (1L, 0L))
+    assert(Versioned.read(spark, dir, 1).count() == 15)
+    assert(Versioned.read(spark, dir, 2).count() == 18)
+    intercept[Exception] { Versioned.read(spark, dir, 0) }
+
+    // A REWRITE's abandoned groups do get deleted once unreferenced.
+    val dir2 = tbl()
+    Versioned.commit(spark.range(10).toDF("id"), dir2)  // v0: group A
+    Versioned.commit(spark.range(3).toDF("id"), dir2)   // v1: group B (rewrite)
+    val (dv2, dg2) = Versioned.vacuum(spark, dir2, keepFrom = 1)
+    assert((dv2, dg2) == (1L, 1L))
+    assert(Versioned.read(spark, dir2, 1).count() == 3)
+    assert(new java.io.File(s"$dir2/files").listFiles().length == 1)
+  }
+
+  test("historical reads keep filter pushdown and column pruning") {
+    val dir = tbl()
+    Versioned.commit(
+      spark.range(1000).toDF("id").withColumn("payload", concat(lit("p"), col("id"))),
+      dir)
+    Versioned.append(
+      spark.range(1000, 2000).toDF("id").withColumn("payload", concat(lit("p"), col("id"))),
+      dir)
+    val q = Versioned.read(spark, dir, 1).filter(col("id") === 1500L).select("id")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(id,1500)"),
+      s"filter not pushed to the versioned scan:\n$p")
+    val leaves = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!leaves.contains("payload"), s"column pruning lost:\n$leaves")
+    assert(q.count() == 1)
+  }
+
   test("reading an uncommitted version or empty table fails loudly") {
     val dir = tbl()
     intercept[IllegalArgumentException] { Versioned.read(spark, dir) }
