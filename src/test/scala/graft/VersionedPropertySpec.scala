@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Versioned
+
+/** Property soak for the versioned-table layer: random sequences of
+  * commit / append / vacuum against an in-memory model (fixed seed —
+  * deterministic). The invariants a time-travel user relies on:
+  *   - read(v) equals the model's snapshot at v, for every live version,
+  *     after ANY interleaving of operations;
+  *   - vacuum never changes the contents of kept versions;
+  *   - version numbers are a gap-free ascending sequence as committed.
+  */
+class VersionedPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260814L)
+
+  test("random commit/append/vacuum sequences match the in-memory model") {
+    (1 to 5).foreach { _ =>
+      val dir = Files.createTempDirectory("graft-vprop").toString + "/t"
+      // model(v) = the full id multiset visible at version v
+      val model = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      var vacuumedBelow = 0L
+      var nextId = 0L
+      def batch(): Seq[Long] = {
+        val ids = (0 until (1 + rnd.nextInt(8))).map(i => nextId + i)
+        nextId += ids.size
+        ids.map(_.toLong)
+      }
+
+      val ops = 4 + rnd.nextInt(5)
+      (0 until ops).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            val b = batch()
+            val v = Versioned.commit(b.toDF("id"), dir)
+            model += b
+            assert(v == model.size - 1, s"version must be gap-free: $v")
+          case 1 =>
+            val b = batch()
+            val v = Versioned.append(b.toDF("id"), dir)
+            val parent = if (model.isEmpty) Seq.empty else model.last
+            model += (parent ++ b)
+            assert(v == model.size - 1)
+          case 2 if model.size >= 2 && vacuumedBelow < model.size - 1 =>
+            val keepFrom = vacuumedBelow + 1 + rnd.nextInt((model.size - 1 - vacuumedBelow).toInt)
+            Versioned.vacuum(spark, dir, keepFrom)
+            vacuumedBelow = keepFrom
+          case _ => () // vacuum with nothing to drop: skip
+        }
+        // Every LIVE version must read back exactly the model snapshot.
+        (vacuumedBelow.toInt until model.size).foreach { v =>
+          val got = Versioned.read(spark, dir, v)
+            .as[Long].collect().sorted.toSeq
+          assert(got == model(v).sorted,
+            s"version $v drifted from the model after ${model.size} versions")
+        }
+      }
+      // Vacuumed versions are gone, loudly.
+      (0 until vacuumedBelow.toInt).foreach { v =>
+        intercept[Exception] { Versioned.read(spark, dir, v) }
+      }
+    }
+  }
+}
