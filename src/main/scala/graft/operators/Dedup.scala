@@ -15,12 +15,16 @@ import graft.functions.TextFunctions._
   * (exact Jaccard / hamming / cosine) runs only on candidate pairs.
   * Nothing ever collects to the driver.
   *
-  * Signature computation is formulated as explode + NARROW hash-aggregates
-  * (one-permutation hashing for minhash: one hash + one min update per
-  * shingle) inside whole-stage codegen with map-side partial aggregation —
-  * not interpreted higher-order-function lambdas (O(k × elements) per row,
-  * measured ~10× slower), and not k-column aggregates (whose generated
-  * classes take seconds to Janino-compile and dominate cold-query time).
+  * Signature computation: WORD-shingle signatures use the native
+  * [[graft.functions.MinhashSig]] expression — a pure projection (one
+  * tight JVM loop per row, no explode, no shuffle; ~3× faster warm and
+  * ~10× cold than the aggregate, which paid a Janino compile).
+  * CHAR-shingle signatures keep the explode + NARROW hash-aggregate
+  * formulation (one hash + one min update per shingle, map-side partial
+  * aggregation). Neither path uses interpreted higher-order-function
+  * lambdas (O(k × elements) per row, measured 50× slower) or k-column
+  * aggregates. The two word paths are bit-identical — pinned by
+  * StreamingCurationSpec.
   */
 object Dedup {
 
@@ -274,12 +278,13 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       shingler: DataFrame => DataFrame,
+      sigSource: DataFrame => DataFrame,
       numHashes: Int,
       bands: Int,
       threshold: Double,
       maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
-    val sigs = minhashSigs(shingler(df), numHashes)
+    val sigs = sigSource(df)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candidates = bandCandidates(sigs, numHashes, bands, maxBucket)
     val prefiltered = sigPrefilter(candidates, sigs, numHashes, threshold)
@@ -311,7 +316,22 @@ object Dedup {
       seed: Long = 42L): DataFrame =
     lshJaccardPipeline(df, idCol,
       explodedWordShingles(_, textCol, idCol, shingleSize),
+      nativeWordSigs(_, textCol, idCol, shingleSize, numHashes),
       numHashes, bands, threshold, DefaultMaxBucket)
+
+  /** Word-shingle signatures via the native [[graft.functions.MinhashSig]]
+    * expression: bit-identical to the [[minhashSigs]] aggregate
+    * (StreamingCurationSpec pins it) but a pure PROJECTION — no explode,
+    * no shuffle, and ~3× faster warm / ~10× cold (the aggregate pays a
+    * Janino compile). The char-shingle paths keep the aggregate (the
+    * expression shingles at token granularity). */
+  private def nativeWordSigs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("__id"),
+      rowLocalMinhashSig(col(textCol), shingleSize, numHashes).as("__sig"))
+  }
 
   // ------------------------------------------------- incremental minhash
 
@@ -329,7 +349,7 @@ object Dedup {
       path: String,
       shingleSize: Int = 3,
       numHashes: Int = 64): Unit =
-    minhashSigs(explodedWordShingles(df, textCol, idCol, shingleSize), numHashes)
+    nativeWordSigs(df, textCol, idCol, shingleSize, numHashes)
       .select(col("__id").as("id"), col("__sig").as("sig"))
       .write.mode("overwrite").parquet(path)
 
@@ -367,8 +387,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val stored = spark.read.parquet(sigPath)
       .select(col("id").as("__id"), col("sig").as("__sig"))
-    val fresh = minhashSigs(
-      explodedWordShingles(batch, textCol, idCol, shingleSize), numHashes)
+    val fresh = nativeWordSigs(batch, textCol, idCol, shingleSize, numHashes)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val rows = numHashes / bands
@@ -603,6 +622,7 @@ object Dedup {
       seed: Long = 7L): DataFrame =
     lshJaccardPipeline(df, idCol,
       explodedCharShingles(_, textCol, idCol, n),
+      d => minhashSigs(explodedCharShingles(d, textCol, idCol, n), numHashes),
       numHashes, bands, threshold, DefaultMaxBucket)
 
   /** Probe hook (dev): raw band-candidate pairs for the ngram pipeline
