@@ -276,6 +276,35 @@ object SparkEntry {
       s.read.parquet(tgt).orderBy("o_orderkey")
     }),
 
+    // Versioned operations through the reference-shaped JOB CONFIG: the
+    // YAML a Delta user runs gains time travel on bare parquet — job 1
+    // commits a snapshot version, job 2 appends (sharing v0's files),
+    // and the output reads BOTH historical versions back row-level. The
+    // oracle recomputes each version's exact membership from orders.
+    "etl_versioned" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
+      val tgt = etlScratch(dir, "versioned")
+      val p = new org.apache.hadoop.fs.Path(tgt)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      def job(mod: Int, op: String) = EtlJob.fromYaml(
+        s"""version: 0
+           |source:
+           |  query: >-
+           |    SELECT o_orderkey, o_custkey, o_totalprice
+           |    FROM __etl_orders WHERE o_custkey % 10 = $mod
+           |target:
+           |  path: $tgt
+           |  operation: $op
+           |""".stripMargin).run()
+      job(1, "versioned_snapshot")
+      job(2, "versioned_append")
+      (0L to 1L).map(v => Versioned.read(s, tgt, v).withColumn("version", lit(v)))
+        .reduce(_.unionByName(_))
+        .select("version", "o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("version", "o_orderkey")
+    }),
+
     "etl_overwrite_partition" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
@@ -1970,6 +1999,16 @@ object SparkEntry {
     "etl_append" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey % 10 IN (1, 2) ORDER BY o_orderkey""".stripMargin,
+
+    // Row-level membership of both historical versions: v0 = the
+    // snapshot subset, v1 = snapshot + append.
+    "etl_versioned" ->
+      """SELECT CAST(0 AS BIGINT) AS version, o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey % 10 = 1
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey % 10 IN (1, 2)
+        |ORDER BY version, o_orderkey""".stripMargin,
 
     "etl_overwrite_partition" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders

@@ -119,12 +119,35 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
         check("update_column", spec.target.updateColumns, srcCols, "source")
         check("update_column", spec.target.updateColumns, tgtCols, "target")
         EtlJob.checkSchemaDrift(source.schema, tgtSchema, appendSemantics = false)
+      case Operation.VersionedSnapshot | Operation.VersionedAppend =>
+        // versionedPath validates the path-only + parquet constraints;
+        // an append into existing history must not drift the schema.
+        val path = versionedPath
+        if (spec.target.operation == Operation.VersionedAppend &&
+            Versioned.latestVersion(spark, path) >= 0)
+          EtlJob.checkSchemaDrift(source.schema,
+            Versioned.read(spark, path).schema, appendSemantics = true)
       case _ => ()
     }
+
+  /** Versioned operations are path-only (a versioned table IS a
+    * directory layout) and parquet-only — fail at plan time, named. */
+  private def versionedPath: String = {
+    if (toDs.pathFormat != "parquet")
+      throw new JobConfigException(
+        s"versioned operations require a parquet datasource, not ${toDs.pathFormat}")
+    targetRef match {
+      case PathRef(p) => p
+      case TableRef(t) => throw new JobConfigException(
+        s"versioned operations require a 'path' target, got table '$t'")
+    }
+  }
 
   private[graft] def operate(source: DataFrame): Unit = spec.target.operation match {
     case Operation.Append    => Writes.append(source, targetRef, toDs)
     case Operation.Overwrite => Writes.overwrite(source, targetRef, toDs)
+    case Operation.VersionedSnapshot => Versioned.commit(source, versionedPath)
+    case Operation.VersionedAppend   => Versioned.append(source, versionedPath)
     case Operation.Update =>
       Writes.merge(source, targetRef, toDs, spec.target.primaryKeyColumns,
         spec.target.updateColumns, spec.target.whereStatementOnTable,

@@ -22,12 +22,20 @@ object Operation {
   case object Overwrite extends Operation
   case object Update    extends Operation
   case object Upsert    extends Operation
+  // Extension beyond the reference's Delta-backed set: write into a
+  // graft.operators.Versioned table (time-travel reads, file-sharing
+  // appends). Path targets only — a versioned table IS a directory
+  // layout, not a catalog entry.
+  case object VersionedSnapshot extends Operation
+  case object VersionedAppend   extends Operation
 
   def parse(s: String): Operation = s.trim.toLowerCase match {
-    case "append" | "insert" => Append
-    case "overwrite"         => Overwrite
-    case "update"            => Update
-    case "upsert"            => Upsert
+    case "append" | "insert"   => Append
+    case "overwrite"           => Overwrite
+    case "update"              => Update
+    case "upsert"              => Upsert
+    case "versioned_snapshot"  => VersionedSnapshot
+    case "versioned_append"    => VersionedAppend
     case other => throw new JobConfigException(s"Unexpected operation '$other'")
   }
 }

@@ -105,6 +105,40 @@ class VersionedSpec extends SparkSpec {
     assert(q.count() == 1)
   }
 
+  test("job-config versioned ops: path-only, parquet-only, append drift-checked") {
+    import graft.operators.EtlJob
+    import graft.spec.JobConfigException
+    val dir = tbl()
+    def yaml(op: String, target: String, q: String, ds: String = "parquet") =
+      s"""version: 0
+         |source:
+         |  query: $q
+         |target:
+         |  datasource: $ds
+         |  $target
+         |  operation: $op
+         |""".stripMargin
+    // table target refused, named
+    val e1 = intercept[JobConfigException] {
+      EtlJob.fromYaml(yaml("versioned_snapshot", "table: some_tbl", "SELECT 1 AS a")).run()
+    }
+    assert(e1.getMessage.contains("path"), e1.getMessage)
+    // non-parquet datasource refused
+    val e2 = intercept[JobConfigException] {
+      EtlJob.fromYaml(yaml("versioned_append", s"path: $dir", "SELECT 1 AS a", ds = "csv")).run()
+    }
+    assert(e2.getMessage.contains("parquet"), e2.getMessage)
+    // snapshot then append works; a drifted append is refused plan-time
+    EtlJob.fromYaml(yaml("versioned_snapshot", s"path: $dir", "SELECT 1 AS a, 'x' AS b")).run()
+    EtlJob.fromYaml(yaml("versioned_append", s"path: $dir", "SELECT 2 AS a, 'y' AS b")).run()
+    assert(Versioned.read(spark, dir, 1).count() == 2)
+    val e3 = intercept[JobConfigException] {
+      EtlJob.fromYaml(yaml("versioned_append", s"path: $dir", "SELECT 3 AS a")).run()
+    }
+    assert(e3.getMessage.contains("b"), e3.getMessage)
+    assert(Versioned.latestVersion(spark, dir) == 1L, "refused append must not commit")
+  }
+
   test("reading an uncommitted version or empty table fails loudly") {
     val dir = tbl()
     intercept[IllegalArgumentException] { Versioned.read(spark, dir) }
