@@ -138,4 +138,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"decontaminate degenerated to a pairwise join:\n$p")
   }
+
+  test("report-based strike stays a keyed anti-join over the artifact") {
+    import graft.operators.{Contamination, Reports}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planrep").toString
+    val report = Reports.cached(spark, s"$sf/documents.parquet", "plan_rep", Some(tmp)) {
+      Contamination.passageOverlap(docs,
+        docs.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"), substring(col("text"), 40, 200).as("text")),
+        "text", "doc_id", maxTrainDf = 100)
+    }
+    val p = plan(Contamination.decontaminateWithReport(docs, report, "doc_id", 2))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"report strike degenerated to a pairwise join:\n$p")
+    // The strike plan reads the PERSISTED artifact, not the winnow pipeline.
+    val leaves = Contamination.decontaminateWithReport(docs, report, "doc_id", 2)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(leaves.contains("plan_rep"), s"strike must scan the artifact:\n$leaves")
+  }
+
+  test("IVF semantic join: band/cell candidates only, never a cross product") {
+    import graft.operators.{IvfIndex, Similarity}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft-planivf").toString + "/idx"
+    IvfIndex.writeIndex(emb.filter(col("vec_id") % 10 =!= 0), "embedding", "vec_id",
+      idx, nlist = 8, iters = 1)
+    val joined = Similarity.semanticJoinIvf(spark,
+      emb.filter(col("vec_id") % 10 === 0).select("vec_id", "embedding"),
+      idx, "embedding", "vec_id", minCosine = 0.3, nprobe = 2)
+    val p = plan(joined)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF semantic join degenerated to a pairwise join:\n$p")
+  }
+
+  test("versioned diff: narrow fingerprint frames, keyed full-outer join") {
+    import graft.operators.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft-planver").toString + "/t"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    Versioned.commit(docs.limit(200), dir)
+    Versioned.commit(docs.limit(150), dir)
+    val p = plan(Versioned.diffVersions(spark, dir, 0, 1, "doc_id", Seq("text")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"versioned diff degenerated to a pairwise join:\n$p")
+  }
 }
