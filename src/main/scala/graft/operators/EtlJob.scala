@@ -388,11 +388,18 @@ object Writes {
     val pollMs  = confMs("graft.merge.lock.pollMs", 1000L)
     val owner = java.util.UUID.randomUUID().toString
 
+    def content =
+      s"graft merge lock owner=$owner stamped=${java.time.Instant.now()}\n"
+    // Acquisition MUST go through the genuinely atomic create-exclusive
+    // (FsAtomic): Hadoop's local create(overwrite=false) is check-then-
+    // act, and the four-writer soak produced two simultaneous "holders"
+    // interleaving their swaps. The heartbeat overwrite path stays on
+    // fs.create — only the holder touches it.
     def stamp(overwrite: Boolean): Boolean =
-      try {
-        val out = fs.create(lock, overwrite)
-        out.writeBytes(
-          s"graft merge lock owner=$owner stamped=${java.time.Instant.now()}\n")
+      if (!overwrite) graft.sources.FsAtomic.createExclusive(fs, lock, content)
+      else try {
+        val out = fs.create(lock, true)
+        out.writeBytes(content)
         out.close()
         true
       } catch { case _: java.io.IOException => false }

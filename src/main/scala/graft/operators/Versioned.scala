@@ -79,14 +79,15 @@ object Versioned {
     val f = fs(spark, tableDir)
     var v = latestVersion(spark, tableDir) + 1
     while (true) {
-      try {
-        val out = f.create(manifestPath(tableDir, v), false)
-        out.writeBytes(
-          s"""{"version":$v,"mode":"$mode","files":[${groups.map("\"" + _ + "\"").mkString(",")}],""" +
-            s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"}""")
-        out.close()
+      // FsAtomic: Hadoop's local create(overwrite=false) is check-then-
+      // act; a non-atomic create here could publish the SAME version
+      // number twice under concurrent committers.
+      val json =
+        s"""{"version":$v,"mode":"$mode","files":[${groups.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"}"""
+      if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
         return v
-      } catch { case _: java.io.IOException => v += 1 } // lost the race: next number
+      v += 1 // lost the race: next number
     }
     v // unreachable
   }

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The one primitive the lock/lease and versioned-manifest protocols
+  * rest on: CREATE-EXCLUSIVE that is actually atomic.
+  *
+  * Hadoop's `FileSystem.create(path, overwrite = false)` is atomic on
+  * HDFS (namenode-side) but on `RawLocalFileSystem` it is CHECK-THEN-ACT
+  * — `exists()` followed by an open — so two local contenders can both
+  * pass the check and both believe they won (surfaced by the four-writer
+  * merge soak: two lease holders, interleaved stage-and-swaps,
+  * FAILED_READ_FILE). For the `file` scheme this delegates to
+  * `java.nio.file.Files.createFile`, which is POSIX `O_CREAT|O_EXCL` —
+  * atomic at the kernel. Other schemes keep `fs.create(overwrite =
+  * false)` (atomic on HDFS/ABFS; raw S3 needs an external coordinator
+  * for this, the same caveat Delta documents for its S3 LogStore). */
+private[graft] object FsAtomic {
+
+  /** Atomically create `path` with `content`; false if it already
+    * exists (or the race was lost). */
+  def createExclusive(fs: FileSystem, path: Path, content: String): Boolean = {
+    val scheme = Option(path.toUri.getScheme)
+      .getOrElse(fs.getUri.getScheme)
+    if (scheme == null || scheme == "file") {
+      try {
+        val p = java.nio.file.Paths.get(path.toUri.getPath)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.createFile(p) // POSIX O_EXCL — the atomic step
+        java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try {
+        val out = fs.create(path, false)
+        out.writeBytes(content)
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+}

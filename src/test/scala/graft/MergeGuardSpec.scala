@@ -58,6 +58,38 @@ class MergeGuardSpec extends SparkSpec {
       Set(Seq(1L, "B"), Seq(2L, "A")))
   }
 
+  test("four concurrent upserts serialize under the lease; no writer lost") {
+    val dir = Files.createTempDirectory("graft-lock4").toString + "/t"
+    Seq((0L, "seed")).toDF("pk", "v").write.parquet(dir)
+    spark.conf.set("graft.merge.lock.pollMs", "100")
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      // Each writer upserts a DISJOINT key set, so any serial order
+      // yields the same final table — losing a writer's rows means the
+      // lease interleaved two stage-and-swaps.
+      val writers = (1 to 4).map { w =>
+        new Thread(() =>
+          try {
+            val src = Seq((w * 10L, s"w$w"), (w * 10L + 1, s"w$w")).toDF("pk", "v")
+            Writes.merge(src, PathRef(dir), ds, Seq("pk"), Seq("v"), "1=1",
+              insertWhenNotMatched = true)
+          } catch { case t: Throwable => failures.add(t) })
+      }
+      writers.foreach(_.start()); writers.foreach(_.join(120000))
+      assert(failures.isEmpty, s"writers failed: ${failures.peek()}")
+      val rows = spark.read.parquet(dir).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.size == 9, s"expected seed + 8 upserted rows, got $rows")
+      (1 to 4).foreach { w =>
+        assert(rows(w * 10L) == s"w$w" && rows(w * 10L + 1) == s"w$w",
+          s"writer $w's rows lost: $rows")
+      }
+      val lock = Writes.mergeLockPath(PathRef(dir))
+      val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(lock), "lock must be released after the last writer")
+    } finally spark.conf.unset("graft.merge.lock.pollMs")
+  }
+
   test("a stale lease (crashed merge) is broken and the merge proceeds") {
     sql("DROP TABLE IF EXISTS lock_stale")
     Seq((1L, "old")).toDF("pk", "v").write.format("parquet").saveAsTable("lock_stale")
