@@ -1101,6 +1101,24 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("id_a", "id_b")),
 
+    // The CLUSTERING path's recall, pinned (round-9 finding: at fixture
+    // sizes the small-n all-pairs fast path is exact, which masked the
+    // clustering path's real recall — 0.49-0.63 at the old probeCells=2).
+    // Forcing the clustering path (maxBucket below n) at the new default
+    // probeCells=4 measures 0.840/0.929/0.857 at sf0.1/0.01/0.001; floor
+    // 0.75 sits under the minimum so a blocking regression (or a future
+    // improvement) is driver-visible.
+    "cell_recall_clustered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      val exact = pairs(Similarity.cellBlockedCosinePairs(
+        emb, "embedding", "vec_id", threshold = 0.45))
+      val clustered = pairs(Similarity.cellBlockedCosinePairs(
+        emb, "embedding", "vec_id", threshold = 0.45, maxBucket = 300))
+      recallGate(exact, clustered, floor = 0.75)
+    }),
+
     // SemDeDup: semantic near-dup removal at the same threshold/blocking
     // as dedup_embedding_pairs (candidate recall 1.0, oracle-verified
     // there), so the DuckDB oracle can recompute the EXACT kept set from
@@ -2331,6 +2349,18 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Denominator recomputed from all-pairs cosine ground truth: probes
+    // with at least one true >=0.45 partner.
+    "cell_recall_clustered" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_dot_product(embedding, embedding)) AS nrm FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.45)
+        |SELECT true AS recall_ok, count(DISTINCT id_a) AS n_queries FROM p""".stripMargin,
 
     "semantic_dedup" ->
       """WITH n AS (

@@ -463,7 +463,7 @@ object Dedup {
       idCol: String,
       threshold: Double,
       nlist: Int = 0,
-      probeCells: Int = 2,
+      probeCells: Int = 4,
       iters: Int = 2,
       seed: Long = 42L,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
