@@ -7,10 +7,16 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native row-local OPH minhash signature over a token array — the
-  * streaming-safe twin of `Dedup.minhashSigs` (whose explode + groupBy
-  * shape cannot run inside a streaming scan stage without becoming a
-  * stateful operator).
+/** Native row-local OPH minhash signature — the streaming-safe twin of
+  * `Dedup.minhashSigs` (whose explode + groupBy shape cannot run inside
+  * a streaming scan stage without becoming a stateful operator).
+  *
+  * Two shingle granularities, selected by the child's type:
+  *  - `ARRAY<STRING>` tokens → WORD shingles of `shingleSize` tokens
+  *    (`concat_ws(" ", slice(toks, i, n))`), the `minHashLsh` contract;
+  *  - `STRING` (pre-normalized text) → CHAR shingles of `shingleSize`
+  *    characters (`substr(t, i, n)` with SQL substring semantics), the
+  *    `ngramJaccardPairs` contract.
   *
   * Why a custom expression (same rationale as [[DotProduct]]): the HOF
   * formulation (`aggregate` fold over shingle hashes, `zip_with` slot
@@ -20,12 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * row: shingle → xxhash64 → 4 region rehashes → slot min, then
   * global-min densification.
   *
-  * Value contract (pinned by StreamingCurationSpec against the batch
-  * aggregate): slot `r·(k/m) + (xxhash64(h, r) mod k/m)` holds the min
-  * region rehash over the doc's shingles, empty slots densify to the
-  * global min; shingle hash = `xxhash64(concat_ws(" ", slice(toks, i,
-  * n)))` with Spark's seed-42 chaining, docs shorter than n tokens
-  * contribute one whole-text shingle. */
+  * Value contract (pinned by StreamingCurationSpec for the word mode and
+  * DedupSpec for the char mode, bit-equal to the batch aggregate): slot
+  * `r·(k/m) + (xxhash64(h, r) mod k/m)` holds the min region rehash over
+  * the doc's shingles, empty slots densify to the global min; shingle
+  * hash = seed-42 xxhash64 of the shingle string; docs shorter than one
+  * shingle contribute a single whole-text shingle. */
 case class MinhashSig(child: Expression, shingleSize: Int, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -38,25 +44,21 @@ case class MinhashSig(child: Expression, shingleSize: Int, numHashes: Int)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_minhash_sig expects ARRAY<STRING> tokens, got ${other.catalogString}")
+      s"graft_minhash_sig expects ARRAY<STRING> tokens (word shingles) " +
+        s"or STRING text (char shingles), got ${other.catalogString}")
   }
 
+  private lazy val charMode = child.dataType == StringType
+
   override def nullSafeEval(in: Any): Any = {
-    val toks = in.asInstanceOf[ArrayData]
-    val len = toks.numElements()
-    val nSh = math.max(len - shingleSize + 1, 1)
     val per = numHashes / Regions
     val acc = new Array[Long](numHashes)
     val filled = new Array[Boolean](numHashes)
-    val sep = UTF8String.fromString(" ")
-    var i = 0
-    while (i < nSh) {
-      val end = math.min(i + shingleSize, len)
-      val parts = new Array[UTF8String](end - i)
-      var j = i
-      while (j < end) { parts(j - i) = toks.getUTF8String(j); j += 1 }
-      val sh = UTF8String.concatWs(sep, parts: _*)
+
+    // One OPH update from one shingle string.
+    @inline def update(sh: UTF8String): Unit = {
       // xxhash64(string): seed-42 hash of the UTF8 bytes — byte-for-byte
       // the InterpretedHashFunction path of the builtin.
       val h = XXH64.hashUnsafeBytes(
@@ -69,7 +71,32 @@ case class MinhashSig(child: Expression, shingleSize: Int, numHashes: Int)
         if (!filled(slot) || hr < acc(slot)) { acc(slot) = hr; filled(slot) = true }
         r += 1
       }
-      i += 1
+    }
+
+    if (charMode) {
+      val t = in.asInstanceOf[UTF8String]
+      val nSh = math.max(t.numChars() - shingleSize + 1, 1)
+      var i = 0
+      while (i < nSh) {
+        // substringSQL(i+1, n): the same 1-based, codepoint-counted window
+        // as Column.substr — bit-parity with the exploded char path.
+        update(t.substringSQL(i + 1, shingleSize))
+        i += 1
+      }
+    } else {
+      val toks = in.asInstanceOf[ArrayData]
+      val len = toks.numElements()
+      val nSh = math.max(len - shingleSize + 1, 1)
+      val sep = UTF8String.fromString(" ")
+      var i = 0
+      while (i < nSh) {
+        val end = math.min(i + shingleSize, len)
+        val parts = new Array[UTF8String](end - i)
+        var j = i
+        while (j < end) { parts(j - i) = toks.getUTF8String(j); j += 1 }
+        update(UTF8String.concatWs(sep, parts: _*))
+        i += 1
+      }
     }
     // Densify empty slots with the global min — every rehash lands in
     // exactly one slot of its region, so the min over filled slots IS

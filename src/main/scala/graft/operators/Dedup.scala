@@ -15,16 +15,16 @@ import graft.functions.TextFunctions._
   * (exact Jaccard / hamming / cosine) runs only on candidate pairs.
   * Nothing ever collects to the driver.
   *
-  * Signature computation: WORD-shingle signatures use the native
+  * Signature computation: BOTH shingle granularities use the native
   * [[graft.functions.MinhashSig]] expression — a pure projection (one
   * tight JVM loop per row, no explode, no shuffle; ~3× faster warm and
-  * ~10× cold than the aggregate, which paid a Janino compile).
-  * CHAR-shingle signatures keep the explode + NARROW hash-aggregate
-  * formulation (one hash + one min update per shingle, map-side partial
-  * aggregation). Neither path uses interpreted higher-order-function
-  * lambdas (O(k × elements) per row, measured 50× slower) or k-column
-  * aggregates. The two word paths are bit-identical — pinned by
-  * StreamingCurationSpec.
+  * ~10× cold than the aggregate it replaced, which paid a Janino
+  * compile): word mode over the token array, char mode over the
+  * normalized text. The explode + NARROW hash-aggregate formulation
+  * ([[minhashSigs]]) remains as the verification twin — bit-equality is
+  * pinned by StreamingCurationSpec (word) and DedupSpec (char). Neither
+  * path uses interpreted higher-order-function lambdas (O(k × elements)
+  * per row, measured 50× slower) or k-column aggregates.
   */
 object Dedup {
 
@@ -50,6 +50,63 @@ object Dedup {
   def exactText(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val keyed = df.withColumn("__fp", fingerprint(col(textCol)))
     exact(keyed, Seq("__fp"), idCol).drop("__fp")
+  }
+
+  // ------------------------------------------------------- paragraph dedup
+
+  /** CCNet-style PARAGRAPH-level exact dedup (Wenzek et al. 2020,
+    * arXiv:1911.00359 §3.1): strike individual paragraphs whose
+    * normalized form appears in at least `minDocs` DISTINCT documents —
+    * the standard web-corpus mitigation for boilerplate that survives
+    * document-level dedup (navigation chrome, license headers, cookie
+    * banners repeat across pages whose bodies differ).
+    *
+    * Returns one row per input document: `idCol`, `n_paras` (paragraphs
+    * seen), `n_struck` (paragraphs removed), and `text_clean` (the
+    * surviving paragraphs rejoined with `sep`, original order).
+    * Whitespace-only paragraphs are never struck (they carry no content
+    * and would otherwise all collide on the empty normal form).
+    *
+    * Scale shape: one split+posexplode projection, one count-distinct
+    * aggregate keyed by the paragraph hash (two-level, map-side partial),
+    * one equi-join of the lines against the (small, boilerplate-only)
+    * struck set, one per-doc reassembly aggregate. All shuffles are keyed
+    * by uniform hashes; nothing collects to the driver; the struck-norm
+    * side is tiny by construction (only paragraphs repeated across
+    * `minDocs`+ docs) so AQE broadcasts it in practice. The join and DF
+    * count run on the 64-bit `xxhash64` of the normalized paragraph, not
+    * the text — the shuffle carries 8-byte keys. */
+  def paragraphDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minDocs: Int = 2,
+      sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+      .withColumn("__norm", normalizeText(col("__para")))
+      .withColumn("__nh",
+        when(col("__norm") === "", lit(null).cast("long"))
+          .otherwise(xxhash64(col("__norm"))))
+    val struck = lines.filter(col("__nh").isNotNull)
+      .groupBy("__nh").agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__nh"), lit(true).as("__struck"))
+    lines.join(struck, Seq("__nh"), "left")
+      .withColumn("__struck", coalesce(col("__struck"), lit(false)))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_paras"),
+        sum(when(col("__struck"), lit(1L)).otherwise(lit(0L))).as("n_struck"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("__struck"), struct(col("__pos"), col("__para"))))),
+            x => x.getField("__para")),
+          sep).as("text_clean"))
   }
 
   // ------------------------------------------------------------ minhash LSH
@@ -140,6 +197,27 @@ object Dedup {
       .select(col("__id"),
         transform(sequence(lit(0), lit(numHashes - 1)),
           i => coalesce(element_at(col("__mm"), i), col("__g"))).as("__sig"))
+  }
+
+  /** Row-local CHAR-shingle OPH signature via the same native expression
+    * (STRING child selects char mode): `substr(norm, i, n)` shingles,
+    * identical slot layout and densification — bit-equality with the
+    * [[minhashSigs]]-over-[[explodedCharShingles]] aggregate is pinned by
+    * DedupSpec. A pure projection, so the char LSH pipeline's signature
+    * stage loses its explode + two-level aggregate exactly as the word
+    * path did. */
+  private[graft] def rowLocalCharMinhashSig(
+      text: Column, n: Int, numHashes: Int): Column =
+    call_function(graft.functions.GraftFunctions.MinhashSigName,
+      normalizeText(text), lit(n), lit(numHashes))
+
+  /** Char-shingle signatures `(__id, __sig)` as a native projection. */
+  private def nativeCharSigs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("__id"),
+      rowLocalCharMinhashSig(col(textCol), n, numHashes).as("__sig"))
   }
 
   /** ROW-LOCAL twin of [[minhashSigs]] for STREAMING inputs: identical
@@ -622,8 +700,24 @@ object Dedup {
       seed: Long = 7L): DataFrame =
     lshJaccardPipeline(df, idCol,
       explodedCharShingles(_, textCol, idCol, n),
-      d => minhashSigs(explodedCharShingles(d, textCol, idCol, n), numHashes),
+      nativeCharSigs(_, textCol, idCol, n, numHashes),
       numHashes, bands, threshold, DefaultMaxBucket)
+
+  /** Verification twin (spec-only): the explode + aggregate formulation
+    * of the WORD-shingle signatures — StreamingCurationSpec pins the
+    * native projection bit-equal against this. */
+  private[graft] def wordSigsAggregateProbe(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int, numHashes: Int): DataFrame =
+    minhashSigs(explodedWordShingles(df, textCol, idCol, n), numHashes)
+
+  /** Verification twin (spec-only): the explode + aggregate formulation
+    * of the CHAR-shingle signatures — DedupSpec pins the native
+    * projection bit-equal against this. */
+  private[graft] def charSigsAggregateProbe(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int, numHashes: Int): DataFrame =
+    minhashSigs(explodedCharShingles(df, textCol, idCol, n), numHashes)
 
   /** Probe hook (dev): raw band-candidate pairs for the ngram pipeline
     * (before the signature prefilter). */

@@ -147,4 +147,45 @@ class DedupSpec extends SparkSpec {
       s"missing=${full -- inc} extra=${inc -- full}")
     assert(inc.nonEmpty, "fixture produced no batch-touching pairs")
   }
+
+  test("paragraph dedup strikes cross-doc repeats, keeps order and singletons") {
+    val docs = Seq(
+      (1L, "unique opening for one\nShared Boilerplate Line\nmiddle bit one\n\nunique closing for one"),
+      (2L, "unique opening for two\nshared  boilerplate   line\nunique closing for two"),
+      (3L, "shared boilerplate line\nunique only line for three"),
+      (4L, "repeated in two docs\nsolo paragraph for four"),
+      (5L, "repeated in two docs\nsolo paragraph for five"),
+      (6L, "")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "text", "doc_id", minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_paras", "n_struck", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      // boilerplate (normalized: case + whitespace runs) struck in 1-3;
+      // the empty line in doc 1 is kept (whitespace-only is never struck)
+      (1L, 5L, 1L, "unique opening for one\nmiddle bit one\n\nunique closing for one"),
+      (2L, 3L, 1L, "unique opening for two\nunique closing for two"),
+      (3L, 2L, 1L, "unique only line for three"),
+      // "repeated in two docs" has df=2 < minDocs=3 → kept
+      (4L, 2L, 0L, "repeated in two docs\nsolo paragraph for four"),
+      (5L, 2L, 0L, "repeated in two docs\nsolo paragraph for five"),
+      (6L, 1L, 0L, "")))
+  }
+
+  test("native char-shingle signature is bit-identical to the aggregate twin") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200).select("doc_id", "text")
+      // plant short and empty docs: the single-whole-text-shingle branch
+      // and empty-string hashing must agree between the two formulations
+      .unionByName(Seq((90001L, "ab"), (90002L, ""), (90003L, "exactly5")).toDF("doc_id", "text"))
+    val native = docs.select(col("doc_id").as("id"),
+      Dedup.rowLocalCharMinhashSig(col("text"), 5, 64).as("nsig"))
+    val agg = Dedup.charSigsAggregateProbe(docs, "text", "doc_id", 5, 64)
+      .select(col("__id").as("id"), col("__sig").as("asig"))
+    assert(native.count() == 203)
+    val mismatched = agg.join(native, "id").filter(not(col("asig") === col("nsig")))
+    assert(mismatched.count() == 0,
+      "native char signature must be bit-identical to the explode+aggregate twin")
+  }
 }

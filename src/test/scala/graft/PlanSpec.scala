@@ -182,4 +182,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"versioned diff degenerated to a pairwise join:\n$p")
   }
+
+  test("paragraph dedup: keyed joins only, DF count on the 8-byte hash") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("shared line"), col("text")).as("text"))
+    val df = Dedup.paragraphDedup(docs, "text", "doc_id", minDocs = 2)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"paragraph dedup degenerated to a pairwise join:\n$p")
+    // The struck-set join and the DF aggregate key on xxhash64(norm) — a
+    // long column — so the shuffle never carries paragraph text as a key.
+    assert(p.contains("xxhash64"), s"hash key missing from plan:\n$p")
+  }
+
+  test("keep-best-from-report: argmax consumes the persisted cluster artifact") {
+    import graft.operators.{Components, Reports}
+    import graft.functions.TextFunctions.qualityScore
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plankb").toString
+    val clustered = Reports.cached(spark, s"$sf/documents.parquet", "plan_kb", Some(tmp)) {
+      val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+        numHashes = 32, bands = 16, threshold = 0.6)
+      Components.clusters(docs.select("doc_id"), "doc_id", pairs)
+    }
+    val kb = Components.keepBest(clustered.select("doc_id", "cluster"),
+      docs.select(col("doc_id"), qualityScore(col("text")).as("quality")),
+      "doc_id", "quality")
+    val p = plan(kb)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"keep-best degenerated to a pairwise join:\n$p")
+    // The retention pass reads the PERSISTED cluster assignment, not the
+    // minhash pipeline: the only leaves are the artifact + documents scans.
+    val leaves = kb.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(leaves.contains("plan_kb"), s"keep-best must scan the artifact:\n$leaves")
+  }
 }

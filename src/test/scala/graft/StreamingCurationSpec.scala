@@ -38,7 +38,16 @@ class StreamingCurationSpec extends SparkSpec {
     val mismatched = stored.join(rowLocal, "id")
       .filter(not(col("sig") === col("rsig")))
     assert(mismatched.count() == 0,
-      "row-local signature must be bit-identical to the batch aggregate")
+      "row-local signature must be bit-identical to the batch signature store")
+    // The store itself is native since round 9, so the line above alone
+    // would be native-vs-native: pin the native projection against the
+    // independent explode+aggregate formulation too.
+    val agg = Dedup.wordSigsAggregateProbe(docs, "text", "doc_id", 3, 32)
+      .select(col("__id").as("id"), col("__sig").as("asig"))
+    val aggMismatch = agg.join(rowLocal, "id")
+      .filter(not(col("asig") === col("rsig")))
+    assert(aggMismatch.count() == 0,
+      "native word signature must be bit-identical to the aggregate twin")
   }
 
   test("streaming incremental curation: exact-dup keeper, store match, TTL suppression") {
