@@ -1083,6 +1083,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The INCREMENTAL flavor — the daily-feed shape at 100 TB: the corpus
+    // paragraph-DF table is persisted once (narrow (nh, df) rows, raw
+    // counts so the strike threshold is an apply-time choice), and each
+    // new batch strikes against corpus + batch combined frequencies
+    // without re-splitting stored documents. Exactly equal to the full
+    // recompute restricted to batch docs (DedupSpec pins it); the oracle
+    // proves it independently by recomputing the FULL-corpus document
+    // frequencies from raw text and emitting only the batch rows.
+    "paragraph_dedup_incremental" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(substring(col("text"), 1, 40), lit(" opens doc "),
+            col("doc_id").cast("string"), lit(".")),
+          lit("subscribe to our newsletter for updates."),
+          concat(lit("shared slogan number "),
+            pmod(col("doc_id"), lit(7)).cast("string"), lit(" appears often.")),
+          concat(substring(col("text"), 41, 30), lit(" closes it."))).as("text"))
+      val corpus = planted.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = planted.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val store = s"/tmp/graft_paradf/store_${etlSuffix(dir)}"
+      Dedup.writeParagraphDf(corpus, "text", "doc_id", store)
+      Dedup.paragraphDedupIncremental(s, batch, "text", "doc_id", store, minDocs = 3)
+        .select(col("doc_id"), col("n_paras"), col("n_struck"),
+          md5(col("text_clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Leakage-safe splits: assignment by near-dup CLUSTER, so no split
     // boundary ever separates two near-duplicates (train never holds a
     // near-copy of a test doc). DuckDB recomputes the transitive
@@ -2362,6 +2389,39 @@ object SparkEntry {
         |  SELECT l.doc_id, l.pos, l.para,
         |    coalesce(f.df >= 3, false) AS struck
         |  FROM lines l LEFT JOIN freq f ON l.norm = f.norm AND l.norm <> ''),
+        |out AS (
+        |  SELECT doc_id,
+        |    count(*) AS n_paras,
+        |    sum(CASE WHEN struck THEN 1 ELSE 0 END)::BIGINT AS n_struck,
+        |    md5(coalesce(string_agg(CASE WHEN NOT struck THEN para END,
+        |      chr(10) ORDER BY pos), '')) AS clean_md5
+        |  FROM flagged GROUP BY doc_id)
+        |SELECT doc_id, n_paras, n_struck, clean_md5 FROM out ORDER BY doc_id""".stripMargin,
+
+    // Same fixture and FULL-corpus document frequencies (the combined
+    // store+batch count the incremental path reconstructs), output
+    // restricted to the batch docs (doc_id % 5 = 0).
+    "paragraph_dedup_incremental" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' opens doc ' || doc_id || '.'
+        |      || chr(10) || 'subscribe to our newsletter for updates.'
+        |      || chr(10) || 'shared slogan number ' || (doc_id % 7) || ' appears often.'
+        |      || chr(10) || substr(text, 41, 30) || ' closes it.' AS text
+        |  FROM documents),
+        |parts AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM planted),
+        |lines AS (
+        |  SELECT doc_id, i AS pos, ps[i] AS para,
+        |    trim(regexp_replace(lower(ps[i]), '\s+', ' ', 'g')) AS norm
+        |  FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM parts)),
+        |freq AS (
+        |  SELECT norm, count(DISTINCT doc_id) AS df FROM lines
+        |  WHERE norm <> '' GROUP BY 1),
+        |flagged AS (
+        |  SELECT l.doc_id, l.pos, l.para,
+        |    coalesce(f.df >= 3, false) AS struck
+        |  FROM lines l LEFT JOIN freq f ON l.norm = f.norm AND l.norm <> ''
+        |  WHERE l.doc_id % 5 = 0),
         |out AS (
         |  SELECT doc_id,
         |    count(*) AS n_paras,

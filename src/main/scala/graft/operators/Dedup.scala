@@ -83,18 +83,31 @@ object Dedup {
       minDocs: Int = 2,
       sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
-    val lines = df
-      .select(col(idCol),
+    val lines = paragraphLines(df, textCol, idCol, sep)
+    val struck = lines.filter(col("__nh").isNotNull)
+      .groupBy("__nh").agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__nh"), lit(true).as("__struck"))
+    reassemble(lines, struck, idCol, sep)
+  }
+
+  /** `(idCol, __pos, __para, __nh)` rows from a paragraph split —
+    * `__nh` is the 8-byte join/DF key (null for whitespace-only
+    * paragraphs, which never participate in dedup). */
+  private def paragraphLines(
+      df: DataFrame, textCol: String, idCol: String, sep: String): DataFrame =
+    df.select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("__pos", "__para")))
       .withColumn("__norm", normalizeText(col("__para")))
       .withColumn("__nh",
         when(col("__norm") === "", lit(null).cast("long"))
           .otherwise(xxhash64(col("__norm"))))
-    val struck = lines.filter(col("__nh").isNotNull)
-      .groupBy("__nh").agg(countDistinct(col(idCol)).as("__df"))
-      .filter(col("__df") >= minDocs)
-      .select(col("__nh"), lit(true).as("__struck"))
+      .drop("__norm")
+
+  /** Join the struck-set flags back and reassemble per-doc outputs. */
+  private def reassemble(
+      lines: DataFrame, struck: DataFrame, idCol: String, sep: String): DataFrame =
     lines.join(struck, Seq("__nh"), "left")
       .withColumn("__struck", coalesce(col("__struck"), lit(false)))
       .groupBy(idCol)
@@ -107,6 +120,58 @@ object Dedup {
               when(!col("__struck"), struct(col("__pos"), col("__para"))))),
             x => x.getField("__para")),
           sep).as("text_clean"))
+
+  /** Persist the corpus paragraph document-frequency table: one narrow
+    * `(nh, df)` parquet row per distinct non-empty normalized paragraph.
+    * The artifact [[paragraphDedupIncremental]] strikes later batches
+    * against — the corpus is paragraph-split exactly ONCE, here; every
+    * subsequent daily batch pays splitting only for its own documents.
+    * Raw counts (not a thresholded strike list) are stored so the strike
+    * threshold can be chosen — or changed — at apply time without
+    * recomputing the scan. */
+  def writeParagraphDf(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      sep: String = "\n"): Unit =
+    paragraphLines(df, textCol, idCol, sep)
+      .filter(col("__nh").isNotNull)
+      .groupBy("__nh").agg(countDistinct(col(idCol)).as("__df"))
+      .select(col("__nh").as("nh"), col("__df").as("df"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Paragraph dedup of a NEW batch against a corpus summarized by a
+    * [[writeParagraphDf]] store: a batch paragraph is struck when its
+    * document frequency across corpus + batch reaches `minDocs` — exactly
+    * the rows [[paragraphDedup]] over corpus ∪ batch would emit for the
+    * batch documents (pinned by DedupSpec), without re-splitting the
+    * stored corpus. Same output contract as [[paragraphDedup]]. Corpus
+    * documents a batch pushes over the threshold are NOT re-emitted —
+    * the store-side strike was decided when the corpus was processed,
+    * the same touch-only-the-batch contract as [[minHashLshIncremental]].
+    * Batch ids must be disjoint from corpus ids. */
+  def paragraphDedupIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      dfPath: String,
+      minDocs: Int = 2,
+      sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = paragraphLines(batch, textCol, idCol, sep)
+    val stored = spark.read.parquet(dfPath)
+      .select(col("nh").as("__nh"), col("df").as("__sdf"))
+    // Combined df = batch-side distinct docs + stored corpus count. The
+    // batch side is the small one in the daily regime, so AQE broadcasts
+    // it against the store; stored rows never shuffle.
+    val struck = lines.filter(col("__nh").isNotNull)
+      .groupBy("__nh").agg(countDistinct(col(idCol)).as("__bdf"))
+      .join(stored, Seq("__nh"), "left")
+      .filter(col("__bdf") + coalesce(col("__sdf"), lit(0L)) >= minDocs)
+      .select(col("__nh"), lit(true).as("__struck"))
+    reassemble(lines, struck, idCol, sep)
   }
 
   // ------------------------------------------------------------ minhash LSH

@@ -172,6 +172,29 @@ class DedupSpec extends SparkSpec {
       (6L, 1L, 0L, "")))
   }
 
+  test("incremental paragraph dedup ≡ full recompute restricted to batch docs") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          lit("all rights reserved."),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("every third doc line"))
+            .otherwise(col("text"))).as("text"))
+    val corpus = all.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = all.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val store = java.nio.file.Files.createTempDirectory("graft_paradf_").toString + "/df"
+    Dedup.writeParagraphDf(corpus, "text", "doc_id", store)
+    val inc = Dedup.paragraphDedupIncremental(spark, batch, "text", "doc_id",
+      store, minDocs = 3)
+      .select("doc_id", "n_paras", "n_struck", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val full = Dedup.paragraphDedup(all, "text", "doc_id", minDocs = 3)
+      .filter(pmod(col("doc_id"), lit(4)) === 0)
+      .select("doc_id", "n_paras", "n_struck", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(inc == full)
+    assert(inc.exists(_._3 > 0), "fixture produced no struck batch paragraphs")
+  }
+
   test("native char-shingle signature is bit-identical to the aggregate twin") {
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
