@@ -38,6 +38,21 @@ object SparkEntry {
           .otherwise(concat(substring(col("text"), 41, 40),
             lit(" tail words linger here too.")))).as("text"))
 
+  /** The planted 4-line paragraph fixture shared by the paragraph_dedup
+    * family (batch, incremental, streaming): a unique id-stamped opener,
+    * corpus-wide boilerplate, a slogan shared by every 7th doc, and a
+    * text-derived tail. Pure projections, so it applies to batch and
+    * streaming frames alike. */
+  private def plantedParagraphDoc(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      concat_ws("\n",
+        concat(substring(col("text"), 1, 40), lit(" opens doc "),
+          col("doc_id").cast("string"), lit(".")),
+        lit("subscribe to our newsletter for updates."),
+        concat(lit("shared slogan number "),
+          pmod(col("doc_id"), lit(7)).cast("string"), lit(" appears often.")),
+        concat(substring(col("text"), 41, 30), lit(" closes it."))).as("text"))
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): multi-join
     * revenue-by-nation over region/nation/customer/orders/lineitem. */
   // q1 rather than q5 for the smoke check: q5 at sf0.001 survives with a
@@ -1069,14 +1084,7 @@ object SparkEntry {
     // document frequencies, the strike set, and the md5 of the rejoined
     // surviving text, so the reassembly order is verified byte-for-byte.
     "paragraph_dedup" -> ((s, dir) => {
-      val planted = t(s, dir, "documents").select(col("doc_id"),
-        concat_ws("\n",
-          concat(substring(col("text"), 1, 40), lit(" opens doc "),
-            col("doc_id").cast("string"), lit(".")),
-          lit("subscribe to our newsletter for updates."),
-          concat(lit("shared slogan number "),
-            pmod(col("doc_id"), lit(7)).cast("string"), lit(" appears often.")),
-          concat(substring(col("text"), 41, 30), lit(" closes it."))).as("text"))
+      val planted = plantedParagraphDoc(t(s, dir, "documents"))
       Dedup.paragraphDedup(planted, "text", "doc_id", minDocs = 3)
         .select(col("doc_id"), col("n_paras"), col("n_struck"),
           md5(col("text_clean")).as("clean_md5"))
@@ -1092,14 +1100,7 @@ object SparkEntry {
     // proves it independently by recomputing the FULL-corpus document
     // frequencies from raw text and emitting only the batch rows.
     "paragraph_dedup_incremental" -> ((s, dir) => {
-      val planted = t(s, dir, "documents").select(col("doc_id"),
-        concat_ws("\n",
-          concat(substring(col("text"), 1, 40), lit(" opens doc "),
-            col("doc_id").cast("string"), lit(".")),
-          lit("subscribe to our newsletter for updates."),
-          concat(lit("shared slogan number "),
-            pmod(col("doc_id"), lit(7)).cast("string"), lit(" appears often.")),
-          concat(substring(col("text"), 41, 30), lit(" closes it."))).as("text"))
+      val planted = plantedParagraphDoc(t(s, dir, "documents"))
       val corpus = planted.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       val batch = planted.filter(pmod(col("doc_id"), lit(5)) === 0)
       val store = s"/tmp/graft_paradf/store_${etlSuffix(dir)}"
@@ -1108,6 +1109,27 @@ object SparkEntry {
         .select(col("doc_id"), col("n_paras"), col("n_struck"),
           md5(col("text_clean")).as("clean_md5"))
         .orderBy("doc_id")
+    }),
+
+    // STREAMING parity for the paragraph strike: the boilerplate set is
+    // the persisted paragraph-DF artifact (built once from the full
+    // planted corpus), and the strike itself is a stateless scan stage —
+    // split + hash are projections, the boilerplate anti-join is
+    // stream-static — emitting surviving paragraphs at paragraph grain
+    // (no per-doc regroup, so no streaming state). With the store built
+    // from the whole corpus, "store-known boilerplate" IS the full df>=3
+    // strike set, so the oracle recomputes the batch frequencies from
+    // raw text and must reproduce the kept lines exactly.
+    "paragraph_dedup_streaming" -> ((s, dir) => {
+      val store = s"/tmp/graft_paradf/full_${etlSuffix(dir)}"
+      Dedup.writeParagraphDf(plantedParagraphDoc(t(s, dir, "documents")),
+        "text", "doc_id", store)
+      val boiler = Dedup.boilerplateParagraphs(s, store, minDocs = 3)
+      graft.streaming.StatelessStream.transformAvailableNow(
+        s, s"$dir/documents.parquet",
+        df => Dedup.paragraphStrike(plantedParagraphDoc(df), boiler,
+          "text", "doc_id"))
+        .orderBy("doc_id", "pos")
     }),
 
     // Leakage-safe splits: assignment by near-dup CLUSTER, so no split
@@ -2397,6 +2419,30 @@ object SparkEntry {
         |      chr(10) ORDER BY pos), '')) AS clean_md5
         |  FROM flagged GROUP BY doc_id)
         |SELECT doc_id, n_paras, n_struck, clean_md5 FROM out ORDER BY doc_id""".stripMargin,
+
+    // The surviving paragraph ROWS (paragraph grain, 0-based positions)
+    // under the same full-corpus df>=3 strike — what the stateless
+    // streaming strike must emit exactly.
+    "paragraph_dedup_streaming" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' opens doc ' || doc_id || '.'
+        |      || chr(10) || 'subscribe to our newsletter for updates.'
+        |      || chr(10) || 'shared slogan number ' || (doc_id % 7) || ' appears often.'
+        |      || chr(10) || substr(text, 41, 30) || ' closes it.' AS text
+        |  FROM documents),
+        |parts AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM planted),
+        |lines AS (
+        |  SELECT doc_id, i - 1 AS pos, ps[i] AS para,
+        |    trim(regexp_replace(lower(ps[i]), '\s+', ' ', 'g')) AS norm
+        |  FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM parts)),
+        |freq AS (
+        |  SELECT norm, count(DISTINCT doc_id) AS df FROM lines
+        |  WHERE norm <> '' GROUP BY 1)
+        |SELECT l.doc_id, l.pos, l.para
+        |FROM lines l LEFT JOIN freq f ON l.norm = f.norm AND l.norm <> ''
+        |WHERE NOT coalesce(f.df >= 3, false)
+        |ORDER BY l.doc_id, l.pos""".stripMargin,
 
     // Same fixture and FULL-corpus document frequencies (the combined
     // store+batch count the incremental path reconstructs), output

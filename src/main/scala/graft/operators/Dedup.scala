@@ -174,6 +174,44 @@ object Dedup {
     reassemble(lines, struck, idCol, sep)
   }
 
+  /** The boilerplate side of a paragraph strike: the stored paragraphs
+    * whose corpus document frequency reaches `minDocs`, as narrow
+    * 8-byte-key rows. localCheckpointed — it is the STATIC side of a
+    * stream-static join, which would otherwise re-evaluate per
+    * micro-batch. */
+  def boilerplateParagraphs(
+      spark: org.apache.spark.sql.SparkSession,
+      dfPath: String,
+      minDocs: Int = 2): DataFrame =
+    spark.read.parquet(dfPath)
+      .filter(col("df") >= minDocs)
+      .select(col("nh").as("__nh"))
+      .localCheckpoint()
+
+  /** Paragraph strike as a STATELESS scan stage: drop the paragraphs of
+    * incoming documents that match a persisted boilerplate set
+    * ([[boilerplateParagraphs]] over a [[writeParagraphDf]] store),
+    * emitting surviving paragraphs at PARAGRAPH grain `(idCol, pos,
+    * para)` — no per-doc regroup, so the same transform runs unchanged
+    * over a stream (split + hash are projections; the anti-join is
+    * stream-static, which Structured Streaming executes statelessly).
+    * This is the in-stream flavor of the strike: the corpus-side DF
+    * analysis is the persisted artifact, the batch-side counting of
+    * [[paragraphDedupIncremental]] is deliberately absent (a scan stage
+    * cannot count across documents without becoming stateful), and
+    * reassembly — when wanted — is a per-doc aggregation the consumer
+    * runs downstream. Whitespace-only paragraphs (null key) never
+    * match, so they always survive. */
+  def paragraphStrike(
+      docs: DataFrame,
+      boilerplate: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n"): DataFrame =
+    paragraphLines(docs, textCol, idCol, sep)
+      .join(boilerplate, Seq("__nh"), "left_anti")
+      .select(col(idCol), col("__pos").as("pos"), col("__para").as("para"))
+
   // ------------------------------------------------------------ minhash LSH
 
   /** Exploded word-shingle hashes `(__id, __h)`: one row per shingle

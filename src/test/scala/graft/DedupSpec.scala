@@ -195,6 +195,25 @@ class DedupSpec extends SparkSpec {
     assert(inc.exists(_._3 > 0), "fixture produced no struck batch paragraphs")
   }
 
+  test("paragraph strike vs full-corpus store ≡ batch dedup's kept paragraphs") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("all rights reserved."), col("text")).as("text"))
+    val store = java.nio.file.Files.createTempDirectory("graft_parast_").toString + "/df"
+    Dedup.writeParagraphDf(all, "text", "doc_id", store)
+    val struckRows = Dedup.paragraphStrike(all,
+      Dedup.boilerplateParagraphs(spark, store, minDocs = 3), "text", "doc_id")
+    // reassemble the paragraph-grain output per doc and compare with the
+    // batch operator's text_clean (store = full corpus ⇒ same strike set)
+    val reassembled = struckRows.groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+        x => x.getField("para")), "\n").as("text_clean"))
+      .as[(Long, String)].collect().toMap
+    val batch = Dedup.paragraphDedup(all, "text", "doc_id", minDocs = 3)
+      .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+    assert(reassembled == batch)
+  }
+
   test("native char-shingle signature is bit-identical to the aggregate twin") {
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
