@@ -1120,6 +1120,19 @@ object SparkEntry {
     // from the whole corpus, "store-known boilerplate" IS the full df>=3
     // strike set, so the oracle recomputes the batch frequencies from
     // raw text and must reproduce the kept lines exactly.
+    // Sliding-window token chunking — the long-document preprocessing
+    // step upstream of pack_sequences: 40-token windows, 8-token overlap
+    // (stride 32), emitted only while a window contributes new tokens.
+    // Pure row-parallel projection+explode, zero shuffles. The oracle
+    // recomputes every window boundary with the same integer arithmetic
+    // and the md5 of each window's rejoined tokens.
+    "chunk_documents" -> ((s, dir) =>
+      Packing.chunkDocuments(t(s, dir, "documents"), "text", "doc_id",
+        maxTokens = 40, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
     "paragraph_dedup_streaming" -> ((s, dir) => {
       val store = s"/tmp/graft_paradf/full_${etlSuffix(dir)}"
       Dedup.writeParagraphDf(plantedParagraphDoc(t(s, dir, "documents")),
@@ -2419,6 +2432,29 @@ object SparkEntry {
         |      chr(10) ORDER BY pos), '')) AS clean_md5
         |  FROM flagged GROUP BY doc_id)
         |SELECT doc_id, n_paras, n_struck, clean_md5 FROM out ORDER BY doc_id""".stripMargin,
+
+    // Window boundaries recomputed with identical integer arithmetic:
+    // nc = 1 for n <= 40, else (n - 8 + 31) // 32; window w covers
+    // 1-based [cid*32+1, cid*32+40] (DuckDB list_slice is inclusive).
+    "chunk_documents" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sized AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 40 THEN 1 ELSE (len(toks) - 8 + 31) // 32 END AS nc
+        |  FROM tok WHERE len(toks) > 0),
+        |chunks AS (
+        |  SELECT doc_id, toks, n, unnest(generate_series(0, nc - 1)) AS chunk_id
+        |  FROM sized),
+        |w AS (
+        |  SELECT doc_id, chunk_id,
+        |    list_slice(toks, chunk_id * 32 + 1, least(chunk_id * 32 + 40, n)) AS win
+        |  FROM chunks)
+        |SELECT doc_id, chunk_id, len(win) AS n_tokens,
+        |  md5(array_to_string(win, ' ')) AS chunk_md5
+        |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
 
     // The surviving paragraph ROWS (paragraph grain, 0-based positions)
     // under the same full-corpus df>=3 strike — what the stateless

@@ -46,4 +46,52 @@ object Packing {
       .withColumn("pack_offset", pmod(col("__cum_before"), lit(budget)).cast("long"))
       .drop("__cum_before")
   }
+
+  /** Sliding-window token CHUNKING of long documents — the standard
+    * preprocessing step upstream of packing: split each document into
+    * windows of at most `maxTokens` whitespace tokens, consecutive
+    * windows overlapping by `overlap` tokens (stride = maxTokens −
+    * overlap). Chunk starts are 0, stride, 2·stride, …; a window is
+    * emitted only while it contributes at least one token not covered by
+    * its predecessor, so no chunk is ever a subset of the previous one
+    * and every token appears in ≥1 chunk. Token-less documents emit no
+    * chunks. Chunks are built over NORMALIZED tokens (lowercased,
+    * whitespace-collapsed — `TextFunctions.tokens`), the same stream a
+    * token-count budget or tokenizer sees.
+    *
+    * Output: `idCol`, `chunk_id` (0-based), `n_tokens` (window length),
+    * `chunk_text` (the window's tokens re-joined with single spaces).
+    *
+    * Scale shape: one projection computes the token array and chunk
+    * count, one `posexplode` fans out to chunk grain, and `slice` +
+    * `concat_ws` assemble each window — no shuffle at all; chunking is
+    * embarrassingly row-parallel. The chunk-count arithmetic is integer
+    * (`(n − overlap + stride − 1) div stride`), so the DuckDB oracle
+    * reproduces boundaries exactly. */
+  def chunkDocuments(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens): $overlap vs $maxTokens")
+    val stride = maxTokens - overlap
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val n = size(col("__toks"))
+    val nChunks = when(n <= 0, lit(0))
+      .when(n <= maxTokens, lit(1))
+      .otherwise(floor((n - overlap + (stride - 1)) / lit(stride.toDouble)).cast("int"))
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__nc", nChunks)
+      .filter(col("__nc") > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), col("__nc") - 1)).as(Seq("chunk_id", "__s")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(maxTokens)).as("__w"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__w")).as("chunk_text"))
+  }
 }

@@ -43,4 +43,40 @@ class PackingSpec extends SparkSpec {
     val again = Packing.packSequences(df, "id", "n_tokens", budget = 250, shards = 8)
     assert(out.exceptAll(again).isEmpty)
   }
+
+  test("chunking: boundaries, overlap, tail suppression, empty docs") {
+    def words(n: Int, p: String) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val df = Seq(
+      (1L, words(5, "a")),   // n <= max → one whole chunk
+      (2L, words(10, "b")),  // 10 tokens, max 8, ov 4, stride 4 → starts 0,4 (8 suppressed: no new tokens)
+      (3L, words(13, "c")),  // starts 0,4,8 → lens 8,8,5
+      (4L, ""),              // token-less → no chunks
+      (5L, words(8, "d")))   // exactly max → one chunk
+      .toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(df, "text", "doc_id", maxTokens = 8, overlap = 4)
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, 5L, words(5, "a")),
+      (2L, 0L, 8L, (0 until 8).map(i => s"b$i").mkString(" ")),
+      (2L, 1L, 6L, (4 until 10).map(i => s"b$i").mkString(" ")),
+      (3L, 0L, 8L, (0 until 8).map(i => s"c$i").mkString(" ")),
+      (3L, 1L, 8L, (4 until 12).map(i => s"c$i").mkString(" ")),
+      (3L, 2L, 5L, (8 until 13).map(i => s"c$i").mkString(" ")),
+      (5L, 0L, 8L, words(8, "d"))))
+    // every token of every doc is covered by at least one chunk
+    val chunked = Packing.chunkDocuments(df, "text", "doc_id", maxTokens = 8, overlap = 4)
+    val coverage = chunked.groupBy("doc_id")
+      .agg(max(col("chunk_id") * 4 + col("n_tokens")).as("covered"))
+    val lens = df.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+    assert(coverage.join(lens, "doc_id").filter(col("covered") =!= col("n")).count() == 0)
+  }
+
+  test("chunking plan has zero exchanges (row-parallel scan stage)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = Packing.chunkDocuments(df, "text", "doc_id", maxTokens = 40, overlap = 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
 }
