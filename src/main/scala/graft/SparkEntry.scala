@@ -1133,6 +1133,26 @@ object SparkEntry {
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")),
 
+    // Chunk → pack COMPOSITION — the pipeline shape a pretraining data
+    // owner runs: long docs into 40/8 sliding windows, windows packed
+    // into 256-token training contexts across 8 shards, reported at pack
+    // grain. The oracle recomputes the window boundaries AND the
+    // per-shard running-sum pack assignment with the same integer
+    // arithmetic, so every pack's chunk count and token mass is exact.
+    "chunk_pack_pipeline" -> ((s, dir) => {
+      val chunks = Packing.chunkDocuments(t(s, dir, "documents"),
+        "text", "doc_id", maxTokens = 40, overlap = 8)
+        // synthetic unique per-chunk key: chunk_id < 1000 at any doc
+        // length this fixture can produce (40-token windows, stride 32)
+        .withColumn("chunk_key", col("doc_id") * 1000 + col("chunk_id"))
+      Packing.packSequences(chunks, "chunk_key", "n_tokens",
+        budget = 256, shards = 8)
+        .groupBy(col("shard").cast("long").as("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy("shard", "pack_id")
+    }),
+
     "paragraph_dedup_streaming" -> ((s, dir) => {
       val store = s"/tmp/graft_paradf/full_${etlSuffix(dir)}"
       Dedup.writeParagraphDf(plantedParagraphDoc(t(s, dir, "documents")),
@@ -2455,6 +2475,34 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, len(win) AS n_tokens,
         |  md5(array_to_string(win, ' ')) AS chunk_md5
         |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Chunk windows (same CTEs as chunk_documents), then the per-shard
+    // running-sum pack assignment: shard = chunk_key % 8, pack =
+    // cumulative-tokens-before // 256 in chunk_key order.
+    "chunk_pack_pipeline" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sized AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 40 THEN 1 ELSE (len(toks) - 8 + 31) // 32 END AS nc
+        |  FROM tok WHERE len(toks) > 0),
+        |chunks AS (
+        |  SELECT doc_id, toks, n, unnest(generate_series(0, nc - 1)) AS chunk_id
+        |  FROM sized),
+        |ck AS (
+        |  SELECT doc_id * 1000 + chunk_id AS chunk_key,
+        |    len(list_slice(toks, chunk_id * 32 + 1, least(chunk_id * 32 + 40, n))) AS n_tokens
+        |  FROM chunks),
+        |cum AS (
+        |  SELECT chunk_key % 8 AS shard, chunk_key, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY chunk_key % 8 ORDER BY chunk_key
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+        |  FROM ck)
+        |SELECT shard, cb // 256 AS pack_id,
+        |  count(*) AS n_chunks, sum(n_tokens)::BIGINT AS pack_tokens
+        |FROM cum GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
 
     // The surviving paragraph ROWS (paragraph grain, 0-based positions)
     // under the same full-corpus df>=3 strike — what the stateless
