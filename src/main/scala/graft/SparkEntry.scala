@@ -1091,6 +1091,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Substring-CONTAINMENT dedup — the asymmetric duplicate shape
+    // symmetric Jaccard misses (an excerpt quoted inside a longer doc).
+    // True containments are PLANTED: a 2% hash-bucket of docs re-enters
+    // the corpus as 300-char excerpts under offset ids, and each must
+    // surface as (excerpt ⊂ source) via winnow-fingerprint subset ratio.
+    // The oracle recomputes the whole pipeline — union, winnow, DF
+    // guard, pair counts, orientation — from raw text in SQL.
+    "containment_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val excerpts = d.filter(Sampling.bucket(col("doc_id"), 23L) < 200)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          substring(col("text"), 30, 300).as("text"))
+      Dedup.containmentPairs(d.unionByName(excerpts), "text", "doc_id",
+        maxDf = 100, minFp = 5, minContain = 0.8)
+        .orderBy("inner_id", "outer_id")
+    }),
+
     // The INCREMENTAL flavor — the daily-feed shape at 100 TB: the corpus
     // paragraph-DF table is persisted once (narrow (nh, df) rows, raw
     // counts so the strike threshold is an apply-time choice), and each
@@ -2452,6 +2469,41 @@ object SparkEntry {
         |      chr(10) ORDER BY pos), '')) AS clean_md5
         |  FROM flagged GROUP BY doc_id)
         |SELECT doc_id, n_paras, n_struck, clean_md5 FROM out ORDER BY doc_id""".stripMargin,
+
+    // Full recomputation of the containment pipeline from raw text:
+    // the excerpt-planted union, the winnow fingerprint sets, the
+    // df <= 100 boilerplate guard applied to numerator AND denominator,
+    // pair overlap counts, the integer cross-multiplied 80% threshold,
+    // and the shorter→longer orientation with id tiebreak.
+    "containment_pairs" ->
+      s"""WITH uni AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, substr(text, 30, 300) AS text
+         |  FROM documents WHERE ${Sampling.bucketSql("doc_id", 23L)} < 200),
+         |base AS (SELECT doc_id, ${oracleNormExpr("text")} AS norm FROM uni),
+         |${winnowSelCtes("base", "c_")},
+         |rare AS (SELECT wmin FROM c_sel GROUP BY wmin HAVING count(*) <= 100),
+         |kept AS (SELECT s.doc_id, s.wmin FROM c_sel s JOIN rare USING (wmin)),
+         |ksz AS (SELECT doc_id, count(*) AS kept_fp FROM kept
+         |        GROUP BY doc_id HAVING count(*) >= 5),
+         |gr AS (SELECT doc_id, greatest(n - 7, 0) AS n_grams FROM c_sized),
+         |ov AS (SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+         |         count(*) AS overlap_fp
+         |       FROM kept a JOIN kept b USING (wmin)
+         |       WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+         |SELECT o.inner_id, o.outer_id,
+         |  CAST(ks.kept_fp AS BIGINT) AS inner_fp,
+         |  CAST(o.overlap_fp AS BIGINT) AS overlap_fp,
+         |  round(o.overlap_fp / ks.kept_fp, 6) AS containment
+         |FROM ov o
+         |JOIN ksz ks ON ks.doc_id = o.inner_id
+         |JOIN gr gi ON gi.doc_id = o.inner_id
+         |JOIN gr go ON go.doc_id = o.outer_id
+         |WHERE o.overlap_fp * 100 >= ks.kept_fp * 80
+         |  AND (gi.n_grams < go.n_grams
+         |    OR (gi.n_grams = go.n_grams AND o.inner_id < o.outer_id))
+         |ORDER BY inner_id, outer_id""".stripMargin,
 
     // Window boundaries recomputed with identical integer arithmetic:
     // nc = 1 for n <= 40, else (n - 8 + 31) // 32; window w covers

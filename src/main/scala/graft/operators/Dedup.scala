@@ -852,4 +852,74 @@ object Dedup {
       planesPerTable: Int = 12,
       seed: Long = 42L): DataFrame =
     Similarity.cosinePairs(df, vecCol, idCol, threshold, tables, planesPerTable, seed)
+
+  // ------------------------------------------------- substring containment
+
+  /** Substring-CONTAINMENT report: ordered pairs (inner, outer) where the
+    * shorter document's text is wholly or mostly a substring of the
+    * longer one — the asymmetric duplicate shape Jaccard-style symmetric
+    * measures miss (a tweet quoted inside an article scores near-zero
+    * Jaccard against it but 100% containment). Detection is via
+    * winnowing fingerprints ([[TextAnalysis.winnowFingerprints]]): a
+    * substring of `outer` selects (nearly) the same window minima inside
+    * `outer`'s stream, so `containment = |FP(inner) ∩ FP(outer)| /
+    * |FP(inner)|` approaches 1 for true containment regardless of the
+    * length ratio.
+    *
+    * Semantics: fingerprints occurring in more than `maxDf` documents are
+    * struck BEFORE both the numerator and the denominator (boilerplate
+    * shared by everything is not evidence of containment — same
+    * document-frequency guard as [[Contamination.passageOverlap]]);
+    * `minFp` suppresses tiny-doc noise. A pair is emitted once, oriented
+    * shorter→longer by gram count with id as the tiebreak for equal
+    * lengths (exact clones). The `minContain` threshold is quantized to
+    * 1% and applied by integer cross-multiplication, so the filter is
+    * bit-exact across engines; `containment` itself is rounded to 6 dp
+    * for the report.
+    *
+    * Scale shape: the only join is the equi-join on the fingerprint
+    * value, whose per-key fan-out the DF guard caps at `maxDf`² pairs —
+    * never all-pairs. Everything else is linear keyed aggregation. The
+    * winnow branch is checkpointed for the same codegen-blowup reason
+    * documented at [[Contamination.passageOverlap]]. */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      w: Int = 16,
+      maxDf: Int = 100,
+      minFp: Int = 5,
+      minContain: Double = 0.8): DataFrame = {
+    require(minContain > 0 && minContain <= 1, s"minContain in (0,1]: $minContain")
+    val pct = math.round(minContain * 100)
+    val fps = graft.operators.TextAnalysis
+      .winnowFingerprints(df, textCol, idCol, k, w)
+      .localCheckpoint()
+    val grams = fps.select(col(idCol), col("n_grams"))
+    val ex = fps.select(col(idCol), explode(col("fingerprints")).as("__fp"))
+    val rare = ex.groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).drop("__df")
+    val kept = ex.join(rare, "__fp")
+    val keptSizes = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept")).filter(col("__kept") >= minFp)
+    val a = kept.select(col(idCol).as("inner_id"), col("__fp"))
+    val b = kept.select(col(idCol).as("outer_id"), col("__fp"))
+    a.join(b, "__fp")
+      .filter(col("inner_id") =!= col("outer_id"))
+      .groupBy("inner_id", "outer_id")
+      .agg(count(lit(1)).as("overlap_fp"))
+      .join(keptSizes.select(col(idCol).as("inner_id"),
+        col("__kept").as("inner_fp")), "inner_id")
+      .filter(col("overlap_fp") * 100L >= col("inner_fp") * pct)
+      .join(grams.select(col(idCol).as("inner_id"),
+        col("n_grams").as("__gi")), "inner_id")
+      .join(grams.select(col(idCol).as("outer_id"),
+        col("n_grams").as("__go")), "outer_id")
+      .filter(col("__gi") < col("__go") ||
+        (col("__gi") === col("__go") && col("inner_id") < col("outer_id")))
+      .select(col("inner_id"), col("outer_id"), col("inner_fp"),
+        col("overlap_fp"),
+        round(col("overlap_fp") / col("inner_fp"), 6).as("containment"))
+  }
 }

@@ -230,4 +230,41 @@ class DedupSpec extends SparkSpec {
     assert(mismatched.count() == 0,
       "native char signature must be bit-identical to the explode+aggregate twin")
   }
+
+  test("containment pairs surface a planted excerpt, orient shorter→longer") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100).select("doc_id", "text")
+    // plant: doc 90010 is an exact interior excerpt of doc 0's text
+    val src = corpus.filter(col("doc_id") === 0L)
+      .select(lit(90010L).as("doc_id"),
+        substring(col("text"), 25, 320).as("text"))
+    val out = Dedup.containmentPairs(
+      corpus.unionByName(src), "text", "doc_id",
+      maxDf = 100, minFp = 5, minContain = 0.8)
+    val pairs = out.select("inner_id", "outer_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((90010L, 0L)),
+      s"planted excerpt must be reported contained in its source; got $pairs")
+    // orientation: the excerpt (shorter) is always the inner side
+    assert(!pairs.contains((0L, 90010L)))
+    // containment of the planted pair is near-total (boundary windows only)
+    val c = out.filter(col("inner_id") === 90010L && col("outer_id") === 0L)
+      .select("containment").as[Double].head()
+    assert(c >= 0.9, s"excerpt containment should be near 1, got $c")
+  }
+
+  test("containment ignores boilerplate-only overlap via the DF guard") {
+    // 30 docs sharing one boilerplate sentence + distinct bodies: with
+    // maxDf below 30 the shared sentence's fingerprints are struck from
+    // numerator AND denominator, so no pair reaches the threshold.
+    val boiler = "subscribe to our newsletter for updates every single day. "
+    val rows = (0 until 30).map { i =>
+      // bodies share no text across docs, so the only cross-doc overlap
+      // is the boilerplate sentence itself
+      (i.toLong, boiler + (1 to 24).map(j => s"tok${i}x$j").mkString(" "))
+    }
+    val out = Dedup.containmentPairs(rows.toDF("doc_id", "text"),
+      "text", "doc_id", maxDf = 10, minFp = 5, minContain = 0.8)
+    assert(out.count() == 0)
+  }
 }

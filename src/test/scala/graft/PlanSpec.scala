@@ -217,4 +217,14 @@ class PlanSpec extends SparkSpec {
     val leaves = kb.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
     assert(leaves.contains("plan_kb"), s"keep-best must scan the artifact:\n$leaves")
   }
+
+  test("containment pairs: only fingerprint equi-joins, never pairwise") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val df = Dedup.containmentPairs(docs, "text", "doc_id",
+      maxDf = 100, minFp = 5, minContain = 0.8)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment degenerated to a pairwise join:\n$p")
+  }
 }
