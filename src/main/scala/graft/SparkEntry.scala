@@ -20,6 +20,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Corpus + planted true containments for the `containment_*` queries:
+    * a 2% hash-bucket of documents re-enters as 300-char interior
+    * excerpts under offset ids, so each excerpt is genuinely contained
+    * in its source document. */
+  private def excerptPlantedUnion(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val excerpts = d.filter(Sampling.bucket(col("doc_id"), 23L) < 200)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        substring(col("text"), 30, 300).as("text"))
+    d.unionByName(excerpts)
+  }
+
   /** The planted multi-line fixture shared by `line_rules` and its
     * streaming-parity twin: a kept line, a too-short line, a javascript
     * line, and (every 7th doc) a brace line that fails the whole doc.
@@ -1098,14 +1110,23 @@ object SparkEntry {
     // surface as (excerpt ⊂ source) via winnow-fingerprint subset ratio.
     // The oracle recomputes the whole pipeline — union, winnow, DF
     // guard, pair counts, orientation — from raw text in SQL.
-    "containment_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select("doc_id", "text")
-      val excerpts = d.filter(Sampling.bucket(col("doc_id"), 23L) < 200)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          substring(col("text"), 30, 300).as("text"))
-      Dedup.containmentPairs(d.unionByName(excerpts), "text", "doc_id",
+    "containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(excerptPlantedUnion(s, dir), "text", "doc_id",
         maxDf = 100, minFp = 5, minContain = 0.8)
-        .orderBy("inner_id", "outer_id")
+        .orderBy("inner_id", "outer_id")),
+
+    // The keep-longest retention ACTION over the containment report:
+    // contained (inner) docs are struck, survivors audited by count, id
+    // checksum, and surviving char mass. The report is passed to the
+    // strike as an argument — the persisted-artifact reuse shape.
+    "containment_strike" -> ((s, dir) => {
+      val uni = excerptPlantedUnion(s, dir)
+      val pairs = Dedup.containmentPairs(uni, "text", "doc_id",
+        maxDf = 100, minFp = 5, minContain = 0.8)
+      Dedup.containmentStrike(uni, "doc_id", pairs)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_sum"),
+          sum(length(col("text")).cast("long")).as("kept_chars"))
     }),
 
     // The INCREMENTAL flavor — the daily-feed shape at 100 TB: the corpus
@@ -2476,34 +2497,26 @@ object SparkEntry {
     // pair overlap counts, the integer cross-multiplied 80% threshold,
     // and the shorter→longer orientation with id tiebreak.
     "containment_pairs" ->
-      s"""WITH uni AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id, substr(text, 30, 300) AS text
-         |  FROM documents WHERE ${Sampling.bucketSql("doc_id", 23L)} < 200),
-         |base AS (SELECT doc_id, ${oracleNormExpr("text")} AS norm FROM uni),
-         |${winnowSelCtes("base", "c_")},
-         |rare AS (SELECT wmin FROM c_sel GROUP BY wmin HAVING count(*) <= 100),
-         |kept AS (SELECT s.doc_id, s.wmin FROM c_sel s JOIN rare USING (wmin)),
-         |ksz AS (SELECT doc_id, count(*) AS kept_fp FROM kept
-         |        GROUP BY doc_id HAVING count(*) >= 5),
-         |gr AS (SELECT doc_id, greatest(n - 7, 0) AS n_grams FROM c_sized),
-         |ov AS (SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
-         |         count(*) AS overlap_fp
-         |       FROM kept a JOIN kept b USING (wmin)
-         |       WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
-         |SELECT o.inner_id, o.outer_id,
-         |  CAST(ks.kept_fp AS BIGINT) AS inner_fp,
-         |  CAST(o.overlap_fp AS BIGINT) AS overlap_fp,
-         |  round(o.overlap_fp / ks.kept_fp, 6) AS containment
-         |FROM ov o
-         |JOIN ksz ks ON ks.doc_id = o.inner_id
-         |JOIN gr gi ON gi.doc_id = o.inner_id
-         |JOIN gr go ON go.doc_id = o.outer_id
-         |WHERE o.overlap_fp * 100 >= ks.kept_fp * 80
-         |  AND (gi.n_grams < go.n_grams
-         |    OR (gi.n_grams = go.n_grams AND o.inner_id < o.outer_id))
+      s"""WITH $containmentCtes
+         |SELECT inner_id, outer_id,
+         |  CAST(kept_fp AS BIGINT) AS inner_fp,
+         |  CAST(overlap_fp AS BIGINT) AS overlap_fp,
+         |  round(overlap_fp / kept_fp, 6) AS containment
+         |FROM flagged
          |ORDER BY inner_id, outer_id""".stripMargin,
+
+    // Keep-longest retention over the same report: every doc flagged as
+    // the CONTAINED side of a pair is struck from the union; the
+    // survivor audit (count, id checksum, surviving char mass) gates
+    // the strike end-to-end.
+    "containment_strike" ->
+      s"""WITH $containmentCtes,
+         |struck AS (SELECT DISTINCT inner_id FROM flagged)
+         |SELECT count(*) AS n_kept,
+         |  CAST(sum(u.doc_id) AS BIGINT) AS kept_id_sum,
+         |  CAST(sum(length(u.text)) AS BIGINT) AS kept_chars
+         |FROM uni u LEFT JOIN struck s ON u.doc_id = s.inner_id
+         |WHERE s.inner_id IS NULL""".stripMargin,
 
     // Window boundaries recomputed with identical integer arithmetic:
     // nc = 1 for n <= 40, else (n - 8 + 31) // 32; window w covers
@@ -4179,6 +4192,41 @@ object SparkEntry {
        |${p}sel AS (SELECT DISTINCT doc_id, wmin FROM ${p}wins
        |            WHERE i <= greatest(nh - ${w - 1}, 1))""".stripMargin
   }
+
+  /** Containment-dedup CTE chain shared by the `containment_pairs` and
+    * `containment_strike` oracles (so the detection semantics cannot
+    * drift between report and action): excerpt-planted union, winnow
+    * fingerprints, df <= 100 boilerplate guard on numerator AND
+    * denominator, >= 5 kept-fp floor, pair overlaps, the integer
+    * cross-multiplied 80% threshold, and shorter→longer orientation
+    * with id tiebreak. Ends with CTE `flagged`
+    * (inner_id, outer_id, kept_fp, overlap_fp). */
+  private def containmentCtes: String =
+    s"""uni AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, substr(text, 30, 300) AS text
+       |  FROM documents WHERE ${Sampling.bucketSql("doc_id", 23L)} < 200),
+       |base AS (SELECT doc_id, ${oracleNormExpr("text")} AS norm FROM uni),
+       |${winnowSelCtes("base", "c_")},
+       |rare AS (SELECT wmin FROM c_sel GROUP BY wmin HAVING count(*) <= 100),
+       |kept AS (SELECT s.doc_id, s.wmin FROM c_sel s JOIN rare USING (wmin)),
+       |ksz AS (SELECT doc_id, count(*) AS kept_fp FROM kept
+       |        GROUP BY doc_id HAVING count(*) >= 5),
+       |gr AS (SELECT doc_id, greatest(n - 7, 0) AS n_grams FROM c_sized),
+       |ov AS (SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+       |         count(*) AS overlap_fp
+       |       FROM kept a JOIN kept b USING (wmin)
+       |       WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+       |flagged AS (
+       |  SELECT o.inner_id, o.outer_id, ks.kept_fp, o.overlap_fp
+       |  FROM ov o
+       |  JOIN ksz ks ON ks.doc_id = o.inner_id
+       |  JOIN gr gi ON gi.doc_id = o.inner_id
+       |  JOIN gr go ON go.doc_id = o.outer_id
+       |  WHERE o.overlap_fp * 100 >= ks.kept_fp * 80
+       |    AND (gi.n_grams < go.n_grams
+       |      OR (gi.n_grams = go.n_grams AND o.inner_id < o.outer_id)))""".stripMargin
 
   /** DuckDB recomputation of `TextAnalysis.winnowFingerprints` (k=8,
     * w=16, B=257, M=1e9+7): same power constants, same window-min

@@ -922,4 +922,18 @@ object Dedup {
         col("overlap_fp"),
         round(col("overlap_fp") / col("inner_fp"), 6).as("containment"))
   }
+
+  /** The keep-longest retention ACTION over a [[containmentPairs]]
+    * report: strike every document that appears as the CONTAINED (inner)
+    * side of any pair, keeping the containing documents — the policy a
+    * corpus owner wants when excerpts, quotes, and syndicated fragments
+    * duplicate token mass a longer document already carries. Takes the
+    * report as an argument so a persisted pairs artifact is reused
+    * instead of recomputed (same artifact-reuse shape as
+    * [[Contamination.decontaminateWithReport]]); the strike itself is
+    * one left-anti keyed shuffle on the id. */
+  def containmentStrike(
+      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("inner_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

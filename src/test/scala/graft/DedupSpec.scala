@@ -267,4 +267,23 @@ class DedupSpec extends SparkSpec {
       "text", "doc_id", maxDf = 10, minFp = 5, minContain = 0.8)
     assert(out.count() == 0)
   }
+
+  test("containment strike drops contained docs, keeps the containers") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).select("doc_id", "text")
+    val excerpt = corpus.filter(col("doc_id") === 3L)
+      .select(lit(90020L).as("doc_id"),
+        substring(col("text"), 25, 320).as("text"))
+    val uni = corpus.unionByName(excerpt)
+    val pairs = Dedup.containmentPairs(uni, "text", "doc_id",
+      maxDf = 100, minFp = 5, minContain = 0.8)
+    val keptIds = Dedup.containmentStrike(uni, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!keptIds.contains(90020L), "the contained excerpt must be struck")
+    assert(keptIds.contains(3L), "the containing source doc must survive")
+    // survivors = union minus exactly the inner side of the report
+    val inner = pairs.select("inner_id").as[Long].collect().toSet
+    val all = uni.select("doc_id").as[Long].collect().toSet
+    assert(keptIds == all -- inner)
+  }
 }
