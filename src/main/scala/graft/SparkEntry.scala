@@ -648,6 +648,30 @@ object SparkEntry {
       TextAnalysis.profile(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // Accent folding — diacritics are PLANTED (the fixture is ASCII):
+    // every third doc gets vowels accented, every 21st additionally
+    // s→ß (the multi-char expansion path). The fold must byte-restore
+    // the 1:1-planted docs (`restored`), expand ß to ss (len_folded >
+    // len_planted on %21 docs), and match the oracle's md5 of the folded
+    // text — the oracle generates its fold chain from the SAME constant
+    // map via foldAccentsSql, so impl and oracle cannot drift.
+    "accent_fold_roundtrip" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          when(pmod(col("doc_id"), lit(21)) === 0,
+            regexp_replace(translate(col("text"), "aeo", "áéö"), "s", "ß"))
+            .when(pmod(col("doc_id"), lit(3)) === 0,
+              translate(col("text"), "aeo", "áéö"))
+            .otherwise(col("text")).as("planted"))
+      planted.select(col("doc_id"),
+        length(col("planted")).cast("long").as("len_planted"),
+        length(foldAccents(col("planted"))).cast("long").as("len_folded"),
+        md5(foldAccents(col("planted"))).as("fold_md5"),
+        (foldAccents(col("planted")) === col("text")).as("restored"))
+        .orderBy("doc_id")
+    }),
+
     "lang_distribution" -> ((s, dir) =>
       TextAnalysis.langDistribution(t(s, dir, "documents"), "text")
         .orderBy("pred_lang")),
@@ -3270,6 +3294,25 @@ object SparkEntry {
         |    AS match_sum_qty
         |FROM x JOIN y USING (l_linestatus)
         |ORDER BY l_linestatus""".stripMargin,
+
+    // Same planting CASE, then the fold chain generated from the SAME
+    // constants as the Column implementation (foldAccentsSql).
+    "accent_fold_roundtrip" -> {
+      import graft.functions.TextFunctions.foldAccentsSql
+      s"""WITH planted AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN doc_id % 21 = 0
+         |           THEN replace(translate(text, 'aeo', 'áéö'), 's', 'ß')
+         |         WHEN doc_id % 3 = 0 THEN translate(text, 'aeo', 'áéö')
+         |         ELSE text END AS planted
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(planted) AS BIGINT) AS len_planted,
+         |  CAST(length(${foldAccentsSql("planted")}) AS BIGINT) AS len_folded,
+         |  md5(${foldAccentsSql("planted")}) AS fold_md5,
+         |  (${foldAccentsSql("planted")} = text) AS restored
+         |FROM planted ORDER BY doc_id""".stripMargin
+    },
 
     "text_profile" ->
       s"""SELECT doc_id,

@@ -27,6 +27,47 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  // ------------------------------------------------------------ accents
+
+  /** 1:1 accent fold pairs, built programmatically so the `translate`
+    * source/target strings can never mis-align; uppercase pairs are
+    * derived from the lowercase ones. Multi-char expansions (ß→ss, æ→ae,
+    * œ→oe) live in [[AccentExpansions]]. The SAME constants drive the
+    * Column form ([[foldAccents]]) and the SQL form ([[foldAccentsSql]])
+    * so an oracle cannot drift from the implementation. */
+  private val AccentPairsLower: Seq[(Char, Char)] = Seq(
+    "àáâãäå" -> 'a', "èéêë" -> 'e', "ìíîï" -> 'i', "òóôõöø" -> 'o',
+    "ùúûü" -> 'u', "ýÿ" -> 'y', "ñ" -> 'n', "ç" -> 'c', "š" -> 's',
+    "ž" -> 'z', "āă" -> 'a', "ē" -> 'e', "ī" -> 'i', "ōő" -> 'o',
+    "ūű" -> 'u', "ðđ" -> 'd'
+  ).flatMap { case (from, to) => from.map(_ -> to) }
+  private val AccentPairs: Seq[(Char, Char)] =
+    AccentPairsLower ++ AccentPairsLower.map { case (f, t) =>
+      (f.toUpper, t.toUpper)
+    }
+  val AccentFrom: String = AccentPairs.map(_._1).mkString
+  val AccentTo: String = AccentPairs.map(_._2).mkString
+  val AccentExpansions: Seq[(String, String)] = Seq(
+    "ß" -> "ss", "æ" -> "ae", "Æ" -> "AE", "œ" -> "oe", "Œ" -> "OE",
+    "þ" -> "th", "Þ" -> "TH")
+
+  /** Accent folding / diacritic strip: the normalization step that makes
+    * dedup keys and lang-agnostic matching robust to accent variants
+    * ("café" ≡ "cafe"). One codegen'd `translate` for the 1:1 map plus a
+    * short literal-replace chain for the multi-char expansions — pure
+    * scan-stage projection, no regex engine per char, no UDF. */
+  def foldAccents(c: Column): Column =
+    AccentExpansions.foldLeft(translate(c, AccentFrom, AccentTo)) {
+      case (acc, (from, to)) => regexp_replace(acc, from, to)
+    }
+
+  /** The same fold as an inline SQL string (DuckDB/ANSI), generated from
+    * the same constants. */
+  def foldAccentsSql(e: String): String =
+    AccentExpansions.foldLeft(s"translate($e, '$AccentFrom', '$AccentTo')") {
+      case (acc, (from, to)) => s"replace($acc, '$from', '$to')"
+    }
+
   /** Whitespace tokens of already-normalized text. Empty input → empty
     * array (a bare split of "" yields [""]). */
   def tokensFromNorm(norm: Column): Column =

@@ -264,4 +264,23 @@ class TextAnalysisSpec extends SparkSpec {
         assert(math.abs(g - w) < 1e-9, s"doc $id score: $g vs $w") }
     }
   }
+
+  test("foldAccents strips diacritics, expands ligatures, is ASCII-idempotent") {
+    import graft.functions.TextFunctions._
+    val rows = Seq(
+      (1L, "café crème naïve façade"),
+      (2L, "Größe straße"),
+      (3L, "Æon œuvre ÞORN þing"),
+      (4L, "plain ascii stays untouched"),
+      (5L, "ÀÉÎÕÜ ñ Ç š ž")
+    ).toDF("id", "s").select(col("id"), foldAccents(col("s")).as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) == "cafe creme naive facade")
+    assert(rows(2L) == "Grosse strasse")
+    assert(rows(3L) == "AEon oeuvre THORN thing")
+    assert(rows(4L) == "plain ascii stays untouched")
+    assert(rows(5L) == "AEIOU n C s z")
+    // the map constants stay index-aligned by construction
+    assert(AccentFrom.length == AccentTo.length)
+  }
 }
