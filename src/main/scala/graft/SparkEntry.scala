@@ -953,6 +953,23 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // Accent-robust exact dedup: every 4th doc re-enters with accented
+    // vowels under an offset id; with foldAccents=true each accented
+    // copy collapses into its source's duplicate group and the min-id
+    // winner is the original. The survivor audit (count + id checksum)
+    // gates it; the oracle folds with its own generated chain and
+    // groups on the folded-normalized text.
+    "dedup_exact_folded" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val accented = d.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          translate(col("text"), "aeo", "áéö").as("text"))
+      Dedup.exactText(d.unionByName(accented), "text", "doc_id",
+        foldAccents = true)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_sum"))
+    }),
+
     // numHashes=32 with 16 bands (2 rows/band): at threshold 0.6 the
     // band-collision miss rate is (1-j²)¹⁶ ≈ 8e-4 — better recall than
     // 64/16 (≈0.11) at half the signature cost; exact-Jaccard
@@ -3778,6 +3795,23 @@ object SparkEntry {
         |  SELECT min(doc_id) FROM documents
         |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
         |ORDER BY doc_id""".stripMargin,
+
+    // Same planting, then group on the fold-chain + whitespace-normalized
+    // text (the fold chain generated from the impl's constants).
+    "dedup_exact_folded" -> {
+      import graft.functions.TextFunctions.foldAccentsSql
+      s"""WITH uni AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, translate(text, 'aeo', 'áéö')
+         |  FROM documents WHERE doc_id % 4 = 1),
+         |keyed AS (
+         |  SELECT doc_id, ${oracleNormExpr(foldAccentsSql("text"))} AS norm
+         |  FROM uni),
+         |sel AS (SELECT min(doc_id) AS keep_id FROM keyed GROUP BY norm)
+         |SELECT count(*) AS n_kept,
+         |  CAST(sum(keep_id) AS BIGINT) AS kept_id_sum FROM sel""".stripMargin
+    },
 
     "knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

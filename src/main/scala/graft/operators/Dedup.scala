@@ -46,9 +46,19 @@ object Dedup {
   }
 
   /** Exact text dedup on the md5 fingerprint of normalized text: cheaper
-    * shuffle (32-byte key instead of full document text). */
-  def exactText(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val keyed = df.withColumn("__fp", fingerprint(col(textCol)))
+    * shuffle (32-byte key instead of full document text). With
+    * `foldAccents = true` the key is additionally diacritic-folded
+    * ([[graft.functions.TextFunctions.foldAccents]]), so "café" and
+    * "cafe" collapse into one duplicate group — the robustness knob for
+    * multilingual web corpora where the same page surfaces with and
+    * without mojibake-stripped accents. Folding stays a pure scan-stage
+    * projection; the shuffle shape is unchanged. */
+  def exactText(df: DataFrame, textCol: String, idCol: String,
+      foldAccents: Boolean = false): DataFrame = {
+    val key = if (foldAccents)
+      md5(normalizeText(graft.functions.TextFunctions.foldAccents(col(textCol))))
+    else fingerprint(col(textCol))
+    val keyed = df.withColumn("__fp", key)
     exact(keyed, Seq("__fp"), idCol).drop("__fp")
   }
 

@@ -27,6 +27,7 @@ object ScaleCurve {
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 5, 10))
     val family = args.drop(2).headOption.getOrElse("text")
     if (family == "embedding") { embeddingCurve(dir, multipliers); return }
+    if (family == "containment") { containmentCurve(dir, multipliers); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,6 +60,70 @@ object ScaleCurve {
         numHashes = 32, bands = 16, threshold = 0.6).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""[scale] {"multiplier":$m,"docs":$n,"candidate_pairs":$cand,"verified_pairs":$pairs,"lsh_seconds":$sec%.1f}""")
+    }
+    spark.stop()
+  }
+
+  /** Containment-dedup scale curve. Construction differs from the text
+    * family in two forced ways. (1) The base corpus has ZERO containment
+    * pairs, so true containments are PLANTED per copy — the same 2%
+    * excerpt scheme as the `containment_pairs` query. (2) Copies must be
+    * disjoint at the CHARACTER level (containment fingerprints are char
+    * grams), so each copy applies a per-copy LETTER BIJECTION (alphabet
+    * rotation). A char bijection preserves every within-copy gram
+    * equality pattern exactly, while making every letter-bearing gram
+    * hash copy-unique — document frequency is then inherently per-copy
+    * and the DF guard stays ABSOLUTE (maxDf = 100), identical semantics
+    * at every m. (A first attempt scaled maxDf with m instead; that
+    * loosens the guard for copy-local grams — df flat, cap growing — and
+    * manufactured pairs that do not exist at m=1. The measured blow-up
+    * is kept in git history as the cautionary tale.) Within-copy pairs
+    * are expected ~m× the base count — approximately, not exactly:
+    * winnowing selects window MINIMA of hash values, so the per-copy
+    * fingerprint SELECTION varies under the bijection even though gram
+    * equality does not. Candidate volume is the fingerprint-join fan-out
+    * Σ c·(c−1) over kept fingerprints — the number the DF guard bounds. */
+  private def containmentCurve(dir: String, multipliers: Seq[Int]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val withPlants = base.unionByName(
+      base.filter(graft.operators.Sampling.bucket(col("doc_id"), 23L) < 200)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          substring(col("text"), 30, 300).as("text")))
+    def salted(c: Int): DataFrame = {
+      val rotated = alphabet.drop(c % 26) + alphabet.take(c % 26)
+      withPlants.select(
+        (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+        translate(lower(col("text")), alphabet, rotated).as("text"))
+    }
+    multipliers.foreach { m =>
+      val corpus = (0 until m).map(salted).reduce(_.unionByName(_))
+        .localCheckpoint()
+      val n = corpus.count()
+      val fps = graft.operators.TextAnalysis
+        .winnowFingerprints(corpus, "text", "doc_id").localCheckpoint()
+      val ex = fps.select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+      val cand = ex.groupBy("fp").count().filter(col("count") <= 100)
+        .agg(coalesce(sum(col("count") * (col("count") - 1)), lit(0L)))
+        .first().getLong(0)
+      val t0 = System.nanoTime()
+      val pairs = Dedup.containmentPairs(corpus, "text", "doc_id",
+        maxDf = 100, minFp = 5, minContain = 0.8).localCheckpoint()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val sameCopy =
+        floor(col("inner_id") / 10000000L) === floor(col("outer_id") / 10000000L)
+      val within = pairs.filter(sameCopy).count()
+      val cross = pairs.filter(!sameCopy).count()
+      println(f"""[scale-cont] {"multiplier":$m,"docs":$n,"candidate_pairs":$cand,"within_copy_pairs":$within,"cross_copy_pairs":$cross,"seconds":$sec%.1f}""")
     }
     spark.stop()
   }

@@ -268,6 +268,24 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("accent-folded exact dedup collapses accented clones; default keeps them") {
+    val rows = Seq(
+      (0L, "the cafe on the corner serves great coffee"),
+      (1L, "the café on the corner serves great coffee"),
+      (2L, "ein GROSSES haus am see"),
+      (3L, "ein GROßES haus am see"),
+      (4L, "unrelated text entirely")
+    ).toDF("doc_id", "text")
+    val folded = Dedup.exactText(rows, "text", "doc_id", foldAccents = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(folded == Set(0L, 2L, 4L),
+      s"accented clones must collapse to the min-id winner; got $folded")
+    val default = Dedup.exactText(rows, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(default == Set(0L, 1L, 2L, 3L, 4L),
+      "default dedup must treat accent variants as distinct")
+  }
+
   test("containment strike drops contained docs, keeps the containers") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(50).select("doc_id", "text")
