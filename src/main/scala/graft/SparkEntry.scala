@@ -1170,6 +1170,23 @@ object SparkEntry {
           sum(length(col("text")).cast("long")).as("kept_chars"))
     }),
 
+    // The ARTIFACT-REUSE flavor: the containment report is persisted
+    // once per fixture fingerprint (Reports.cached) and the strike
+    // consumes only the parquet artifact — the report detour must be
+    // invisible in the result, so the same oracle gates it.
+    "containment_strike_from_report" -> ((s, dir) => {
+      val uni = excerptPlantedUnion(s, dir)
+      val report = Reports.cached(s, s"$dir/documents.parquet",
+        "containment_report_" + etlSuffix(dir)) {
+        Dedup.containmentPairs(uni, "text", "doc_id",
+          maxDf = 100, minFp = 5, minContain = 0.8)
+      }
+      Dedup.containmentStrike(uni, "doc_id", report)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_sum"),
+          sum(length(col("text")).cast("long")).as("kept_chars"))
+    }),
+
     // The INCREMENTAL flavor — the daily-feed shape at 100 TB: the corpus
     // paragraph-DF table is persisted once (narrow (nh, df) rows, raw
     // counts so the strike threshold is an apply-time choice), and each
@@ -1229,6 +1246,28 @@ object SparkEntry {
         .groupBy(col("shard").cast("long").as("shard"), col("pack_id"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy("shard", "pack_id")
+    }),
+
+    // STREAMING chunk→pack: the incremental twin of chunk_pack_pipeline.
+    // Documents arrive in two id-ordered staged batches; each batch is
+    // chunked (stateless projection) and packed against the carried
+    // per-shard running totals (ONE LONG of state per shard — bounded by
+    // construction). Because per-shard chunk keys are nondecreasing
+    // across the id-split batches, the stream must equal the batch
+    // packing of the full corpus — the gate is the IDENTICAL batch SQL.
+    "chunk_pack_streaming" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val mid = 250L * (if (dir.endsWith("0.1")) 10 else 1)
+      val batches = Seq(
+        d.filter(col("doc_id") < mid), d.filter(col("doc_id") >= mid))
+      graft.streaming.StreamingPacking.chunkPackStaged(
+        s, batches, "text", "doc_id",
+        maxTokens = 40, overlap = 8, keyFactor = 1000L,
+        budget = 256, shards = 8)
+        .groupBy(col("shard").cast("long").as("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("tokens")).as("pack_tokens"))
         .orderBy("shard", "pack_id")
     }),
 
@@ -2550,14 +2589,12 @@ object SparkEntry {
     // the CONTAINED side of a pair is struck from the union; the
     // survivor audit (count, id checksum, surviving char mass) gates
     // the strike end-to-end.
-    "containment_strike" ->
-      s"""WITH $containmentCtes,
-         |struck AS (SELECT DISTINCT inner_id FROM flagged)
-         |SELECT count(*) AS n_kept,
-         |  CAST(sum(u.doc_id) AS BIGINT) AS kept_id_sum,
-         |  CAST(sum(length(u.text)) AS BIGINT) AS kept_chars
-         |FROM uni u LEFT JOIN struck s ON u.doc_id = s.inner_id
-         |WHERE s.inner_id IS NULL""".stripMargin,
+    "containment_strike" -> containmentStrikeOracleSql,
+
+    // The artifact-reuse flavor has IDENTICAL final semantics — the
+    // report detour (persist + re-read) must be invisible in the
+    // result, so the same from-raw-text oracle gates it.
+    "containment_strike_from_report" -> containmentStrikeOracleSql,
 
     // Window boundaries recomputed with identical integer arithmetic:
     // nc = 1 for n <= 40, else (n - 8 + 31) // 32; window w covers
@@ -2585,30 +2622,12 @@ object SparkEntry {
     // Chunk windows (same CTEs as chunk_documents), then the per-shard
     // running-sum pack assignment: shard = chunk_key % 8, pack =
     // cumulative-tokens-before // 256 in chunk_key order.
-    "chunk_pack_pipeline" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-        |  FROM documents),
-        |sized AS (
-        |  SELECT doc_id, toks, len(toks) AS n,
-        |    CASE WHEN len(toks) <= 40 THEN 1 ELSE (len(toks) - 8 + 31) // 32 END AS nc
-        |  FROM tok WHERE len(toks) > 0),
-        |chunks AS (
-        |  SELECT doc_id, toks, n, unnest(generate_series(0, nc - 1)) AS chunk_id
-        |  FROM sized),
-        |ck AS (
-        |  SELECT doc_id * 1000 + chunk_id AS chunk_key,
-        |    len(list_slice(toks, chunk_id * 32 + 1, least(chunk_id * 32 + 40, n))) AS n_tokens
-        |  FROM chunks),
-        |cum AS (
-        |  SELECT chunk_key % 8 AS shard, chunk_key, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY chunk_key % 8 ORDER BY chunk_key
-        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
-        |  FROM ck)
-        |SELECT shard, cb // 256 AS pack_id,
-        |  count(*) AS n_chunks, sum(n_tokens)::BIGINT AS pack_tokens
-        |FROM cum GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
+    "chunk_pack_pipeline" -> chunkPackOracleSql,
+
+    // The streaming twin is gated by the IDENTICAL batch SQL: the
+    // per-shard state carry across the id-ordered staged batches must be
+    // invisible in the result.
+    "chunk_pack_streaming" -> chunkPackOracleSql,
 
     // The surviving paragraph ROWS (paragraph grain, 0-based positions)
     // under the same full-corpus df>=3 strike — what the stateless
@@ -4269,6 +4288,47 @@ object SparkEntry {
        |${p}sel AS (SELECT DISTINCT doc_id, wmin FROM ${p}wins
        |            WHERE i <= greatest(nh - ${w - 1}, 1))""".stripMargin
   }
+
+  /** Chunk→pack recomputation shared by `chunk_pack_pipeline` and its
+    * streaming twin `chunk_pack_streaming` (identical batch SQL — the
+    * per-shard state carry must be invisible): 40/8 window boundaries,
+    * chunk_key = doc_id·1000 + chunk_id, shard = key % 8, running-sum
+    * pack assignment cb // 256 in chunk_key order. */
+  private val chunkPackOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |sized AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    CASE WHEN len(toks) <= 40 THEN 1 ELSE (len(toks) - 8 + 31) // 32 END AS nc
+      |  FROM tok WHERE len(toks) > 0),
+      |chunks AS (
+      |  SELECT doc_id, toks, n, unnest(generate_series(0, nc - 1)) AS chunk_id
+      |  FROM sized),
+      |ck AS (
+      |  SELECT doc_id * 1000 + chunk_id AS chunk_key,
+      |    len(list_slice(toks, chunk_id * 32 + 1, least(chunk_id * 32 + 40, n))) AS n_tokens
+      |  FROM chunks),
+      |cum AS (
+      |  SELECT chunk_key % 8 AS shard, chunk_key, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY chunk_key % 8 ORDER BY chunk_key
+      |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+      |  FROM ck)
+      |SELECT shard, cb // 256 AS pack_id,
+      |  count(*) AS n_chunks, sum(n_tokens)::BIGINT AS pack_tokens
+      |FROM cum GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin
+
+  /** Strike audit shared by `containment_strike` and its artifact-reuse
+    * twin — detection CTEs from [[containmentCtes]]. */
+  private def containmentStrikeOracleSql: String =
+    s"""WITH $containmentCtes,
+       |struck AS (SELECT DISTINCT inner_id FROM flagged)
+       |SELECT count(*) AS n_kept,
+       |  CAST(sum(u.doc_id) AS BIGINT) AS kept_id_sum,
+       |  CAST(sum(length(u.text)) AS BIGINT) AS kept_chars
+       |FROM uni u LEFT JOIN struck s ON u.doc_id = s.inner_id
+       |WHERE s.inner_id IS NULL""".stripMargin
 
   /** Containment-dedup CTE chain shared by the `containment_pairs` and
     * `containment_strike` oracles (so the detection semantics cannot

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** STREAMING sequence packing — the incremental twin of
+  * [[graft.operators.Packing.packSequences]] for the periodic-ingest
+  * shape: each arriving batch of documents is appended to the existing
+  * packs without re-reading the corpus.
+  *
+  * State is ONE LONG per shard (the running token total) — bounded by
+  * construction, independent of corpus size; no TTL needed because the
+  * key space IS the shard count. Documents are packed in id order
+  * within each micro-batch group, so the stream equals the batch
+  * packing of the full corpus exactly whenever per-shard ids arrive in
+  * nondecreasing order across micro-batches — the natural shape when
+  * batches are id- or time-partitioned crawl increments (the
+  * `chunk_pack_streaming` query is gated by the IDENTICAL batch SQL).
+  */
+object StreamingPacking {
+
+  // Encoder-visible row shapes (codegen'd projections cannot access
+  // private members).
+  case class InRow(id: Long, shard: Int, tokens: Long)
+  case class OutRow(
+      id: Long, shard: Int, tokens: Long, pack_id: Long, pack_offset: Long)
+
+  /** The stateful packing transform (streaming or batch frame in,
+    * streaming frame out when the input streams). Output columns:
+    * `id`, `shard`, `tokens`, `pack_id`, `pack_offset` — same assignment law as
+    * the batch window (`floor(cum_before / budget)`,
+    * `cum_before mod budget`). */
+  def packStream(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Int,
+      shards: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0, "shards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(
+      col(idCol).cast("long").as("id"),
+      pmod(col(idCol), lit(shards)).cast("int").as("shard"),
+      col(tokenCol).cast("long").as("tokens")).as[InRow]
+    typed.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[InRow], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          // id order within the group: matches the batch window's
+          // ORDER BY id. The sort is per-shard-per-micro-batch — bounded
+          // by the batch size, never the corpus.
+          val out = rows.toArray.sortBy(_.id).map { r =>
+            val before = cum
+            cum += r.tokens
+            OutRow(r.id, shard, r.tokens, before / budget, before % budget)
+          }
+          state.update(cum)
+          out.iterator
+      }.toDF()
+  }
+
+  /** Pack pre-tokenized rows drained incrementally over staged
+    * id-ordered batches — the bare packing twin (no chunking). */
+  def packStaged(
+      spark: SparkSession,
+      batches: Seq[DataFrame],
+      idCol: String,
+      tokenCol: String,
+      budget: Int,
+      shards: Int): DataFrame = {
+    val (emitted, _) = StagedDrain.run(spark, batches,
+      src => packStream(src, idCol, tokenCol, budget, shards))
+    emitted
+  }
+
+  /** The full chunk→pack composition drained incrementally: documents
+    * arrive in id-ordered staged batches, each batch is chunked (a
+    * stateless projection) and packed against the carried per-shard
+    * totals. Returns the emitted pack assignments for ALL batches. */
+  def chunkPackStaged(
+      spark: SparkSession,
+      batches: Seq[DataFrame],
+      textCol: String,
+      idCol: String,
+      maxTokens: Int,
+      overlap: Int,
+      keyFactor: Long,
+      budget: Int,
+      shards: Int): DataFrame = {
+    val (emitted, _) = StagedDrain.run(spark, batches, src => {
+      val chunks = graft.operators.Packing
+        .chunkDocuments(src, textCol, idCol, maxTokens, overlap)
+        .withColumn("chunk_key",
+          col(idCol) * keyFactor + col("chunk_id"))
+      packStream(chunks, "chunk_key", "n_tokens", budget, shards)
+    })
+    emitted
+  }
+}

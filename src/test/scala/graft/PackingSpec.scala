@@ -79,4 +79,29 @@ class PackingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
   }
+
+  test("streaming packing equals batch packing; state carries across batches") {
+    import graft.streaming.StreamingPacking
+    val rnd = new scala.util.Random(42L)
+    val rows = (0L until 200L).map(id => (id, 1L + rnd.nextInt(120).toLong))
+    val df = rows.toDF("id", "tokens")
+    val batch = Packing.packSequences(df, "id", "tokens", budget = 64, shards = 4)
+      .select(col("id"), col("shard").cast("int").as("shard"),
+        col("pack_id"), col("pack_offset"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // stream the same rows as three id-ordered batches
+    val streamed = StreamingPacking.packStaged(spark,
+      Seq(df.filter(col("id") < 70), df.filter(col("id") >= 70 && col("id") < 140),
+        df.filter(col("id") >= 140)),
+      "id", "tokens", budget = 64, shards = 4)
+    val got = streamed.select(col("id"), col("shard"),
+      col("pack_id"), col("pack_offset"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == batch,
+      s"stream-only=${(got -- batch).take(5)} batch-only=${(batch -- got).take(5)}")
+    // the boundary actually exercised state: some pack spans batches
+    // (i.e. a pack_id emitted in a later batch continues an earlier total)
+    val nonZeroState = streamed.filter(col("pack_id") > 0).count()
+    assert(nonZeroState > 0, "test corpus too small to exercise carried state")
+  }
 }
