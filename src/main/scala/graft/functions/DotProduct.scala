@@ -116,16 +116,32 @@ object GraftFunctions {
       litInt(children(1), "shingleSize"), litInt(children(2), "numHashes"))
   }
 
+  val WinnowFpsName = "graft_winnow_fps"
+
+  private val winnowInfo = new ExpressionInfo(classOf[WinnowFps].getName, WinnowFpsName)
+  private val winnowBuilder = (children: Seq[Expression]) => {
+    require(children.length == 3, s"$WinnowFpsName takes (norm, k, w)")
+    def litInt(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$WinnowFpsName $what must be an integer literal, got $other")
+    }
+    WinnowFps(children.head, litInt(children(1), "k"), litInt(children(2), "w"))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(DotName), dotInfo, dotBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(MinhashSigName), sigInfo, sigBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(WinnowFpsName), winnowInfo, winnowBuilder)
   }
 
   def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(DotName), dotInfo, dotBuilder))
     ext.injectFunction((FunctionIdentifier(MinhashSigName), sigInfo, sigBuilder))
+    ext.injectFunction((FunctionIdentifier(WinnowFpsName), winnowInfo, winnowBuilder))
   }
 }
 

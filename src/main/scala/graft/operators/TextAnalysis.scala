@@ -245,6 +245,26 @@ object TextAnalysis {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, w: Int = 16): DataFrame = {
     require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function(graft.functions.GraftFunctions.WinnowFpsName,
+        normalizeText(col(textCol)), lit(k), lit(w)).as("__wf"))
+      .select(col(idCol),
+        col("__wf.n_grams").as("n_grams"),
+        col("__wf.fingerprints").as("fingerprints"))
+  }
+
+  /** The SQL-array formulation the native expression replaced — kept as
+    * the VERIFICATION TWIN (bit-equality pinned by TextAnalysisSpec),
+    * exactly as [[graft.operators.Dedup.charSigsAggregateProbe]] twins
+    * the native minhash signature. Allocates the char array, the k-term
+    * rolling-hash lambda, and log₂(w) sparse-table arrays per row —
+    * measured the dominant cost of every fingerprint consumer before
+    * the native node. */
+  private[graft] def winnowFingerprintsSqlProbe(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 16): DataFrame = {
+    require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
     val M = 1000000007L
     val B = 257L
     val pows: Seq[Long] = {

@@ -265,6 +265,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("native winnow fingerprints are bit-identical to the SQL-array probe") {
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200).select("doc_id", "text")
+    // edge planting: empty, below k, exactly k, between k and k+w-1
+    // (single-global-min branch), exactly at the first full window
+    val edges = Seq(
+      (90001L, ""), (90002L, "abc"), (90003L, "exactly8"),
+      (90004L, "twelve chars"), (90005L, "a" * 23), (90006L, "b" * 24),
+      (90007L, "mixed 42 Words with CAPS  and   runs of space")
+    ).toDF("doc_id", "text")
+    val docs = fixture.unionByName(edges)
+    val native = TextAnalysis.winnowFingerprints(docs, "text", "doc_id")
+      .select(col("doc_id"), col("n_grams").as("ng_n"),
+        col("fingerprints").as("fp_n"))
+    val probe = TextAnalysis.winnowFingerprintsSqlProbe(docs, "text", "doc_id")
+      .select(col("doc_id"), col("n_grams").as("ng_p"),
+        col("fingerprints").as("fp_p"))
+    val joined = native.join(probe, "doc_id")
+    assert(joined.count() == 207)
+    val mismatched = joined.filter(
+      col("ng_n") =!= col("ng_p") || not(col("fp_n") === col("fp_p")))
+    assert(mismatched.count() == 0,
+      s"native winnow must equal the SQL probe:\n${mismatched.take(3).mkString("\n")}")
+  }
+
   test("foldAccents strips diacritics, expands ligatures, is ASCII-idempotent") {
     import graft.functions.TextFunctions._
     val rows = Seq(
