@@ -129,6 +129,14 @@ object GraftFunctions {
     WinnowFps(children.head, litInt(children(1), "k"), litInt(children(2), "w"))
   }
 
+  val SimhashSigName = "graft_simhash_sig"
+
+  private val simhashInfo = new ExpressionInfo(classOf[SimhashSig].getName, SimhashSigName)
+  private val simhashBuilder = (children: Seq[Expression]) => {
+    require(children.length == 1, s"$SimhashSigName takes (tokens)")
+    SimhashSig(children.head)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(DotName), dotInfo, dotBuilder)
@@ -136,12 +144,15 @@ object GraftFunctions {
       FunctionIdentifier(MinhashSigName), sigInfo, sigBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(WinnowFpsName), winnowInfo, winnowBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(SimhashSigName), simhashInfo, simhashBuilder)
   }
 
   def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(DotName), dotInfo, dotBuilder))
     ext.injectFunction((FunctionIdentifier(MinhashSigName), sigInfo, sigBuilder))
     ext.injectFunction((FunctionIdentifier(WinnowFpsName), winnowInfo, winnowBuilder))
+    ext.injectFunction((FunctionIdentifier(SimhashSigName), simhashInfo, simhashBuilder))
   }
 }
 

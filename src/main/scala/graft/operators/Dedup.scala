@@ -711,9 +711,22 @@ object Dedup {
         call_function("shiftleft", lit(1L), s("i").cast("int"))).otherwise(0L))
   }
 
-  /** SimHash signatures `(__id, __sim)` for a whole corpus: explode tokens,
-    * hash-aggregate PACKED per-bit counts, then reassemble the 64-bit hash
-    * by OR-ing the winning bits.
+  /** SimHash signatures `(__id, __sim)` for a whole corpus: the native
+    * [[graft.functions.SimhashSig]] projection — one tight per-row loop,
+    * no explode, no aggregate shuffle. The packed vote-sum aggregate
+    * below remains as the verification probe (bit-equality pinned by
+    * DedupSpec). */
+  private def simHashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("__id"),
+      call_function(graft.functions.GraftFunctions.SimhashSigName,
+        tokens(col(textCol))).as("__sim"))
+  }
+
+  /** The explode + PACKED vote-sum aggregate the native expression
+    * replaced — kept as the VERIFICATION TWIN: explode tokens,
+    * hash-aggregate packed per-bit counts, then reassemble the 64-bit
+    * hash by OR-ing the winning bits.
     *
     * Packing: 16 accumulator longs, each holding 4 independent 16-bit
     * lanes — lane l of accumulator j counts bit (j + 16·l) of the token
@@ -728,7 +741,8 @@ object Dedup {
     *
     * Tokenless docs keep a null token via explode_outer → zero counts and
     * n=0 → hash 0, matching the HOF `simHash` on empty input. */
-  private def simHashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  private[graft] def simHashSigsAggregateProbe(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("__id"),
       explode_outer(tokens(col(textCol))).as("__t"))
     val h = xxhash64(col("__t"))

@@ -268,6 +268,30 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("native simhash is bit-identical to the packed aggregate twin") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200).select("doc_id", "text")
+      // plant empty and single-token docs: the n=0 → 0 branch and the
+      // unanimous-vote branch must agree between the formulations
+      .unionByName(Seq((91001L, ""), (91002L, "word"), (91003L, "  spaced   out  "))
+        .toDF("doc_id", "text"))
+    import graft.functions.TextFunctions.tokens
+    val native = docs.select(col("doc_id").as("id"),
+      call_function(graft.functions.GraftFunctions.SimhashSigName,
+        tokens(col("text"))).as("nsim"))
+    val agg = Dedup.simHashSigsAggregateProbe(docs, "text", "doc_id")
+      .select(col("__id").as("id"), col("__sim").as("asim"))
+    val joined = native.join(agg, "id")
+    assert(joined.count() == 203)
+    val mismatched = joined.filter(col("nsim") =!= col("asim"))
+    assert(mismatched.count() == 0,
+      "native simhash must be bit-identical to the packed aggregate")
+    // empty doc hashes to 0 in both
+    assert(joined.filter(col("id") === 91001L)
+      .select("nsim").as[Long].head() == 0L)
+  }
+
   test("accent-folded exact dedup collapses accented clones; default keeps them") {
     val rows = Seq(
       (0L, "the cafe on the corner serves great coffee"),
