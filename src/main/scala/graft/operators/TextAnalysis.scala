@@ -232,12 +232,14 @@ object TextAnalysis {
     * contributes at least one shared fingerprint, with ~2/(w+1) of all
     * gram hashes selected.
     *
-    * Each gram hash is a pure sum of codepoint * B^j mod M terms
-    * (precomputed power constants — no sequential Horner state), so the
-    * whole pipeline is per-row array arithmetic inside the scan stage:
-    * NO shuffle, no UDF, deterministic across engines. A doc shorter
-    * than k grams fingerprints as the empty set; shorter than one full
-    * window, as the single global minimum.
+    * Implementation: the native [[graft.functions.WinnowFps]] expression
+    * — one tight JVM loop per row (k-term polynomial gram hash, O(n)
+    * monotonic-deque window minimum, sorted-distinct selection) inside
+    * the scan stage: NO shuffle, no UDF, deterministic across engines
+    * (each gram hash is a pure sum of codepoint · B^j mod M terms, the
+    * arithmetic the DuckDB oracles replicate). A doc shorter than k
+    * grams fingerprints as the empty set; shorter than one full window,
+    * as the single global minimum.
     *
     * Returns one row per doc: (idCol, n_grams, fingerprints ARRAY<LONG>
     * sorted ascending). */
