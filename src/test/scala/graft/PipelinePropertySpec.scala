@@ -16,6 +16,35 @@ class PipelinePropertySpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(20260812L)
 
+  test("streaming packing ≡ batch packing under random budgets/shards/splits") {
+    import graft.streaming.StreamingPacking
+    import graft.operators.Packing
+    (1 to 3).foreach { wave =>
+      val n = 150 + rnd.nextInt(200)
+      val rows = (0L until n.toLong).map(id => (id, 1L + rnd.nextInt(90).toLong))
+      val df = rows.toDF("id", "tokens")
+      val budget = 16 + rnd.nextInt(113)
+      val shards = 2 + rnd.nextInt(7)
+      // random id-ordered split into 2-4 batches (the operator's contract)
+      val cuts = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(n).toLong)
+        .distinct.sorted
+      val bounds = (0L +: cuts :+ n.toLong).distinct.sorted
+      val batches = bounds.sliding(2).map { case Seq(lo, hi) =>
+        df.filter(col("id") >= lo && col("id") < hi)
+      }.toSeq
+      val batch = Packing.packSequences(df, "id", "tokens", budget, shards)
+        .select(col("id"), col("pack_id"), col("pack_offset"))
+        .as[(Long, Long, Long)].collect().toSet
+      val streamed = StreamingPacking.packStaged(spark, batches,
+        "id", "tokens", budget, shards)
+        .select(col("id"), col("pack_id"), col("pack_offset"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"wave $wave (budget=$budget shards=$shards cuts=$cuts): " +
+          s"stream-only=${(streamed -- batch).take(5)} batch-only=${(batch -- streamed).take(5)}")
+    }
+  }
+
   test("sampling fractions nest and rates hold per stratum (randomized)") {
     (1 to 5).foreach { _ =>
       val n = 2000 + rnd.nextInt(3000)
