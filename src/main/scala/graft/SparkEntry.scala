@@ -1271,6 +1271,33 @@ object SparkEntry {
         .orderBy("shard", "pack_id")
     }),
 
+    // OUT-OF-ORDER streaming packing with bounded lateness: stragglers
+    // (every 29th doc in the 20-id band below the split) are withheld
+    // from batch 1 and arrive late in batch 2 — within the lateness=25
+    // bound, so every emitted assignment must equal the batch packing.
+    // Per-shard finalization (maxSeen − lateness) leaves the trailing
+    // tail buffered and unemitted, exactly as a watermark holds its
+    // last window open — the oracle recomputes the full batch packing
+    // restricted to ids at or below each shard's threshold.
+    "pack_streaming_unordered" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("tokens"))
+      val half = 250L * (if (dir.endsWith("0.1")) 10 else 1)
+      val straggler = pmod(col("doc_id"), lit(29)) === 3 &&
+        col("doc_id") >= half - 20 && col("doc_id") < half
+      val batches = Seq(
+        d.filter(col("doc_id") < half && not(straggler)),
+        d.filter(col("doc_id") >= half || straggler))
+      graft.streaming.StreamingPacking.packStagedUnordered(
+        s, batches, "doc_id", "tokens",
+        budget = 256, shards = 8, lateness = 25L)
+        .groupBy(col("shard").cast("long").as("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("pack_tokens"))
+        .orderBy("shard", "pack_id")
+    }),
+
     "paragraph_dedup_streaming" -> ((s, dir) => {
       val store = s"/tmp/graft_paradf/full_${etlSuffix(dir)}"
       Dedup.writeParagraphDf(plantedParagraphDoc(t(s, dir, "documents")),
@@ -2628,6 +2655,27 @@ object SparkEntry {
     // per-shard state carry across the id-ordered staged batches must be
     // invisible in the result.
     "chunk_pack_streaming" -> chunkPackOracleSql,
+
+    // Full-corpus batch packing restricted to each shard's finalization
+    // threshold (per-shard max id − lateness): what the out-of-order
+    // stream must emit — late-but-in-bound stragglers packed in exact
+    // id order, the trailing tail withheld.
+    "pack_streaming_unordered" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tokens
+        |  FROM documents),
+        |sh AS (SELECT doc_id, doc_id % 8 AS shard, tokens FROM tok),
+        |cum AS (
+        |  SELECT shard, doc_id, tokens,
+        |    sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - tokens AS cb,
+        |    max(doc_id) OVER (PARTITION BY shard) AS mx
+        |  FROM sh)
+        |SELECT shard, cb // 256 AS pack_id,
+        |  count(*) AS n_docs, sum(tokens)::BIGINT AS pack_tokens
+        |FROM cum WHERE doc_id <= mx - 25
+        |GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
 
     // The surviving paragraph ROWS (paragraph grain, 0-based positions)
     // under the same full-corpus df>=3 strike — what the stateless

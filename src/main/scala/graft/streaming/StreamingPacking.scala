@@ -62,6 +62,75 @@ object StreamingPacking {
       }.toDF()
   }
 
+  case class UnorderedState(
+      cum: Long, maxSeen: Long, bufIds: Array[Long], bufToks: Array[Long])
+
+  /** Out-of-order streaming packing with BOUNDED LATENESS — relaxes
+    * [[packStream]]'s nondecreasing-id contract: rows may arrive out of
+    * id order as long as no row lags the largest id its shard has seen
+    * by more than `lateness`. Rows above the per-shard finalization
+    * threshold (`maxSeen − lateness`) are buffered in state; once the
+    * threshold passes them they are packed in exact id order against
+    * the carried running total, so every EMITTED assignment equals the
+    * batch packing of the full corpus. A row arriving BELOW an
+    * already-finalized threshold (a lateness-contract violation) is
+    * emitted with `pack_id = -1, pack_offset = -1` — the auditable
+    * analog of a watermark late-drop; silently mis-packing it would
+    * corrupt every later offset in the shard.
+    *
+    * State per shard: the running total, the monotonic max id, and the
+    * not-yet-finalized buffer — bounded by `lateness` for dense ids (in
+    * general by arrival-rate × disorder), never by corpus size. The
+    * trailing `lateness`-wide tail at stream end stays buffered and
+    * unemitted, exactly as a watermark holds its last window open. */
+  def packStreamUnordered(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Int,
+      shards: Int,
+      lateness: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0, "shards must be positive")
+    require(lateness >= 0, "lateness must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(
+      col(idCol).cast("long").as("id"),
+      pmod(col(idCol), lit(shards)).cast("int").as("shard"),
+      col(tokenCol).cast("long").as("tokens")).as[InRow]
+    typed.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[InRow], state: GroupState[UnorderedState]) =>
+          val st = state.getOption
+            .getOrElse(UnorderedState(0L, Long.MinValue, Array.empty, Array.empty))
+          val incoming = rows.toArray
+          val prevThreshold =
+            if (st.maxSeen == Long.MinValue) Long.MinValue
+            else st.maxSeen - lateness
+          // contract violators: below a threshold that already finalized
+          val (late, fresh) = incoming.partition(r =>
+            prevThreshold != Long.MinValue && r.id <= prevThreshold)
+          val all = (st.bufIds.zip(st.bufToks).map { case (i, t) =>
+            InRow(i, shard, t)
+          } ++ fresh).sortBy(_.id)
+          val maxSeen = math.max(st.maxSeen,
+            if (incoming.isEmpty) Long.MinValue else incoming.map(_.id).max)
+          val threshold =
+            if (maxSeen == Long.MinValue) Long.MinValue else maxSeen - lateness
+          val (fin, keep) = all.partition(_.id <= threshold)
+          var cum = st.cum
+          val out = fin.map { r =>
+            val before = cum
+            cum += r.tokens
+            OutRow(r.id, shard, r.tokens, before / budget, before % budget)
+          } ++ late.map(r => OutRow(r.id, shard, r.tokens, -1L, -1L))
+          state.update(UnorderedState(
+            cum, maxSeen, keep.map(_.id), keep.map(_.tokens)))
+          out.iterator
+      }.toDF()
+  }
+
   /** Pack pre-tokenized rows drained incrementally over staged
     * id-ordered batches — the bare packing twin (no chunking). */
   def packStaged(
@@ -73,6 +142,20 @@ object StreamingPacking {
       shards: Int): DataFrame = {
     val (emitted, _) = StagedDrain.run(spark, batches,
       src => packStream(src, idCol, tokenCol, budget, shards))
+    emitted
+  }
+
+  /** [[packStreamUnordered]] drained over staged batches. */
+  def packStagedUnordered(
+      spark: SparkSession,
+      batches: Seq[DataFrame],
+      idCol: String,
+      tokenCol: String,
+      budget: Int,
+      shards: Int,
+      lateness: Long): DataFrame = {
+    val (emitted, _) = StagedDrain.run(spark, batches,
+      src => packStreamUnordered(src, idCol, tokenCol, budget, shards, lateness))
     emitted
   }
 

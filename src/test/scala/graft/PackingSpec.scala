@@ -104,4 +104,38 @@ class PackingSpec extends SparkSpec {
     val nonZeroState = streamed.filter(col("pack_id") > 0).count()
     assert(nonZeroState > 0, "test corpus too small to exercise carried state")
   }
+
+  test("unordered packing: in-bound stragglers pack exactly; violators flagged") {
+    import graft.streaming.StreamingPacking
+    val rows = (0L until 150L).map(id => (id, 1L + (id * 7 % 40)))
+    val df = rows.toDF("id", "tokens")
+    // id 95 arrives late but within lateness=20 of batch-1's max (99);
+    // id 50 arrives in batch 2, lagging 49 — a contract violation
+    val b1 = df.filter(col("id") < 100 && col("id") =!= 95 && col("id") =!= 50)
+    val b2 = df.filter(col("id") >= 100 || col("id") === 95 || col("id") === 50)
+    val streamed = StreamingPacking.packStagedUnordered(spark,
+      Seq(b1, b2), "id", "tokens", budget = 64, shards = 4, lateness = 20L)
+    val flagged = streamed.filter(col("pack_id") === -1L)
+      .select("id").as[Long].collect().toSet
+    assert(flagged == Set(50L), s"only the violator is flagged: $flagged")
+    // every valid emission equals the batch packing of the corpus the
+    // stream actually accepted (all rows minus the violator)
+    val accepted = df.filter(col("id") =!= 50)
+    val batch = Packing.packSequences(accepted, "id", "tokens",
+      budget = 64, shards = 4)
+      .select(col("id"), col("pack_id"), col("pack_offset"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, p, o) => id -> ((p, o)) }.toMap
+    val got = streamed.filter(col("pack_id") >= 0)
+      .select(col("id"), col("pack_id"), col("pack_offset"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, p, o) =>
+      assert(batch(id) == ((p, o)), s"id $id: stream ($p,$o) vs batch ${batch(id)}")
+    }
+    // the in-bound straggler was finalized and packed
+    assert(got.exists(_._1 == 95L), "in-bound straggler must be emitted")
+    // the trailing tail (above per-shard max - lateness) stays buffered
+    val emittedIds = got.map(_._1).toSet
+    assert(!emittedIds.contains(149L), "tail must stay unemitted at stream end")
+  }
 }
