@@ -99,11 +99,17 @@ object ScaleCurve {
       base.filter(graft.operators.Sampling.bucket(col("doc_id"), 23L) < 200)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
           substring(col("text"), 30, 300).as("text")))
+    // Affine letter bijection x → k·x + shift (mod 26), k coprime to 26:
+    // 12 multipliers × 26 shifts = 312 distinct bijections, so the curve
+    // can run past the 26 plain rotations (100× needs 100 copies).
+    val coprime = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     def salted(c: Int): DataFrame = {
-      val rotated = alphabet.drop(c % 26) + alphabet.take(c % 26)
+      val k = coprime(c % coprime.size)
+      val shift = c / coprime.size
+      val mapped = alphabet.indices.map(x => alphabet((x * k + shift) % 26)).mkString
       withPlants.select(
         (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
-        translate(lower(col("text")), alphabet, rotated).as("text"))
+        translate(lower(col("text")), alphabet, mapped).as("text"))
     }
     multipliers.foreach { m =>
       val corpus = (0 until m).map(salted).reduce(_.unionByName(_))
