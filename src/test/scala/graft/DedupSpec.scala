@@ -310,6 +310,24 @@ class DedupSpec extends SparkSpec {
       "default dedup must treat accent variants as distinct")
   }
 
+  test("near-dup over a folded projection catches accent-variant clones") {
+    // Folding composes with EVERY text operator as a plain projection —
+    // no per-operator flag needed: pre-fold the column, run the op.
+    import graft.functions.TextFunctions.foldAccents
+    val accented = base.replace("a", "á").replace("e", "é")
+    val docs = Seq((0L, base), (1L, accented), (2L, "unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val folded = docs.withColumn("text", foldAccents(col("text")))
+    val hit = Dedup.minHashLsh(folded, "text", "doc_id", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(hit == Set((0L, 1L)),
+      s"folded minhash must pair the accent-variant clone: $hit")
+    val miss = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!miss.contains((0L, 1L)),
+      "unfolded tokens differ on every accented word — no pair expected")
+  }
+
   test("containment strike drops contained docs, keeps the containers") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(50).select("doc_id", "text")
