@@ -1188,7 +1188,7 @@ object SparkEntry {
     }),
 
     // The INCREMENTAL flavor — the daily-feed shape at 100 TB: the corpus
-    // paragraph-DF table is persisted once (narrow (nh, df) rows, raw
+    // paragraph-DF table is persisted once (narrow (nh, nmd5, df) rows, raw
     // counts so the strike threshold is an apply-time choice), and each
     // new batch strikes against corpus + batch combined frequencies
     // without re-splitting stored documents. Exactly equal to the full
@@ -2223,7 +2223,7 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
 
     "window_top_orders_per_customer" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -2630,7 +2630,8 @@ object SparkEntry {
       """WITH tok AS (
         |  SELECT doc_id,
         |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''),
         |sized AS (
         |  SELECT doc_id, toks, len(toks) AS n,
         |    CASE WHEN len(toks) <= 40 THEN 1 ELSE (len(toks) - 8 + 31) // 32 END AS nc
@@ -2663,7 +2664,9 @@ object SparkEntry {
     "pack_streaming_unordered" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tokens
+        |    CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
+        |         ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+        |    END AS tokens
         |  FROM documents),
         |sh AS (SELECT doc_id, doc_id % 8 AS shard, tokens FROM tok),
         |cum AS (
@@ -2672,7 +2675,7 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) - tokens AS cb,
         |    max(doc_id) OVER (PARTITION BY shard) AS mx
         |  FROM sh)
-        |SELECT shard, cb // 256 AS pack_id,
+        |SELECT shard, CAST(cb // 256 AS BIGINT) AS pack_id,
         |  count(*) AS n_docs, sum(tokens)::BIGINT AS pack_tokens
         |FROM cum WHERE doc_id <= mx - 25
         |GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
@@ -2696,7 +2699,7 @@ object SparkEntry {
         |freq AS (
         |  SELECT norm, count(DISTINCT doc_id) AS df FROM lines
         |  WHERE norm <> '' GROUP BY 1)
-        |SELECT l.doc_id, l.pos, l.para
+        |SELECT l.doc_id, CAST(l.pos AS INT) AS pos, l.para
         |FROM lines l LEFT JOIN freq f ON l.norm = f.norm AND l.norm <> ''
         |WHERE NOT coalesce(f.df >= 3, false)
         |ORDER BY l.doc_id, l.pos""".stripMargin,
@@ -3400,12 +3403,12 @@ object SparkEntry {
 
     "text_profile" ->
       s"""SELECT doc_id,
-         |  length(text) AS n_chars,
-         |  CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = '' THEN 0
-         |       ELSE len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) END AS n_tokens,
-         |  CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = '' THEN 0
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  CAST(CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = '' THEN 0
+         |       ELSE len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) END AS INT) AS n_tokens,
+         |  CAST(CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = '' THEN 0
          |       ELSE len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[A-Za-z0-9]{1,4}'))
-         |          + len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^A-Za-z0-9\\s]')) END AS n_subwords,
+         |          + len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^A-Za-z0-9\\s]')) END AS INT) AS n_subwords,
          |  ${oracleLangExpr("text")} AS pred_lang,
          |  ${oraclePunctExpr("text")} AS punct_ratio,
          |  ${oracleStopRatioExpr("text")} AS stopword_ratio,
@@ -3445,7 +3448,7 @@ object SparkEntry {
         |r AS (SELECT doc_id, term, tfidf,
         |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
         |      FROM sc)
-        |SELECT doc_id, term, rank, round(tfidf, 6) AS tfidf
+        |SELECT doc_id, term, CAST(rank AS INT) AS rank, round(tfidf, 6) AS tfidf
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // Re-derives the bench excerpts, winnows BOTH sides with the same
@@ -3893,7 +3896,8 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
         |  FROM scored)
-        |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, rank
+        |SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine,
+        |  CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
@@ -3909,7 +3913,7 @@ object SparkEntry {
 
     "multimodal_bytes" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
-        |  octet_length(encode(text)) AS n_bytes
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
         |FROM documents
         |ORDER BY media_id""".stripMargin,
 
@@ -4346,7 +4350,8 @@ object SparkEntry {
     """WITH tok AS (
       |  SELECT doc_id,
       |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''),
       |sized AS (
       |  SELECT doc_id, toks, len(toks) AS n,
       |    CASE WHEN len(toks) <= 40 THEN 1 ELSE (len(toks) - 8 + 31) // 32 END AS nc
@@ -4363,7 +4368,7 @@ object SparkEntry {
       |    sum(n_tokens) OVER (PARTITION BY chunk_key % 8 ORDER BY chunk_key
       |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
       |  FROM ck)
-      |SELECT shard, cb // 256 AS pack_id,
+      |SELECT shard, CAST(cb // 256 AS BIGINT) AS pack_id,
       |  count(*) AS n_chunks, sum(n_tokens)::BIGINT AS pack_tokens
       |FROM cum GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin
 

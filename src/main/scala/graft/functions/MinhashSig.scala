@@ -92,8 +92,16 @@ case class MinhashSig(child: Expression, shingleSize: Int, numHashes: Int)
       while (i < nSh) {
         val end = math.min(i + shingleSize, len)
         val parts = new Array[UTF8String](end - i)
+        // Null elements stay null in `parts` and concatWs skips them —
+        // the same contract as the exploded twin's `concat_ws(" ",
+        // slice(...))`. The isNullAt guard is load-bearing: columnar
+        // ArrayData getUTF8String on a null slot is undefined (garbage
+        // offsets), not null.
         var j = i
-        while (j < end) { parts(j - i) = toks.getUTF8String(j); j += 1 }
+        while (j < end) {
+          if (!toks.isNullAt(j)) parts(j - i) = toks.getUTF8String(j)
+          j += 1
+        }
         update(UTF8String.concatWs(sep, parts: _*))
         i += 1
       }

@@ -17,7 +17,12 @@ import org.apache.spark.sql.types._
   * vote counts, majority `2·count > n`, packed into one long.
   *
   * Empty token arrays hash to 0, matching both the HOF `Dedup.simHash`
-  * and the aggregate's explode_outer null-token path. */
+  * and the aggregate's explode_outer null-token path. Null ELEMENTS are
+  * skipped (excluded from both the votes and the majority denominator),
+  * matching the aggregate probe's `when(__t.isNull, 0)` handling — the
+  * function is registered in the session FunctionRegistry, so a SQL
+  * caller can feed it any ARRAY<STRING> shape, including
+  * containsNull=true arrays from explode_outer/collect_list. */
 case class SimhashSig(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -31,17 +36,21 @@ case class SimhashSig(child: Expression)
 
   override def nullSafeEval(in: Any): Any = {
     val toks = in.asInstanceOf[ArrayData]
-    val n = toks.numElements()
+    val total = toks.numElements()
     val cnt = new Array[Int](64)
+    var n = 0L
     var i = 0
-    while (i < n) {
-      val t = toks.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(
-        t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) != 0L) cnt(b) += 1
-        b += 1
+    while (i < total) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(
+          t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) cnt(b) += 1
+          b += 1
+        }
+        n += 1
       }
       i += 1
     }

@@ -83,9 +83,15 @@ object Dedup {
     * struck set, one per-doc reassembly aggregate. All shuffles are keyed
     * by uniform hashes; nothing collects to the driver; the struck-norm
     * side is tiny by construction (only paragraphs repeated across
-    * `minDocs`+ docs) so AQE broadcasts it in practice. The join and DF
-    * count run on the 64-bit `xxhash64` of the normalized paragraph, not
-    * the text — the shuffle carries 8-byte keys. */
+    * `minDocs`+ docs) so AQE broadcasts it in practice.
+    *
+    * Collision bound: the join and DF count run on a COMPOUND hash of the
+    * normalized paragraph — `(xxhash64, md5)`, 192 bits total — not the
+    * text, so the shuffle carries 24-byte keys. A false strike needs a
+    * SIMULTANEOUS 64-bit and 128-bit collision between two distinct
+    * normal forms; at 2^-192 the multi-billion-paragraph birthday bound
+    * (which makes a bare 64-bit key genuinely risky at the 100 TB target)
+    * is negligible. */
   def paragraphDedup(
       df: DataFrame,
       textCol: String,
@@ -95,14 +101,15 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val lines = paragraphLines(df, textCol, idCol, sep)
     val struck = lines.filter(col("__nh").isNotNull)
-      .groupBy("__nh").agg(countDistinct(col(idCol)).as("__df"))
+      .groupBy("__nh", "__nmd5").agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select(col("__nh"), lit(true).as("__struck"))
+      .select(col("__nh"), col("__nmd5"), lit(true).as("__struck"))
     reassemble(lines, struck, idCol, sep)
   }
 
-  /** `(idCol, __pos, __para, __nh)` rows from a paragraph split —
-    * `__nh` is the 8-byte join/DF key (null for whitespace-only
+  /** `(idCol, __pos, __para, __nh, __nmd5)` rows from a paragraph split —
+    * `(__nh, __nmd5)` is the compound 24-byte join/DF key (xxhash64 +
+    * binary md5 of the normalized paragraph; null for whitespace-only
     * paragraphs, which never participate in dedup). */
   private def paragraphLines(
       df: DataFrame, textCol: String, idCol: String, sep: String): DataFrame =
@@ -113,12 +120,15 @@ object Dedup {
       .withColumn("__nh",
         when(col("__norm") === "", lit(null).cast("long"))
           .otherwise(xxhash64(col("__norm"))))
+      .withColumn("__nmd5",
+        when(col("__norm") === "", lit(null).cast("binary"))
+          .otherwise(unhex(md5(col("__norm")))))
       .drop("__norm")
 
   /** Join the struck-set flags back and reassemble per-doc outputs. */
   private def reassemble(
       lines: DataFrame, struck: DataFrame, idCol: String, sep: String): DataFrame =
-    lines.join(struck, Seq("__nh"), "left")
+    lines.join(struck, Seq("__nh", "__nmd5"), "left")
       .withColumn("__struck", coalesce(col("__struck"), lit(false)))
       .groupBy(idCol)
       .agg(
@@ -132,7 +142,9 @@ object Dedup {
           sep).as("text_clean"))
 
   /** Persist the corpus paragraph document-frequency table: one narrow
-    * `(nh, df)` parquet row per distinct non-empty normalized paragraph.
+    * `(nh, nmd5, df)` parquet row per distinct non-empty normalized
+    * paragraph (compound 192-bit key — see [[paragraphDedup]]'s collision
+    * bound).
     * The artifact [[paragraphDedupIncremental]] strikes later batches
     * against — the corpus is paragraph-split exactly ONCE, here; every
     * subsequent daily batch pays splitting only for its own documents.
@@ -147,8 +159,8 @@ object Dedup {
       sep: String = "\n"): Unit =
     paragraphLines(df, textCol, idCol, sep)
       .filter(col("__nh").isNotNull)
-      .groupBy("__nh").agg(countDistinct(col(idCol)).as("__df"))
-      .select(col("__nh").as("nh"), col("__df").as("df"))
+      .groupBy("__nh", "__nmd5").agg(countDistinct(col(idCol)).as("__df"))
+      .select(col("__nh").as("nh"), col("__nmd5").as("nmd5"), col("__df").as("df"))
       .write.mode("overwrite").parquet(path)
 
   /** Paragraph dedup of a NEW batch against a corpus summarized by a
@@ -172,15 +184,15 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val lines = paragraphLines(batch, textCol, idCol, sep)
     val stored = spark.read.parquet(dfPath)
-      .select(col("nh").as("__nh"), col("df").as("__sdf"))
+      .select(col("nh").as("__nh"), col("nmd5").as("__nmd5"), col("df").as("__sdf"))
     // Combined df = batch-side distinct docs + stored corpus count. The
     // batch side is the small one in the daily regime, so AQE broadcasts
     // it against the store; stored rows never shuffle.
     val struck = lines.filter(col("__nh").isNotNull)
-      .groupBy("__nh").agg(countDistinct(col(idCol)).as("__bdf"))
-      .join(stored, Seq("__nh"), "left")
+      .groupBy("__nh", "__nmd5").agg(countDistinct(col(idCol)).as("__bdf"))
+      .join(stored, Seq("__nh", "__nmd5"), "left")
       .filter(col("__bdf") + coalesce(col("__sdf"), lit(0L)) >= minDocs)
-      .select(col("__nh"), lit(true).as("__struck"))
+      .select(col("__nh"), col("__nmd5"), lit(true).as("__struck"))
     reassemble(lines, struck, idCol, sep)
   }
 
@@ -195,7 +207,7 @@ object Dedup {
       minDocs: Int = 2): DataFrame =
     spark.read.parquet(dfPath)
       .filter(col("df") >= minDocs)
-      .select(col("nh").as("__nh"))
+      .select(col("nh").as("__nh"), col("nmd5").as("__nmd5"))
       .localCheckpoint()
 
   /** Paragraph strike as a STATELESS scan stage: drop the paragraphs of
@@ -219,7 +231,7 @@ object Dedup {
       idCol: String,
       sep: String = "\n"): DataFrame =
     paragraphLines(docs, textCol, idCol, sep)
-      .join(boilerplate, Seq("__nh"), "left_anti")
+      .join(boilerplate, Seq("__nh", "__nmd5"), "left_anti")
       .select(col(idCol), col("__pos").as("pos"), col("__para").as("para"))
 
   // ------------------------------------------------------------ minhash LSH

@@ -136,12 +136,22 @@ object IvfIndex {
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
     require(nprobe <= centroids.size, "nprobe must be <= stored nlist")
 
-    val c = spark.read.parquet(s"$dir/assignments")
-      .withColumnsRenamed(Map(
-        "id" -> "neighbor_id", "vec" -> "__cv", "norm" -> "__cn", "cell" -> "__cell"))
     val q = Similarity.normedBase(queries, vecCol, idCol)
       .withColumn("__cell", explode(topCells(col("__vec"), col("__norm"), centroids, nprobe)))
       .withColumnsRenamed(Map("__id" -> "query_id", "__vec" -> "__qv", "__norm" -> "__qn"))
+    // LITERAL partition pruning on the probed cells: the union of probed
+    // cells across all queries is bounded by nlist (small by
+    // construction), so this collect is metadata-sized no matter how many
+    // query rows there are. Without it the assignments scan reads every
+    // cell unless dynamic partition pruning happens to fire — at an
+    // nprobe=4-of-1000-cells probe over a 100 TB index that is the
+    // difference between reading 4 partitions and reading 1000.
+    val probedCells: Seq[Int] = q.select("__cell").distinct()
+      .collect().map(_.getAs[Number](0).intValue()).toSeq
+    val c = spark.read.parquet(s"$dir/assignments")
+      .filter(col("cell").isin(probedCells: _*))
+      .withColumnsRenamed(Map(
+        "id" -> "neighbor_id", "vec" -> "__cv", "norm" -> "__cn", "cell" -> "__cell"))
 
     val scored = c.join(q, "__cell")
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -162,7 +162,15 @@ object StreamingPacking {
   /** The full chunk→pack composition drained incrementally: documents
     * arrive in id-ordered staged batches, each batch is chunked (a
     * stateless projection) and packed against the carried per-shard
-    * totals. Returns the emitted pack assignments for ALL batches. */
+    * totals. Returns the emitted pack assignments for ALL batches.
+    *
+    * `chunk_key = id · keyFactor + chunk_id` is only collision-free while
+    * every document's chunk count stays below `keyFactor` (i.e. docs
+    * shorter than ~`keyFactor · stride` tokens). That contract is
+    * ENFORCED per row: a chunk_id at or past keyFactor raises instead of
+    * silently colliding with the next document's key space — a collision
+    * would mis-order packing for every later chunk in the shard with no
+    * other symptom. */
   def chunkPackStaged(
       spark: SparkSession,
       batches: Seq[DataFrame],
@@ -177,7 +185,12 @@ object StreamingPacking {
       val chunks = graft.operators.Packing
         .chunkDocuments(src, textCol, idCol, maxTokens, overlap)
         .withColumn("chunk_key",
-          col(idCol) * keyFactor + col("chunk_id"))
+          when(col("chunk_id") < lit(keyFactor),
+            col(idCol) * keyFactor + col("chunk_id"))
+            .otherwise(raise_error(concat(
+              lit(s"chunkPackStaged: chunk_id >= keyFactor=$keyFactor for doc "),
+              col(idCol).cast("string"),
+              lit(" — chunk keys would collide across documents; raise keyFactor")))))
       packStream(chunks, "chunk_key", "n_tokens", budget, shards)
     })
     emitted

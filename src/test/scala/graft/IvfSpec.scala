@@ -101,6 +101,32 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("loadTopK prunes the assignments scan to the probed cells (literal partition filter)") {
+    // The probed-cell set is collected on the driver (bounded by nlist)
+    // and applied as a LITERAL isin on the partition column — pruning
+    // must not depend on dynamic partition pruning firing. At an
+    // nprobe=2-of-8 probe the scan must carry `cell IN (...)`.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_prune").toString
+    try {
+      IvfIndex.writeIndex(emb, "embedding", "vec_id", dir, nlist = 8, iters = 2)
+      val out = IvfIndex.loadTopK(spark, dir, queries, "embedding", "vec_id",
+        k = 3, nprobe = 2)
+      val leaves = out.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      val scan = leaves.split("\n").filter(_.contains("assignments")).mkString("\n")
+      assert(scan.nonEmpty, s"no assignments scan leaf found:\n$leaves")
+      assert(scan.contains("PartitionFilters: [") && scan.contains("cell"),
+        s"assignments scan carries no partition filter on cell:\n$scan")
+      assert(scan.replaceAll(".*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("IN"), s"partition filter is not a literal IN list:\n$scan")
+      assert(out.count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF output is deterministic, ranked, and k-bounded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)

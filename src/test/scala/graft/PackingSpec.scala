@@ -138,4 +138,27 @@ class PackingSpec extends SparkSpec {
     val emittedIds = got.map(_._1).toSet
     assert(!emittedIds.contains(149L), "tail must stay unemitted at stream end")
   }
+
+  test("chunkPackStaged rejects chunk_id >= keyFactor loudly (key-collision guard)") {
+    import graft.streaming.StreamingPacking
+    // 200 tokens → ceil((200-8)/32) = 6 chunks; keyFactor=4 < 6 would
+    // collide doc 0's chunk keys into doc 1's key space. The guard must
+    // raise, not silently mis-pack.
+    val longDoc = (1 to 200).map(i => s"t$i").mkString(" ")
+    val df = Seq((0L, longDoc), (1L, "short doc here")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      StreamingPacking.chunkPackStaged(spark, Seq(df), "text", "doc_id",
+        maxTokens = 40, overlap = 8, keyFactor = 4L,
+        budget = 64, shards = 2).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => Option(c.getMessage).exists(
+      _.contains("chunk keys would collide"))),
+      s"expected the key-collision raise, got: $ex")
+    // an adequate keyFactor on the same corpus still packs fine
+    val ok = StreamingPacking.chunkPackStaged(spark, Seq(df), "text", "doc_id",
+      maxTokens = 40, overlap = 8, keyFactor = 1000L, budget = 64, shards = 2)
+    assert(ok.count() == 7)
+  }
 }
