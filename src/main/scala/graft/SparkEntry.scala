@@ -482,16 +482,21 @@ object SparkEntry {
     }),
 
     // CSV as a first-class path datasource: an overwrite job EXPORTS a
-    // parquet-sourced projection to a csv path target (header row, format
-    // driven by the target datasource), and the query reads the csv back
-    // through the same datasource factory (header + schema inference) and
-    // aggregates it. The oracle recomputes the aggregate from the parquet
-    // fixture — a write-format, header, or inference bug surfaces as a
-    // value/schema mismatch.
+    // parquet-sourced projection to a csv path target with a DECLARED
+    // schema (the spec's `schema:` key — validated against the source
+    // projection at plan time), and the query reads the csv back through
+    // the same datasource factory WITH the declared schema, so the read
+    // plans with zero inference pass (no extra full scan of the file —
+    // the contract a scheduled job needs; FileFormatSourceSpec pins the
+    // zero-job property). The oracle recomputes the aggregate from the
+    // parquet fixture — a write-format, header, or type-mapping bug
+    // surfaces as a value/schema mismatch.
     "etl_csv_export" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       t(s, dir, "orders").createOrReplaceTempView("__etl_orders_csv")
       val out = etlScratch(dir, "csv_export")
+      val ddl = "o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE"
       EtlJob.fromYaml(
         s"""version: 0
            |source:
@@ -501,9 +506,10 @@ object SparkEntry {
            |target:
            |  datasource: csv
            |  path: $out
+           |  schema: "$ddl"
            |  operation: overwrite
            |""".stripMargin).run()
-      DataSource("csv").readPath(out)
+      DataSource("csv", Some(ddl)).readPath(out)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
         .orderBy("o_orderstatus")

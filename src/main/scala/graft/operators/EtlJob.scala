@@ -29,7 +29,7 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
   import EtlJob._
 
   private val fromDs = DataSource(spec.source.datasource)
-  private val toDs   = DataSource(spec.target.datasource)
+  private val toDs   = DataSource(spec.target.datasource, spec.target.schema)
 
   val targetRef: TargetRef =
     spec.target.table.map(TableRef.apply)
@@ -72,7 +72,16 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
     *     schema.
     * Path targets are drift-checked only for parquet (self-describing
     * schema); csv/json inference is not a contract to enforce against. */
-  private[graft] def validatePlan(source: DataFrame): Unit =
+  private[graft] def validatePlan(source: DataFrame): Unit = {
+    // A DECLARED file schema (target `schema:` on csv/json paths) is the
+    // write contract: whatever the operation, the produced columns must
+    // match it exactly — checked here from plan metadata alone, no file
+    // read, no inference pass, exactly like a catalog target's check.
+    toDs match {
+      case f: graft.sources.FileFormatSource => f.declaredSchema.foreach(st =>
+        EtlJob.checkSchemaDrift(source.schema, st, appendSemantics = true))
+      case _ => ()
+    }
     spec.target.operation match {
       case Operation.Append =>
         val checkable = targetRef match {
@@ -129,6 +138,7 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
             Versioned.read(spark, path).schema, appendSemantics = true)
       case _ => ()
     }
+  }
 
   /** Versioned operations are path-only (a versioned table IS a
     * directory layout) and parquet-only — fail at plan time, named. */

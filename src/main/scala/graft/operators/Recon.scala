@@ -37,7 +37,7 @@ final class ReconJob(val spec: ReconSpec)(implicit spark: SparkSession) {
   import ReconJob._
 
   private def readSource(s: ReconSource): DataFrame = {
-    val ds = DataSource(s.datasource)
+    val ds = DataSource(s.datasource, s.schema)
     s.query.map(ds.sql(_))
       .orElse(s.table.map(ds.readTable(_)))
       .orElse(s.path.map(ds.readPath(_)))

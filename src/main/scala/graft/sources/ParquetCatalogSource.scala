@@ -50,12 +50,30 @@ final class ParquetCatalogSource extends DataSource {
 
 /** CSV/JSON path sources and sinks. SQL and catalog-table access are
   * format-agnostic (delegated to the session); only path reads/writes
-  * differ. CSV reads infer the schema — convenient for the small extract/
-  * ingest files this addresses, but schema inference is an extra full
-  * pass over the data: at scale, register the file behind a catalog table
-  * (or convert to parquet via an `overwrite` job) instead of re-inferring
-  * per query. */
-final class FileFormatSource(override val pathFormat: String) extends DataSource {
+  * differ.
+  *
+  * Without a declared schema, CSV reads infer it — convenient for small
+  * extract/ingest files, but inference is an EXTRA FULL PASS over the
+  * data per read: a scheduled job re-pays it every run. Declare
+  * `pathSchema` (Spark DDL, e.g. `"a INT, b STRING"` — the YAML spec's
+  * `schema:` key feeds it through) and the read plans directly against
+  * the declared types with zero inference job, the same
+  * read-the-metadata-not-the-data behavior a catalog table gets. */
+final class FileFormatSource(
+    override val pathFormat: String,
+    val pathSchema: Option[String] = None) extends DataSource {
+
+  /** Parsed eagerly so a malformed DDL string fails at CONFIG time with
+    * the offending text, not at first read. */
+  val declaredSchema: Option[org.apache.spark.sql.types.StructType] =
+    pathSchema.map { ddl =>
+      try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"invalid schema DDL '$ddl': ${e.getMessage}")
+      }
+    }
+
   override def sql(query: String)(implicit spark: SparkSession): DataFrame =
     spark.sql(query)
 
@@ -63,10 +81,19 @@ final class FileFormatSource(override val pathFormat: String) extends DataSource
     spark.table(name)
 
   override def readPath(path: String)(implicit spark: SparkSession): DataFrame =
-    spark.read.format(pathFormat).options(readOptions).load(path)
+    declaredSchema match {
+      case Some(st) =>
+        spark.read.format(pathFormat).schema(st).options(readOptions).load(path)
+      case None =>
+        spark.read.format(pathFormat).options(readOptions).load(path)
+    }
 
   override def readOptions: Map[String, String] = pathFormat match {
-    case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+    // inferSchema only when nothing is declared — with a declared schema
+    // the option would be ignored anyway, but keeping it out makes the
+    // no-inference contract visible in the plan's scan options.
+    case "csv" if declaredSchema.isEmpty => Map("header" -> "true", "inferSchema" -> "true")
+    case "csv" => Map("header" -> "true")
     case _     => Map.empty
   }
 
@@ -78,11 +105,18 @@ final class FileFormatSource(override val pathFormat: String) extends DataSource
 
 object DataSource {
   /** Factory (reference: base_datasource.py:13-24 — rejects anything not
-    * registered; ours likewise). */
-  def apply(name: String): DataSource = name.toLowerCase match {
-    case "parquet" | "delta" => new ParquetCatalogSource
-    case "csv" | "json"      => new FileFormatSource(name.toLowerCase)
-    case other =>
-      throw new IllegalArgumentException(s"Datasource $other not found")
-  }
+    * registered; ours likewise). `schema` (Spark DDL) applies to the
+    * file formats' path reads; parquet/delta are self-describing, so a
+    * declared schema there is rejected rather than silently ignored. */
+  def apply(name: String, schema: Option[String] = None): DataSource =
+    name.toLowerCase match {
+      case "parquet" | "delta" =>
+        if (schema.nonEmpty)
+          throw new IllegalArgumentException(
+            s"datasource $name is self-describing; remove the declared schema")
+        new ParquetCatalogSource
+      case "csv" | "json" => new FileFormatSource(name.toLowerCase, schema)
+      case other =>
+        throw new IllegalArgumentException(s"Datasource $other not found")
+    }
 }

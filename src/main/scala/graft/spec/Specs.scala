@@ -122,7 +122,10 @@ final case class SourceSpec(
 }
 
 /** Target side of an ETL job (reference: etl/parent.py:89-111,
-  * update_and_upsert.py:11-27). */
+  * update_and_upsert.py:11-27). `schema` (Spark DDL, csv/json path
+  * targets only) declares the file schema so reads back through the
+  * datasource skip the per-read inference pass and plan-time validation
+  * can check configured columns without touching data. */
 final case class TargetSpec(
     datasource: String,
     table: Option[String],
@@ -132,7 +135,8 @@ final case class TargetSpec(
     postSql: Seq[String],
     primaryKeyColumns: Seq[String],
     updateColumns: Seq[String],
-    whereStatementOnTable: String)
+    whereStatementOnTable: String,
+    schema: Option[String] = None)
 
 final case class JobSpec(version: String, source: SourceSpec, target: TargetSpec) {
 
@@ -143,6 +147,10 @@ final case class JobSpec(version: String, source: SourceSpec, target: TargetSpec
       throw new JobConfigException("target requires 'table' or 'path'")
     if (target.table.nonEmpty && target.path.nonEmpty)
       throw new JobConfigException("target takes 'table' or 'path', not both")
+    if (target.schema.nonEmpty && target.path.isEmpty)
+      throw new JobConfigException(
+        "target 'schema' applies to path targets only (catalog tables " +
+          "carry their own schema)")
     source.effectiveQuery // asserts query|table present
     target.operation match {
       case Operation.Update | Operation.Upsert =>
@@ -188,7 +196,8 @@ object JobSpec {
         postSql = strList(tgt, "post_sql"),
         primaryKeyColumns = strList(tgt, "primary_key_column"),
         updateColumns = strList(tgt, "update_column"),
-        whereStatementOnTable = str(tgt, "where_statement_on_table").getOrElse("1=1")))
+        whereStatementOnTable = str(tgt, "where_statement_on_table").getOrElse("1=1"),
+        schema = str(tgt, "schema")))
     spec.validate()
     spec
   }
@@ -204,7 +213,8 @@ final case class ReconSource(
     query: Option[String],
     table: Option[String],
     path: Option[String],
-    metrics: Seq[(String, String)]) {
+    metrics: Seq[(String, String)],
+    schema: Option[String] = None) {
   if (query.isEmpty && table.isEmpty && path.isEmpty)
     throw new JobConfigException(
       "Either 'query', 'table' or 'path' should be provided in each recon's element")
@@ -258,7 +268,8 @@ object ReconSpec {
         query = str(d, "query"),
         table = str(d, "table"),
         path = str(d, "path"),
-        metrics = metrics)
+        metrics = metrics,
+        schema = str(d, "schema"))
     }
     ReconSpec(str(cfg, "version").getOrElse("0"), groupBy, sources,
       str(cfg, "compare_mode").getOrElse("auto"))

@@ -64,6 +64,89 @@ class FileFormatSourceSpec extends SparkSpec {
     assert(back.select("s").distinct().collect().map(_.getString(0)).toSeq == Seq("x"))
   }
 
+  test("declared schema: csv read plans with ZERO Spark jobs (no inference pass)") {
+    val out = tmpDir("csv_decl")
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "cat", "v")
+      .write.option("header", "true").csv(out)
+    val ddl = "k BIGINT, cat STRING, v DOUBLE"
+    // count jobs triggered between plan construction and schema access:
+    // with inferSchema a full pass runs here; with a declared schema the
+    // plan is metadata-only
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val declared = DataSource("csv", Some(ddl)).readPath(out)
+      val schema = declared.schema
+      Thread.sleep(1000) // listener events are posted asynchronously
+      assert(counter.get() == 0,
+        s"declared-schema read must not run an inference job, ran ${counter.get()}")
+      assert(schema.toDDL.toLowerCase.contains("k bigint"))
+      // and the inferred flavor DOES pay a pass (the contrast that makes
+      // the zero-job assertion meaningful)
+      DataSource("csv").readPath(out).schema
+      Thread.sleep(1000)
+      assert(counter.get() > 0, "inferred read should have run an inference job")
+      // values identical either way
+      assertRows(declared, Seq("k", "cat", "v"),
+        Set(Seq[Any](1L, "a", 1.5), Seq[Any](2L, "b", 2.5)))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("declared schema: ETL spec `schema:` validates at plan time; misuse rejected") {
+    val out = tmpDir("csv_decl_job")
+    Seq((1L, "x")).toDF("k", "s").createOrReplaceTempView("__csv_decl_src")
+    // matching declared schema: job runs, read back with no inference
+    EtlJob.fromYaml(
+      s"""version: 0
+         |source:
+         |  query: SELECT * FROM __csv_decl_src
+         |target:
+         |  datasource: csv
+         |  path: $out
+         |  schema: "k BIGINT, s STRING"
+         |  operation: overwrite
+         |""".stripMargin).run()
+    assert(DataSource("csv", Some("k BIGINT, s STRING")).readPath(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "x")))
+    // source column set drifting from the declared contract fails at
+    // PLAN time with the column named, before any write
+    val drift = intercept[JobConfigException] {
+      EtlJob.fromYaml(
+        s"""version: 0
+           |source:
+           |  query: SELECT 1 AS k, 'y' AS s, 2.0 AS extra
+           |target:
+           |  datasource: csv
+           |  path: $out
+           |  schema: "k BIGINT, s STRING"
+           |  operation: overwrite
+           |""".stripMargin).run()
+    }
+    assert(drift.getMessage.contains("extra"), drift.getMessage)
+    // schema on a catalog-table target is a config error
+    intercept[JobConfigException] {
+      EtlJob.fromYaml(
+        """version: 0
+          |source:
+          |  query: SELECT 1 AS k
+          |target:
+          |  table: some_table
+          |  schema: "k BIGINT"
+          |  operation: overwrite
+          |""".stripMargin)
+    }
+    // self-describing formats reject a declared schema; bad DDL named
+    intercept[IllegalArgumentException](DataSource("parquet", Some("k BIGINT")))
+    val bad = intercept[IllegalArgumentException](
+      DataSource("csv", Some("k NOT_A_TYPE banana")).readPath(out))
+    assert(bad.getMessage.contains("invalid schema DDL"))
+  }
+
   test("update/upsert to a csv path target is rejected cleanly") {
     val out = tmpDir("csv_merge")
     val df = Seq((1L, 1.0)).toDF("k", "v")

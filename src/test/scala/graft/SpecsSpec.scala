@@ -84,6 +84,43 @@ class SpecsSpec extends AnyFunSuite {
     }
   }
 
+  test("target/recon `schema:` parses; path-only constraint enforced") {
+    val spec = JobSpec.fromString(
+      """version: 0
+        |source: {query: SELECT 1 AS k}
+        |target:
+        |  path: /tmp/t
+        |  datasource: csv
+        |  schema: "k BIGINT, s STRING"
+        |  operation: overwrite
+        |""".stripMargin)
+    assert(spec.target.schema.contains("k BIGINT, s STRING"))
+    intercept[JobConfigException] {
+      JobSpec.fromString(
+        """version: 0
+          |source: {query: SELECT 1 AS k}
+          |target: {table: t, schema: "k BIGINT", operation: append}
+          |""".stripMargin)
+    }
+    val recon = ReconSpec.fromString(
+      """version: 0
+        |group_by: [g]
+        |data:
+        |  - name: a
+        |    datasource: csv
+        |    path: /tmp/a.csv
+        |    schema: "g STRING, v DOUBLE"
+        |    metrics:
+        |      - n: count(*)
+        |  - name: b
+        |    query: SELECT 'x' AS g, 1.0 AS v
+        |    metrics:
+        |      - n: count(*)
+        |""".stripMargin)
+    assert(recon.data.head.schema.contains("g STRING, v DOUBLE"))
+    assert(recon.data(1).schema.isEmpty)
+  }
+
   test("table-only source synthesizes SELECT *") {
     val spec = JobSpec.fromString(
       """version: 0
