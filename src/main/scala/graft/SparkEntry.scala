@@ -986,6 +986,23 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")),
 
+    // AUTO-TUNED flavor: (numHashes, bands) chosen by the S-curve tuner
+    // from a deterministic 20% corpus sample instead of hand-picked —
+    // the sampled pair-similarity histogram prices each config's
+    // false-candidate volume, the theory floor caps the miss rate at the
+    // 0.6 threshold. The tuned config must reproduce the EXACT all-pairs
+    // ground truth (recall 1 on this fixture, like the hand-tuned 32/16
+    // — the identical oracle gates both).
+    "minhash_autotuned" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sample = docs.filter(Sampling.bucket(col("doc_id"), 31L) < 2000)
+      val tuned = Dedup.tuneMinhash(sample, "text", "doc_id", threshold = 0.6)
+      Dedup.minHashLsh(docs, "text", "doc_id",
+        numHashes = tuned.numHashes, bands = tuned.bands, threshold = 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")
+    }),
+
     // The daily-batch path: the corpus (80% of docs) is shingled ONCE
     // into a persisted (id, sig) store; the new batch (20%) is deduped
     // against store + itself without re-shingling the corpus. Must emit
@@ -1174,6 +1191,60 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("kept_id_sum"),
           sum(length(col("text")).cast("long")).as("kept_chars"))
+    }),
+
+    // UNIFIED document-level fuzzy dedup: BOTH detector families —
+    // symmetric near-dup (minhash-LSH, exact-Jaccard verified) and
+    // asymmetric substring containment (winnow-fingerprint subset) —
+    // merge their pair sets into ONE connected-components closure before
+    // retention. Running the families independently strikes transitively
+    // related docs into different clusters (an excerpt of A and a
+    // near-dup of A must land in A's cluster, not two); the single
+    // closure is what a curation run should gate retention on. The
+    // oracle recomputes BOTH detectors from raw text and the same
+    // closure in recursive SQL.
+    "dedup_unified" -> ((s, dir) => {
+      val uni = excerptPlantedUnion(s, dir)
+      val mh = Dedup.minHashLsh(uni, "text", "doc_id",
+        numHashes = 32, bands = 16, threshold = 0.6)
+        .select("id_a", "id_b")
+      val ct = Dedup.containmentPairs(uni, "text", "doc_id",
+        maxDf = 100, minFp = 5, minContain = 0.8)
+        .select(col("inner_id").as("id_a"), col("outer_id").as("id_b"))
+      Components.clusters(uni.select("doc_id"), "doc_id",
+        mh.unionByName(ct).distinct())
+        .select("doc_id", "cluster", "is_canonical")
+        .orderBy("doc_id")
+    }),
+
+    // VERSIONED update-then-strike — curation with rollback: the planted
+    // corpus commits as v0 of a Versioned table, the keep-longest
+    // containment strike writes v1 through Versioned.curate (the strike
+    // ACTION composes with the versioned sink instead of returning a
+    // frame), and BOTH versions stay readable via VERSION AS OF — the
+    // audit reads each version back and aggregates it. The oracle
+    // recomputes v0 from the raw planted corpus and v1 from the full
+    // detection CTE chain, so a strike that bled into the parent version
+    // (or a version that missed part of the strike) breaks the hash.
+    "versioned_strike" -> ((s, dir) => {
+      val tbl = s"/tmp/graft_versioned/strike_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(excerptPlantedUnion(s, dir), tbl)
+      Versioned.curate(s, tbl) { cur =>
+        val pairs = Dedup.containmentPairs(cur, "text", "doc_id",
+          maxDf = 100, minFp = 5, minContain = 0.8)
+        Dedup.containmentStrike(cur, "doc_id", pairs)
+      }
+      (0L to 1L).map { v =>
+        Versioned.read(s, tbl, v)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(length(col("text")).cast("long")).as("n_chars"))
+          .withColumn("version", lit(v))
+      }.reduce(_.unionByName(_))
+        .select("version", "n_docs", "id_sum", "n_chars")
+        .orderBy("version")
     }),
 
     // The ARTIFACT-REUSE flavor: the containment report is persisted
@@ -2391,22 +2462,11 @@ object SparkEntry {
     // (precision 1 by construction) and recall is measured 1.0 at ALL of
     // sf0.001/0.01/0.1 (region-partitioned OPH signatures + the 3σ
     // prefilter margin; see BASELINE.md).
-    "dedup_minhash_pairs" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-        |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM tok),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g FROM pos),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT id_a, id_b, round(i::double / (sa.n + sb.n - i), 4) AS jaccard
-        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE i::double / (sa.n + sb.n - i) >= 0.6
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_pairs" -> minhashGroundTruthSql,
+
+    // The auto-tuned config must emit the IDENTICAL pair set — recall
+    // parity with the hand-tuned 32/16 is exactly "same ground truth".
+    "minhash_autotuned" -> minhashGroundTruthSql,
 
     // Same all-pairs ground truth, restricted to pairs touching the
     // batch slice (doc_id % 5 = 0) — corpus-internal pairs are the
@@ -2628,6 +2688,60 @@ object SparkEntry {
     // report detour (persist + re-read) must be invisible in the
     // result, so the same from-raw-text oracle gates it.
     "containment_strike_from_report" -> containmentStrikeOracleSql,
+
+    // Both detectors from raw text over the SAME planted union, pair
+    // sets merged, one recursive closure — min-reachable-id canonical,
+    // exactly the Spark composition's contract.
+    "dedup_unified" ->
+      s"""WITH RECURSIVE $containmentCtes,
+         |tok AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM uni),
+         |pos AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM tok),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g FROM pos),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jpairs AS (
+         |  SELECT id_a, id_b
+         |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE i::double / (sa.n + sb.n - i) >= 0.6),
+         |cpairs AS (SELECT inner_id AS id_a, outer_id AS id_b FROM flagged),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM jpairs
+         |  UNION SELECT id_b, id_a FROM jpairs
+         |  UNION SELECT id_a, id_b FROM cpairs
+         |  UNION SELECT id_b, id_a FROM cpairs),
+         |reach(s, t) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.s, e.v FROM reach r JOIN edges e ON r.t = e.u),
+         |comp AS (SELECT s AS doc_id, least(min(t), s) AS cluster FROM reach GROUP BY s)
+         |SELECT d.doc_id,
+         |  coalesce(c.cluster, d.doc_id) AS cluster,
+         |  coalesce(c.cluster, d.doc_id) = d.doc_id AS is_canonical
+         |FROM uni d LEFT JOIN comp c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Versioned curation audit: v0 is the raw planted corpus, v1 the
+    // keep-longest strike over it — both recomputed from raw text via
+    // the shared detection CTE chain, per-version aggregates exact.
+    "versioned_strike" ->
+      s"""WITH $containmentCtes,
+         |struck AS (SELECT DISTINCT inner_id FROM flagged),
+         |v0 AS (SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_docs,
+         |         CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |         CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |       FROM uni),
+         |v1 AS (SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_docs,
+         |         CAST(sum(u.doc_id) AS BIGINT) AS id_sum,
+         |         CAST(sum(length(u.text)) AS BIGINT) AS n_chars
+         |       FROM uni u LEFT JOIN struck sk ON u.doc_id = sk.inner_id
+         |       WHERE sk.inner_id IS NULL)
+         |SELECT * FROM v0 UNION ALL SELECT * FROM v1 ORDER BY version""".stripMargin,
 
     // Window boundaries recomputed with identical integer arithmetic:
     // nc = 1 for n <= 40, else (n - 8 + 31) // 32; window w covers
@@ -4346,6 +4460,28 @@ object SparkEntry {
        |${p}sel AS (SELECT DISTINCT doc_id, wmin FROM ${p}wins
        |            WHERE i <= greatest(nh - ${w - 1}, 1))""".stripMargin
   }
+
+  /** All-pairs trigram-Jaccard ground truth at threshold 0.6 — the
+    * oracle shared by `dedup_minhash_pairs` (hand-tuned 32/16) and
+    * `minhash_autotuned` (S-curve tuner): both LSH configs must emit
+    * exactly this set (precision 1 via exact verify, recall 1 on the
+    * fixture). */
+  private val minhashGroundTruthSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM tok),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g FROM pos),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(i::double / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE i::double / (sa.n + sb.n - i) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Chunk→pack recomputation shared by `chunk_pack_pipeline` and its
     * streaming twin `chunk_pack_streaming` (identical batch SQL — the

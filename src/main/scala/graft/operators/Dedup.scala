@@ -522,6 +522,125 @@ object Dedup {
       nativeWordSigs(_, textCol, idCol, shingleSize, numHashes),
       numHashes, bands, threshold, DefaultMaxBucket)
 
+  /** A tuned [[minHashLsh]] configuration: `numHashes = rowsPerBand ×
+    * bands`, `missAtThreshold` the S-curve probability that a pair at
+    * EXACTLY the target Jaccard collides in no band, and
+    * `expectedFalseCandidates` the estimated sub-threshold pairs the
+    * band join would emit on the sampled distribution (the cost the
+    * exact-verify stage pays). */
+  final case class MinhashTuning(
+      numHashes: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      missAtThreshold: Double,
+      expectedFalseCandidates: Double)
+
+  /** Choose `(numHashes, bands)` for [[minHashLsh]] from the LSH S-curve
+    * and a CORPUS SAMPLE, instead of hand-picking: for band size r and
+    * band count b, a pair at Jaccard j collides in at least one band
+    * with probability `1 − (1 − j^r)^b` [Leskovec/Rajaraman/Ullman,
+    * Mining of Massive Datasets §3.4]. The tuner enumerates r, takes for
+    * each the MINIMAL b that pushes the miss rate at the target
+    * threshold under `targetMiss` (recall floor from theory, not from
+    * luck), and picks the feasible config minimizing a two-part cost:
+    * signature work (`numHashes` slots per doc) plus verification work
+    * (expected sub-threshold candidates × `verifyWeight`). The second
+    * term is where the SAMPLE earns its keep — the sampled pair-Jaccard
+    * histogram prices each config's false-candidate volume on THIS
+    * corpus: boilerplate-heavy corpora (many mid-similarity pairs) push
+    * the choice toward sharper curves (larger r, more hashes), clean
+    * corpora settle on cheap flat ones.
+    *
+    * The classic S-curve assumes INDEPENDENT minhashes; OPH signatures
+    * are not quite that. When `numHashes` approaches the per-doc shingle
+    * count, region slots go EMPTY and densify to the doc's global min —
+    * and a slot that is empty on one side of a pair but filled on the
+    * other almost surely disagrees. The tuner corrects for this with the
+    * sampled median shingle count s: per-slot empty probability
+    * `p0 ≈ e^(−s/per)` (per = slots per region), pair agreement scales
+    * by `q = 1 − 2·p0·(1−p0)`, and the band probability becomes
+    * `(j·q)^r`. Without the correction the tuner happily "upgrades" to
+    * more hashes than the documents have shingles and loses recall
+    * exactly where theory promised none would be lost (measured: a
+    * 96/32 pick missed 4/256 ground-truth pairs at sf0.1 that the
+    * corrected pick recovers).
+    *
+    * Deterministic: the sample should be a deterministic slice
+    * (`Sampling.bucket`), everything downstream is closed-form. The
+    * all-pairs Jaccard pass over the sample is quadratic in sample size
+    * — keep samples to O(100s) of docs; the histogram collected to the
+    * driver is ≤ 20 rows regardless. Constraints honored: numHashes is
+    * a multiple of 4 (the OPH region count) and divides evenly into
+    * bands, so the result is always a legal [[minHashLsh]] config. */
+  def tuneMinhash(
+      sample: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      targetMiss: Double = 1e-3,
+      maxHashes: Int = 256,
+      verifyWeight: Double = 200.0): MinhashTuning = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(targetMiss > 0 && targetMiss < 1, s"targetMiss in (0,1): $targetMiss")
+    // Sampled pair-similarity histogram (20 j-buckets, driver-bounded):
+    // exact Jaccard over distinct shingle hashes, pairs sharing >= 1.
+    val grams = explodedWordShingles(sample, textCol, idCol, shingleSize)
+      .select(col("__id"), col("__h")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = grams.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val inter = grams.withColumnRenamed("__id", "__ia")
+      .join(grams.withColumnRenamed("__id", "__ib"), "__h")
+      .filter(col("__ia") < col("__ib"))
+      .groupBy("__ia", "__ib").agg(count(lit(1)).as("__i"))
+    val hist: Map[Int, Long] = inter
+      .join(sizes.select(col("__id").as("__ia"), col("__n").as("__na")), "__ia")
+      .join(sizes.select(col("__id").as("__ib"), col("__n").as("__nb")), "__ib")
+      .select(floor(col("__i") * 20.0 / (col("__na") + col("__nb") - col("__i")))
+        .cast("int").as("__bk"))
+      .groupBy("__bk").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nSampleDocs = sample.select(idCol).distinct().count()
+    val medianShingles = sizes.agg(
+      expr("percentile_approx(__n, 0.5)").cast("double")).head().getDouble(0)
+    grams.unpersist()
+
+    // occupancy-corrected agreement factor for a config with n slots
+    def qFactor(n: Int): Double = {
+      val per = n / 4.0
+      val p0 = math.exp(-medianShingles / per)
+      1.0 - 2.0 * p0 * (1.0 - p0)
+    }
+    def missAt(j: Double, r: Int, b: Int): Double =
+      math.pow(1 - math.pow(j * qFactor(r * b), r), b)
+
+    val candidates = (1 to 16).flatMap { r =>
+      // smallest region-legal b whose CORRECTED miss meets the target;
+      // q shrinks as b grows, so walk b upward and stop at the cap
+      val bTheory = math.max(1, math.ceil(
+        math.log(targetMiss) / math.log(1 - math.pow(threshold, r))).toInt)
+      val bStart = Iterator.from(bTheory).find(bb => (r * bb) % 4 == 0).get
+      Iterator.iterate(bStart)(bb =>
+          Iterator.from(bb + 1).find(nb => (r * nb) % 4 == 0).get)
+        .takeWhile(bb => r * bb <= maxHashes)
+        .find(bb => missAt(threshold, r, bb) <= targetMiss)
+        .map { b =>
+          val n = r * b
+          val fp = hist.collect { case (bk, c) if (bk + 0.5) / 20.0 < threshold =>
+            val jMid = (bk + 0.5) / 20.0
+            c * (1 - missAt(jMid, r, b))
+          }.sum
+          MinhashTuning(n, b, r, missAt(threshold, r, b), fp)
+        }
+    }
+    require(candidates.nonEmpty,
+      s"no (numHashes <= $maxHashes) config reaches miss <= $targetMiss at j=$threshold; " +
+        "raise maxHashes or relax targetMiss")
+    candidates.minBy(t =>
+      (t.numHashes.toDouble * nSampleDocs + verifyWeight * t.expectedFalseCandidates,
+        t.numHashes))
+  }
+
   /** Word-shingle signatures via the native [[graft.functions.MinhashSig]]
     * expression: bit-identical to the [[minhashSigs]] aggregate
     * (StreamingCurationSpec pins it) but a pure PROJECTION — no explode,

@@ -118,6 +118,25 @@ object Versioned {
     publish(spark, tableDir, parentGroups :+ group, parentRows + n, "append")
   }
 
+  /** Apply a curation ACTION to the latest version and commit the result
+    * as a new full-snapshot version — curation with rollback. This is
+    * the versioned composition of the strike operators
+    * ([[Dedup.containmentStrike]], [[Dedup.paragraphStrike]],
+    * [[Contamination.decontaminate]], ...): instead of handing back a
+    * frame the caller must manage, the struck corpus becomes the next
+    * `VERSION AS OF`, the pre-strike corpus stays readable at its own
+    * version, and an over-aggressive strike is undone by reading (or
+    * re-committing) the parent — the operational shape Delta users get
+    * from `RESTORE`. Returns the new version number.
+    *
+    * Scale: the action's plan executes exactly once, as the write of the
+    * new file group — no extra materialization beyond what [[commit]]
+    * already does; the parent version's files are untouched (immutable
+    * groups), so rollback is metadata-only. */
+  def curate(spark: SparkSession, tableDir: String)(
+      action: DataFrame => DataFrame): Long =
+    commit(action(read(spark, tableDir)), tableDir)
+
   /** Read a version (default: latest) — `VERSION AS OF` for parquet.
     * A plain multi-path parquet scan: pushdown and pruning intact. */
   def read(spark: SparkSession, tableDir: String, version: Long = -1L): DataFrame = {

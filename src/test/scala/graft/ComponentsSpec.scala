@@ -115,4 +115,38 @@ class ComponentsSpec extends SparkSpec {
       .filter(col("is_canonical")).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 3L))
   }
+
+  test("unified closure merges jaccard-only and containment-only links into ONE cluster") {
+    // A=0 long doc; B=1 a near-dup of A (jaccard link only — same length,
+    // no containment); C=2 an excerpt of A (containment link only — too
+    // short for jaccard 0.6 against A); D=3 unrelated. Families run
+    // independently: {A,B} and {A,C}. The unified closure must yield
+    // {A,B,C} with canonical A — the composition dedup_unified ships.
+    val body = (1 to 80).map(j => s"alpha$j beta$j").mkString(" ")
+    val docs = Seq(
+      (0L, body),
+      (1L, body.replace("alpha7", "gamma7")),
+      (2L, body.split(" ").take(40).mkString(" ")),
+      (3L, (1 to 80).map(j => s"zeta$j eta$j").mkString(" "))
+    ).toDF("doc_id", "text")
+    val mh = Dedup.minHashLsh(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, threshold = 0.6).select("id_a", "id_b")
+    val ct = Dedup.containmentPairs(docs, "text", "doc_id",
+      maxDf = 100, minFp = 5, minContain = 0.8)
+      .select(col("inner_id").as("id_a"), col("outer_id").as("id_b"))
+    // preconditions: each family alone finds only its own link shape
+    val mhSet = mh.as[(Long, Long)].collect().toSet
+    val ctSet = ct.as[(Long, Long)].collect().toSet
+    assert(mhSet.contains((0L, 1L)) && !mhSet.exists(p => p._1 == 2L || p._2 == 2L),
+      s"jaccard family should link only A-B: $mhSet")
+    assert(ctSet.contains((2L, 0L)) || ctSet.contains((2L, 1L)),
+      s"containment family should link the excerpt to a container: $ctSet")
+    val unified = Components.clusters(docs.select("doc_id"), "doc_id",
+      mh.unionByName(ct).distinct())
+    val byCluster = unified.select("doc_id", "cluster").as[(Long, Long)]
+      .collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster(0L) == Set(0L, 1L, 2L),
+      s"unified closure must merge A,B,C into cluster 0: $byCluster")
+    assert(byCluster(3L) == Set(3L))
+  }
 }

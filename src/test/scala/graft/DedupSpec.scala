@@ -318,6 +318,47 @@ class DedupSpec extends SparkSpec {
     assert(rows.getSeq[Long](3).size == 8 && rows.getSeq[Long](4).size == 8)
   }
 
+  test("minhash auto-tuner: legal config, theory miss floor, recall parity with 32/16") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sample = docs.filter(
+      graft.operators.Sampling.bucket(col("doc_id"), 31L) < 4000)
+    val tuned = Dedup.tuneMinhash(sample, "text", "doc_id", threshold = 0.6)
+    // legal for minHashLsh AND the native signature
+    assert(tuned.numHashes % 4 == 0 && tuned.numHashes % tuned.bands == 0)
+    assert(tuned.numHashes == tuned.rowsPerBand * tuned.bands)
+    assert(tuned.numHashes <= 256)
+    // the S-curve floor the tuner promises
+    assert(tuned.missAtThreshold <= 1e-3,
+      s"miss ${tuned.missAtThreshold} above target")
+    // deterministic: same sample, same answer
+    val again = Dedup.tuneMinhash(sample, "text", "doc_id", threshold = 0.6)
+    assert(tuned == again)
+    // recall parity: the tuned config reproduces the hand-tuned 32/16
+    // pair set on the full corpus (both are ground-truth-exact here)
+    val hand = Dedup.minHashLsh(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val auto = Dedup.minHashLsh(docs, "text", "doc_id",
+      numHashes = tuned.numHashes, bands = tuned.bands, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == hand,
+      s"tuned (${tuned.numHashes}/${tuned.bands}) missed pairs: ${hand -- auto}")
+    // a corpus dominated by mid-similarity pairs must push the tuner to
+    // a SHARPER curve (more rows per band) than a clean corpus does:
+    // the sample is where that decision comes from
+    // every pair shares a 50-token block + 30 unique tokens → trigram
+    // jaccard ≈ 0.45: ALL pairs are sub-threshold mid-similarity, the
+    // worst case for a flat curve's candidate volume
+    val shared = (1 to 50).map(j => s"c$j").mkString(" ")
+    val noisy = (0L until 60L).map { i =>
+      (i, shared + " " + (1 to 30).map(j => s"u${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val noisyTuned = Dedup.tuneMinhash(noisy, "text", "doc_id", threshold = 0.6)
+    assert(noisyTuned.rowsPerBand >= tuned.rowsPerBand,
+      s"noisy corpus (${noisyTuned.rowsPerBand}) should not pick a flatter " +
+        s"curve than the clean one (${tuned.rowsPerBand})")
+  }
+
   test("accent-folded exact dedup collapses accented clones; default keeps them") {
     val rows = Seq(
       (0L, "the cafe on the corner serves great coffee"),

@@ -139,6 +139,32 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.latestVersion(spark, dir) == 1L, "refused append must not commit")
   }
 
+  test("curate: strike writes a new version, parent stays intact (rollback shape)") {
+    val dir = tbl()
+    // corpus with a planted containment: doc 100 is an excerpt of doc 1
+    val base = (0L until 40L).map { i =>
+      (i, (1 to 60).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val excerpt = Seq((100L, base(1)._2.split(" ").take(40).mkString(" ")))
+    Versioned.commit((base ++ excerpt).toDF("doc_id", "text"), dir)
+    val v1 = Versioned.curate(spark, dir) { cur =>
+      val pairs = graft.operators.Dedup.containmentPairs(cur, "text", "doc_id",
+        maxDf = 100, minFp = 5, minContain = 0.8)
+      graft.operators.Dedup.containmentStrike(cur, "doc_id", pairs)
+    }
+    assert(v1 == 1L)
+    // the excerpt is struck in v1...
+    val v1Ids = Versioned.read(spark, dir, 1).select("doc_id").as[Long].collect().toSet
+    assert(!v1Ids.contains(100L), "contained excerpt must be struck in the new version")
+    assert(v1Ids.contains(1L), "the containing doc must survive")
+    // ...while v0 still has the full pre-strike corpus — the rollback read
+    val v0Ids = Versioned.read(spark, dir, 0).select("doc_id").as[Long].collect().toSet
+    assert(v0Ids.contains(100L) && v0Ids.size == 41)
+    // history shows both as snapshots
+    assertRows(Versioned.versions(spark, dir), Seq("version", "n_rows"),
+      Set(Seq(0L, 41L), Seq(1L, v1Ids.size.toLong)))
+  }
+
   test("reading an uncommitted version or empty table fails loudly") {
     val dir = tbl()
     intercept[IllegalArgumentException] { Versioned.read(spark, dir) }
