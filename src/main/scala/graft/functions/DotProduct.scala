@@ -137,6 +137,44 @@ object GraftFunctions {
     SimhashSig(children.head)
   }
 
+  // Spark's own runtime-filter expression pair, surfaced as session
+  // functions: `graft_bloom_agg(key, estItems)` builds the serialized
+  // filter (BinaryType), `graft_might_contain(bloom, key)` probes it.
+  // These power operator-level semi-join reduction (see
+  // `operators.BloomPrune`) in pipelines where Catalyst's automatic
+  // InjectRuntimeFilter can't see the opportunity — e.g. the filter is
+  // built in one job and applied in another, or the probe side is an
+  // exploded intermediate. Using the engine's OWN aggregate/probe pair
+  // (not a re-implementation) keeps the serialized format, hashing, and
+  // codegen identical to what a runtime-injected filter would produce.
+  val BloomAggName = "graft_bloom_agg"
+  val MightContainName = "graft_might_contain"
+
+  private val bloomAggInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+    BloomAggName)
+  private val bloomAggBuilder = (children: Seq[Expression]) => {
+    require(children.length == 2, s"$BloomAggName takes (key, estItems)")
+    val est = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"$BloomAggName estItems must be an integer literal, got $other")
+    }
+    require(est > 0, s"$BloomAggName estItems must be positive: $est")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      children.head, est)
+  }
+
+  private val mightContainInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+    MightContainName)
+  private val mightContainBuilder = (children: Seq[Expression]) => {
+    require(children.length == 2, s"$MightContainName takes (bloom, key)")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      children.head, children(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(DotName), dotInfo, dotBuilder)
@@ -146,6 +184,10 @@ object GraftFunctions {
       FunctionIdentifier(WinnowFpsName), winnowInfo, winnowBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(SimhashSigName), simhashInfo, simhashBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(BloomAggName), bloomAggInfo, bloomAggBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(MightContainName), mightContainInfo, mightContainBuilder)
   }
 
   def inject(ext: SparkSessionExtensions): Unit = {
@@ -153,6 +195,8 @@ object GraftFunctions {
     ext.injectFunction((FunctionIdentifier(MinhashSigName), sigInfo, sigBuilder))
     ext.injectFunction((FunctionIdentifier(WinnowFpsName), winnowInfo, winnowBuilder))
     ext.injectFunction((FunctionIdentifier(SimhashSigName), simhashInfo, simhashBuilder))
+    ext.injectFunction((FunctionIdentifier(BloomAggName), bloomAggInfo, bloomAggBuilder))
+    ext.injectFunction((FunctionIdentifier(MightContainName), mightContainInfo, mightContainBuilder))
   }
 }
 

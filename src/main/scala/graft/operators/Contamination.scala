@@ -79,7 +79,47 @@ object Contamination {
       k: Int = 8,
       w: Int = 16,
       minShared: Int = 2,
-      maxTrainDf: Int = 1000): DataFrame = {
+      maxTrainDf: Int = 1000): DataFrame =
+    passageOverlapImpl(train, bench, textCol, idCol, k, w, minShared,
+      maxTrainDf, bloomPrune = false)
+
+  /** [[passageOverlap]] with a bloom-filter prune of the TRAIN
+    * fingerprint stream against the bench fingerprint set, applied at
+    * the scan stage — RESULT-IDENTICAL by construction (bloom filters
+    * have no false negatives; survivors still face the exact equi-join;
+    * the document-frequency guard is unaffected because pruning keeps
+    * or drops ALL rows of a given fingerprint, so surviving
+    * fingerprints keep their exact train-DF counts). What changes is
+    * the work: without the prune, EVERY exploded train fingerprint —
+    * corpus-sized, ~dozens per document — shuffles through the DF-guard
+    * aggregate and the join build; with it, only fingerprints that
+    * might overlap the (small) bench set do. At 100 TB train vs a
+    * MB-scale benchmark that converts the decontamination pass's
+    * dominant shuffle into a scan-stage filter. The filter itself is
+    * one bounded driver row, sized by the bench fingerprint count
+    * (see [[BloomPrune]]). */
+  def passageOverlapBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      w: Int = 16,
+      minShared: Int = 2,
+      maxTrainDf: Int = 1000): DataFrame =
+    passageOverlapImpl(train, bench, textCol, idCol, k, w, minShared,
+      maxTrainDf, bloomPrune = true)
+
+  private def passageOverlapImpl(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      w: Int,
+      minShared: Int,
+      maxTrainDf: Int,
+      bloomPrune: Boolean): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     // Eager localCheckpoint on BOTH winnow branches before explode/join:
     // in this plan shape Catalyst inlines the `split(__norm, "")` char
@@ -90,7 +130,7 @@ object Contamination {
     // checkpoint materializes the narrow (id, fingerprints ARRAY<LONG>)
     // rows — tiny relative to the text — and replaces the subtree with an
     // RDD-scan leaf, same lineage cut as Dedup.minHashLshIncremental.
-    val tf = TextAnalysis.winnowFingerprints(train, textCol, idCol, k, w)
+    val tfRaw = TextAnalysis.winnowFingerprints(train, textCol, idCol, k, w)
       .localCheckpoint()
       .select(col(idCol).as("train_id"), explode(col("fingerprints")).as("__fp"))
     val bf = TextAnalysis.winnowFingerprints(bench, textCol, idCol, k, w)
@@ -99,6 +139,19 @@ object Contamination {
     val bsizes = bf.select(col("bench_id"),
       size(col("fingerprints")).cast("long").as("bench_fps"))
     val bx = bf.select(col("bench_id"), explode(col("fingerprints")).as("__fp"))
+    val tf =
+      if (!bloomPrune) tfRaw
+      else {
+        // Size the filter from the bench side (the side it summarizes);
+        // its fingerprints are already materialized by the checkpoint,
+        // so the count and the build are cheap single-pass jobs over the
+        // SMALL side only.
+        val est = math.max(bx.count(), 1L)
+        BloomPrune.build(bx, col("__fp"), est) match {
+          case Some(bloom) => BloomPrune.prune(tfRaw, col("__fp"), bloom)
+          case None        => tfRaw // empty bench: join output empty either way
+        }
+      }
     val rare = tf.groupBy("__fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxTrainDf).drop("__df")
     bx.join(tf.join(rare, "__fp"), "__fp")
@@ -129,6 +182,24 @@ object Contamination {
       maxTrainDf: Int = 1000): DataFrame = {
     val flagged =
       passageOverlap(train, bench, textCol, idCol, k, w, minShared, maxTrainDf)
+        .select(col("train_id").as(idCol)).distinct()
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** [[decontaminate]] over the bloom-pruned overlap
+    * ([[passageOverlapBloom]]) — identical cleaned frame, the corpus
+    * fingerprint shuffle replaced by a scan-stage probe. */
+  def decontaminateBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      w: Int = 16,
+      minShared: Int = 2,
+      maxTrainDf: Int = 1000): DataFrame = {
+    val flagged =
+      passageOverlapBloom(train, bench, textCol, idCol, k, w, minShared, maxTrainDf)
         .select(col("train_id").as(idCol)).distinct()
     train.join(flagged, Seq(idCol), "left_anti")
   }

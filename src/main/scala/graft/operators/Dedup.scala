@@ -183,13 +183,34 @@ object Dedup {
       sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val lines = paragraphLines(batch, textCol, idCol, sep)
-    val stored = spark.read.parquet(dfPath)
+    // Eager checkpoint: referenced by the bloom build AND the join —
+    // narrow batch-sized rows, same lineage-cut convention as the band
+    // union below in minHashLshIncremental.
+    val batchDf = lines.filter(col("__nh").isNotNull)
+      .groupBy("__nh", "__nmd5").agg(countDistinct(col(idCol)).as("__bdf"))
+      .localCheckpoint()
+    val stored0 = spark.read.parquet(dfPath)
       .select(col("nh").as("__nh"), col("nmd5").as("__nmd5"), col("df").as("__sdf"))
+    // Bloom-prune the store scan against the batch's paragraph keys:
+    // the join below is batch-LEFT, so a stored row only matters when
+    // its (nh, nmd5) matches a batch paragraph — pruning a non-matching
+    // row is indistinguishable from it losing the join (coalesce(0)
+    // either way), and matching rows always survive (no false
+    // negatives). At a 100 TB corpus the paragraph-DF store is
+    // corpus-paragraph-sized while a daily batch touches a sliver of
+    // it; the prune makes the store-side join input (and, in the
+    // non-broadcast regime, its shuffle) overlap-sized.
+    val paraKey = xxhash64(col("__nh"), col("__nmd5"))
+    val stored = BloomPrune.build(batchDf, paraKey,
+        estItems = math.max(1024L, batchDf.count())) match {
+      case Some(bf) => BloomPrune.prune(stored0, paraKey, bf)
+      // No batch paragraphs: nothing can be struck, the store is dead.
+      case None => stored0.limit(0)
+    }
     // Combined df = batch-side distinct docs + stored corpus count. The
     // batch side is the small one in the daily regime, so AQE broadcasts
     // it against the store; stored rows never shuffle.
-    val struck = lines.filter(col("__nh").isNotNull)
-      .groupBy("__nh", "__nmd5").agg(countDistinct(col(idCol)).as("__bdf"))
+    val struck = batchDf
       .join(stored, Seq("__nh", "__nmd5"), "left")
       .filter(col("__bdf") + coalesce(col("__sdf"), lit(0L)) >= minDocs)
       .select(col("__nh"), col("__nmd5"), lit(true).as("__struck"))
@@ -685,9 +706,12 @@ object Dedup {
     *
     * Scale shape: band hashes are recomputed from the narrow stored
     * signatures (16 slice+hash structs per row — no text touched); the
-    * batch-vs-store candidate join is an equi-join on (band, bandhash)
-    * whose batch side AQE broadcasts in the daily-batch regime, so
-    * stored-corpus band rows never shuffle. Exact-Jaccard verification
+    * stored band stream is bloom-pruned against the batch's band keys
+    * at the scan stage (result-identical — see the inline proof), so
+    * the bucket-cap union and its checkpoint are overlap-sized, not
+    * corpus-sized; the batch-vs-store candidate join is an equi-join on
+    * (band, bandhash) whose batch side AQE broadcasts in the
+    * daily-batch regime, so stored-corpus band rows never shuffle. Exact-Jaccard verification
     * re-shingles ONLY candidate docs — `corpus` is semi-joined down to
     * the ids the band join surfaced before any text is read.
     *
@@ -721,6 +745,29 @@ object Dedup {
       .select(col("__id"), explode(array(bandCols: _*)).as("__bh"))
       .select(col("__id"), lit(isNew).as("__new"),
         col("__bh.b").as("__band"), col("__bh.h").as("__bandhash"))
+    // Bloom-prune the STORED band stream against the batch's band keys
+    // before the union: every candidate that touches a stored row is an
+    // equi-join on (band, bandhash) with a BATCH row (new-new pairs use
+    // no stored rows), so dropping stored rows whose key cannot be in
+    // the batch set is result-identical — bloom filters never
+    // false-negative, a bucket that does contain a batch key keeps ALL
+    // its stored rows (so capBuckets sees the identical population for
+    // every bucket that can produce a candidate), and false-positive
+    // survivors form batch-free buckets that produce nothing. The win is
+    // the materialization below: without the prune the localCheckpoint
+    // writes the CORPUS's whole band universe (stored docs × bands) on
+    // every daily batch; with it, ~the true-overlap set. At a 100 TB
+    // corpus that converts the incremental path's dominant IO into a
+    // scan-stage codegen'd probe, the same seam as
+    // Contamination.passageOverlapBloom.
+    val bandedFresh = banded(fresh, isNew = true)
+    val bandKey = xxhash64(col("__band"), col("__bandhash"))
+    val prunedStored = BloomPrune.build(bandedFresh, bandKey,
+        estItems = math.max(1024L, fresh.count() * bands)) match {
+      case Some(bf) => BloomPrune.prune(banded(stored, isNew = false), bandKey, bf)
+      // Empty batch: no candidate can exist — every stored row is dead.
+      case None => banded(stored, isNew = false).limit(0)
+    }
     // Cap hot band buckets over the UNION — a boilerplate bucket is hot
     // because of its total population, stored + new alike. Eager
     // localCheckpoint, NOT persist: this node is referenced by four join
@@ -734,7 +781,7 @@ object Dedup {
     // flag, band, hash), so the retained footprint is small relative to
     // the signature store itself.
     val capped = capBuckets(
-      banded(stored, isNew = false).unionByName(banded(fresh, isNew = true)),
+      prunedStored.unionByName(bandedFresh),
       Seq("__band", "__bandhash"), maxBucket)
       .localCheckpoint()
     val newB = capped.filter(col("__new")).drop("__new")

@@ -116,6 +116,45 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
   }
 
+  /** Build-once SHARED index artifact: returns the directory of an
+    * index over `inputPath`'s data, building it via `build` only when
+    * absent or when the input files changed (same fingerprint rule as
+    * [[Reports.cached]]). This is the session-level sharing seam: a
+    * semantic join, an ANN search, and an embedding near-dup pass in
+    * the same pipeline all probe ONE k-means + assignment build instead
+    * of paying three — at 100 TB the build is a full corpus pass, the
+    * probes read nprobe/nlist of it. Distinct configurations must use
+    * distinct `name`s (the config is not part of the fingerprint).
+    *
+    * Concurrency: create-exclusive on the marker decides a builder the
+    * same way version manifests do; a concurrent loser rebuilds into
+    * its own staging path and loses harmlessly (the artifact is
+    * deterministic for a fixed config+input). */
+  def cachedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      inputPath: String,
+      name: String,
+      artifactRoot: Option[String] = None)(build: String => Unit): String = {
+    val root = artifactRoot.getOrElse(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_ivf_cache")
+    val fp = Reports.fingerprint(spark, inputPath)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$name/$fp")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = new org.apache.hadoop.fs.Path(dir, "index")
+    val done = new org.apache.hadoop.fs.Path(dir, "_FINGERPRINT")
+    if (!fs.exists(done)) {
+      build(idx.toString)
+      val out = fs.create(done, true)
+      out.writeBytes(fp + "\n")
+      out.close()
+      val parent = dir.getParent
+      fs.listStatus(parent).foreach { s =>
+        if (s.isDirectory && s.getPath.getName != fp) fs.delete(s.getPath, true)
+      }
+    }
+    idx.toString
+  }
+
   /** Top-k by cosine for each query against a PERSISTED index (see
     * `writeIndex`). Identical results to `ivfTopK` at the same
     * (nlist, iters, seed, nprobe): assignment was computed by the same

@@ -22,8 +22,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Reports {
 
   /** Fingerprint of every file under `inputPath` (recursive, sorted):
-    * stable across runs, changed by any rewrite. */
-  private def fingerprint(spark: SparkSession, inputPath: String): String = {
+    * stable across runs, changed by any rewrite. Shared with
+    * [[IvfIndex.cachedIndex]] so parquet reports and index artifacts
+    * invalidate on the same rule. */
+  private[operators] def fingerprint(spark: SparkSession, inputPath: String): String = {
     val p = new org.apache.hadoop.fs.Path(inputPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)

@@ -116,6 +116,14 @@ object DataSource {
             s"datasource $name is self-describing; remove the declared schema")
         new ParquetCatalogSource
       case "csv" | "json" => new FileFormatSource(name.toLowerCase, schema)
+      case "orc" =>
+        // Columnar and self-describing like parquet (schema from file
+        // footers, no inference pass), but path-addressed through the
+        // same file-format reader/writer as csv/json.
+        if (schema.nonEmpty)
+          throw new IllegalArgumentException(
+            "datasource orc is self-describing; remove the declared schema")
+        new FileFormatSource("orc", None)
       case other =>
         throw new IllegalArgumentException(s"Datasource $other not found")
     }

@@ -19,7 +19,33 @@ class FileFormatSourceSpec extends SparkSpec {
     assert(DataSource("csv").pathFormat == "csv")
     assert(DataSource("JSON").pathFormat == "json")
     assert(DataSource("parquet").pathFormat == "parquet")
+    assert(DataSource("orc").pathFormat == "orc")
     intercept[IllegalArgumentException](DataSource("avro"))
+    // self-describing formats reject a declared schema rather than
+    // silently ignoring it
+    intercept[IllegalArgumentException](DataSource("orc", Some("a INT")))
+  }
+
+  test("overwrite job to an orc path target round-trips losslessly, exact types") {
+    val out = tmpDir("orc_rt")
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "b", 3.25))
+      .toDF("k", "cat", "v").createOrReplaceTempView("__orc_rt_src")
+    EtlJob.fromYaml(
+      s"""version: 0
+         |source:
+         |  query: SELECT * FROM __orc_rt_src
+         |target:
+         |  datasource: orc
+         |  path: $out
+         |  operation: overwrite
+         |""".stripMargin).run()
+    val back = DataSource("orc").readPath(out)
+    // unlike csv, orc carries the schema in file footers: types come
+    // back EXACTLY, with no inference pass
+    assert(back.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("k", "long"), ("cat", "string"), ("v", "double")))
+    assertRows(back, Seq("k", "cat", "v"),
+      Set(Seq[Any](1L, "a", 1.5), Seq[Any](2L, "b", 2.5), Seq[Any](3L, "b", 3.25)))
   }
 
   test("overwrite job to a csv path target round-trips through the csv reader") {

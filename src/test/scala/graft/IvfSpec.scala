@@ -127,6 +127,42 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("cachedIndex: one build per fixture fingerprint, rebuild on input change") {
+    val src = java.nio.file.Files.createTempDirectory("graft_ivf_src").toString + "/emb"
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_root").toString
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .write.parquet(src)
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      def get(): String = IvfIndex.cachedIndex(spark, src, "spec_idx", Some(root)) { d =>
+        builds.incrementAndGet()
+        IvfIndex.writeIndex(spark.read.parquet(src), "embedding", "vec_id",
+          d, nlist = 8, iters = 2)
+      }
+      val idx1 = get()
+      val idx2 = get()
+      assert(idx1 == idx2 && builds.get() == 1,
+        s"second call must serve the artifact, built ${builds.get()}x")
+      // the served artifact answers probes
+      val q = spark.read.parquet(src).filter($"vec_id" < 3)
+      assert(IvfIndex.loadTopK(spark, idx1, q, "embedding", "vec_id", k = 3).count() > 0)
+      // input rewrite -> new fingerprint -> rebuild, old artifact pruned
+      Thread.sleep(1100) // mtime granularity
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter($"vec_id" % 2 === 0)
+        .write.mode("overwrite").parquet(src)
+      val idx3 = get()
+      assert(builds.get() == 2, "rewritten input must trigger a rebuild")
+      assert(idx3 != idx1)
+      assert(new java.io.File(root, "spec_idx").listFiles().count(_.isDirectory) == 1,
+        "stale fingerprint dirs must be pruned")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(src).getParentFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("IVF output is deterministic, ranked, and k-bounded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)

@@ -165,10 +165,65 @@ class VersionedSpec extends SparkSpec {
       Set(Seq(0L, 41L), Seq(1L, v1Ids.size.toLong)))
   }
 
+  test("describeHistory: audit rows with commit instants; vacuum flips readable") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Versioned.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    Versioned.commit(Seq((9L, "z")).toDF("id", "v"), dir)
+    val h = Versioned.describeHistory(spark, dir).orderBy("version").collect()
+    assert(h.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, "snapshot", 2L, 1L), (1L, "append", 3L, 2L), (2L, "snapshot", 1L, 1L)))
+    // commit instants recorded and ISO-8601-shaped, nondecreasing
+    val ats = h.map(_.getString(4))
+    assert(ats.forall(_.matches("""\d{4}-\d{2}-\d{2}T.*Z""")), ats.mkString(","))
+    assert(ats.sorted.toSeq == ats.toSeq, "commit instants must be nondecreasing")
+    assert(h.forall(_.getBoolean(5)), "all versions readable before vacuum")
+    // vacuum v0: its manifest goes (history follows retention), v1 keeps
+    // the shared group so it stays fully readable
+    Versioned.vacuum(spark, dir, keepFrom = 1L)
+    val after = Versioned.describeHistory(spark, dir).orderBy("version").collect()
+    assert(after.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(after.forall(_.getBoolean(5)))
+  }
+
   test("reading an uncommitted version or empty table fails loudly") {
     val dir = tbl()
     intercept[IllegalArgumentException] { Versioned.read(spark, dir) }
     Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)
     intercept[Exception] { Versioned.read(spark, dir, 7) }
+  }
+
+  test("changes: appended rows only, scan never touches the base version's files") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Versioned.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), dir)
+    Versioned.append(Seq((3L, "c2")).toDF("id", "v"), dir) // dup id: kept, CDC is row-grain
+    val chg = Versioned.changes(spark, dir, fromVersion = 0L)
+    assert(chg.orderBy("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((3L, "c"), (3L, "c2"), (4L, "d")))
+    // metadata-only planning: v0's file group is NOT in the scan
+    val v0Files = Versioned.read(spark, dir, 0L).inputFiles.toSet
+    assert(v0Files.nonEmpty && chg.inputFiles.toSet.intersect(v0Files).isEmpty,
+      "changes() must read only the appended groups")
+    // partial range: (1, 2] is just the second append
+    assert(Versioned.changes(spark, dir, 1L, 2L).collect().map(_.getString(1)).toSeq ==
+      Seq("c2"))
+    // empty range: (2, 2] has no added groups
+    assert(Versioned.changes(spark, dir, 2L).isEmpty)
+  }
+
+  test("changes: crossing a snapshot boundary raises; bad ranges raise") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    Versioned.append(Seq((2L, "b")).toDF("id", "v"), dir)
+    Versioned.commit(Seq((9L, "z")).toDF("id", "v"), dir) // rewrite at v2
+    val e = intercept[IllegalArgumentException] {
+      Versioned.changes(spark, dir, 0L)
+    }
+    assert(e.getMessage.contains("non-append"))
+    // an all-append subrange before the snapshot still works
+    assert(Versioned.changes(spark, dir, 0L, 1L).collect().map(_.getString(1)).toSeq ==
+      Seq("b"))
+    intercept[IllegalArgumentException] { Versioned.changes(spark, dir, 3L, 1L) }
   }
 }
