@@ -902,6 +902,104 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Recon ACROSS table versions — the "what drifted between
+    // snapshots" composition: v0 is the raw corpus, v1 the curated
+    // rewrite (src0 struck via Versioned.curate), and the standard
+    // recon surface (per-source metrics + delta/match columns) reports
+    // the per-language drift. Versioned reads are plain scans, so the
+    // recon plan is identical to one over two tables. The oracle
+    // rebuilds both versions' aggregates from raw documents.
+    "recon_versions" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val tbl = s"/tmp/graft_versioned/rec_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs, tbl)
+      Versioned.curate(s, tbl)(_.filter(col("source") =!= "src0"))
+      Versioned.read(s, tbl, 0L).createOrReplaceTempView("__rv_v0")
+      Versioned.read(s, tbl, 1L).createOrReplaceTempView("__rv_v1")
+      ReconJob.fromYaml(
+        """version: 0
+          |group_by: [lang]
+          |data:
+          |  - name: v0
+          |    query: SELECT * FROM __rv_v0
+          |    metrics:
+          |      - n_docs: count(*)
+          |      - id_sum: sum(doc_id)
+          |  - name: v1
+          |    query: SELECT * FROM __rv_v1
+          |    metrics:
+          |      - n_docs: count(*)
+          |      - id_sum: sum(doc_id)
+          |""".stripMargin).run()
+        .orderBy("lang")
+    }),
+
+    // OPTIMIZE-style compaction: three commits accumulate 3 file groups
+    // (scan task count tracks file count at scale, not data size);
+    // compact() rewrites the latest version as ONE group in a NEW
+    // snapshot version with rows identical and the append history still
+    // readable. The audit pins the whole shape: group counts per
+    // version, the compacted version's single group, and row-count
+    // equality v2 == v3. Oracle is raw-docs arithmetic.
+    "versioned_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val tbl = s"/tmp/graft_versioned/cmp_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Versioned.append(docs.filter(col("lang") =!= "en"), tbl)
+      Versioned.append(docs.filter(col("source").isin("src0", "src1", "src2")), tbl)
+      Versioned.compact(s, tbl)
+      Versioned.describeHistory(s, tbl)
+        .select("version", "mode", "n_rows", "n_files", "readable")
+        .orderBy("version")
+    }),
+
+    // Mergeable distinct-count sketch store: each ingest batch (split by
+    // source-name length — src0-9 vs src10-19, SQL-expressible) writes
+    // per-language HLL token sketches ONCE; corpus vocabulary size is
+    // then answered by union-merging the KB-sized sketch rows, never by
+    // rescanning — union-of-sketches IS the sketch of the union, so
+    // cross-batch duplicates are not double-counted (a naive per-batch
+    // distinct sum would). The estimate is gated at the standard HLL
+    // error bound (lgK=12 → ~1.6%; floor 5%) against the exact distinct
+    // count, which the oracle recomputes from raw text.
+    "sketch_store" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = t(s, dir, "documents")
+      val p1 = etlScratch(dir, "sketch_b1")
+      val p2 = etlScratch(dir, "sketch_b2")
+      Sketches.writeTokenSketches(
+        d.filter(length(col("source")) === 4), "text", "lang", p1)
+      Sketches.writeTokenSketches(
+        d.filter(length(col("source")) === 5), "text", "lang", p2)
+      val est = Sketches.mergedDistinct(s, Seq(p1, p2))
+        .select(col("group").as("lang"), col("est_distinct"))
+      val exact = d.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("lang").agg(countDistinct(col("tok")).as("n_exact"))
+      exact.join(est, Seq("lang"))
+        .select(col("lang"), col("n_exact"),
+          (abs(col("est_distinct").cast("double") - col("n_exact")) /
+            col("n_exact") <= 0.05).as("est_ok"))
+        .orderBy("lang")
+    }),
+
+    // Per-domain quota: at most 10 docs per source, best quality first
+    // (ties to lowest id) — the anti-domination cap crawl pipelines
+    // apply per host. Kept rows emitted directly: the oracle recomputes
+    // the quality score and the per-source rank from raw text, so
+    // membership AND the score itself are hash-gated.
+    "domain_quota" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        qualityScore(col("text")).as("quality"))
+      Sampling.domainQuota(d, "source", "quality", "doc_id", quota = 10)
+        .orderBy("source", "doc_id")
+    }),
+
     // Token-budget selection: the best documents by quality score until a
     // global 15k-token budget is spent — exact distributed prefix sum
     // (range partition + per-partition offsets), never a global sort. The
@@ -3818,6 +3916,73 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM chg GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Both versions' aggregates from raw docs; delta/match mirror the
+    // recon contract (abs diff; equality, else 0.001 relative
+    // tolerance). id_sum cast: DuckDB sum(BIGINT) → HUGEINT.
+    "recon_versions" ->
+      """WITH v0 AS (
+        |  SELECT lang, count(*) AS v0_n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS v0_id_sum
+        |  FROM documents GROUP BY lang),
+        |v1 AS (
+        |  SELECT lang, count(*) AS v1_n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS v1_id_sum
+        |  FROM documents WHERE source <> 'src0' GROUP BY lang)
+        |SELECT v0.lang, v0_n_docs, v0_id_sum, v1_n_docs, v1_id_sum,
+        |  abs(v0_n_docs - v1_n_docs) AS delta_n_docs,
+        |  v0_n_docs = v1_n_docs AS match_n_docs,
+        |  abs(v0_id_sum - v1_id_sum) AS delta_id_sum,
+        |  CASE WHEN v0_id_sum = v1_id_sum THEN true
+        |       ELSE abs((v0_id_sum - v1_id_sum) / CAST(v1_id_sum AS DOUBLE)) < 0.001
+        |  END AS match_id_sum
+        |FROM v0 JOIN v1 USING (lang) ORDER BY lang""".stripMargin,
+
+    // v0: en snapshot, 1 group. v1: +non-en append, 2 groups, all docs.
+    // v2: +src0-2 append, 3 groups. v3: compaction snapshot — SAME row
+    // count as v2, exactly 1 group. All readable (no vacuum ran).
+    "versioned_compact" ->
+      """WITH n AS (
+        |  SELECT count(*) AS all_docs,
+        |    count(*) FILTER (WHERE lang = 'en') AS en_docs,
+        |    count(*) FILTER (WHERE source IN ('src0','src1','src2')) AS dup_docs
+        |  FROM documents)
+        |SELECT CAST(0 AS BIGINT) AS version, 'snapshot' AS mode,
+        |  en_docs AS n_rows, CAST(1 AS BIGINT) AS n_files, true AS readable FROM n
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), 'append', all_docs, CAST(2 AS BIGINT), true FROM n
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'append', all_docs + dup_docs, CAST(3 AS BIGINT), true FROM n
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'snapshot', all_docs + dup_docs, CAST(1 AS BIGINT), true FROM n
+        |ORDER BY version""".stripMargin,
+
+    // Exact distinct tokens per language; the estimate gate must hold at
+    // the 5% floor (HLL lgK=12 standard error ~1.6%), so est_ok is a
+    // deterministic true. WHERE clause drops token-less docs the same
+    // way Spark's empty tokens() array does.
+    "sketch_store" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+        |  FROM documents
+        |  WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> '')
+        |SELECT lang, count(DISTINCT t) AS n_exact, true AS est_ok
+        |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The same quality expression as budget_select's oracle feeds a
+    // per-source rank; membership and score are both hash-gated.
+    "domain_quota" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, source, ${oracleQualityExpr("text")} AS quality
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY quality DESC, doc_id ASC) AS rk
+         |  FROM p)
+         |SELECT doc_id, source, quality FROM r
+         |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
 
     // The scale-shaped distributed prefix sum must equal this one global
     // window cumsum exactly — integer token totals, same (quality desc,

@@ -229,6 +229,35 @@ object Sampling {
       .drop("__tok", "__pid", "__pid2", "__off", "__local_cum")
   }
 
+  /** Cap each domain's contribution to the training mix: keep at most
+    * `quota` rows per `groupCol`, preferring highest `scoreCol` with
+    * ties broken by lowest `idCol` — the anti-domination guard for
+    * crawl corpora where a handful of hosts supply most of the pages
+    * (the C4/Gopher pipelines apply exactly this shape per domain).
+    * Deterministic: the (score desc, id asc) order is a total order, so
+    * membership is stable and SQL-auditable like every sampler here.
+    *
+    * Scale: one keyed shuffle on the domain; `row_number` over the
+    * per-domain sort ranks within each group. A skewed mega-domain sorts
+    * on one task — acceptable because the rank window is the textbook
+    * Spark formulation and the sort is O(n log n) in that domain's rows
+    * only; if a single domain outgrows an executor, pre-filter with an
+    * approximate per-domain score floor before the exact quota. */
+  def domainQuota(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
   /** Materialize the shuffled corpus as `numShards` parquet shard
     * directories, rows inside each shard in shuffle order: one hash
     * repartition + per-partition sort (the sort is local — no global

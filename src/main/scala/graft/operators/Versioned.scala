@@ -158,6 +158,34 @@ object Versioned {
     spark.read.parquet(groups.map(g => s"$tableDir/files/$g"): _*)
   }
 
+  /** OPTIMIZE-style compaction: rewrite the latest version's data as a
+    * fresh file group sized to ~`targetFileBytes` output files and
+    * commit it as a new SNAPSHOT version. Rows are identical (spec-
+    * pinned); history is preserved — the parent version still reads its
+    * own groups — and the superseded small groups are reclaimed by the
+    * next [[vacuum]] once no kept version references them. Why it
+    * matters at scale: an append-per-batch table accumulates one group
+    * per commit, and a parquet scan's task count tracks FILE count, not
+    * data size — a year of small appends turns every read into a
+    * many-thousand-task scan. Compaction restores the scan shape
+    * without giving up the append history or [[changes]] consumers
+    * (which difference manifests, not data). Returns the new version. */
+  def compact(
+      spark: SparkSession,
+      tableDir: String,
+      targetFileBytes: Long = 128L << 20): Long = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val v = latestVersion(spark, tableDir)
+    require(v >= 0, s"no versions committed under $tableDir")
+    val groups = readManifest(spark, tableDir, v)._1
+    val f = fs(spark, tableDir)
+    val bytes = groups.map { g =>
+      f.getContentSummary(new Path(s"$tableDir/files/$g")).getLength
+    }.sum
+    val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    commit(read(spark, tableDir, v).repartition(parts.toInt), tableDir)
+  }
+
   /** CDC-style incremental read: the rows ADDED after `fromVersion`, up
     * to `toVersion` (inclusive; default latest), served by reading ONLY
     * the file groups that joined the manifest in that range — the

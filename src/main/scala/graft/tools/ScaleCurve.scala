@@ -28,6 +28,7 @@ object ScaleCurve {
     val family = args.drop(2).headOption.getOrElse("text")
     if (family == "embedding") { embeddingCurve(dir, multipliers); return }
     if (family == "containment") { containmentCurve(dir, multipliers); return }
+    if (family == "incremental") { incrementalCurve(dir, multipliers); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,6 +61,77 @@ object ScaleCurve {
         numHashes = 32, bands = 16, threshold = 0.6).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""[scale] {"multiplier":$m,"docs":$n,"candidate_pairs":$cand,"verified_pairs":$pairs,"lsh_seconds":$sec%.1f}""")
+    }
+    spark.stop()
+  }
+
+  /** Incremental-dedup curve: the bloom-prune claim, MEASURED. Corpus at
+    * multiplier m (token-bijection salted copies — disjoint alphabets,
+    * so only copy 0 can overlap the batch), signature store written per
+    * m; a FIXED batch of near-dup variants of copy-0 docs dedups
+    * incrementally against it. Reported per m:
+    *   - stored_band_rows: what the pre-prune pipeline materialized
+    *     through the bucket-cap localCheckpoint (corpus docs × bands);
+    *   - pruned_band_rows: what survives the bloom — the pruned
+    *     pipeline's materialization (built here with the operator's own
+    *     construction: bloom over the batch's (band, bandhash) keys);
+    *   - verified_pairs: must stay CONSTANT in m (the batch only
+    *     overlaps copy 0; disjoint alphabets kill everything else);
+    *   - inc_seconds: wall time of the full minHashLshIncremental.
+    * The claim under test: stored rows grow ∝ m while pruned rows and
+    * pairs stay ~flat — i.e. the incremental path's materialized work
+    * tracks the BATCH, not the corpus. */
+  private def incrementalCurve(dir: String, multipliers: Seq[Int]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    def salted(c: Int): DataFrame = base.select(
+      (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+      array_join(transform(graft.functions.TextFunctions.tokens(col("text")),
+        t => concat(lit(s"c${c}_"), t)), " ").as("text"))
+    // Fixed batch: ~6% of copy-0's docs with a 3-token tail appended —
+    // same alphabet as copy 0, so its true near-dups live there and only
+    // there, at every multiplier. Offset far above ANY copy's id range
+    // (copy c tops out at c·10^7 + 10^6): a first run used 9·10^8, which
+    // copy 90's range swallowed at m=100 — the id collision merged batch
+    // and copy-90 shingle sets in verification and pairs collapsed to 2.
+    val batch = base
+      .filter(graft.operators.Sampling.bucket(col("doc_id"), 31L) < 600)
+      .select((col("doc_id") + lit(5000000000L)).as("doc_id"),
+        concat(array_join(transform(graft.functions.TextFunctions.tokens(col("text")),
+          t => concat(lit("c0_"), t)), " "), lit(" zz end tail")).as("text"))
+      .localCheckpoint()
+    val batchN = batch.count()
+
+    multipliers.foreach { m =>
+      val corpus = (0 until m).map(salted).reduce(_.unionByName(_))
+        .localCheckpoint()
+      val n = corpus.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-inc-scale").toString
+      Dedup.writeMinHashSignatures(corpus, "text", "doc_id", s"$tmp/sigs", numHashes = 32)
+      val stored = Dedup.bandedStore(spark, s"$tmp/sigs", numHashes = 32, bands = 16)
+        .localCheckpoint()
+      val storedRows = stored.count()
+      // The operator's own prune construction, measured in isolation.
+      Dedup.writeMinHashSignatures(batch, "text", "doc_id", s"$tmp/bsigs", numHashes = 32)
+      val batchBand = Dedup.bandedStore(spark, s"$tmp/bsigs", numHashes = 32, bands = 16)
+      val key = xxhash64(col("__band"), col("__bandhash"))
+      val bloom = graft.operators.BloomPrune.build(batchBand, key,
+        math.max(1024L, batchN * 16)).get
+      val surviving = graft.operators.BloomPrune.prune(stored, key, bloom).count()
+      val t0 = System.nanoTime()
+      val pairs = Dedup.minHashLshIncremental(spark, batch, corpus,
+        "text", "doc_id", s"$tmp/sigs",
+        numHashes = 32, bands = 16, threshold = 0.6).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""[scale] {"multiplier":$m,"docs":$n,"batch_docs":$batchN,"stored_band_rows":$storedRows,"pruned_band_rows":$surviving,"verified_pairs":$pairs,"inc_seconds":$sec%.1f}""")
     }
     spark.stop()
   }

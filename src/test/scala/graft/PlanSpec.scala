@@ -227,4 +227,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment degenerated to a pairwise join:\n$p")
   }
+
+  test("domain quota: ONE keyed exchange (the domain partition), no extra sort pass") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars").cast("double").as("q"))
+    val df = graft.operators.Sampling.domainQuota(docs, "source", "q", "doc_id", 10)
+    val p = plan(df)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"quota must shuffle exactly once on the domain:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort — the rank is per-domain:\n$p")
+  }
+
+  test("sketch store: per-group sketch rows aggregate with partial (map-side) combine") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-plan-sk").toString + "/s"
+    graft.operators.Sketches.writeTokenSketches(docs, "text", "lang", path)
+    val merged = graft.operators.Sketches.mergedDistinct(spark, Seq(path))
+    val p = plan(merged)
+    // merge input is sketch rows (one per group/store), so the plan is a
+    // tiny scan + keyed aggregate — no join, no corpus rescan
+    assert(!p.contains("Join"), s"sketch merge must not join:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the sketch-union aggregate:\n$p")
+  }
 }

@@ -122,4 +122,25 @@ class SamplingSpec extends SparkSpec {
       assert(got.sameElements(want), s"shard $sh order mismatch")
     }
   }
+
+  test("domainQuota caps each group at quota, best score first, ties to lowest id") {
+    val df = Seq(
+      // domain a: 4 docs, quota 2 → keep the two best (30, then the 20-tie broken to id 2)
+      (1L, "a", 30.0), (2L, "a", 20.0), (3L, "a", 20.0), (4L, "a", 10.0),
+      // domain b: under quota → kept whole
+      (5L, "b", 1.0),
+      // domain c: exactly quota
+      (6L, "c", 5.0), (7L, "c", 4.0)
+    ).toDF("id", "dom", "score")
+    val kept = Sampling.domainQuota(df, "dom", "score", "id", quota = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L, 6L, 7L), kept.toString)
+    // deterministic: a re-run selects the identical set
+    val again = Sampling.domainQuota(df, "dom", "score", "id", quota = 2)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept)
+    intercept[IllegalArgumentException] {
+      Sampling.domainQuota(df, "dom", "score", "id", quota = 0)
+    }
+  }
 }

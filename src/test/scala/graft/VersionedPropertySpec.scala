@@ -5,11 +5,14 @@ import java.nio.file.Files
 import graft.operators.Versioned
 
 /** Property soak for the versioned-table layer: random sequences of
-  * commit / append / vacuum against an in-memory model (fixed seed —
-  * deterministic). The invariants a time-travel user relies on:
+  * commit / append / compact / vacuum against an in-memory model (fixed
+  * seed — deterministic). The invariants a time-travel user relies on:
   *   - read(v) equals the model's snapshot at v, for every live version,
   *     after ANY interleaving of operations;
   *   - vacuum never changes the contents of kept versions;
+  *   - compact is content-invisible (a snapshot of the parent's rows);
+  *   - changes(a, b) over any all-append window equals the model's
+  *     appended-rows difference;
   *   - version numbers are a gap-free ascending sequence as committed.
   */
 class VersionedPropertySpec extends SparkSpec {
@@ -17,11 +20,13 @@ class VersionedPropertySpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(20260814L)
 
-  test("random commit/append/vacuum sequences match the in-memory model") {
+  test("random commit/append/compact/vacuum sequences match the in-memory model") {
     (1 to 5).foreach { _ =>
       val dir = Files.createTempDirectory("graft-vprop").toString + "/t"
       // model(v) = the full id multiset visible at version v
       val model = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      // append-run bookkeeping for changes(): mode per version
+      val modes = scala.collection.mutable.ArrayBuffer.empty[String]
       var vacuumedBelow = 0L
       var nextId = 0L
       def batch(): Seq[Long] = {
@@ -30,25 +35,32 @@ class VersionedPropertySpec extends SparkSpec {
         ids.map(_.toLong)
       }
 
-      val ops = 4 + rnd.nextInt(5)
+      val ops = 5 + rnd.nextInt(5)
       (0 until ops).foreach { _ =>
-        rnd.nextInt(3) match {
+        rnd.nextInt(4) match {
           case 0 =>
             val b = batch()
             val v = Versioned.commit(b.toDF("id"), dir)
             model += b
+            modes += "snapshot"
             assert(v == model.size - 1, s"version must be gap-free: $v")
           case 1 =>
             val b = batch()
             val v = Versioned.append(b.toDF("id"), dir)
             val parent = if (model.isEmpty) Seq.empty else model.last
             model += (parent ++ b)
+            modes += "append"
             assert(v == model.size - 1)
-          case 2 if model.size >= 2 && vacuumedBelow < model.size - 1 =>
+          case 2 if model.nonEmpty =>
+            val v = Versioned.compact(spark, dir)
+            model += model.last // content-invisible
+            modes += "snapshot"
+            assert(v == model.size - 1)
+          case 3 if model.size >= 2 && vacuumedBelow < model.size - 1 =>
             val keepFrom = vacuumedBelow + 1 + rnd.nextInt((model.size - 1 - vacuumedBelow).toInt)
             Versioned.vacuum(spark, dir, keepFrom)
             vacuumedBelow = keepFrom
-          case _ => () // vacuum with nothing to drop: skip
+          case _ => () // op not applicable yet: skip
         }
         // Every LIVE version must read back exactly the model snapshot.
         (vacuumedBelow.toInt until model.size).foreach { v =>
@@ -56,6 +68,19 @@ class VersionedPropertySpec extends SparkSpec {
             .as[Long].collect().sorted.toSeq
           assert(got == model(v).sorted,
             s"version $v drifted from the model after ${model.size} versions")
+        }
+        // changes() over every live all-append window equals the model's
+        // appended-rows difference (as a multiset).
+        (vacuumedBelow.toInt until model.size).foreach { from =>
+          var to = from + 1
+          while (to < model.size && modes(to) == "append") {
+            val got = Versioned.changes(spark, dir, from, to)
+              .as[Long].collect().sorted.toSeq
+            val want = model(to).diff(model(from)).sorted
+            assert(got == want,
+              s"changes($from, $to) drifted: got $got want $want")
+            to += 1
+          }
         }
       }
       // Vacuumed versions are gone, loudly.

@@ -212,6 +212,39 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.changes(spark, dir, 2L).isEmpty)
   }
 
+  test("compact: rows identical, one group, history intact, vacuum reclaims") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Versioned.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    Versioned.append(Seq((4L, "d"), (4L, "d2")).toDF("id", "v"), dir)
+    val parent = Versioned.read(spark, dir).orderBy("id", "v").collect().toSeq
+    val newV = Versioned.compact(spark, dir)
+    assert(newV == 3L)
+    // row-identical (duplicates preserved — compaction is layout-only)
+    assert(Versioned.read(spark, dir, newV).orderBy("id", "v").collect().toSeq == parent)
+    val h = Versioned.describeHistory(spark, dir).orderBy("version").collect()
+    assert(h.map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq ==
+      Seq((0L, "snapshot", 1L), (1L, "append", 2L), (2L, "append", 3L),
+        (3L, "snapshot", 1L)), "compacted version must be a 1-group snapshot")
+    // pre-compaction versions still read their own groups
+    assert(Versioned.read(spark, dir, 2L).count() == 5)
+    assert(Versioned.read(spark, dir, 0L).count() == 2)
+    // vacuum to the compacted version reclaims every superseded group
+    Versioned.vacuum(spark, dir, keepFrom = newV)
+    assert(Versioned.read(spark, dir, newV).orderBy("id", "v").collect().toSeq == parent)
+    val after = Versioned.describeHistory(spark, dir).collect()
+    assert(after.map(_.getLong(0)).toSeq == Seq(newV) && after.head.getBoolean(5))
+  }
+
+  test("compact: targetFileBytes splits large versions into multiple files") {
+    val dir = tbl()
+    Versioned.commit(spark.range(20000).selectExpr("id", "repeat('x', 64) AS v"), dir)
+    Versioned.compact(spark, dir, targetFileBytes = 64 * 1024)
+    val files = Versioned.read(spark, dir).inputFiles
+    assert(files.length > 1, s"expected a multi-file compaction, got ${files.length}")
+    assert(Versioned.read(spark, dir).count() == 20000)
+  }
+
   test("changes: crossing a snapshot boundary raises; bad ranges raise") {
     val dir = tbl()
     Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)
