@@ -902,6 +902,48 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // The daily-crawl loop CLOSED end-to-end: corpus at v0 with a
+    // signature store; a crawl batch re-drafts ~6% of the corpus — even
+    // ids get a 3-token tail (trigram Jaccard 0.7-0.97 vs the original:
+    // a true near-dup, struck), odd ids get their token order REVERSED
+    // (same vocabulary, trigram-disjoint: genuinely new content,
+    // survives), so both verdicts occur at every SF. The batch then
+    // dedups incrementally against the store, survivors append as v1,
+    // and the result is read back through the CDC seam — changes(0)
+    // serves exactly the appended survivors from only the new file
+    // group. Composes minHashLshIncremental (bloom-pruned store scan) +
+    // keep-smaller-id retention + Versioned.append + changes. The
+    // oracle recomputes the full all-pairs trigram Jaccard, the drop
+    // set, and the survivor rollup from raw text.
+    "crawl_append_loop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val tbl = s"/tmp/graft_versioned/crawl_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs, tbl)
+      val batch = docs.filter(Sampling.bucket(col("doc_id"), 31L) < 600)
+        .select((col("doc_id") + lit(5000000000L)).as("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(col("text"), lit(" zz end tail")))
+            .otherwise(array_join(reverse(
+              graft.functions.TextFunctions.tokens(col("text"))), " "))
+            .as("text"),
+          col("lang"), col("source"))
+      val sigs = s"/tmp/graft_minhash/sigs_crawl_${etlSuffix(dir)}"
+      Dedup.writeMinHashSignatures(docs, "text", "doc_id", sigs, numHashes = 32)
+      val pairs = Dedup.minHashLshIncremental(s, batch, docs, "text", "doc_id",
+        sigs, numHashes = 32, bands = 16, threshold = 0.6)
+      // id_a < id_b and batch ids sit above every corpus id, so the
+      // greater member of any qualifying pair is always the batch doc.
+      val drops = pairs.select(col("id_b").as("doc_id")).distinct()
+      val survivors = batch.join(drops, Seq("doc_id"), "left_anti")
+      Versioned.append(survivors, tbl)
+      Versioned.changes(s, tbl, fromVersion = 0L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // Recon ACROSS table versions — the "what drifted between
     // snapshots" composition: v0 is the raw corpus, v1 the curated
     // rewrite (src0 struck via Versioned.curate), and the standard
@@ -977,6 +1019,34 @@ object SparkEntry {
       Sketches.writeTokenSketches(
         d.filter(length(col("source")) === 5), "text", "lang", p2)
       val est = Sketches.mergedDistinct(s, Seq(p1, p2))
+        .select(col("group").as("lang"), col("est_distinct"))
+      val exact = d.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("lang").agg(countDistinct(col("tok")).as("n_exact"))
+      exact.join(est, Seq("lang"))
+        .select(col("lang"), col("n_exact"),
+          (abs(col("est_distinct").cast("double") - col("n_exact")) /
+            col("n_exact") <= 0.05).as("est_ok"))
+        .orderBy("lang")
+    }),
+
+    // The STREAMING ingest flavor of the sketch store: the same two
+    // batches drain as checkpointed micro-batch runs, each appending
+    // its own sketch rows via foreachBatch — the store grows by one
+    // KB-sized row set per micro-batch and never rescans. Union of
+    // sketches = sketch of the union, so the merged estimate is
+    // bit-identical to the batch flavor's and the IDENTICAL oracle
+    // gates both.
+    "sketch_store_streaming" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = t(s, dir, "documents")
+      val p = etlScratch(dir, "sketch_stream")
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      graft.streaming.StreamingSketches.sketchDrain(s,
+        Seq(d.filter(length(col("source")) === 4).select("lang", "text"),
+          d.filter(length(col("source")) === 5).select("lang", "text")),
+        "text", "lang", p)
+      val est = Sketches.mergedDistinct(s, Seq(p))
         .select(col("group").as("lang"), col("est_distinct"))
       val exact = d.select(col("lang"), explode(tokens(col("text"))).as("tok"))
         .groupBy("lang").agg(countDistinct(col("tok")).as("n_exact"))
@@ -3917,6 +3987,48 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM chg GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // Full recomputation of the crawl loop: the batch construction, the
+    // all-pairs trigram Jaccard (recall 1.0 at 32/16 on this family —
+    // the same guarantee the other minhash oracles lean on), the
+    // greater-member drop set, and the survivor rollup. The changes()
+    // read must equal the survivors exactly.
+    "crawl_append_loop" ->
+      s"""WITH bkt AS (
+         |  SELECT doc_id, ${Sampling.bucketSql("doc_id", 31L)} AS bk FROM documents),
+         |batch AS (
+         |  SELECT d.doc_id + 5000000000 AS doc_id,
+         |    CASE WHEN d.doc_id % 2 = 0 THEN d.text || ' zz end tail'
+         |         ELSE array_to_string(list_reverse(
+         |           string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ')), ' ')
+         |    END AS text, d.lang
+         |  FROM documents d JOIN bkt b USING (doc_id) WHERE b.bk < 600),
+         |alldocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, text FROM batch),
+         |tok AS (
+         |  SELECT doc_id,
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM alldocs),
+         |pos AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM tok),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+         |  FROM pos),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |drops AS (
+         |  SELECT DISTINCT id_b AS doc_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE i::double / (sa.n + sb.n - i) >= 0.6
+         |    AND id_b IN (SELECT doc_id FROM batch))
+         |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // Both versions' aggregates from raw docs; delta/match mirror the
     // recon contract (abs diff; equality, else 0.001 relative
     // tolerance). id_sum cast: DuckDB sum(BIGINT) → HUGEINT.
@@ -3960,15 +4072,11 @@ object SparkEntry {
     // Exact distinct tokens per language; the estimate gate must hold at
     // the 5% floor (HLL lgK=12 standard error ~1.6%), so est_ok is a
     // deterministic true. WHERE clause drops token-less docs the same
-    // way Spark's empty tokens() array does.
-    "sketch_store" ->
-      """WITH tok AS (
-        |  SELECT lang,
-        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
-        |  FROM documents
-        |  WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> '')
-        |SELECT lang, count(DISTINCT t) AS n_exact, true AS est_ok
-        |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+    // way Spark's empty tokens() array does. Shared with the streaming
+    // flavor: mergeability makes the two stores' estimates identical,
+    // so one oracle gates both.
+    "sketch_store" -> sketchStoreOracleSql,
+    "sketch_store_streaming" -> sketchStoreOracleSql,
 
     // The same quality expression as budget_select's oracle feeds a
     // per-source rank; membership and score are both hash-gated.
@@ -4791,6 +4899,19 @@ object SparkEntry {
 
   private def dq(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared by `sketch_store` and `sketch_store_streaming`: the batch
+    * and streaming stores merge to the SAME estimates (union of
+    * sketches = sketch of the union), so one exact-count oracle gates
+    * both. */
+  private val sketchStoreOracleSql: String =
+    """WITH tok AS (
+      |  SELECT lang,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+      |  FROM documents
+      |  WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> '')
+      |SELECT lang, count(DISTINCT t) AS n_exact, true AS est_ok
+      |FROM tok GROUP BY lang ORDER BY lang""".stripMargin
 
   private def oracleTokensExpr(c: String): String =
     s"string_split(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')), ' ')"

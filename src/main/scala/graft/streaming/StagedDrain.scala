@@ -37,16 +37,7 @@ private[streaming] object StagedDrain {
     val out = stage.resolve("__out").toString
     var dropped = 0L
     batches.zipWithIndex.foreach { case (b, i) =>
-      val tmp = stage.resolve(s"__tmp_$i")
-      b.coalesce(1).write.parquet(tmp.toString)
-      val part = tmp.toFile.listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-      val dest = new java.io.File(stage.toFile, f"batch_$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      tmp.toFile.listFiles().foreach(_.delete())
-      tmp.toFile.delete()
-
+      stageBatch(stage, b, i)
       val src = spark.readStream.schema(b.schema)
         .option("pathGlobFilter", "batch_*.parquet")
         .parquet(stage.toString)
@@ -61,5 +52,45 @@ private[streaming] object StagedDrain {
         .flatMap(_.stateOperators.toSeq).map(_.numRowsDroppedByWatermark).sum
     }
     (spark.read.parquet(out), dropped)
+  }
+
+  /** Same staging + checkpointed AvailableNow drains, but each
+    * micro-batch is handed to `handler` (the `foreachBatch` sink) — for
+    * ingest paths whose per-batch output is a SIDE artifact (sketch
+    * rows, signature stores) rather than a row stream. The checkpoint
+    * still guarantees each staged batch is processed exactly once
+    * across the runs. */
+  def runForeach(
+      spark: SparkSession,
+      batches: Seq[DataFrame],
+      handler: (DataFrame, Long) => Unit): Unit = {
+    require(batches.nonEmpty, "staged drain needs at least one batch")
+    val stage = java.nio.file.Files.createTempDirectory("graft_staged_drain")
+    val ckpt = stage.resolve("__checkpoint").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      stageBatch(stage, b, i)
+      val src = spark.readStream.schema(b.schema)
+        .option("pathGlobFilter", "batch_*.parquet")
+        .parquet(stage.toString)
+      val q = src.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) => handler(df, id) }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+  }
+
+  private def stageBatch(
+      stage: java.nio.file.Path, b: DataFrame, i: Int): Unit = {
+    val tmp = stage.resolve(s"__tmp_$i")
+    b.coalesce(1).write.parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val dest = new java.io.File(stage.toFile, f"batch_$i%03d.parquet")
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    tmp.toFile.listFiles().foreach(_.delete())
+    tmp.toFile.delete()
   }
 }

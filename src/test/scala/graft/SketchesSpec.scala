@@ -45,6 +45,23 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("streaming drain's merged estimate equals the batch store's exactly") {
+    val b1 = Seq(("g1", "alpha beta gamma delta"), ("g2", "one two")).toDF("g", "text")
+    val b2 = Seq(("g1", "alpha epsilon zeta"), ("g2", "two three")).toDF("g", "text")
+    val batchP1 = store(); val batchP2 = store(); val streamP = store()
+    Sketches.writeTokenSketches(b1, "text", "g", batchP1)
+    Sketches.writeTokenSketches(b2, "text", "g", batchP2)
+    graft.streaming.StreamingSketches.sketchDrain(
+      spark, Seq(b1, b2), "text", "g", streamP)
+    val batchEst = Sketches.mergedDistinct(spark, Seq(batchP1, batchP2))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamEst = Sketches.mergedDistinct(spark, Seq(streamP))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamEst == batchEst, s"stream $streamEst vs batch $batchEst")
+    // the streaming store accumulated one row set per micro-batch
+    assert(spark.read.parquet(streamP).count() == 4L) // 2 groups × 2 batches
+  }
+
   test("sketch rows are narrow and per-group — the store is metadata-sized") {
     val docs = spark.range(500)
       .select(lit("g").as("g"), concat(lit("w"), col("id")).as("text"))
