@@ -944,6 +944,37 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // The CDC consumer loop: three polls against an evolving table. The
+    // first two land on all-append windows and receive ONLY the
+    // appended rows (served from the new file groups, resync=false);
+    // the third crosses a snapshot rewrite — file-group differencing is
+    // impossible, so the consumer gets the FULL latest version with
+    // resync=true and reprocesses, the same contract as a Delta CDF
+    // reader crossing a vacuumed range. The consumer holds ONE long of
+    // state (the cursor) no matter how large the table. Oracle
+    // recomputes each poll's rollup from raw documents.
+    "poll_changes_cycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val tbl = s"/tmp/graft_versioned/poll_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      def roll(df: DataFrame, phase: String, resync: Boolean) =
+        df.agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
+          .select(lit(phase).as("phase"), col("n_rows"), col("id_sum"),
+            lit(resync).as("resync"))
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Versioned.append(docs.filter(col("lang") =!= "en"), tbl)
+      val (d1, c1, r1) = Versioned.pollChanges(s, tbl, 0L)
+      Versioned.append(docs.filter(col("source").isin("src0", "src1", "src2")), tbl)
+      val (d2, c2, r2) = Versioned.pollChanges(s, tbl, c1)
+      Versioned.commit(docs.filter(col("lang") === "es"), tbl)
+      val (d3, _, r3) = Versioned.pollChanges(s, tbl, c2)
+      roll(d1, "p1_append", r1)
+        .unionByName(roll(d2, "p2_append", r2))
+        .unionByName(roll(d3, "p3_resync", r3))
+        .orderBy("phase")
+    }),
+
     // Recon ACROSS table versions — the "what drifted between
     // snapshots" composition: v0 is the raw corpus, v1 the curated
     // rewrite (src0 struck via Versioned.curate), and the standard
@@ -3986,6 +4017,21 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM chg GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Each poll's rollup from raw docs: p1 = the non-en append, p2 =
+    // the src0-2 append, p3 = the FULL es snapshot (resync). id_sum
+    // casts against the HUGEINT class.
+    "poll_changes_cycle" ->
+      """SELECT 'p1_append' AS phase, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum, false AS resync
+        |FROM documents WHERE lang <> 'en'
+        |UNION ALL
+        |SELECT 'p2_append', count(*), CAST(sum(doc_id) AS BIGINT), false
+        |FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        |UNION ALL
+        |SELECT 'p3_resync', count(*), CAST(sum(doc_id) AS BIGINT), true
+        |FROM documents WHERE lang = 'es'
+        |ORDER BY phase""".stripMargin,
 
     // Full recomputation of the crawl loop: the batch construction, the
     // all-pairs trigram Jaccard (recall 1.0 at 32/16 on this family —

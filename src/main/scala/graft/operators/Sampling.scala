@@ -258,6 +258,41 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** [[domainQuota]] for SKEWED domain distributions — result-identical
+    * (spec-pinned), different cost shape. The plain quota sorts every
+    * domain's full row set on ONE task under the rank window; a
+    * mega-domain (quota=100 out of 10^9 rows) sorts a billion rows on
+    * one executor to keep a hundred. This flavor is the classic salted
+    * two-stage top-k: stage 1 ranks within `(domain, salt)` — the
+    * mega-domain splits across `salt` parallel partitions of n/salt
+    * rows each — and keeps each salted partition's top `quota`; stage 2
+    * runs the EXACT rank on the ≤ salt·quota survivors per domain.
+    *
+    * Result-identity is deterministic, not probabilistic: a row in a
+    * domain's true top-quota has at most quota−1 rows ordered ahead of
+    * it globally, therefore at most quota−1 in ITS salted partition —
+    * it always survives stage 1, and stage 2 is the exact operator.
+    * The salt is hashed from the id (no RNG), so reruns are stable. */
+  def domainQuotaSkewed(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      quota: Int,
+      salt: Int = 64): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    require(salt >= 1, s"salt must be >= 1: $salt")
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val pre = df
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salt.toLong)))
+      .withColumn("__rk1", row_number().over(w1))
+      .filter(col("__rk1") <= quota)
+      .drop("__salt", "__rk1")
+    domainQuota(pre, groupCol, scoreCol, idCol, quota)
+  }
+
   /** Materialize the shuffled corpus as `numShards` parquet shard
     * directories, rows inside each shard in shuffle order: one hash
     * repartition + per-partition sort (the sort is local — no global

@@ -274,6 +274,55 @@ object Versioned {
     (dropVersions.size.toLong, dropGroups.size.toLong)
   }
 
+  /** Wall-clock retention — the `RETAIN n HOURS` shape on top of
+    * [[vacuum]]: drop every version whose manifest `committed_at` is
+    * strictly before `cutoff`, except that the LATEST version is always
+    * kept (a fully-expired table must stay readable, matching Delta's
+    * guarantee). `keepFrom` is the first version at-or-after the
+    * cutoff, so retention stays version-contiguous: a version is never
+    * dropped while an OLDER one survives. Returns (droppedVersions,
+    * deletedGroups). */
+  def vacuumOlderThan(
+      spark: SparkSession,
+      tableDir: String,
+      cutoff: java.time.Instant): (Long, Long) = {
+    val latest = latestVersion(spark, tableDir)
+    require(latest >= 0, s"no versions committed under $tableDir")
+    val keepFrom = (0L to latest).find { v =>
+      scala.util.Try(parseManifest(spark, tableDir, v)).toOption.exists { m =>
+        m.committedAt.nonEmpty &&
+          !java.time.Instant.parse(m.committedAt).isBefore(cutoff)
+      }
+    }.getOrElse(latest)
+    vacuum(spark, tableDir, keepFrom)
+  }
+
+  /** CDC cursor — the consumer side of [[changes]]: given the last
+    * version this consumer processed, return (new rows, advanced
+    * cursor, resync flag). Over an all-append window the rows are
+    * served from only the appended file groups, exactly [[changes]];
+    * when a snapshot/rewrite intervened (or the cursor predates
+    * retention), file-group differencing is impossible, so the FULL
+    * latest version is returned with `resync = true` — the consumer
+    * reprocesses from scratch, the same contract as a Delta CDF reader
+    * hitting a vacuumed-away range. A caller polling in a loop holds
+    * only the cursor long; state never grows with the table. */
+  def pollChanges(
+      spark: SparkSession,
+      tableDir: String,
+      cursor: Long): (DataFrame, Long, Boolean) = {
+    val latest = latestVersion(spark, tableDir)
+    require(latest >= 0, s"no versions committed under $tableDir")
+    if (cursor >= latest) return (read(spark, tableDir, latest).limit(0), latest, false)
+    val windowIsAppend = cursor >= 0 &&
+      scala.util.Try(readManifest(spark, tableDir, cursor)).isSuccess &&
+      ((cursor + 1) to latest).forall { v =>
+        scala.util.Try(parseManifest(spark, tableDir, v)).toOption.exists(_.mode == "append")
+      }
+    if (windowIsAppend) (changes(spark, tableDir, cursor, latest), latest, false)
+    else (read(spark, tableDir, latest), latest, true)
+  }
+
   /** Row-level diff between two versions (see [[Snapshot.diff]]). */
   def diffVersions(
       spark: SparkSession, tableDir: String, oldV: Long, newV: Long,

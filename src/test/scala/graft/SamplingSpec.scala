@@ -143,4 +143,20 @@ class SamplingSpec extends SparkSpec {
       Sampling.domainQuota(df, "dom", "score", "id", quota = 0)
     }
   }
+
+  test("domainQuotaSkewed equals the exact quota on a skewed corpus, any salt") {
+    // one mega-domain (5000 rows), several small ones, planted score ties
+    val rows = (0L until 5000L).map(i => (i, "mega", (i % 97).toDouble)) ++
+      (5000L until 5030L).map(i => (i, "small", (i % 7).toDouble)) ++
+      Seq((9001L, "tiny", 1.0), (9002L, "tiny", 1.0))
+    val df = rows.toDF("id", "dom", "score")
+    val exact = Sampling.domainQuota(df, "dom", "score", "id", quota = 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    for (salt <- Seq(1, 7, 64)) {
+      val skewed = Sampling.domainQuotaSkewed(df, "dom", "score", "id",
+        quota = 10, salt = salt)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(skewed == exact, s"salt=$salt diverged from the exact quota")
+    }
+  }
 }

@@ -245,6 +245,51 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, dir).count() == 20000)
   }
 
+  test("vacuumOlderThan: drops strictly-older versions, always keeps the latest") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    Thread.sleep(15)
+    val mid = java.time.Instant.now()
+    Thread.sleep(15)
+    Versioned.append(Seq((2L, "b")).toDF("id", "v"), dir)
+    Versioned.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    // cutoff between v0 and v1: v0 drops, v1+v2 keep (v1's shared group
+    // with v0 survives through the reference)
+    val (dv, _) = Versioned.vacuumOlderThan(spark, dir, mid)
+    assert(dv == 1L)
+    assert(Versioned.describeHistory(spark, dir).collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L))
+    assert(Versioned.read(spark, dir, 1L).count() == 2)
+    // cutoff after everything: ONLY the latest survives
+    val (dv2, _) = Versioned.vacuumOlderThan(spark, dir, java.time.Instant.now())
+    assert(dv2 == 1L)
+    assert(Versioned.describeHistory(spark, dir).collect().map(_.getLong(0)).toSeq ==
+      Seq(2L))
+    assert(Versioned.read(spark, dir).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L), "latest must stay fully readable after full expiry")
+  }
+
+  test("pollChanges: append windows serve deltas; snapshots and vacuumed cursors resync") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    Versioned.append(Seq((2L, "b")).toDF("id", "v"), dir)
+    val (d1, c1, r1) = Versioned.pollChanges(spark, dir, 0L)
+    assert(!r1 && c1 == 1L &&
+      d1.collect().map(_.getString(1)).toSeq == Seq("b"))
+    // caught up: empty frame, cursor unchanged
+    val (d2, c2, r2) = Versioned.pollChanges(spark, dir, c1)
+    assert(!r2 && c2 == 1L && d2.isEmpty)
+    // a snapshot intervenes: full resync
+    Versioned.commit(Seq((9L, "z")).toDF("id", "v"), dir)
+    val (d3, c3, r3) = Versioned.pollChanges(spark, dir, c2)
+    assert(r3 && c3 == 2L && d3.collect().map(_.getString(1)).toSeq == Seq("z"))
+    // cursor predating retention: resync too
+    Versioned.append(Seq((10L, "y")).toDF("id", "v"), dir)
+    Versioned.vacuum(spark, dir, keepFrom = 3L)
+    val (d4, _, r4) = Versioned.pollChanges(spark, dir, 1L)
+    assert(r4 && d4.count() == 2L, "vacuumed-away cursor must hand back the full latest")
+  }
+
   test("changes: crossing a snapshot boundary raises; bad ranges raise") {
     val dir = tbl()
     Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)
