@@ -1088,6 +1088,33 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // The sketch surface generalized past text: per-status distinct
+    // CUSTOMERS over orders, two per-batch stores (orderkey parity —
+    // customers overlap across batches heavily, which is exactly what
+    // per-batch distinct counts cannot handle and merged sketches can),
+    // merged estimate gated at the 5% floor against the exact distinct
+    // count the oracle recomputes.
+    "sketch_store_values" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val p1 = etlScratch(dir, "sketch_v1")
+      val p2 = etlScratch(dir, "sketch_v2")
+      Sketches.writeValueSketches(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        "o_custkey", "o_orderstatus", p1)
+      Sketches.writeValueSketches(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+        "o_custkey", "o_orderstatus", p2)
+      val est = Sketches.mergedDistinct(s, Seq(p1, p2))
+        .select(col("group").as("o_orderstatus"), col("est_distinct"))
+      val exact = o.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      exact.join(est, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("n_exact"),
+          (abs(col("est_distinct").cast("double") - col("n_exact")) /
+            col("n_exact") <= 0.05).as("est_ok"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Per-domain quota: at most 10 docs per source, best quality first
     // (ties to lowest id) — the anti-domination cap crawl pipelines
     // apply per host. Kept rows emitted directly: the oracle recomputes
@@ -4123,6 +4150,14 @@ object SparkEntry {
     // so one oracle gates both.
     "sketch_store" -> sketchStoreOracleSql,
     "sketch_store_streaming" -> sketchStoreOracleSql,
+
+    // Cross-batch customer overlap is the point: per-batch distinct
+    // sums would overcount; the merged sketch must land within 5% of
+    // the true distinct count.
+    "sketch_store_values" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact,
+        |  true AS est_ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // The same quality expression as budget_select's oracle feeds a
     // per-source rank; membership and score are both hash-gated.

@@ -40,6 +40,24 @@ object Sketches {
       .agg(hll_sketch_agg(col("__tok"), lit(lgK)).as("sketch"))
       .write.mode("overwrite").parquet(path)
 
+  /** The general (non-text) flavor: per-`groupCol` HLL sketches of ANY
+    * value column — distinct customers per order status, distinct URLs
+    * per crawl partition, distinct session ids per day. Same store
+    * contract as [[writeTokenSketches]] (`(group, sketch BINARY)`, one
+    * narrow row per group), same merge path, so token and value stores
+    * compose through the one [[mergedDistinct]]. */
+  def writeValueSketches(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      path: String,
+      lgK: Int = 12): Unit =
+    df.select(col(groupCol).as("group"), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("group")
+      .agg(hll_sketch_agg(col("__v"), lit(lgK)).as("sketch"))
+      .write.mode("overwrite").parquet(path)
+
   /** Merge any number of sketch stores into per-group distinct-count
     * estimates: `(group, est_distinct LONG)`. Input is sketch rows (one
     * per group per store), so the merge cost is O(groups × stores) —
