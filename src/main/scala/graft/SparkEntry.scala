@@ -944,6 +944,39 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // The PUSH flavor of the CDC seam: a Structured Streaming consumer
+    // tails the append-only table's file groups. Drain 1 (from genesis)
+    // emits the first two groups; a third append lands; drain 2
+    // restarts from the checkpoint and emits ONLY the new group — if it
+    // re-emitted anything the counts below double and the hash fails,
+    // so exactly-once across restarts is what the oracle gates. Rollup
+    // over the sink = every appended row once.
+    "version_changes_streaming" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val tbl = s"/tmp/graft_versioned/tail_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Versioned.append(docs.filter(col("lang") =!= "en"), tbl)
+      val schema = Versioned.read(s, tbl).schema
+      val scratch = java.nio.file.Files.createTempDirectory("graft_vtail")
+      val sink = scratch.resolve("sink").toString
+      val ckpt = scratch.resolve("ckpt").toString
+      def drain(): Unit = {
+        val q = Versioned.changesStream(s, tbl, schema)
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain()
+      Versioned.append(docs.filter(col("source").isin("src0", "src1", "src2")), tbl)
+      drain()
+      s.read.parquet(sink).groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // The CDC consumer loop: three polls against an evolving table. The
     // first two land on all-append windows and receive ONLY the
     // appended rows (served from the new file groups, resync=false);
@@ -4038,6 +4071,19 @@ object SparkEntry {
     "version_changes" ->
       """WITH chg AS (
         |  SELECT doc_id, lang FROM documents WHERE lang <> 'en'
+        |  UNION ALL
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2'))
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM chg GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Every appended row exactly once: all documents (en group +
+    // non-en group) plus the re-appended src0-2 rows. Any re-emission
+    // on the second drain doubles a group and breaks the hash.
+    "version_changes_streaming" ->
+      """WITH chg AS (
+        |  SELECT doc_id, lang FROM documents
         |  UNION ALL
         |  SELECT doc_id, lang FROM documents
         |  WHERE source IN ('src0', 'src1', 'src2'))

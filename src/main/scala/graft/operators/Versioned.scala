@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.hadoop.fs.Path
 
 /** Parquet-native versioned tables — the time-travel workflow the
@@ -106,8 +106,16 @@ object Versioned {
   private def writeGroup(df: DataFrame, tableDir: String): (String, Long) = {
     val group = java.util.UUID.randomUUID().toString
     df.write.parquet(s"$tableDir/files/$group")
-    val n = df.sparkSession.read.parquet(s"$tableDir/files/$group").count()
-    (group, n)
+    // ONE read-back aggregate yields the manifest row count AND the
+    // group's min/max column stats; the `_stats.json` sidecar lands
+    // inside the (still-unpublished) group dir, so a published
+    // version's stats are always complete and vacuum reclaims them
+    // with the data. See [[GroupStats]] and [[readWhere]].
+    val spark = df.sparkSession
+    val stats = GroupStats.compute(spark.read.parquet(s"$tableDir/files/$group"))
+    GroupStats.write(fs(spark, tableDir),
+      GroupStats.sidecarPath(tableDir, group), stats)
+    (group, stats.nRows)
   }
 
   /** Commit `df` as a FULL-SNAPSHOT version; returns the version number. */
@@ -156,6 +164,52 @@ object Versioned {
     val (groups, _, _) = readManifest(spark, tableDir, v)
     require(groups.nonEmpty, s"version $v of $tableDir lists no files")
     spark.read.parquet(groups.map(g => s"$tableDir/files/$g"): _*)
+  }
+
+  /** `read` + predicates with MANIFEST-LEVEL DATA SKIPPING — the
+    * Delta/Iceberg data-skipping economics for versioned tables. Each
+    * file group carries a min/max/null-count sidecar written at commit
+    * time ([[GroupStats]]); `readWhere` resolves the predicates against
+    * the table's schema, then excludes every group whose bounds prove
+    * no row can match, BEFORE the scan is planned. The surviving scan
+    * still applies the full predicate (skipping is an optimization,
+    * never the filter), so the result is always exactly
+    * `read(...).filter(preds)` — pruning can only shrink the file set.
+    *
+    * Why this beats parquet row-group stats at 100 TB: parquet prunes
+    * per-task after scheduling; this prunes at PLANNING time from a few
+    * KB of driver-side JSON, so a year-of-appends table answering a
+    * one-week window never lists, opens, or schedules the other 51
+    * weeks' groups. Groups without a sidecar (pre-feature tables) and
+    * predicates the stats can't reason about (functions, column-vs-
+    * column) are conservatively kept. */
+  def readWhere(
+      spark: SparkSession,
+      tableDir: String,
+      version: Long = -1L)(preds: Column*): DataFrame = {
+    require(preds.nonEmpty, "readWhere needs at least one predicate; use read() otherwise")
+    val v = if (version >= 0) version else latestVersion(spark, tableDir)
+    require(v >= 0, s"no versions committed under $tableDir")
+    val (groups, _, _) = readManifest(spark, tableDir, v)
+    require(groups.nonEmpty, s"version $v of $tableDir lists no files")
+    val cond = preds.reduce(_ && _)
+    // Resolve the predicate ONCE against the full scan's schema: the
+    // optimized plan's Filter condition has real attribute names,
+    // type-promoted literals, and between/isin lowered to comparisons.
+    val full = spark.read.parquet(groups.map(g => s"$tableDir/files/$g"): _*)
+    val resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      full.filter(cond).queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    val f = fs(spark, tableDir)
+    val kept = groups.filter { g =>
+      GroupStats.read(f, GroupStats.sidecarPath(tableDir, g)) match {
+        case Some(st) => resolved.forall(e => GroupStats.mayMatch(st, e))
+        case None     => true // pre-stats group: cannot prune
+      }
+    }
+    if (kept.isEmpty) full.filter(cond).limit(0)
+    else spark.read.parquet(kept.map(g => s"$tableDir/files/$g"): _*).filter(cond)
   }
 
   /** OPTIMIZE-style compaction: rewrite the latest version's data as a
@@ -322,6 +376,30 @@ object Versioned {
     if (windowIsAppend) (changes(spark, tableDir, cursor, latest), latest, false)
     else (read(spark, tableDir, latest), latest, true)
   }
+
+  /** The PUSH flavor of [[pollChanges]]: tail an APPEND-ONLY versioned
+    * table as a Structured Streaming source. Each [[append]] writes its
+    * batch as a fresh file-group directory; the file source's next
+    * micro-batch picks those files up, so a consumer receives exactly
+    * the appended rows — from GENESIS on first start (the initial
+    * listing emits the existing groups: CDC-from-start of an
+    * append-only table), then incrementally, with the engine's own
+    * checkpoint guaranteeing each group is processed once across
+    * restarts. Append-only tables ONLY: a snapshot or [[compact]]
+    * writes a new group holding existing rows, which a manifest-blind
+    * file stream would re-emit — when rewrites can occur, use
+    * [[pollChanges]] and honor its resync flag instead. Safe against
+    * [[vacuum]]: retention deletes only groups no kept version lists,
+    * which a checkpointed consumer processed long before. `schema` is
+    * required by `readStream`; pass `read(spark, dir).schema` of the
+    * live table. Groups are durable BEFORE their manifest publishes
+    * (see [[publish]]), so the stream can briefly lead the manifest by
+    * one group but never emits a torn group. */
+  def changesStream(
+      spark: SparkSession,
+      tableDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(s"$tableDir/files/*")
 
   /** Row-level diff between two versions (see [[Snapshot.diff]]). */
   def diffVersions(

@@ -29,6 +29,7 @@ class VersionedPropertySpec extends SparkSpec {
       val modes = scala.collection.mutable.ArrayBuffer.empty[String]
       var vacuumedBelow = 0L
       var nextId = 0L
+      var cursor = 0L // the CDC consumer's only state
       def batch(): Seq[Long] = {
         val ids = (0 until (1 + rnd.nextInt(8))).map(i => nextId + i)
         nextId += ids.size
@@ -68,6 +69,28 @@ class VersionedPropertySpec extends SparkSpec {
             .as[Long].collect().sorted.toSeq
           assert(got == model(v).sorted,
             s"version $v drifted from the model after ${model.size} versions")
+        }
+        // A modeled CDC consumer polls after every op: append windows
+        // must hand back exactly the appended delta; a snapshot in the
+        // window or a vacuumed-away cursor must resync with the full
+        // latest. The consumer state is ONE long (the cursor).
+        if (model.nonEmpty) {
+          val (df, c2, resync) = Versioned.pollChanges(spark, dir, cursor)
+          val got = df.as[Long].collect().sorted.toSeq
+          val latest = model.size - 1
+          val want =
+            if (cursor >= latest) Seq.empty[Long]
+            else if (resync) model(latest).sorted
+            else model(latest).diff(model(cursor.toInt)).sorted
+          assert(got == want,
+            s"consumer drifted at cursor=$cursor latest=$latest resync=$resync")
+          // resync is mandatory exactly when the window is not all-append
+          val windowAppend = cursor >= vacuumedBelow && cursor < latest &&
+            ((cursor.toInt + 1) to latest).forall(v => modes(v) == "append")
+          if (cursor < latest)
+            assert(resync == !windowAppend,
+              s"resync=$resync but windowAppend=$windowAppend at cursor=$cursor")
+          cursor = c2
         }
         // changes() over every live all-append window equals the model's
         // appended-rows difference (as a multiset).

@@ -290,6 +290,32 @@ class VersionedSpec extends SparkSpec {
     assert(r4 && d4.count() == 2L, "vacuumed-away cursor must hand back the full latest")
   }
 
+  test("changesStream tails an append-only table: each group exactly once across restarts") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Versioned.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    val schema = Versioned.read(spark, dir).schema
+    val scratch = Files.createTempDirectory("graft-vstream")
+    val sink = scratch.resolve("sink").toString
+    val ckpt = scratch.resolve("ckpt").toString
+    def drain(): Unit = {
+      val q = Versioned.changesStream(spark, dir, schema)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // genesis: both existing groups
+    assert(spark.read.parquet(sink).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    Versioned.append(Seq((4L, "d")).toDF("id", "v"), dir)
+    Versioned.append(Seq((5L, "e")).toDF("id", "v"), dir)
+    drain() // restart from the checkpoint: ONLY the two new groups
+    assert(spark.read.parquet(sink).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")),
+      "each appended group must be emitted exactly once")
+  }
+
   test("changes: crossing a snapshot boundary raises; bad ranges raise") {
     val dir = tbl()
     Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)
