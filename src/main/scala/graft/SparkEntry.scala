@@ -977,6 +977,96 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Manifest-level DATA SKIPPING: three doc_id-banded appends each
+    // carry a min/max sidecar (GroupStats), and readWhere excludes every
+    // group whose bounds prove no match BEFORE the scan is planned — the
+    // Delta/Iceberg skipping economics (a one-band predicate over a
+    // year-of-appends table never lists the other bands' files;
+    // GroupStatsSpec pins the pruned inputFiles). Skipping is an
+    // optimization, never the filter: the result must equal a plain
+    // read+filter, which is exactly what the oracle recomputes.
+    "version_skipping_scan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/skip_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val hi = docs.agg(max("doc_id")).collect()(0).getLong(0)
+      val (b1, b2) = (hi / 3, 2 * hi / 3)
+      Versioned.commit(docs.filter(col("doc_id") <= b1), tbl)
+      Versioned.append(docs.filter(col("doc_id") > b1 && col("doc_id") <= b2), tbl)
+      Versioned.append(docs.filter(col("doc_id") > b2), tbl)
+      Versioned.readWhere(s, tbl)(
+        col("doc_id") > b1 && col("doc_id") <= b2 && col("n_chars") >= 200)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
+    // OPTIMIZE ZORDER BY for versioned tables: the table arrives in
+    // HASH-BUCKET order (every append spans the full doc_id and n_chars
+    // domains — arrival-ordered stats prune nothing), then
+    // Versioned.cluster rewrites it z-ordered on (doc_id, n_chars) into
+    // curve-contiguous file groups whose sidecar stats are tight on
+    // BOTH dims at once, so readWhere prunes on either
+    // (VersionedIngestSpec pins the pruned group sets). The query scans
+    // through the clustered version with a two-dim predicate; the
+    // oracle recomputes it from raw documents — the rewrite must be
+    // row-invisible.
+    "versioned_cluster_skipping" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/clus_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val bk = Sampling.bucket(col("doc_id"), 31L)
+      Versioned.commit(docs.filter(bk < 5000), tbl)
+      Versioned.append(docs.filter(bk >= 5000), tbl)
+      Versioned.cluster(s, tbl, Seq("doc_id", "n_chars"), numGroups = 8)
+      Versioned.readWhere(s, tbl)(col("n_chars").between(150, 400))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"),
+          sum("n_chars").as("char_sum"))
+        .orderBy("lang")
+    }),
+
+    // EXACTLY-ONCE streaming ingest: a file stream drains three staged
+    // batches through Versioned.streamInto — each micro-batch lands as
+    // one append version via the (appId, batchId) txn watermark in the
+    // manifest (Delta's txnAppId/txnVersion mechanism). After the
+    // drain, a zombie-writer replay of the LAST batch is forced through
+    // appendOnce with the committed batchId: the watermark skips it, so
+    // the rollup counts every document exactly once — any duplicate
+    // doubles a lang group and fails the hash. A second checkpointed
+    // drain over the same source appends nothing either (engine + txn
+    // compose; VersionedIngestSpec pins both layers).
+    "streaming_versioned_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val tbl = s"/tmp/graft_versioned/ing_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_ving")
+      val src = scratch.resolve("src").toString
+      val ckpt = scratch.resolve("ckpt").toString
+      val bk = Sampling.bucket(col("doc_id"), 37L)
+      docs.filter(bk < 3000).coalesce(1).write.parquet(s"$src/b0")
+      docs.filter(bk >= 3000 && bk < 7000).coalesce(1).write.parquet(s"$src/b1")
+      docs.filter(bk >= 7000).coalesce(1).write.parquet(s"$src/b2")
+      val schema = s.read.parquet(s"$src/b0").schema
+      def drain(): Unit = Versioned.streamInto(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*"),
+        tbl, "ingest", ckpt).awaitTermination()
+      drain()
+      // Zombie replay of the last committed batch: watermark-skipped.
+      val last = Versioned.lastCommittedBatch(s, tbl, "ingest")
+      require(Versioned.appendOnce(
+        docs.filter(bk >= 7000), tbl, "ingest", last).isEmpty,
+        "replayed batch must be skipped")
+      drain() // checkpointed restart: nothing new
+      Versioned.read(s, tbl).groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // The CDC consumer loop: three polls against an evolving table. The
     // first two land on all-append windows and receive ONLY the
     // appended rows (served from the new file groups, resync=false);
@@ -4090,6 +4180,34 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM chg GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Skipping is an optimization, never the filter: the pruned scan's
+    // result must equal a plain filter over the raw table. The bands
+    // are max(doc_id)-derived exactly as the Spark side derives them.
+    "version_skipping_scan" ->
+      """WITH m AS (SELECT CAST(max(doc_id) AS BIGINT) AS hi FROM documents)
+        |SELECT lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents, m
+        |WHERE doc_id > hi // 3 AND doc_id <= (2 * hi) // 3 AND n_chars >= 200
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The z-order rewrite must be row-invisible: the clustered scan's
+    // two-dim-prunable predicate equals a plain filter over raw docs.
+    "versioned_cluster_skipping" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+        |FROM documents WHERE n_chars BETWEEN 150 AND 400
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The three staged batches partition the corpus, the forced replay
+    // and the second drain are watermark/checkpoint no-ops — so the
+    // ingested table is every document EXACTLY once; any duplicate
+    // doubles a lang group and fails the hash.
+    "streaming_versioned_ingest" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Each poll's rollup from raw docs: p1 = the non-en append, p2 =
     // the src0-2 append, p3 = the FULL es snapshot (resync). id_sum

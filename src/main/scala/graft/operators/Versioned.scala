@@ -55,7 +55,8 @@ object Versioned {
   }
 
   private final case class Manifest(
-      files: Seq[String], nRows: Long, mode: String, committedAt: String)
+      files: Seq[String], nRows: Long, mode: String, committedAt: String,
+      txn: Option[(String, Long)] = None)
 
   private def parseManifest(
       spark: SparkSession, tableDir: String, v: Long): Manifest = {
@@ -63,7 +64,8 @@ object Versioned {
     val in = f.open(manifestPath(tableDir, v))
     val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     // Minimal JSON of our own writing:
-    // {"version":n,"mode":"...","files":["g1",...],"n_rows":n,"committed_at":"..."}
+    // {"version":n,"mode":"...","files":["g1",...],"n_rows":n,"committed_at":"...",
+    //  "txn_app":"...","txn_batch":n}  (txn fields only on appendOnce commits)
     val files = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(raw)
       .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty).toSeq)
@@ -71,7 +73,11 @@ object Versioned {
     val nRows = "\"n_rows\":(\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong).getOrElse(0L)
     val mode = "\"mode\":\"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
     val at = "\"committed_at\":\"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
-    Manifest(files, nRows, mode, at)
+    val txn = for {
+      app <- "\"txn_app\":\"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1))
+      b <- "\"txn_batch\":(-?\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+    } yield (app, b)
+    Manifest(files, nRows, mode, at, txn)
   }
 
   private def readManifest(
@@ -84,6 +90,16 @@ object Versioned {
     * version number under concurrency; the data files are already
     * durable before the manifest appears, so a reader can never observe
     * a version whose data is incomplete. */
+  private def manifestJson(
+      v: Long, mode: String, groups: Seq[String], nRows: Long,
+      txn: Option[(String, Long)]): String = {
+    val txnJson = txn.map { case (app, b) =>
+      s""","txn_app":"$app","txn_batch":$b"""
+    }.getOrElse("")
+    s"""{"version":$v,"mode":"$mode","files":[${groups.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"$txnJson}"""
+  }
+
   private def publish(
       spark: SparkSession, tableDir: String, groups: Seq[String],
       nRows: Long, mode: String): Long = {
@@ -93,9 +109,7 @@ object Versioned {
       // FsAtomic: Hadoop's local create(overwrite=false) is check-then-
       // act; a non-atomic create here could publish the SAME version
       // number twice under concurrent committers.
-      val json =
-        s"""{"version":$v,"mode":"$mode","files":[${groups.map("\"" + _ + "\"").mkString(",")}],""" +
-          s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"}"""
+      val json = manifestJson(v, mode, groups, nRows, None)
       if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
         return v
       v += 1 // lost the race: next number
@@ -136,6 +150,94 @@ object Versioned {
     val (group, n) = writeGroup(df, tableDir)
     publish(spark, tableDir, parentGroups :+ group, parentRows + n, "append")
   }
+
+  /** Highest `batchId` any committed version records for `appId`, or -1
+    * if none — the idempotence watermark [[appendOnce]] consults. The
+    * scan is metadata-only (a few KB of JSON per version, on the
+    * driver); versions dropped by [[vacuum]] no longer witness their
+    * batches, so retention must exceed the longest replay window a
+    * restarting writer can attempt — the exact contract Delta documents
+    * for its SetTransaction retention. */
+  def lastCommittedBatch(
+      spark: SparkSession, tableDir: String, appId: String): Long = {
+    val latest = latestVersion(spark, tableDir)
+    (0L to latest).foldLeft(-1L) { (acc, v) =>
+      scala.util.Try(parseManifest(spark, tableDir, v)).toOption
+        .flatMap(_.txn)
+        .collect { case (app, b) if app == appId => b }
+        .fold(acc)(math.max(acc, _))
+    }
+  }
+
+  /** IDEMPOTENT append — the exactly-once streaming-ingest seam, the
+    * same mechanism as Delta's `txnAppId`/`txnVersion` options: the
+    * commit manifest records `(appId, batchId)`, and a batch at or
+    * below the app's committed watermark is a REPLAY and is skipped
+    * (returns None) instead of duplicating rows. Structured Streaming's
+    * `foreachBatch` is at-least-once across checkpoint restarts; this
+    * turns it into exactly-once, because the replayed micro-batch
+    * carries the same deterministic batchId the first attempt committed.
+    *
+    * Concurrency: the watermark is re-checked after every lost
+    * manifest-publish race, so two racing writers of the SAME
+    * (appId, batchId) — a zombie executor beside its replacement —
+    * commit once: the loser observes the winner's txn and abandons its
+    * (orphaned, vacuum-reclaimable) group. Writers of different appIds
+    * interleave freely, as with [[append]]. Requires batchIds that are
+    * monotone per appId — exactly what the streaming engine provides. */
+  def appendOnce(
+      df: DataFrame, tableDir: String, appId: String, batchId: Long): Option[Long] = {
+    require(appId.nonEmpty && !appId.exists(c => c == '"' || c == '\\'),
+      s"appId must be non-empty and quote-free: '$appId'")
+    val spark = df.sparkSession
+    if (lastCommittedBatch(spark, tableDir, appId) >= batchId) return None
+    val (group, n) = writeGroup(df, tableDir)
+    val f = fs(spark, tableDir)
+    while (true) {
+      if (lastCommittedBatch(spark, tableDir, appId) >= batchId) {
+        // A racer committed this batch between our check and publish:
+        // abandon the duplicate group (unreferenced → vacuum reclaims).
+        f.delete(new Path(s"$tableDir/files/$group"), true)
+        return None
+      }
+      val parent = latestVersion(spark, tableDir)
+      val (parentGroups, parentRows, _) =
+        if (parent < 0) (Seq.empty[String], 0L, "")
+        else readManifest(spark, tableDir, parent)
+      val v = parent + 1
+      val json = manifestJson(
+        v, "append", parentGroups :+ group, parentRows + n, Some(appId -> batchId))
+      if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
+        return Some(v)
+      // lost the race: loop re-reads the new latest AND the watermark
+    }
+    None // unreachable
+  }
+
+  /** Run a streaming query whose sink is this versioned table: each
+    * micro-batch lands as ONE append version via [[appendOnce]], so the
+    * table's history IS the ingest log — every batch a version, CDC
+    * consumers ([[changes]]/[[pollChanges]]/[[changesStream]]) see each
+    * batch exactly once, and a checkpoint-restart replay of the last
+    * batch is deduplicated by the txn watermark rather than appended
+    * twice. Returns the started query: drain-shaped callers
+    * (AvailableNow, the default) `awaitTermination()`; long-running
+    * ingest manages the handle. */
+  def streamInto(
+      source: DataFrame,
+      tableDir: String,
+      appId: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendOnce(batch, tableDir, appId, id); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 
   /** Apply a curation ACTION to the latest version and commit the result
     * as a new full-snapshot version — curation with rollback. This is
@@ -238,6 +340,83 @@ object Versioned {
     }.sum
     val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     commit(read(spark, tableDir, v).repartition(parts.toInt), tableDir)
+  }
+
+  /** OPTIMIZE ZORDER BY for versioned tables: rewrite the latest
+    * version Z-ORDER-CLUSTERED on `dims` into `numGroups` file groups,
+    * each holding one contiguous range of the Morton curve, and commit
+    * the rewrite as a new SNAPSHOT version. Because every group is a
+    * small hyper-rectangle of the combined dims domain, the per-group
+    * min/max sidecars ([[GroupStats]]) come out TIGHT on every layout
+    * dimension at once — so [[readWhere]] with a predicate on ANY of
+    * the dims prunes ~n^((d-1)/d) of the groups at planning time. This
+    * is the versioned composition of [[graft.sources.Layout]]'s curve
+    * with the manifest's skipping stats: append-heavy tables whose
+    * groups are arrival-ordered (stats span the whole domain, nothing
+    * prunes) get re-laid so the stats work, without losing history —
+    * the parent version still reads its own groups, and the superseded
+    * ones vacuum away.
+    *
+    * Cost shape (all pay-once, at rewrite time): one quantile pass for
+    * the dims' bucket boundaries, one for the z-value's group edges,
+    * then a single hash exchange on the group id with an in-partition
+    * (group, z) sort feeding a partitioned write — the same shuffle a
+    * bucketed write pays. Choose `numGroups` so groups land near the
+    * size [[compact]] would target; at 1000 executors the group count
+    * also bounds skip granularity: more groups = finer pruning, more
+    * manifest rows. Returns the new version number. */
+  def cluster(
+      spark: SparkSession,
+      tableDir: String,
+      dims: Seq[String],
+      numGroups: Int,
+      bitsPerDim: Int = 8): Long = {
+    require(numGroups >= 1, s"numGroups must be >= 1: $numGroups")
+    val v = latestVersion(spark, tableDir)
+    require(v >= 0, s"no versions committed under $tableDir")
+    val df = read(spark, tableDir, v)
+    val boundaries = graft.sources.Layout.boundariesFor(df, dims, bitsPerDim)
+    val withZ = df.withColumn("__z",
+      graft.sources.Layout.zvalue(dims, boundaries, bitsPerDim))
+    // Equi-depth edges over the z-value → group id = rank among edges.
+    // Duplicate edges (few distinct z-values) just leave some groups
+    // empty; the publish lists only the groups that materialized.
+    val gid: org.apache.spark.sql.Column =
+      if (numGroups == 1) org.apache.spark.sql.functions.lit(0)
+      else {
+        import org.apache.spark.sql.functions._
+        val probs = (1 until numGroups).map(_.toDouble / numGroups).toArray
+        val edges = withZ.stat.approxQuantile("__z", probs, 1.0 / (numGroups * 4))
+        val arr = array(edges.map(lit(_)): _*)
+        size(filter(arr, b => b <= col("__z").cast("double")))
+      }
+    val staging = s"$tableDir/_staging/${java.util.UUID.randomUUID()}"
+    withZ.withColumn("__gid", gid)
+      .repartition(numGroups, org.apache.spark.sql.functions.col("__gid"))
+      .sortWithinPartitions("__gid", "__z")
+      .drop("__z")
+      .write.partitionBy("__gid").parquet(staging)
+    val f = fs(spark, tableDir)
+    val stagingPath = new Path(staging)
+    try {
+      val gidDirs = f.listStatus(stagingPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__gid="))
+        .sortBy(_.getPath.getName.stripPrefix("__gid=").toInt)
+      val groups = gidDirs.map { s =>
+        val g = java.util.UUID.randomUUID().toString
+        require(f.rename(s.getPath, new Path(s"$tableDir/files/$g")),
+          s"failed to move clustered group ${s.getPath} into place")
+        val stats = GroupStats.compute(spark.read.parquet(s"$tableDir/files/$g"))
+        GroupStats.write(f, GroupStats.sidecarPath(tableDir, g), stats)
+        (g, stats.nRows)
+      }.toSeq
+      publish(spark, tableDir, groups.map(_._1), groups.map(_._2).sum, "snapshot")
+    } finally {
+      f.delete(stagingPath, true)
+      // rmdir the shared staging root if now empty (a concurrent
+      // cluster's staging dir makes this a no-op, hence the Try)
+      scala.util.Try(f.delete(new Path(s"$tableDir/_staging"), false))
+    }
   }
 
   /** CDC-style incremental read: the rows ADDED after `fromVersion`, up

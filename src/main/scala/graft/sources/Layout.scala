@@ -29,8 +29,9 @@ object Layout {
   /** Z-value column: interleaved bits of the equi-depth bucket ranks of
     * `dims` (numeric columns; nulls rank lowest). `boundaries(d)` are the
     * ascending bucket edges for dimension d (size 2^bitsPerDim - 1, from
-    * [[zorderWrite]]'s quantile pass). */
-  private def zvalue(
+    * [[boundariesFor]]'s quantile pass). Shared by [[zorderWrite]] and
+    * [[graft.operators.Versioned.cluster]]. */
+  private[graft] def zvalue(
       dims: Seq[String],
       boundaries: Seq[Array[Double]],
       bitsPerDim: Int): Column = {
@@ -56,25 +57,30 @@ object Layout {
     * (~128 MB–1 GB). `bitsPerDim` trades curve resolution against the
     * quantile pass (2^bits boundaries per dimension); 8 bits = 256
     * equi-depth buckets per dimension is plenty below ~10⁵ files. */
+  /** Equi-depth bucket boundaries for every layout dimension in ONE
+    * quantile pass (one job, not one per dim — at 100 TB each quantile
+    * pass is a full scan). Boundary precision only needs to resolve
+    * bucket edges, so the relative error tracks the bucket width
+    * (quarter-bucket): tighter bits → tighter summaries, and a coarse
+    * curve never pays for precision it cannot encode. */
+  private[graft] def boundariesFor(
+      df: DataFrame, dims: Seq[String], bitsPerDim: Int): Seq[Array[Double]] = {
+    require(dims.nonEmpty, "z-order requires at least one dimension")
+    require(bitsPerDim >= 1 && dims.size * bitsPerDim <= 63,
+      s"dims*bitsPerDim must fit a long, got ${dims.size}*$bitsPerDim")
+    val nb = (1 << bitsPerDim) - 1
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    val err = 0.25 / (nb + 1)
+    df.stat.approxQuantile(dims.toArray, probs, err).toSeq
+  }
+
   def zorderWrite(
       df: DataFrame,
       dims: Seq[String],
       path: String,
       numFiles: Int,
       bitsPerDim: Int = 8): Unit = {
-    require(dims.nonEmpty, "z-order requires at least one dimension")
-    require(bitsPerDim >= 1 && dims.size * bitsPerDim <= 63,
-      s"dims*bitsPerDim must fit a long, got ${dims.size}*$bitsPerDim")
-    val nb = (1 << bitsPerDim) - 1
-    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
-    // Single pass for ALL dimensions' boundaries (one job, not one per
-    // dim — at 100 TB each quantile pass is a full scan). Boundary
-    // precision only needs to resolve bucket edges, so the relative
-    // error tracks the bucket width (quarter-bucket): tighter bits →
-    // tighter summaries, and a coarse curve never pays for precision it
-    // cannot encode.
-    val err = 0.25 / (nb + 1)
-    val boundaries = df.stat.approxQuantile(dims.toArray, probs, err).toSeq
+    val boundaries = boundariesFor(df, dims, bitsPerDim)
     df.withColumn("__z", zvalue(dims, boundaries, bitsPerDim))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Versioned
+
+/** Exactly-once streaming ingest into versioned tables
+  * ([[Versioned.appendOnce]]/[[Versioned.streamInto]]) and z-order-
+  * clustered rewrites ([[Versioned.cluster]]).
+  *
+  * appendOnce contract under test: a replayed (appId, batchId) is a
+  * no-op (None, no new version, no duplicate rows, no leaked group);
+  * distinct appIds keep independent watermarks; streamInto composes
+  * the watermark with the engine checkpoint so a full re-drain of the
+  * same source appends nothing.
+  *
+  * cluster contract: rows identical to the parent version, history
+  * intact, and readWhere prunes on EVERY layout dimension afterwards
+  * (the tight-stats property arrival-ordered appends cannot have). */
+class VersionedIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl() = Files.createTempDirectory("graft-vingest").toString + "/t"
+
+  private def rows(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"d$i")).toDF("id", "v")
+
+  test("appendOnce: replayed batch is skipped, no duplicate rows, no new version") {
+    val dir = tbl()
+    assert(Versioned.appendOnce(rows(0, 10), dir, "app", 0L).contains(0L))
+    assert(Versioned.appendOnce(rows(10, 20), dir, "app", 1L).contains(1L))
+    // Replay of batch 1 (and the long-gone batch 0): both no-ops.
+    assert(Versioned.appendOnce(rows(10, 20), dir, "app", 1L).isEmpty)
+    assert(Versioned.appendOnce(rows(0, 10), dir, "app", 0L).isEmpty)
+    assert(Versioned.latestVersion(spark, dir) == 1L)
+    assert(Versioned.read(spark, dir).count() == 20L)
+    assert(Versioned.lastCommittedBatch(spark, dir, "app") == 1L)
+    // The skipped replay's group was abandoned and deleted: the table
+    // holds exactly the two committed groups.
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/files")).length == 2)
+  }
+
+  test("appendOnce: distinct appIds have independent watermarks") {
+    val dir = tbl()
+    assert(Versioned.appendOnce(rows(0, 5), dir, "appA", 3L).isDefined)
+    // appB has never committed batch 3 — same number, different app.
+    assert(Versioned.appendOnce(rows(5, 10), dir, "appB", 3L).isDefined)
+    assert(Versioned.appendOnce(rows(0, 5), dir, "appA", 3L).isEmpty)
+    assert(Versioned.read(spark, dir).count() == 10L)
+    assert(Versioned.lastCommittedBatch(spark, dir, "appB") == 3L)
+    assert(Versioned.lastCommittedBatch(spark, dir, "missing") == -1L)
+  }
+
+  test("appendOnce versions are ordinary appends: changes/pollChanges see each batch once") {
+    val dir = tbl()
+    Versioned.appendOnce(rows(0, 10), dir, "app", 0L)
+    Versioned.appendOnce(rows(10, 30), dir, "app", 1L)
+    val (delta, cursor, resync) = Versioned.pollChanges(spark, dir, 0L)
+    assert(!resync && cursor == 1L)
+    assert(delta.agg(count(lit(1)), sum("id")).as[(Long, Long)].collect()(0)
+      == ((20L, (10L until 30L).sum)))
+  }
+
+  test("streamInto: drain appends one version per micro-batch; a full re-drain appends nothing") {
+    val dir = tbl()
+    val scratch = Files.createTempDirectory("graft-vstream")
+    val src = scratch.resolve("src").toString
+    val ckpt = scratch.resolve("ckpt").toString
+    // Two source files → the file stream serves them (maxFilesPerTrigger=1
+    // forces two micro-batches, hence two append versions).
+    rows(0, 50).write.parquet(s"$src/b0")
+    rows(50, 80).write.parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def drain(): Unit =
+      Versioned.streamInto(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*"),
+        dir, "ingest", ckpt).awaitTermination()
+    drain()
+    val vAfterFirst = Versioned.latestVersion(spark, dir)
+    assert(vAfterFirst >= 1L, "two micro-batches → at least two versions")
+    assert(Versioned.read(spark, dir).count() == 80L)
+    // Restarted drain over the same checkpoint: engine replays nothing
+    // new; even a forced replay of the last batch is watermark-skipped.
+    drain()
+    assert(Versioned.latestVersion(spark, dir) == vAfterFirst)
+    assert(Versioned.read(spark, dir).count() == 80L)
+    assert(Versioned.appendOnce(rows(50, 80), dir, "ingest",
+      Versioned.lastCommittedBatch(spark, dir, "ingest")).isEmpty)
+  }
+
+  private def groupOf(path: String): String =
+    path.split("/files/")(1).split("/")(0)
+
+  test("cluster: rows identical, history intact, readWhere prunes on every dim") {
+    val dir = tbl()
+    // Arrival order is random in BOTH dims: pre-cluster group stats all
+    // span the full domain, so nothing prunes until the rewrite.
+    val rnd = new scala.util.Random(7)
+    val data = rnd.shuffle((0 until 4000).toVector)
+      .map(i => (i.toLong, (i * 2654435761L % 4000).toDouble, s"r$i"))
+    val dfs = data.grouped(1000).toSeq
+    Versioned.commit(dfs.head.toDF("x", "y", "v"), dir)
+    dfs.tail.foreach(b => Versioned.append(b.toDF("x", "y", "v"), dir))
+    val parentV = Versioned.latestVersion(spark, dir)
+    val before = Versioned.read(spark, dir)
+    val beforeRows = before.orderBy("x").collect().toSeq
+
+    val newV = Versioned.cluster(spark, dir, Seq("x", "y"), numGroups = 8)
+    assert(newV == parentV + 1)
+    val after = Versioned.read(spark, dir)
+    assert(after.orderBy("x").collect().toSeq == beforeRows)
+    // Parent version still reads its own files.
+    assert(Versioned.read(spark, dir, parentV).count() == 4000L)
+
+    val total = after.inputFiles.map(groupOf).toSet.size
+    assert(total >= 6, s"expected ~8 clustered groups, got $total")
+    val px = Versioned.readWhere(spark, dir)(col("x").between(100, 400))
+    val py = Versioned.readWhere(spark, dir)(col("y") < 300.0)
+    assert(px.inputFiles.map(groupOf).toSet.size < total,
+      "x-range must prune clustered groups")
+    assert(py.inputFiles.map(groupOf).toSet.size < total,
+      "y-range must prune clustered groups")
+    assert(px.count() ==
+      Versioned.read(spark, dir).filter(col("x").between(100, 400)).count())
+    assert(py.count() ==
+      Versioned.read(spark, dir).filter(col("y") < 300.0).count())
+    // Staging is cleaned up.
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/_staging")))
+  }
+
+  test("cluster: randomized 2-D predicates stay exact under skipping") {
+    val dir = tbl()
+    val rnd = new scala.util.Random(11)
+    val data = rnd.shuffle((0 until 2000).toVector)
+      .map(i => (i.toLong, ((i * 7919) % 2000).toLong))
+    Versioned.commit(data.toDF("a", "b"), dir)
+    Versioned.cluster(spark, dir, Seq("a", "b"), numGroups = 6)
+    (1 to 15).foreach { _ =>
+      val (al, ah) = { val l = rnd.nextInt(2200) - 100; (l, l + rnd.nextInt(800)) }
+      val bl = rnd.nextInt(2000)
+      val p = Versioned.readWhere(spark, dir)(
+        col("a").between(al, ah) || col("b") >= bl)
+        .agg(count(lit(1)), coalesce(sum("a"), lit(0L))).collect()(0)
+      val e = Versioned.read(spark, dir)
+        .filter(col("a").between(al, ah) || col("b") >= bl)
+        .agg(count(lit(1)), coalesce(sum("a"), lit(0L))).collect()(0)
+      assert(p == e, s"a∈[$al,$ah] ∨ b≥$bl drifted: pruned=$p expected=$e")
+    }
+  }
+}
