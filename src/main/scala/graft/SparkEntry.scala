@@ -2377,6 +2377,19 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")),
 
+    // The plan applied QUALITY-FIRST: the same per-domain kept counts
+    // as mixture_resample's hash sampler (floor(keep_frac * n_docs) —
+    // the mixture lands identically), but the survivors are each
+    // domain's BEST rows by n_chars (doc_id tiebreak). min_chars
+    // witnesses the per-domain quality floor; the oracle recomputes the
+    // full plan arithmetic + rank from raw documents.
+    "mixture_quality_resample" -> ((s, dir) =>
+      Sampling.resampleToMixtureByQuality(t(s, dir, "documents"),
+        "doc_id", "lang", "n_chars", MixtureShares)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"),
+          sum("doc_id").as("id_sum"), min("n_chars").as("min_chars"))
+        .orderBy("lang")),
+
     // Concat-then-chunk sequence packing into 512-token windows, sharded
     // 8 ways (per-shard running sums — no global sort).
     "pack_sequences" -> ((s, dir) =>
@@ -3652,6 +3665,29 @@ object SparkEntry {
          |FROM documents d JOIN p USING (lang)
          |WHERE ${Sampling.bucketSql("d.doc_id", 13L)} < p.thresh
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // Identical plan arithmetic (same float chain as mixture_resample's
+    // oracle), then keep each domain's top floor(keep_frac*n_docs) by
+    // (n_chars DESC, doc_id ASC) instead of a hash sample.
+    "mixture_quality_resample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |t AS (SELECT lang, n_docs,
+         |  ${mixtureCaseSql("lang")} AS target_share,
+         |  CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS actual_share
+         |  FROM c),
+         |r AS (SELECT lang, n_docs, target_share / actual_share AS ratio FROM t),
+         |p AS (SELECT lang,
+         |  CAST(floor((ratio / max(ratio) OVER ()) * CAST(n_docs AS DOUBLE)) AS BIGINT) AS keep
+         |  FROM r),
+         |rk AS (SELECT d.lang, d.doc_id, d.n_chars, p.keep,
+         |  row_number() OVER (PARTITION BY d.lang
+         |    ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+         |  FROM documents d JOIN p USING (lang))
+         |SELECT lang, count(*) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(min(n_chars) AS BIGINT) AS min_chars
+         |FROM rk WHERE rn <= keep
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH tok AS (

@@ -130,6 +130,39 @@ object Sampling {
       .drop("__thresh")
   }
 
+  /** [[mixturePlan]] applied as keep-the-BEST instead of keep-at-random:
+    * each domain retains its top `floor(keep_frac * n_docs)` rows by
+    * `qualityCol` (ties broken by lowest `idCol` — a total order, so
+    * membership is stable and SQL-auditable). This is the composition a
+    * training-data pipeline actually wants when reshaping the mixture:
+    * the down-sampling a target mixture forces should spend its budget
+    * on the LOWEST-quality rows, not a uniform hash of them — the same
+    * counts land per domain as [[resampleToMixture]] (so the mixture is
+    * hit identically), but the survivors are each domain's best.
+    *
+    * Scale: one broadcast join (|domains| rows) + one keyed rank window
+    * per domain — the [[domainQuota]] shape with a per-domain quota from
+    * the plan; for a mega-domain, pre-thin with the salted two-stage
+    * trick ([[domainQuotaSkewed]]) before the exact rank. */
+  def resampleToMixtureByQuality(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      qualityCol: String,
+      targetShares: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val plan = mixturePlan(df, domainCol, targetShares)
+      .select(col(domainCol),
+        floor(col("keep_frac") * col("n_docs").cast("double"))
+          .cast("long").as("__keep"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    df.join(broadcast(plan), domainCol)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__keep"))
+      .drop("__rk", "__keep")
+  }
+
   /** Disjoint split assignment (train/val/test …): adds a `split` column
     * chosen by consecutive bucket ranges proportional to `weights`
     * (which must sum to ≤ 1; any remainder falls into the LAST split).

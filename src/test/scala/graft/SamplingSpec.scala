@@ -159,4 +159,36 @@ class SamplingSpec extends SparkSpec {
       assert(skewed == exact, s"salt=$salt diverged from the exact quota")
     }
   }
+
+  test("quality resample: same per-domain counts as the plan, survivors are each domain's best") {
+    // a: 600 rows, b: 300, c: 100; unlisted d must drop entirely.
+    val rows = (0L until 600L).map(i => (i, "a", (i % 83).toDouble)) ++
+      (600L until 900L).map(i => (i, "b", (i % 59).toDouble)) ++
+      (900L until 1000L).map(i => (i, "c", (i % 31).toDouble)) ++
+      (1000L until 1050L).map(i => (i, "d", 999.0))
+    val df = rows.toDF("id", "dom", "q")
+    val shares = Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    val kept = Sampling.resampleToMixtureByQuality(df, "id", "dom", "q", shares)
+
+    // Counts per domain equal floor(keep_frac * n_docs) from the plan —
+    // the mixture lands exactly where the random resampler would put it.
+    val plan = Sampling.mixturePlan(df, "dom", shares)
+      .select("dom", "n_docs", "keep_frac").collect()
+      .map(r => r.getString(0) -> math.floor(r.getDouble(2) * r.getLong(1)).toLong)
+      .toMap
+    val counts = kept.groupBy("dom").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("d"), "unlisted domain must drop")
+    Seq("a", "b", "c").foreach { d =>
+      assert(counts.getOrElse(d, 0L) == plan(d), s"domain $d: ${counts.get(d)} vs plan ${plan(d)}")
+    }
+
+    // Survivors are exactly the top-k by (q desc, id asc) per domain.
+    val keptIds = kept.select("id").as[Long].collect().toSet
+    rows.filter(_._2 != "d").groupBy(_._2).foreach { case (d, rs) =>
+      val expect = rs.sortBy(r => (-r._3, r._1)).take(plan(d).toInt).map(_._1).toSet
+      val got = rs.map(_._1).filter(keptIds).toSet
+      assert(got == expect, s"domain $d kept the wrong rows")
+    }
+  }
 }
