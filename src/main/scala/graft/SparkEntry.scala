@@ -1067,6 +1067,34 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // The format("graft") DATASOURCE surface end-to-end: DataFrame
+    // writes (overwrite snapshot + append) build the versioned table, a
+    // catalog table (CREATE TABLE USING graft) reads it from SQL,
+    // INSERT INTO lands as another append version, and the final SELECT
+    // goes through the source's pushed-filter path (group skipping via
+    // the stats sidecars; GraftSourceSpec pins every translation shape
+    // against the library read). The oracle recomputes the same rows
+    // from raw documents — three write APIs, one truth.
+    "datasource_format_sql" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/dsrc_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      docs.filter(col("lang") === "en")
+        .write.format("graft").mode("overwrite").save(tbl)
+      docs.filter(col("lang") =!= "en")
+        .write.format("graft").mode("append").save(tbl)
+      val cat = s"graft_ds_${etlSuffix(dir)}"
+      s.sql(s"DROP TABLE IF EXISTS $cat")
+      s.sql(s"CREATE TABLE $cat USING graft OPTIONS (path '$tbl')")
+      docs.filter(col("source") === "src0").createOrReplaceTempView("ds_extra")
+      s.sql(s"INSERT INTO $cat SELECT doc_id, text, lang, n_chars FROM ds_extra")
+      s.sql(
+        s"""SELECT lang, count(*) AS n_rows, sum(doc_id) AS id_sum
+           |FROM $cat WHERE n_chars >= 100
+           |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // The CDC consumer loop: three polls against an evolving table. The
     // first two land on all-append windows and receive ONLY the
     // appended rows (served from the new file groups, resync=false);
@@ -4244,6 +4272,18 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // snapshot(en) + append(non-en) + INSERT INTO(src0 rows) = all
+    // documents plus the src0 slice again; the SELECT's filter rides
+    // the datasource's pushdown path but must not change a row.
+    "datasource_format_sql" ->
+      """WITH rows AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE source = 'src0')
+        |SELECT lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM rows WHERE n_chars >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Each poll's rollup from raw docs: p1 = the non-en append, p2 =
     // the src0-2 append, p3 = the FULL es snapshot (resync). id_sum
