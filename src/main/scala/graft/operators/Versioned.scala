@@ -268,6 +268,32 @@ object Versioned {
     spark.read.parquet(groups.map(g => s"$tableDir/files/$g"): _*)
   }
 
+  /** TIMESTAMP AS OF: the largest version whose manifest `committed_at`
+    * is at or before `ts` — Delta's second time-travel axis. Raises if
+    * the table's history starts after `ts` (nothing existed then) or if
+    * retention ([[vacuum]]) dropped every manifest at-or-before `ts`.
+    * Metadata-only: a linear driver-side scan of the per-version JSON. */
+  def versionAt(
+      spark: SparkSession, tableDir: String, ts: java.time.Instant): Long = {
+    val latest = latestVersion(spark, tableDir)
+    require(latest >= 0, s"no versions committed under $tableDir")
+    val at = (0L to latest).flatMap { v =>
+      scala.util.Try(parseManifest(spark, tableDir, v)).toOption
+        .filter(m => m.committedAt.nonEmpty &&
+          !java.time.Instant.parse(m.committedAt).isAfter(ts))
+        .map(_ => v)
+    }
+    require(at.nonEmpty,
+      s"no version of $tableDir committed at or before $ts " +
+        "(history starts later, or retention dropped it)")
+    at.max
+  }
+
+  /** `TIMESTAMP AS OF` read: [[read]] at [[versionAt]]`(ts)`. */
+  def readAsOf(
+      spark: SparkSession, tableDir: String, ts: java.time.Instant): DataFrame =
+    read(spark, tableDir, versionAt(spark, tableDir, ts))
+
   /** `read` + predicates with MANIFEST-LEVEL DATA SKIPPING — the
     * Delta/Iceberg data-skipping economics for versioned tables. Each
     * file group carries a min/max/null-count sidecar written at commit

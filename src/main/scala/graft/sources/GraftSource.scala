@@ -54,9 +54,29 @@ class GraftSource
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
     val dir = pathOf(parameters)
-    val v = parameters.get("versionAsOf").map(_.toLong).getOrElse(-1L)
-    GraftRelation(sqlContext.sparkSession, dir, v)
+    val byVersion = parameters.get("versionAsOf").map(_.toLong)
+    val byTime = parameters.get("timestampAsOf").map(parseInstant)
+    require(byVersion.isEmpty || byTime.isEmpty,
+      "specify at most one of versionAsOf / timestampAsOf")
+    val v = byVersion
+      .orElse(byTime.map(Versioned.versionAt(spark, dir, _)))
+      .getOrElse(-1L)
+    GraftRelation(spark, dir, v)
+  }
+
+  /** ISO-8601 instants, or the SQL-ish `yyyy-MM-dd[ HH:mm:ss]` read as
+    * UTC — the shapes users paste from `describeHistory` or a query. */
+  private def parseInstant(s: String): java.time.Instant = {
+    val t = s.trim
+    scala.util.Try(java.time.Instant.parse(t)).getOrElse {
+      val norm = if (t.contains(" ") || t.contains("T"))
+        t.replace(' ', 'T')
+      else s"${t}T00:00:00"
+      java.time.LocalDateTime.parse(norm)
+        .atOffset(java.time.ZoneOffset.UTC).toInstant
+    }
   }
 
   override def createRelation(

@@ -92,6 +92,28 @@ class VersionedIngestSpec extends SparkSpec {
       Versioned.lastCommittedBatch(spark, dir, "ingest")).isEmpty)
   }
 
+  test("timestampAsOf: versionAt lands on the last version at-or-before ts; datasource option agrees") {
+    val dir = tbl()
+    Versioned.commit(rows(0, 10), dir)
+    val afterV0 = java.time.Instant.now()
+    Thread.sleep(15) // commit instants must straddle the probe
+    Versioned.append(rows(10, 30), dir)
+    assert(Versioned.versionAt(spark, dir, afterV0) == 0L)
+    assert(Versioned.readAsOf(spark, dir, afterV0).count() == 10L)
+    assert(Versioned.versionAt(spark, dir, java.time.Instant.now()) == 1L)
+    // Before genesis: nothing existed.
+    intercept[IllegalArgumentException] {
+      Versioned.versionAt(spark, dir, afterV0.minusSeconds(3600))
+    }
+    val viaDs = spark.read.format("graft")
+      .option("timestampAsOf", afterV0.toString).load(dir)
+    assert(viaDs.count() == 10L)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("timestampAsOf", afterV0.toString)
+        .option("versionAsOf", 1).load(dir)
+    }
+  }
+
   private def groupOf(path: String): String =
     path.split("/files/")(1).split("/")(0)
 
