@@ -1075,6 +1075,32 @@ object SparkEntry {
     // the stats sidecars; GraftSourceSpec pins every translation shape
     // against the library read). The oracle recomputes the same rows
     // from raw documents — three write APIs, one truth.
+    // SCHEMA EVOLUTION on the manifest: the table is born WITHOUT
+    // n_chars (en snapshot), then an evolveSchema append lands non-en
+    // rows WITH it — the manifest records the evolved schema, reads are
+    // inference-free against it, and the pre-evolution group null-fills
+    // the new column (count(n_chars) sees only the evolved rows). The
+    // oracle rebuilds the same union with NULLs from raw documents.
+    // Drift without the opt-in raises (VersionedIngestSpec), as do type
+    // conflicts even with it.
+    "versioned_schema_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tbl = s"/tmp/graft_versioned/evo_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(
+        docs.filter(col("lang") === "en").select("doc_id", "text", "lang"), tbl)
+      Versioned.append(
+        docs.filter(col("lang") =!= "en")
+          .select("doc_id", "text", "lang", "n_chars"),
+        tbl, evolveSchema = true)
+      Versioned.read(s, tbl).groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("n_chars")).as("n_chars_known"),
+          coalesce(sum("n_chars"), lit(0L)).as("char_sum"))
+        .orderBy("lang")
+    }),
+
     "datasource_format_sql" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "n_chars")
       val tbl = s"/tmp/graft_versioned/dsrc_${etlSuffix(dir)}"
@@ -4272,6 +4298,18 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // en rows predate the column (NULL n_chars), non-en rows carry it.
+    "versioned_schema_evolution" ->
+      """WITH rows AS (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en')
+        |SELECT lang, count(*) AS n_rows,
+        |  count(n_chars) AS n_chars_known,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS char_sum
+        |FROM rows GROUP BY lang ORDER BY lang""".stripMargin,
 
     // snapshot(en) + append(non-en) + INSERT INTO(src0 rows) = all
     // documents plus the src0 slice again; the SELECT's filter rides

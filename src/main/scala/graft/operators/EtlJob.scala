@@ -130,9 +130,13 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
         EtlJob.checkSchemaDrift(source.schema, tgtSchema, appendSemantics = false)
       case Operation.VersionedSnapshot | Operation.VersionedAppend =>
         // versionedPath validates the path-only + parquet constraints;
-        // an append into existing history must not drift the schema.
+        // an append into existing history must not drift the schema —
+        // unless the job opts into evolution (`evolve_schema: true`),
+        // where Versioned.append itself arbitrates (new columns extend
+        // the manifest schema, type conflicts still fail loudly).
         val path = versionedPath
         if (spec.target.operation == Operation.VersionedAppend &&
+            !spec.target.evolveSchema &&
             Versioned.latestVersion(spark, path) >= 0)
           EtlJob.checkSchemaDrift(source.schema,
             Versioned.read(spark, path).schema, appendSemantics = true)
@@ -157,7 +161,8 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
     case Operation.Append    => Writes.append(source, targetRef, toDs)
     case Operation.Overwrite => Writes.overwrite(source, targetRef, toDs)
     case Operation.VersionedSnapshot => Versioned.commit(source, versionedPath)
-    case Operation.VersionedAppend   => Versioned.append(source, versionedPath)
+    case Operation.VersionedAppend =>
+      Versioned.append(source, versionedPath, spec.target.evolveSchema)
     case Operation.Update =>
       Writes.merge(source, targetRef, toDs, spec.target.primaryKeyColumns,
         spec.target.updateColumns, spec.target.whereStatementOnTable,

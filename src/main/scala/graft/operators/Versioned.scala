@@ -56,7 +56,13 @@ object Versioned {
 
   private final case class Manifest(
       files: Seq[String], nRows: Long, mode: String, committedAt: String,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      schemaDdl: Option[String] = None)
+
+  private def jsonEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def jsonUnescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   private def parseManifest(
       spark: SparkSession, tableDir: String, v: Long): Manifest = {
@@ -77,7 +83,11 @@ object Versioned {
       app <- "\"txn_app\":\"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1))
       b <- "\"txn_batch\":(-?\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong)
     } yield (app, b)
-    Manifest(files, nRows, mode, at, txn)
+    // schema is a JSON-escaped DDL string; the lazy-quantified regex
+    // handles escaped quotes inside it.
+    val schemaDdl = "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(raw).map(m => jsonUnescape(m.group(1)))
+    Manifest(files, nRows, mode, at, txn, schemaDdl)
   }
 
   private def readManifest(
@@ -92,29 +102,104 @@ object Versioned {
     * a version whose data is incomplete. */
   private def manifestJson(
       v: Long, mode: String, groups: Seq[String], nRows: Long,
-      txn: Option[(String, Long)]): String = {
+      txn: Option[(String, Long)], schemaDdl: Option[String]): String = {
     val txnJson = txn.map { case (app, b) =>
       s""","txn_app":"$app","txn_batch":$b"""
     }.getOrElse("")
+    val schemaJson = schemaDdl.map(d => s""","schema":"${jsonEscape(d)}"""").getOrElse("")
     s"""{"version":$v,"mode":"$mode","files":[${groups.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"$txnJson}"""
+      s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"$txnJson$schemaJson}"""
   }
 
   private def publish(
       spark: SparkSession, tableDir: String, groups: Seq[String],
-      nRows: Long, mode: String): Long = {
+      nRows: Long, mode: String, schemaDdl: Option[String]): Long = {
     val f = fs(spark, tableDir)
     var v = latestVersion(spark, tableDir) + 1
     while (true) {
       // FsAtomic: Hadoop's local create(overwrite=false) is check-then-
       // act; a non-atomic create here could publish the SAME version
       // number twice under concurrent committers.
-      val json = manifestJson(v, mode, groups, nRows, None)
+      val json = manifestJson(v, mode, groups, nRows, None, schemaDdl)
       if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
         return v
       v += 1 // lost the race: next number
     }
     v // unreachable
+  }
+
+  /** The schema recorded in a version's manifest, TOP-LEVEL-NULLABLE
+    * (groups written before or after a column's lifetime null-fill it,
+    * so no column may promise NOT NULL across versions). */
+  private def storedSchema(df: DataFrame): String =
+    org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true))).toDDL
+
+  /** Schema-on-manifest scan: with a recorded schema the read is
+    * INFERENCE-FREE (no sample-file footer pass — at 100 TB planning
+    * cost is metadata-only) and DETERMINISTIC (column set and order come
+    * from the manifest, not from whichever file the reader samples);
+    * groups missing a column null-fill it — the evolution contract.
+    * Pre-schema manifests fall back to parquet inference. */
+  private def scanGroups(
+      spark: SparkSession, tableDir: String,
+      groups: Seq[String], schemaDdl: Option[String]): DataFrame = {
+    val reader = schemaDdl match {
+      case Some(d) =>
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(d))
+      case None => spark.read
+    }
+    reader.parquet(groups.map(g => s"$tableDir/files/$g"): _*)
+  }
+
+  /** Validate an APPEND batch's schema against the table's, returning
+    * the (possibly evolved) schema DDL the new manifest should record.
+    * Columns are matched by name case-insensitively (Spark's default
+    * resolution); common columns must agree on type exactly. Without
+    * `evolve`, any drift raises; with it, NEW columns extend the table
+    * schema (appended after the existing columns, Delta's
+    * mergeSchema placement) and columns MISSING from the batch are
+    * tolerated (null-filled in the new group on read). */
+  private def validateAppendSchema(
+      df: DataFrame, parentDdl: Option[String], evolve: Boolean): Option[String] = {
+    import org.apache.spark.sql.types.StructType
+    val batch = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    parentDdl match {
+      case None => Some(batch.toDDL) // pre-schema table: adopt the batch's
+      case Some(ddl) =>
+        val table = StructType.fromDDL(ddl)
+        val tableByName = table.fields.map(f => f.name.toLowerCase -> f).toMap
+        // Type equality modulo nullability: compare the sql strings of
+        // the nullable-normalized types (sameType is private[sql]).
+        import org.apache.spark.sql.types._
+        def allNullable(dt: DataType): DataType = dt match {
+          case s: StructType => StructType(s.fields.map(f =>
+            f.copy(dataType = allNullable(f.dataType), nullable = true)))
+          case a: ArrayType => ArrayType(allNullable(a.elementType), containsNull = true)
+          case m: MapType =>
+            MapType(allNullable(m.keyType), allNullable(m.valueType), valueContainsNull = true)
+          case other => other
+        }
+        def norm(dt: DataType): String = allNullable(dt).sql
+        val conflicts = batch.fields.flatMap { bf =>
+          tableByName.get(bf.name.toLowerCase).collect {
+            case tf if norm(tf.dataType) != norm(bf.dataType) =>
+              s"${bf.name}: table ${tf.dataType.simpleString} vs batch ${bf.dataType.simpleString}"
+          }
+        }
+        require(conflicts.isEmpty,
+          s"append schema type conflict(s): ${conflicts.mkString("; ")}")
+        val newCols = batch.fields.filterNot(f => tableByName.contains(f.name.toLowerCase))
+        val missing = table.fields.map(_.name.toLowerCase).toSet
+          .diff(batch.fields.map(_.name.toLowerCase).toSet)
+        if (!evolve) {
+          require(newCols.isEmpty && missing.isEmpty,
+            s"append schema drift (pass evolveSchema=true to accept): " +
+              s"new=[${newCols.map(_.name).mkString(",")}] " +
+              s"missing=[${missing.mkString(",")}]")
+          Some(ddl)
+        } else Some(StructType(table.fields ++ newCols).toDDL)
+    }
   }
 
   private def writeGroup(df: DataFrame, tableDir: String): (String, Long) = {
@@ -132,23 +217,34 @@ object Versioned {
     (group, stats.nRows)
   }
 
-  /** Commit `df` as a FULL-SNAPSHOT version; returns the version number. */
+  /** Commit `df` as a FULL-SNAPSHOT version; returns the version number.
+    * The manifest records the snapshot's schema (a snapshot may reshape
+    * the table freely — it rewrites every row). */
   def commit(df: DataFrame, tableDir: String): Long = {
     val spark = df.sparkSession
     val (group, n) = writeGroup(df, tableDir)
-    publish(spark, tableDir, Seq(group), n, "snapshot")
+    publish(spark, tableDir, Seq(group), n, "snapshot", Some(storedSchema(df)))
   }
 
   /** Commit `df` as an APPEND version: parent file groups are shared,
-    * only the new rows are written. Returns the version number. */
-  def append(df: DataFrame, tableDir: String): Long = {
+    * only the new rows are written. Returns the version number.
+    * The batch's schema is validated against the table's manifest
+    * schema; `evolveSchema = true` accepts NEW columns (the table
+    * schema extends, old groups null-fill them on read — Delta's
+    * mergeSchema) and batches missing existing columns (null-filled in
+    * the new group); type conflicts always raise. */
+  def append(df: DataFrame, tableDir: String, evolveSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val parent = latestVersion(spark, tableDir)
-    val (parentGroups, parentRows, _) =
-      if (parent < 0) (Seq.empty[String], 0L, "")
-      else readManifest(spark, tableDir, parent)
+    val (parentGroups, parentRows, parentSchema) =
+      if (parent < 0) (Seq.empty[String], 0L, None: Option[String])
+      else {
+        val m = parseManifest(spark, tableDir, parent)
+        (m.files, m.nRows, m.schemaDdl)
+      }
+    val schema = validateAppendSchema(df, parentSchema, evolveSchema)
     val (group, n) = writeGroup(df, tableDir)
-    publish(spark, tableDir, parentGroups :+ group, parentRows + n, "append")
+    publish(spark, tableDir, parentGroups :+ group, parentRows + n, "append", schema)
   }
 
   /** Highest `batchId` any committed version records for `appId`, or -1
@@ -201,12 +297,18 @@ object Versioned {
         return None
       }
       val parent = latestVersion(spark, tableDir)
-      val (parentGroups, parentRows, _) =
-        if (parent < 0) (Seq.empty[String], 0L, "")
-        else readManifest(spark, tableDir, parent)
+      val (parentGroups, parentRows, parentSchema) =
+        if (parent < 0) (Seq.empty[String], 0L, None: Option[String])
+        else {
+          val m = parseManifest(spark, tableDir, parent)
+          (m.files, m.nRows, m.schemaDdl)
+        }
+      // Streaming batches carry a fixed schema: strict validation.
+      val schema = validateAppendSchema(df, parentSchema, evolve = false)
       val v = parent + 1
       val json = manifestJson(
-        v, "append", parentGroups :+ group, parentRows + n, Some(appId -> batchId))
+        v, "append", parentGroups :+ group, parentRows + n,
+        Some(appId -> batchId), schema)
       if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
         return Some(v)
       // lost the race: loop re-reads the new latest AND the watermark
@@ -259,13 +361,15 @@ object Versioned {
     commit(action(read(spark, tableDir)), tableDir)
 
   /** Read a version (default: latest) — `VERSION AS OF` for parquet.
-    * A plain multi-path parquet scan: pushdown and pruning intact. */
+    * A plain multi-path parquet scan: pushdown and pruning intact. With
+    * a schema-bearing manifest the scan is inference-free and groups
+    * missing an evolved column null-fill it (see [[scanGroups]]). */
   def read(spark: SparkSession, tableDir: String, version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else latestVersion(spark, tableDir)
     require(v >= 0, s"no versions committed under $tableDir")
-    val (groups, _, _) = readManifest(spark, tableDir, v)
-    require(groups.nonEmpty, s"version $v of $tableDir lists no files")
-    spark.read.parquet(groups.map(g => s"$tableDir/files/$g"): _*)
+    val m = parseManifest(spark, tableDir, v)
+    require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
+    scanGroups(spark, tableDir, m.files, m.schemaDdl)
   }
 
   /** TIMESTAMP AS OF: the largest version whose manifest `committed_at`
@@ -318,13 +422,14 @@ object Versioned {
     require(preds.nonEmpty, "readWhere needs at least one predicate; use read() otherwise")
     val v = if (version >= 0) version else latestVersion(spark, tableDir)
     require(v >= 0, s"no versions committed under $tableDir")
-    val (groups, _, _) = readManifest(spark, tableDir, v)
+    val m = parseManifest(spark, tableDir, v)
+    val groups = m.files
     require(groups.nonEmpty, s"version $v of $tableDir lists no files")
     val cond = preds.reduce(_ && _)
     // Resolve the predicate ONCE against the full scan's schema: the
     // optimized plan's Filter condition has real attribute names,
     // type-promoted literals, and between/isin lowered to comparisons.
-    val full = spark.read.parquet(groups.map(g => s"$tableDir/files/$g"): _*)
+    val full = scanGroups(spark, tableDir, groups, m.schemaDdl)
     val resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
       full.filter(cond).queryExecution.optimizedPlan.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
@@ -337,7 +442,7 @@ object Versioned {
       }
     }
     if (kept.isEmpty) full.filter(cond).limit(0)
-    else spark.read.parquet(kept.map(g => s"$tableDir/files/$g"): _*).filter(cond)
+    else scanGroups(spark, tableDir, kept, m.schemaDdl).filter(cond)
   }
 
   /** OPTIMIZE-style compaction: rewrite the latest version's data as a
@@ -436,7 +541,8 @@ object Versioned {
         GroupStats.write(f, GroupStats.sidecarPath(tableDir, g), stats)
         (g, stats.nRows)
       }.toSeq
-      publish(spark, tableDir, groups.map(_._1), groups.map(_._2).sum, "snapshot")
+      publish(spark, tableDir, groups.map(_._1), groups.map(_._2).sum, "snapshot",
+        Some(storedSchema(df)))
     } finally {
       f.delete(stagingPath, true)
       // rmdir the shared staging root if now empty (a concurrent
@@ -473,9 +579,10 @@ object Versioned {
           "append chains — use diffVersions for a row-level diff")
     }
     val fromGroups = readManifest(spark, tableDir, fromVersion)._1.toSet
-    val added = readManifest(spark, tableDir, to)._1.filterNot(fromGroups)
+    val toManifest = parseManifest(spark, tableDir, to)
+    val added = toManifest.files.filterNot(fromGroups)
     if (added.isEmpty) read(spark, tableDir, to).limit(0)
-    else spark.read.parquet(added.map(g => s"$tableDir/files/$g"): _*)
+    else scanGroups(spark, tableDir, added, toManifest.schemaDdl)
   }
 
   /** Version history: (version, mode, n_rows), ascending. */

@@ -84,6 +84,16 @@ object Yaml {
   def str(n: Node, key: String): Option[String] =
     n.get(key).map(_.toString)
 
+  /** YAML booleans arrive as java.lang.Boolean; "true"/"false" strings
+    * are accepted too (the shape `${param}` substitution produces). */
+  def bool(n: Node, key: String): Option[Boolean] = n.get(key).map {
+    case b: Boolean => b
+    case s: String if s.equalsIgnoreCase("true") => true
+    case s: String if s.equalsIgnoreCase("false") => false
+    case other =>
+      throw new JobConfigException(s"Config key '$key' must be a boolean, got: $other")
+  }
+
   def node(n: Node, key: String): Option[Node] =
     n.get(key).map {
       case m: Map[_, _] => m.asInstanceOf[Node]
@@ -136,7 +146,8 @@ final case class TargetSpec(
     primaryKeyColumns: Seq[String],
     updateColumns: Seq[String],
     whereStatementOnTable: String,
-    schema: Option[String] = None)
+    schema: Option[String] = None,
+    evolveSchema: Boolean = false)
 
 final case class JobSpec(version: String, source: SourceSpec, target: TargetSpec) {
 
@@ -151,6 +162,10 @@ final case class JobSpec(version: String, source: SourceSpec, target: TargetSpec
       throw new JobConfigException(
         "target 'schema' applies to path targets only (catalog tables " +
           "carry their own schema)")
+    if (target.evolveSchema && target.operation != Operation.VersionedAppend)
+      throw new JobConfigException(
+        "'evolve_schema' applies to versioned_append only (a snapshot " +
+          "reshapes freely; non-versioned writes carry no schema contract)")
     source.effectiveQuery // asserts query|table present
     target.operation match {
       case Operation.Update | Operation.Upsert =>
@@ -197,7 +212,8 @@ object JobSpec {
         primaryKeyColumns = strList(tgt, "primary_key_column"),
         updateColumns = strList(tgt, "update_column"),
         whereStatementOnTable = str(tgt, "where_statement_on_table").getOrElse("1=1"),
-        schema = str(tgt, "schema")))
+        schema = str(tgt, "schema"),
+        evolveSchema = bool(tgt, "evolve_schema").getOrElse(false)))
     spec.validate()
     spec
   }

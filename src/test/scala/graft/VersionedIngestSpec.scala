@@ -92,6 +92,67 @@ class VersionedIngestSpec extends SparkSpec {
       Versioned.lastCommittedBatch(spark, dir, "ingest")).isEmpty)
   }
 
+  test("schema evolution: new columns null-fill old groups; drift without evolve raises; type conflicts always raise") {
+    val dir = tbl()
+    Versioned.commit(rows(0, 10), dir) // (id, v)
+    // Drift without opting in: loud failure, table untouched.
+    val drifted = (10L until 20L).map(i => (i, s"d$i", i * 0.5)).toDF("id", "v", "score")
+    intercept[IllegalArgumentException] { Versioned.append(drifted, dir) }
+    assert(Versioned.latestVersion(spark, dir) == 0L)
+
+    // Evolved append: table schema extends; old rows null-fill score.
+    Versioned.append(drifted, dir, evolveSchema = true)
+    val all = Versioned.read(spark, dir)
+    assert(all.columns.toSeq == Seq("id", "v", "score"))
+    assert(all.count() == 20L)
+    assert(all.filter(col("score").isNull).count() == 10L)
+    assert(all.filter(col("score").isNotNull).agg(sum("id")).collect()(0).getLong(0)
+      == (10L until 20L).sum)
+    // The historical version reads its own (pre-evolution) schema.
+    assert(Versioned.read(spark, dir, 0L).columns.toSeq == Seq("id", "v"))
+
+    // A later batch MISSING the evolved column: tolerated under evolve,
+    // null-filled in the new group.
+    Versioned.append(rows(20, 25), dir, evolveSchema = true)
+    val v2 = Versioned.read(spark, dir)
+    assert(v2.columns.toSeq == Seq("id", "v", "score"))
+    assert(v2.filter(col("id") >= 20 && col("score").isNull).count() == 5L)
+
+    // Type conflicts raise even with evolve.
+    val conflict = Seq((99L, "x", "not-a-double")).toDF("id", "v", "score")
+    intercept[IllegalArgumentException] {
+      Versioned.append(conflict, dir, evolveSchema = true)
+    }
+
+    // readWhere over the evolved table stays exact (old groups have no
+    // stats for the new column — conservatively kept, then filtered).
+    val p = Versioned.readWhere(spark, dir)(col("score") > 6.0)
+    assert(p.select("id").as[Long].collect().sorted.toSeq ==
+      (13L until 20L).toSeq)
+    val nulls = Versioned.readWhere(spark, dir)(col("score").isNull)
+    assert(nulls.count() == 15L)
+  }
+
+  test("schema-bearing manifest: read plans with ZERO jobs (no parquet inference pass)") {
+    val dir = tbl()
+    Versioned.commit(rows(0, 50), dir)
+    Versioned.append(rows(50, 80), dir)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val schema = Versioned.read(spark, dir).schema
+      Thread.sleep(1000) // listener events post asynchronously
+      assert(counter.get() == 0,
+        s"schema-on-manifest read must not run an inference job, ran ${counter.get()}")
+      assert(schema.fieldNames.toSeq == Seq("id", "v"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("timestampAsOf: versionAt lands on the last version at-or-before ts; datasource option agrees") {
     val dir = tbl()
     Versioned.commit(rows(0, 10), dir)

@@ -137,6 +137,36 @@ class VersionedSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("b"), e3.getMessage)
     assert(Versioned.latestVersion(spark, dir) == 1L, "refused append must not commit")
+
+    // evolve_schema: true accepts the drift — the NEW column extends the
+    // manifest schema and prior rows null-fill it.
+    EtlJob.fromYaml(
+      s"""version: 0
+         |source:
+         |  query: SELECT 4 AS a, 'z' AS b, 9.5 AS c
+         |target:
+         |  datasource: parquet
+         |  path: $dir
+         |  operation: versioned_append
+         |  evolve_schema: true
+         |""".stripMargin).run()
+    val evolved = Versioned.read(spark, dir)
+    assert(evolved.columns.toSeq == Seq("a", "b", "c"))
+    assert(evolved.filter(col("c").isNull).count() == 2)
+    // ... but only on versioned_append: anywhere else the flag is config error
+    val e4 = intercept[JobConfigException] {
+      EtlJob.fromYaml(
+        s"""version: 0
+           |source:
+           |  query: SELECT 1 AS a
+           |target:
+           |  datasource: parquet
+           |  path: ${dir}_plain
+           |  operation: append
+           |  evolve_schema: true
+           |""".stripMargin)
+    }
+    assert(e4.getMessage.contains("versioned_append"), e4.getMessage)
   }
 
   test("curate: strike writes a new version, parent stays intact (rollback shape)") {
