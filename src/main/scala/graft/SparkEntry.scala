@@ -1075,6 +1075,27 @@ object SparkEntry {
     // the stats sidecars; GraftSourceSpec pins every translation shape
     // against the library read). The oracle recomputes the same rows
     // from raw documents — three write APIs, one truth.
+    // RESTORE as the undo button: v0 en-snapshot, v1 appends the rest,
+    // v2 is an over-aggressive "curation" snapshot that kept only src0
+    // — restore(1) republishes v1's file groups METADATA-ONLY (no data
+    // read or copied; VersionedIngestSpec pins the group-set identity)
+    // and the table reads complete again while the mistake stays in
+    // history. The rollup must equal all documents exactly: any
+    // restore-path row loss or duplication fails the hash.
+    "versioned_restore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val tbl = s"/tmp/graft_versioned/rest_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Versioned.append(docs.filter(col("lang") =!= "en"), tbl)
+      Versioned.commit(docs.filter(col("source") === "src0"), tbl) // bad strike
+      Versioned.restore(s, tbl, 1L)
+      Versioned.read(s, tbl).groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // SCHEMA EVOLUTION on the manifest: the table is born WITHOUT
     // n_chars (en snapshot), then an evolveSchema append lands non-en
     // rows WITH it — the manifest records the evolved schema, reads are
@@ -4295,6 +4316,13 @@ object SparkEntry {
     // ingested table is every document EXACTLY once; any duplicate
     // doubles a lang group and fails the hash.
     "streaming_versioned_ingest" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The restored version is v1 = en snapshot + non-en append = every
+    // document exactly once.
+    "versioned_restore" ->
       """SELECT lang, count(*) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

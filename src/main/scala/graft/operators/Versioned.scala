@@ -713,6 +713,33 @@ object Versioned {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(s"$tableDir/files/*")
 
+  /** RESTORE: republish an earlier version's file groups as the NEW
+    * latest version — Delta's `RESTORE TABLE ... TO VERSION AS OF`,
+    * and like Delta's it is METADATA-ONLY: no data is read or copied,
+    * the new manifest simply lists the old groups again (immutable
+    * groups make this sound; [[vacuum]] keeps shared groups alive as
+    * long as any kept version lists them). The undo button for a bad
+    * [[curate]]/strike/compact: history keeps every intermediate state,
+    * including the mistake. Mode is `snapshot` — the restored file set
+    * is a rewrite boundary for CDC consumers ([[changes]] raises,
+    * [[pollChanges]] resyncs), exactly as a restore should read.
+    * Returns the new version number. */
+  def restore(spark: SparkSession, tableDir: String, version: Long): Long = {
+    val latest = latestVersion(spark, tableDir)
+    require(version >= 0 && version <= latest,
+      s"restore target must be within [0, $latest]: $version")
+    val m = scala.util.Try(parseManifest(spark, tableDir, version)).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $version is no longer restorable: retention dropped its manifest"))
+    require(m.files.nonEmpty, s"version $version of $tableDir lists no files")
+    val f = fs(spark, tableDir)
+    val missing = m.files.filterNot(g => f.exists(new Path(s"$tableDir/files/$g")))
+    require(missing.isEmpty,
+      s"version $version is no longer restorable: vacuum dropped " +
+        s"group(s) ${missing.mkString(", ")}")
+    publish(spark, tableDir, m.files, m.nRows, "snapshot", m.schemaDdl)
+  }
+
   /** Row-level diff between two versions (see [[Snapshot.diff]]). */
   def diffVersions(
       spark: SparkSession, tableDir: String, oldV: Long, newV: Long,

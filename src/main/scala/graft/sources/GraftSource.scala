@@ -87,8 +87,9 @@ class GraftSource
     val spark = sqlContext.sparkSession
     val dir = pathOf(parameters)
     val exists = Versioned.latestVersion(spark, dir) >= 0
+    val evolve = parameters.get("evolveSchema").exists(_.equalsIgnoreCase("true"))
     mode match {
-      case SaveMode.Append => Versioned.append(data, dir)
+      case SaveMode.Append => Versioned.append(data, dir, evolve)
       case SaveMode.Overwrite => Versioned.commit(data, dir)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(

@@ -44,6 +44,18 @@ class GraftSourceSpec extends SparkSpec {
     }
     rows(0, 1, "x").write.format("graft").mode(SaveMode.Ignore).save(dir)
     assert(spark.read.format("graft").load(dir).count() == 10L)
+
+    // Schema evolution through the writer: refused by default, opt-in
+    // via option("evolveSchema", "true"); old rows null-fill.
+    val extra = Seq((500L, "e", 1.0, true)).toDF("id", "tag", "x", "flag")
+    intercept[IllegalArgumentException] {
+      extra.write.format("graft").mode(SaveMode.Append).save(dir)
+    }
+    extra.write.format("graft").mode(SaveMode.Append)
+      .option("evolveSchema", "true").save(dir)
+    val evolved = spark.read.format("graft").load(dir)
+    assert(evolved.columns.toSeq == Seq("id", "tag", "x", "flag"))
+    assert(evolved.filter(col("flag").isNull).count() == 10L)
   }
 
   test("filters and projections: every shape equals the library read, translated or not") {

@@ -133,6 +133,34 @@ class VersionedIngestSpec extends SparkSpec {
     assert(nulls.count() == 15L)
   }
 
+  test("restore: metadata-only republish of an old version; vacuumed targets refuse") {
+    val dir = tbl()
+    Versioned.commit(rows(0, 20), dir)             // v0
+    Versioned.append(rows(20, 30), dir)            // v1
+    Versioned.commit(rows(0, 5), dir)              // v2: the "bad" strike
+    val v3 = Versioned.restore(spark, dir, 1L)
+    assert(v3 == 3L)
+    assert(Versioned.read(spark, dir).count() == 30L)
+    // Metadata-only: the restored version lists v1's exact groups.
+    assert(Versioned.read(spark, dir, 3L).inputFiles.map(groupOf).toSet ==
+      Versioned.read(spark, dir, 1L).inputFiles.map(groupOf).toSet)
+    // The mistake stays in history; CDC consumers see a rewrite boundary.
+    assert(Versioned.read(spark, dir, 2L).count() == 5L)
+    val (_, _, resync) = Versioned.pollChanges(spark, dir, 2L)
+    assert(resync, "restore must read as a rewrite boundary")
+    // schema evolution carries through a restore of a pre-evolution version
+    Versioned.append(rows(30, 32).withColumn("extra", lit(1L)), dir, evolveSchema = true)
+    val v5 = Versioned.restore(spark, dir, 3L)
+    assert(Versioned.read(spark, dir, v5).columns.toSeq == Seq("id", "v"))
+    // vacuum the early history away: restore refuses, named
+    Versioned.vacuum(spark, dir, keepFrom = v5)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.restore(spark, dir, 2L)
+    }
+    assert(e.getMessage.contains("restorable") || e.getMessage.contains("lists no files"),
+      e.getMessage)
+  }
+
   test("schema-bearing manifest: read plans with ZERO jobs (no parquet inference pass)") {
     val dir = tbl()
     Versioned.commit(rows(0, 50), dir)
