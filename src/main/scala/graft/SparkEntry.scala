@@ -1096,6 +1096,64 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Copy-on-write DELETE with ANSI null semantics, composed with
+    // schema evolution: the table is born WITHOUT n_chars (en snapshot),
+    // each non-en lang lands as its own evolveSchema append (one file
+    // group per lang, so the delete's stats phase prunes per-lang), then
+    // `DELETE WHERE n_chars > 400` strikes only evolved rows — the en
+    // group's NULL n_chars evaluates the predicate to NULL and those
+    // rows are KEPT, exactly as `DELETE FROM t WHERE p` keeps null-p
+    // rows in Spark/Delta/ANSI. Exact touched-file detection means the
+    // en group (and any lang group with no >400 doc) carries into the
+    // new manifest metadata-only (VersionedMutationSpec pins the group
+    // identities; here the oracle pins the row semantics).
+    "versioned_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tbl = s"/tmp/graft_versioned/del_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(
+        docs.filter(col("lang") === "en").select("doc_id", "text", "lang"), tbl)
+      Seq("de", "es", "fr", "zh").foreach { l =>
+        Versioned.append(
+          docs.filter(col("lang") === l).select("doc_id", "text", "lang", "n_chars"),
+          tbl, evolveSchema = true)
+      }
+      Versioned.delete(s, tbl)(col("n_chars") > 400L)
+      Versioned.read(s, tbl).groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
+    // Copy-on-write MERGE (upsert-by-replacement): updates to existing
+    // keys replace their rows, fresh keys insert, untouched rows carry
+    // over — `MERGE WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    // THEN INSERT *` over the versioned table. The table is built as
+    // two range-split appends so the source's key bounds + the exact
+    // semi-join detection rewrite only groups with real matches
+    // (VersionedMutationSpec pins that; the oracle recomputes the full
+    // merge result from raw orders).
+    "versioned_merge" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val tbl = s"/tmp/graft_versioned/mrg_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(orders.filter(col("o_orderkey") < 1000L), tbl)
+      Versioned.append(orders.filter(col("o_orderkey") >= 1000L), tbl)
+      val src = orders.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0d).as("o_totalprice"))
+        .unionByName(orders.filter(col("o_orderkey") % 500 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), lit(0.5d).as("o_totalprice")))
+      Versioned.merge(s, tbl, src, Seq("o_orderkey"))
+      Versioned.read(s, tbl).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // SCHEMA EVOLUTION on the manifest: the table is born WITHOUT
     // n_chars (en snapshot), then an evolveSchema append lands non-en
     // rows WITH it — the manifest records the evolved schema, reads are
@@ -4326,6 +4384,39 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // en rows predate n_chars (NULL → predicate NULL → KEPT); evolved
+    // rows delete only when n_chars > 400.
+    "versioned_delete" ->
+      """WITH rows AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang <> 'en' THEN n_chars END AS nc
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM rows WHERE nc IS NULL OR nc <= 400
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The merge result recomputed from raw orders: source rows win on
+    // key collision, unmatched target rows survive, fresh keys insert.
+    "versioned_merge" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, 'X' AS o_orderstatus,
+        |    o_totalprice + 1000 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', 0.5
+        |  FROM orders WHERE o_orderkey % 500 = 0),
+        |merged AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT t.* FROM tgt t LEFT JOIN src s USING (o_orderkey)
+        |  WHERE s.o_orderstatus IS NULL)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // en rows predate the column (NULL n_chars), non-en rows carry it.
     "versioned_schema_evolution" ->

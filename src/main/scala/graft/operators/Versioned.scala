@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, min}
 import org.apache.hadoop.fs.Path
 
 /** Parquet-native versioned tables — the time-travel workflow the
@@ -426,23 +427,181 @@ object Versioned {
     val groups = m.files
     require(groups.nonEmpty, s"version $v of $tableDir lists no files")
     val cond = preds.reduce(_ && _)
-    // Resolve the predicate ONCE against the full scan's schema: the
-    // optimized plan's Filter condition has real attribute names,
-    // type-promoted literals, and between/isin lowered to comparisons.
-    val full = scanGroups(spark, tableDir, groups, m.schemaDdl)
+    val (kept, _) = pruneGroups(spark, tableDir, groups, m.schemaDdl, cond)
+    if (kept.isEmpty)
+      scanGroups(spark, tableDir, groups, m.schemaDdl).filter(cond).limit(0)
+    else scanGroups(spark, tableDir, kept, m.schemaDdl).filter(cond)
+  }
+
+  /** Partition `groups` into (mayMatch, provablyNoMatch) under `cond`
+    * using the per-group stats sidecars — the planning-time skipping
+    * shared by [[readWhere]], [[delete]] and [[merge]]. The predicate is
+    * resolved ONCE against the full scan's schema (the optimized plan's
+    * Filter has real attribute names, type-promoted literals, and
+    * between/isin lowered to comparisons); groups without a sidecar are
+    * conservatively kept on the mayMatch side. */
+  private def pruneGroups(
+      spark: SparkSession, tableDir: String, groups: Seq[String],
+      schemaDdl: Option[String], cond: Column): (Seq[String], Seq[String]) = {
+    val full = scanGroups(spark, tableDir, groups, schemaDdl)
     val resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
       full.filter(cond).queryExecution.optimizedPlan.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }
     val f = fs(spark, tableDir)
-    val kept = groups.filter { g =>
+    groups.partition { g =>
       GroupStats.read(f, GroupStats.sidecarPath(tableDir, g)) match {
         case Some(st) => resolved.forall(e => GroupStats.mayMatch(st, e))
         case None     => true // pre-stats group: cannot prune
       }
     }
-    if (kept.isEmpty) full.filter(cond).limit(0)
-    else scanGroups(spark, tableDir, kept, m.schemaDdl).filter(cond)
+  }
+
+  /** Total rows across `groups` from their stats sidecars — metadata-only
+    * when every sidecar is present (always, for groups this module
+    * wrote); one counting scan as the pre-stats-table fallback. */
+  private def groupRows(
+      spark: SparkSession, tableDir: String, groups: Seq[String],
+      schemaDdl: Option[String]): Long =
+    if (groups.isEmpty) 0L
+    else {
+      val f = fs(spark, tableDir)
+      val per = groups.map(g =>
+        GroupStats.read(f, GroupStats.sidecarPath(tableDir, g)).map(_.nRows))
+      if (per.forall(_.isDefined)) per.map(_.get).sum
+      else scanGroups(spark, tableDir, groups, schemaDdl).count()
+    }
+
+  /** The file groups among `candidates` that ACTUALLY contain a row
+    * matching `probe` — Delta's touched-file detection: one scan of the
+    * (stats-pruned) candidates tagged with `input_file_name()`, distinct
+    * on the group id, collected (bounded by the group count, never the
+    * row count). Turns conservative range pruning into exact file-level
+    * COW: a candidate whose bounds overlap but which holds no matching
+    * row still carries over metadata-only. */
+  private def touchedGroups(
+      spark: SparkSession, tableDir: String, candidates: Seq[String],
+      schemaDdl: Option[String])(
+      probe: DataFrame => DataFrame): Set[String] = {
+    if (candidates.isEmpty) return Set.empty
+    val tagged = scanGroups(spark, tableDir, candidates, schemaDdl)
+      .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
+    probe(tagged).select("__file").distinct().collect()
+      .map(r => r.getString(0).split("/files/")(1).split("/")(0)).toSet
+  }
+
+  /** Copy-on-write `DELETE FROM ... WHERE preds` — Delta's delete
+    * economics over bare parquet, in two phases:
+    * 1. the stats sidecars prune to CANDIDATE groups at planning time
+    *    (metadata-only, KB of driver-side JSON);
+    * 2. one scan of the candidates finds the groups that actually hold
+    *    a matching row ([[touchedGroups]]); only THOSE are rewritten
+    *    (minus the matches), every other group carries into the new
+    *    manifest METADATA-ONLY — deleting one day from a
+    *    year-of-appends table rewrites one group, not 365.
+    * A predicate that matches NOTHING is a pure no-op: the current
+    * version number returns and no new version is committed.
+    *
+    * SQL DELETE null semantics: rows where the predicate evaluates NULL
+    * are KEPT (survivors are `NOT coalesce(pred, false)`), exactly as
+    * `DELETE FROM t WHERE p` behaves in Spark/Delta/ANSI. History is
+    * intact — the parent version still reads the pre-delete rows — and
+    * CDC consumers see a rewrite boundary ([[changes]] raises across it,
+    * [[pollChanges]] resyncs), since a file-group difference cannot
+    * represent removed rows. Returns the new (or unchanged) version. */
+  def delete(spark: SparkSession, tableDir: String)(preds: Column*): Long = {
+    require(preds.nonEmpty, "delete needs at least one predicate")
+    val v = latestVersion(spark, tableDir)
+    require(v >= 0, s"no versions committed under $tableDir")
+    val m = parseManifest(spark, tableDir, v)
+    require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
+    val cond = preds.reduce(_ && _)
+    val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, cond)
+    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl)(_.filter(cond))
+    if (hit.isEmpty) return v // nothing to delete anywhere
+    val (touched, untouched) = m.files.partition(hit)
+    val survivors = scanGroups(spark, tableDir, touched, m.schemaDdl)
+      .filter(!coalesce(cond, lit(false)))
+    val (group, kept) = writeGroup(survivors, tableDir)
+    val f = fs(spark, tableDir)
+    val groups =
+      if (kept == 0L && untouched.nonEmpty) {
+        // every touched row deleted: drop the empty rewrite group
+        f.delete(new Path(s"$tableDir/files/$group"), true)
+        untouched
+      } else untouched :+ group
+    val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl)
+    publish(spark, tableDir, groups, untouchedRows + kept, "delete", m.schemaDdl)
+  }
+
+  /** Copy-on-write MERGE (upsert-by-replacement) into a versioned table:
+    * target rows whose `keyCols` match a source row are REPLACED by that
+    * source row, unmatched target rows are kept, unmatched source rows
+    * are inserted — `MERGE WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    * MATCHED THEN INSERT *`.
+    *
+    * Delta's two-phase shape: the source's per-key min/max (ONE
+    * aggregate, collected as 2·|keys| scalars) builds a range predicate
+    * that prunes to CANDIDATE groups from the stats sidecars
+    * (metadata-only); then one semi-join of the candidates against the
+    * source keys finds the groups that actually hold a match
+    * ([[touchedGroups]]) — so a source whose keys are scattered (two
+    * extreme ids, or fresh insert keys beyond every bound) still
+    * rewrites only the files with real matches. Soundness: a matched
+    * row needs equality on EVERY key, so a group outside the source's
+    * range on any key provably holds no match — a daily upsert against
+    * a time-keyed 100 TB table rewrites the recent groups only.
+    *
+    * Contracts: the source schema must match the table's ([[append]]'s
+    * no-evolution validation), and source keys must be UNIQUE — two
+    * source rows matching one target row is ambiguous, and raises here
+    * exactly as Delta's MERGE does. CDC consumers see a rewrite boundary
+    * (same as [[delete]]). Returns the new (or unchanged) version. */
+  def merge(
+      spark: SparkSession,
+      tableDir: String,
+      source: DataFrame,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val v = latestVersion(spark, tableDir)
+    require(v >= 0, s"no versions committed under $tableDir")
+    val m = parseManifest(spark, tableDir, v)
+    require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
+    val schemaDdl = validateAppendSchema(source, m.schemaDdl, evolve = false)
+    // The source feeds three consumers (bounds, duplicate gate,
+    // anti-join + union); pin it once so its plan runs once.
+    val src = source.localCheckpoint(true)
+    if (src.isEmpty) return v
+    val dup = src.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dup == 0L,
+      s"merge source has duplicate keys on (${keyCols.mkString(", ")}); " +
+        "matched-row replacement would be ambiguous (Delta MERGE raises too)")
+    val bounds = src.agg(
+      keyCols.flatMap(k => Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+        .head,
+      keyCols.flatMap(k => Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+        .tail: _*).collect()(0)
+    val rangePred = keyCols.zipWithIndex.map { case (k, i) =>
+      col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
+    }.reduce(_ && _)
+    val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, rangePred)
+    val srcKeys = src.select(keyCols.map(col): _*)
+    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl)(
+      _.join(srcKeys, keyCols, "left_semi"))
+    val (touched, untouched) = m.files.partition(hit)
+    // Align the source to the table's column order (names already
+    // validated; resolution is case-insensitive).
+    val tableCols = scanGroups(spark, tableDir, m.files, m.schemaDdl).columns
+    val srcAligned = src.select(tableCols.map(col): _*)
+    val newData =
+      if (touched.isEmpty) srcAligned
+      else scanGroups(spark, tableDir, touched, m.schemaDdl)
+        .join(srcKeys, keyCols, "left_anti")
+        .unionByName(srcAligned)
+    val (group, n) = writeGroup(newData, tableDir)
+    val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl)
+    publish(spark, tableDir, untouched :+ group, untouchedRows + n, "merge", schemaDdl)
   }
 
   /** OPTIMIZE-style compaction: rewrite the latest version's data as a
