@@ -1989,6 +1989,25 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Link-graph centrality as a quality signal: PageRank (3 iterations,
+    // d=0.85, dangling mass redistributed uniformly) over the bipartite
+    // customer→part graph from orders⋈lineitem — every part is a sink,
+    // so the dangling path carries real mass here. EVERY node's rank is
+    // hash-compared against the oracle's hand-unrolled power iteration
+    // (rounded to 6 dp to absorb FP summation order); PageRankSpec
+    // additionally pins the operator to 1e-12 against a dense in-test
+    // reference on cycles/sinks/self-loops.
+    "pagerank_centrality" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000L) + col("l_partkey")).as("dst"))
+      Components.pageRank(edges, "src", "dst", iterations = 3)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy("node")
+    }),
+
     // The driver-facing SimHash query: runs the full simHashPairs
     // pipeline and gates its MEANING, since the exact pair values are
     // not SQL-reproducible (xxhash64): the fraction of reported pairs
@@ -3533,6 +3552,45 @@ object SparkEntry {
          |  FROM lab)
          |SELECT split, count(*) AS n_docs, count(DISTINCT cluster) AS n_clusters
          |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    // The power iteration unrolled by hand, 3 steps: contrib join +
+    // dangling mass per step, identical arithmetic to the operator.
+    "pagerank_centrality" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_partkey AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+        |pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+        |d1 AS (SELECT coalesce(sum(p.pr), 0) AS m FROM pr0 p
+        |       LEFT JOIN od ON p.node = od.src WHERE od.src IS NULL),
+        |pr1 AS (
+        |  SELECT nd.node, (1 - 0.85) / (SELECT n FROM nn)
+        |    + 0.85 * (coalesce(c.contrib, 0) + (SELECT m FROM d1) / (SELECT n FROM nn)) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node, sum(p.pr / od.deg) AS contrib
+        |    FROM e JOIN pr0 p ON e.src = p.node JOIN od ON od.src = e.src
+        |    GROUP BY 1) c ON nd.node = c.node),
+        |d2 AS (SELECT coalesce(sum(p.pr), 0) AS m FROM pr1 p
+        |       LEFT JOIN od ON p.node = od.src WHERE od.src IS NULL),
+        |pr2 AS (
+        |  SELECT nd.node, (1 - 0.85) / (SELECT n FROM nn)
+        |    + 0.85 * (coalesce(c.contrib, 0) + (SELECT m FROM d2) / (SELECT n FROM nn)) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node, sum(p.pr / od.deg) AS contrib
+        |    FROM e JOIN pr1 p ON e.src = p.node JOIN od ON od.src = e.src
+        |    GROUP BY 1) c ON nd.node = c.node),
+        |d3 AS (SELECT coalesce(sum(p.pr), 0) AS m FROM pr2 p
+        |       LEFT JOIN od ON p.node = od.src WHERE od.src IS NULL),
+        |pr3 AS (
+        |  SELECT nd.node, (1 - 0.85) / (SELECT n FROM nn)
+        |    + 0.85 * (coalesce(c.contrib, 0) + (SELECT m FROM d3) / (SELECT n FROM nn)) AS pr
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e.dst AS node, sum(p.pr / od.deg) AS contrib
+        |    FROM e JOIN pr2 p ON e.src = p.node JOIN od ON od.src = e.src
+        |    GROUP BY 1) c ON nd.node = c.node)
+        |SELECT node, round(pr, 6) AS pr FROM pr3 ORDER BY node""".stripMargin,
 
     "dedup_ngram_pairs" ->
       """WITH nrm AS (

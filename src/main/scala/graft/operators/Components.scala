@@ -159,4 +159,71 @@ object Components {
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
       .withColumn("is_canonical", col("cluster") === col(idCol))
   }
+
+  /** PageRank over a directed edge list — link-graph centrality as a
+    * corpus QUALITY SIGNAL: crawl-scale curation pipelines weight
+    * documents by the centrality of their source in the link graph
+    * (the CommonCrawl-lineage "harmonic/pagerank" filters), and the
+    * same iteration ranks entities in any reference graph.
+    *
+    * Semantics (the classic random-surfer model, Page et al. 1999):
+    * DISTINCT edges (a repeated link counts once), self-loops kept as
+    * given; per iteration every node's rank is
+    * `(1-d)/N + d·(Σ_in pr(src)/outdeg(src) + dangling/N)` where
+    * `dangling` is the total rank sitting on nodes with no out-edges,
+    * redistributed uniformly — so the ranks sum to exactly 1 every
+    * iteration (spec-pinned), bipartite graphs (all sinks on one side)
+    * included.
+    *
+    * Scale shape: the edge set is joined with the out-degrees ONCE and
+    * the result pinned pre-partitioned on `src` — each of the K
+    * iterations then pays exactly one join against the rank frame (a
+    * shuffle keyed by node id, the same exchange a groupBy pays), one
+    * map-side-combined aggregation by `dst`, and one bounded driver
+    * scalar (the dangling mass, a single double). `localCheckpoint`
+    * caps the lineage so K iterations never deepen the plan — the same
+    * discipline as [[connectedComponents]]; nothing per-node ever
+    * reaches the driver.
+    *
+    * Returns one row per node: `(node, pr)`. */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    val outdeg = e.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("deg"))
+      .withColumnRenamed("src", "onode")
+    // Fold the out-degree into the edge list once; every iteration's
+    // join then reuses this pre-partitioned, pinned frame.
+    val linked = e.join(outdeg, col("src") === col("onode"))
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src")).localCheckpoint()
+    val sinks = nodes.join(outdeg, col("node") === col("onode"), "left_anti")
+      .localCheckpoint()
+
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val dangling = sinks.join(pr, Seq("node"))
+        .agg(coalesce(sum("pr"), lit(0.0d))).head().getDouble(0)
+      val contrib = linked.join(pr, col("src") === col("node"))
+        .groupBy("dst").agg(sum(col("pr") / col("deg")).as("contrib"))
+      pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0d)) + lit(dangling / n))).as("pr"))
+        .localCheckpoint()
+      i += 1
+    }
+    pr
+  }
 }
