@@ -460,6 +460,39 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // The YAML surface over Versioned.merge: operation versioned_merge
+    // with primary_key_column drives the copy-on-write upsert through
+    // the full 8-step job lifecycle (${param} substitution included).
+    // update_column is rejected at parse time — versioned_merge replaces
+    // WHOLE rows (UPDATE SET *), per SpecsSpec.
+    "etl_versioned_merge" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
+      val tbl = s"/tmp/graft_versioned/emrg_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(
+        s.sql("SELECT o_orderkey, o_orderpriority, o_totalprice FROM __etl_orders"),
+        tbl)
+      val yaml =
+        s"""version: 0
+           |source:
+           |  query: >-
+           |    SELECT o_orderkey, 'RUSH' AS o_orderpriority,
+           |    o_totalprice * 1.1 AS o_totalprice
+           |    FROM __etl_orders WHERE o_orderkey % $${mod} = 3
+           |target:
+           |  path: $tbl
+           |  operation: versioned_merge
+           |  primary_key_column: [o_orderkey]
+           |""".stripMargin
+      EtlJob.fromYaml(yaml, Map("mod" -> "7")).run()
+      Versioned.read(s, tbl).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     "etl_truncate_append" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       t(s, dir, "orders").createOrReplaceTempView("__etl_orders")
@@ -3111,6 +3144,22 @@ object SparkEntry {
     "etl_truncate_append" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey % 10 = 8 ORDER BY o_orderkey""".stripMargin,
+
+    // The YAML-driven versioned merge recomputed from raw orders:
+    // source rows (keys ≡ 3 mod 7) replace theirs, the rest survive.
+    "etl_versioned_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, 'RUSH' AS o_orderpriority,
+        |    o_totalprice * 1.1 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 3),
+        |merged AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey % 7 <> 3)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Ground-truth oracles for the text near-dup pipelines: DuckDB
     // computes ALL-pairs exact Jaccard (the O(n²) gram join costs ~0.3 s

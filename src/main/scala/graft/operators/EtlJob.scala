@@ -128,6 +128,23 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
         check("update_column", spec.target.updateColumns, srcCols, "source")
         check("update_column", spec.target.updateColumns, tgtCols, "target")
         EtlJob.checkSchemaDrift(source.schema, tgtSchema, appendSemantics = false)
+      case Operation.VersionedMerge =>
+        val path = versionedPath
+        if (Versioned.latestVersion(spark, path) < 0)
+          throw new JobConfigException(
+            s"versioned_merge target '$path' has no committed versions " +
+              "(merge needs an existing table; use versioned_snapshot first)")
+        val srcCols = source.schema.fieldNames.map(_.toLowerCase).toSet
+        val tgtCols =
+          Versioned.read(spark, path).schema.fieldNames.map(_.toLowerCase).toSet
+        val missing = spec.target.primaryKeyColumns
+          .filterNot(c => srcCols.contains(c.toLowerCase) && tgtCols.contains(c.toLowerCase))
+        if (missing.nonEmpty)
+          throw new JobConfigException(
+            s"primary_key_column ${missing.mkString(", ")} not found in both " +
+              "source and versioned-target schemas")
+        // Versioned.merge itself enforces the full schema contract
+        // (append-path validation, no evolution).
       case Operation.VersionedSnapshot | Operation.VersionedAppend =>
         // versionedPath validates the path-only + parquet constraints;
         // an append into existing history must not drift the schema —
@@ -163,6 +180,8 @@ final class EtlJob(val spec: JobSpec)(implicit spark: SparkSession) {
     case Operation.VersionedSnapshot => Versioned.commit(source, versionedPath)
     case Operation.VersionedAppend =>
       Versioned.append(source, versionedPath, spec.target.evolveSchema)
+    case Operation.VersionedMerge =>
+      Versioned.merge(spark, versionedPath, source, spec.target.primaryKeyColumns)
     case Operation.Update =>
       Writes.merge(source, targetRef, toDs, spec.target.primaryKeyColumns,
         spec.target.updateColumns, spec.target.whereStatementOnTable,

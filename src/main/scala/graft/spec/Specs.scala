@@ -28,6 +28,7 @@ object Operation {
   // layout, not a catalog entry.
   case object VersionedSnapshot extends Operation
   case object VersionedAppend   extends Operation
+  case object VersionedMerge    extends Operation
 
   def parse(s: String): Operation = s.trim.toLowerCase match {
     case "append" | "insert"   => Append
@@ -36,6 +37,7 @@ object Operation {
     case "upsert"              => Upsert
     case "versioned_snapshot"  => VersionedSnapshot
     case "versioned_append"    => VersionedAppend
+    case "versioned_merge"     => VersionedMerge
     case other => throw new JobConfigException(s"Unexpected operation '$other'")
   }
 }
@@ -175,6 +177,15 @@ final case class JobSpec(version: String, source: SourceSpec, target: TargetSpec
         if (target.updateColumns.isEmpty)
           throw new JobConfigException(
             s"${target.operation} requires 'update_column'")
+      case Operation.VersionedMerge =>
+        // Whole-row replacement: no update_column list (it is SET *).
+        if (target.primaryKeyColumns.isEmpty)
+          throw new JobConfigException(
+            s"${target.operation} requires 'primary_key_column'")
+        if (target.updateColumns.nonEmpty)
+          throw new JobConfigException(
+            "versioned_merge replaces whole rows (UPDATE SET *); " +
+              "'update_column' does not apply")
       case _ => ()
     }
   }

@@ -84,6 +84,18 @@ class SpecsSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned_merge requires primary_key_column and rejects update_column") {
+    intercept[JobConfigException](JobSpec.fromString(minimal("versioned_merge")))
+    val ok = JobSpec.fromString(
+      minimal("versioned_merge") + "  primary_key_column: [x]\n")
+    assert(ok.target.operation == Operation.VersionedMerge)
+    val e = intercept[JobConfigException] {
+      JobSpec.fromString(minimal("versioned_merge") +
+        "  primary_key_column: [x]\n  update_column: [y]\n")
+    }
+    assert(e.getMessage.contains("whole rows"))
+  }
+
   test("target/recon `schema:` parses; path-only constraint enforced") {
     val spec = JobSpec.fromString(
       """version: 0
