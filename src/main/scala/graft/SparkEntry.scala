@@ -750,6 +750,22 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // The SAME exact top-k through the heavy-hitter path: Misra–Gries
+    // candidates (treeAggregate, ≤2·sketch counters per task) + an
+    // exact recount over the broadcast candidate set, provably-exact
+    // gated per run (k-th count must beat the merged slack, else the
+    // operator falls back to the full groupBy). At 100 TB this is the
+    // difference between shuffling the whole vocabulary (trillions of
+    // web-text singletons) and shuffling ≤2·sketch distinct keys; the
+    // oracle is the plain full-vocabulary top-k — the two must agree
+    // EXACTLY, that is the operator's contract.
+    "heavy_hitters_tokens" -> ((s, dir) =>
+      HeavyHitters.exactTopK(
+        TextAnalysis.withNormToks(t(s, dir, "documents"), "text")
+          .select(explode(col("__toks")).as("token")),
+        "token", k = 30, sketchSize = 2048)
+        .withColumnRenamed("value", "token")),
+
     // Per-document top-3 TF-IDF keywords: tf × ln((N+1)/(df+1)), ties
     // by term — one multiply over identically-derived operands, so
     // DuckDB reproduces scores AND ranks bit-exactly (bm25 discipline).
@@ -4341,6 +4357,17 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token ASC
         |LIMIT 20""".stripMargin,
+
+    // The heavy-hitter operator's contract IS the full-vocabulary
+    // top-k: same tokenization, k=30.
+    "heavy_hitters_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |      FROM documents
+        |      WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> '')
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC
+        |LIMIT 30""".stripMargin,
 
     "tfidf_keywords" ->
       """WITH tok AS (
