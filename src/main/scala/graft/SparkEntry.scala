@@ -1174,6 +1174,28 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Copy-on-write UPDATE, the third DML leg: a 10% discount lands on
+    // urgent orders only, in place — assignments apply under
+    // coalesce(cond, false), the table's shape is unchanged (type
+    // guard), and groups with no urgent rows carry over metadata-only
+    // (VersionedMutationSpec pins carry-over + the NULL-predicate
+    // untouched row; here the oracle pins the arithmetic).
+    "versioned_update" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val tbl = s"/tmp/graft_versioned/upd_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(orders.filter(col("o_orderkey") < 1000L), tbl)
+      Versioned.append(orders.filter(col("o_orderkey") >= 1000L), tbl)
+      Versioned.update(s, tbl, col("o_orderpriority") === "1-URGENT",
+        "o_totalprice" -> (col("o_totalprice") * 0.9d))
+      Versioned.read(s, tbl).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Copy-on-write MERGE (upsert-by-replacement): updates to existing
     // keys replace their rows, fresh keys insert, untouched rows carry
     // over — `MERGE WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
@@ -4530,6 +4552,13 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM rows WHERE nc IS NULL OR nc <= 400
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Urgent orders discounted 10%, everything else untouched.
+    "versioned_update" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                 THEN o_totalprice * 0.9 ELSE o_totalprice END), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The merge result recomputed from raw orders: source rows win on
     // key collision, unmatched target rows survive, fresh keys insert.

@@ -534,6 +534,53 @@ object Versioned {
     publish(spark, tableDir, groups, untouchedRows + kept, "delete", m.schemaDdl)
   }
 
+  /** Copy-on-write `UPDATE ... SET assignments WHERE cond` — the third
+    * leg of the DML triad ([[delete]], [[merge]]), same two-phase
+    * economics: stats sidecars prune to candidates, exact touched-file
+    * detection ([[touchedGroups]]) picks the groups that actually hold
+    * a matching row, only those rewrite (each assignment applies under
+    * `coalesce(cond, false)` — NULL-predicate rows are NOT updated,
+    * ANSI semantics), everything else carries metadata-only. The
+    * rewrite may not reshape the table: an assignment that would change
+    * a column's type raises before any write. A no-match update returns
+    * the current version unchanged. CDC: rewrite boundary, like the
+    * other mutations. */
+  def update(
+      spark: SparkSession, tableDir: String, cond: Column,
+      assignments: (String, Column)*): Long = {
+    require(assignments.nonEmpty, "update needs at least one assignment")
+    val v = latestVersion(spark, tableDir)
+    require(v >= 0, s"no versions committed under $tableDir")
+    val m = parseManifest(spark, tableDir, v)
+    require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
+    val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, cond)
+    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl)(_.filter(cond))
+    if (hit.isEmpty) return v
+    val (touched, untouched) = m.files.partition(hit)
+    val scan = scanGroups(spark, tableDir, touched, m.schemaDdl)
+    val resolver = org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
+    assignments.foreach { case (c, _) =>
+      require(scan.columns.exists(resolver(_, c)),
+        s"update assignment targets unknown column '$c' " +
+          s"(table has ${scan.columns.mkString(", ")})")
+    }
+    val applied = cond.isNotNull && cond // NULL predicate → row untouched
+    val rewritten = assignments.foldLeft(scan) { case (df, (c, expr)) =>
+      df.withColumn(c, org.apache.spark.sql.functions.when(applied, expr)
+        .otherwise(col(c)))
+    }
+    scan.schema.fields.zip(rewritten.schema.fields).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"update may not change column types: ${a.name} " +
+          s"${a.dataType.simpleString} -> ${b.dataType.simpleString} " +
+          "(cast the assignment expression to the column's type)")
+    }
+    val (group, n) = writeGroup(rewritten, tableDir)
+    val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl)
+    publish(spark, tableDir, untouched :+ group, untouchedRows + n,
+      "update", m.schemaDdl)
+  }
+
   /** Copy-on-write MERGE (upsert-by-replacement) into a versioned table:
     * target rows whose `keyCols` match a source row are REPLACED by that
     * source row, unmatched target rows are kept, unmatched source rows

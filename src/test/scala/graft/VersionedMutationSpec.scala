@@ -173,6 +173,35 @@ class VersionedMutationSpec extends SparkSpec {
       "first group is outside the k1 bounds and must carry over")
   }
 
+  test("update: assignments apply only where cond is TRUE; COW carry-over; no-op; type guard") {
+    val dir = tbl()
+    Versioned.commit(
+      (0L until 50L).map(i => (i, s"d$i", Some(i * 2L))).toDF("id", "v", "score"), dir)
+    Versioned.append(
+      (50L until 100L).map(i => (i, s"d$i", if (i == 60L) None else Some(i * 2L)))
+        .toDF("id", "v", "score"), dir)
+    val before = groupsOf(Versioned.read(spark, dir))
+    // Touches only the second group's range; row 60's NULL score makes
+    // the predicate NULL there → must stay untouched (ANSI UPDATE).
+    val v = Versioned.update(spark, dir, col("score") > 110L,
+      "v" -> lit("HI"), "score" -> (col("score") + 1L))
+    assert(v == 2L)
+    val after = Versioned.read(spark, dir)
+    assert(groupsOf(after).intersect(before).size == 1, "first group must carry over")
+    val hi = after.filter(col("v") === "HI").select("id").as[Long].collect().sorted
+    assert(hi.toSeq == (56L until 100L).filterNot(_ == 60L), s"got ${hi.toSeq}")
+    assert(after.filter(col("id") === 60L).select("v").as[String].head() == "d60")
+    assert(after.filter(col("id") === 70L).select("score").as[Long].head() == 141L)
+    // No-match and unknown-column / type-change guards.
+    assert(Versioned.update(spark, dir, col("score") > 99999L, "v" -> lit("X")) == v)
+    intercept[IllegalArgumentException] {
+      Versioned.update(spark, dir, col("id") >= 0L, "nope" -> lit(1))
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.update(spark, dir, col("id") >= 0L, "score" -> lit("not a long"))
+    }
+  }
+
   test("delete then restore: the undo button works across mutation modes") {
     val dir = tbl()
     rangedTable(dir)
