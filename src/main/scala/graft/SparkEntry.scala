@@ -1174,6 +1174,30 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // CHECK-constraint lifecycle: the table starts clean, ALTER TABLE
+    // ADD CONSTRAINT pins n_chars <= 500, a dirty append (rows over the
+    // cap) is REFUSED before its manifest publishes — no partial batch,
+    // no leaked group (ConstraintSpec pins that) — and the clean slice
+    // of the same batch lands. The oracle recomputes the only content
+    // a correctly-enforced table can hold; any row from the refused
+    // batch poisons the hash.
+    "versioned_constraints" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/cons_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(
+        docs.filter(col("lang") === "en" && col("n_chars") <= 500L), tbl)
+      Versioned.addConstraint(s, tbl, "chars_cap", "n_chars <= 500")
+      try Versioned.append(docs.filter(col("lang") =!= "en"), tbl)
+      catch { case _: IllegalArgumentException => () } // dirty batch refused whole
+      Versioned.append(
+        docs.filter(col("lang") =!= "en" && col("n_chars") <= 500L), tbl)
+      Versioned.read(s, tbl).groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("char_sum"))
+        .orderBy("lang")
+    }),
+
     // Copy-on-write UPDATE, the third DML leg: a 10% discount lands on
     // urgent orders only, in place — assignments apply under
     // coalesce(cond, false), the table's shape is unchanged (type
@@ -4551,6 +4575,13 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM rows WHERE nc IS NULL OR nc <= 400
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Only rows under the cap can exist in a correctly-enforced table.
+    "versioned_constraints" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+        |FROM documents WHERE n_chars <= 500
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Urgent orders discounted 10%, everything else untouched.

@@ -58,7 +58,8 @@ object Versioned {
   private final case class Manifest(
       files: Seq[String], nRows: Long, mode: String, committedAt: String,
       txn: Option[(String, Long)] = None,
-      schemaDdl: Option[String] = None)
+      schemaDdl: Option[String] = None,
+      constraints: Seq[(String, String)] = Seq.empty)
 
   private def jsonEscape(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -88,7 +89,17 @@ object Versioned {
     // handles escaped quotes inside it.
     val schemaDdl = "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
       .findFirstMatchIn(raw).map(m => jsonUnescape(m.group(1)))
-    Manifest(files, nRows, mode, at, txn, schemaDdl)
+    // constraints: a flat JSON array of escaped strings alternating
+    // [name, expr, name, expr, ...]; exprs may contain brackets/quotes,
+    // so the array body is matched as a run of quoted strings.
+    val constraints =
+      "\"constraints\":\\[((?:\\s*\"(?:[^\"\\\\]|\\\\.)*\"\\s*,?)*)\\]".r
+        .findFirstMatchIn(raw).map { m =>
+          "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
+            .map(q => jsonUnescape(q.group(1))).toSeq
+            .grouped(2).collect { case Seq(n, e) => (n, e) }.toSeq
+        }.getOrElse(Seq.empty)
+    Manifest(files, nRows, mode, at, txn, schemaDdl, constraints)
   }
 
   private def readManifest(
@@ -103,25 +114,42 @@ object Versioned {
     * a version whose data is incomplete. */
   private def manifestJson(
       v: Long, mode: String, groups: Seq[String], nRows: Long,
-      txn: Option[(String, Long)], schemaDdl: Option[String]): String = {
+      txn: Option[(String, Long)], schemaDdl: Option[String],
+      constraints: Seq[(String, String)] = Seq.empty): String = {
     val txnJson = txn.map { case (app, b) =>
       s""","txn_app":"$app","txn_batch":$b"""
     }.getOrElse("")
     val schemaJson = schemaDdl.map(d => s""","schema":"${jsonEscape(d)}"""").getOrElse("")
+    val consJson =
+      if (constraints.isEmpty) ""
+      else constraints.flatMap { case (n, e) => Seq(n, e) }
+        .map(s => "\"" + jsonEscape(s) + "\"").mkString(""","constraints":[""", ",", "]")
     s"""{"version":$v,"mode":"$mode","files":[${groups.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"$txnJson$schemaJson}"""
+      s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"$txnJson$schemaJson$consJson}"""
+  }
+
+  /** The live constraint set: the latest version's, or empty. */
+  def constraints(spark: SparkSession, tableDir: String): Seq[(String, String)] = {
+    val v = latestVersion(spark, tableDir)
+    if (v < 0) Seq.empty
+    else scala.util.Try(parseManifest(spark, tableDir, v).constraints)
+      .getOrElse(Seq.empty)
   }
 
   private def publish(
       spark: SparkSession, tableDir: String, groups: Seq[String],
-      nRows: Long, mode: String, schemaDdl: Option[String]): Long = {
+      nRows: Long, mode: String, schemaDdl: Option[String],
+      constraintsOverride: Option[Seq[(String, String)]] = None): Long = {
     val f = fs(spark, tableDir)
+    // Constraints are table-level metadata: every commit carries the
+    // live set forward unless explicitly changed (add/dropConstraint).
+    val cons = constraintsOverride.getOrElse(constraints(spark, tableDir))
     var v = latestVersion(spark, tableDir) + 1
     while (true) {
       // FsAtomic: Hadoop's local create(overwrite=false) is check-then-
       // act; a non-atomic create here could publish the SAME version
       // number twice under concurrent committers.
-      val json = manifestJson(v, mode, groups, nRows, None, schemaDdl)
+      val json = manifestJson(v, mode, groups, nRows, None, schemaDdl, cons)
       if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
         return v
       v += 1 // lost the race: next number
@@ -218,12 +246,104 @@ object Versioned {
     (group, stats.nRows)
   }
 
+  /** CHECK-constraint enforcement on a freshly-written (unpublished)
+    * group: ONE aggregate pass over the written files counts each
+    * constraint's violations (ANSI CHECK: a row violates only when the
+    * expression is FALSE — NULL passes). Any violation deletes the
+    * group and raises with per-constraint counts; a constraint whose
+    * expression no longer analyzes (a snapshot dropped its column)
+    * raises too — Delta's rule: drop the constraint before dropping
+    * the column. `schemaDdl` (the table schema the group will be read
+    * under) null-fills columns the group doesn't carry, so an evolved
+    * append missing a constrained column passes as NULL. */
+  private def enforceConstraints(
+      spark: SparkSession, tableDir: String, group: String,
+      schemaDdl: Option[String], cons: Seq[(String, String)]): Unit = {
+    if (cons.isEmpty) return
+    val path = s"$tableDir/files/$group"
+    def fail(msg: String): Nothing = {
+      fs(spark, tableDir).delete(new Path(path), true)
+      throw new IllegalArgumentException(msg)
+    }
+    val reader = schemaDdl match {
+      case Some(d) => spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(d))
+      case None => spark.read
+    }
+    val aggs: Seq[Column] = cons.map { case (n, e) =>
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          !coalesce(org.apache.spark.sql.functions.expr(e), lit(true)), 1L)
+          .otherwise(0L)).as(n)
+    }
+    val row =
+      try reader.parquet(path).agg(aggs.head, aggs.tail: _*).head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          fail(s"CHECK constraint no longer analyzes against the written " +
+            s"schema (${e.getMessage.linesIterator.next()}) — drop the " +
+            "constraint before reshaping its columns")
+      }
+    val bad = cons.zipWithIndex.collect {
+      case ((n, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$n (`$e`): ${row.getLong(i)} row(s)"
+    }
+    if (bad.nonEmpty)
+      fail(s"CHECK constraint violation(s): ${bad.mkString("; ")}")
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT: validate the constraint against ALL
+    * current rows (one scan; any violation raises with the count and
+    * nothing is committed), then publish a metadata-only version — same
+    * file groups, same rows — whose manifest carries the extended
+    * constraint set. Every subsequent write ([[commit]]/[[append]]/
+    * [[appendOnce]]/[[delete]]/[[update]]/[[merge]]) enforces the live
+    * set on the data it writes, BEFORE its manifest publishes, so a
+    * published version can never contain a violating row. ANSI CHECK
+    * semantics: NULL passes. Returns the new version. */
+  def addConstraint(
+      spark: SparkSession, tableDir: String,
+      name: String, exprSql: String): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name must be an identifier: '$name'")
+    require(exprSql.trim.nonEmpty, "constraint expression must be non-empty")
+    val v = latestVersion(spark, tableDir)
+    require(v >= 0, s"no versions committed under $tableDir")
+    val existing = constraints(spark, tableDir)
+    require(!existing.exists(_._1.equalsIgnoreCase(name)),
+      s"constraint '$name' already exists")
+    val m = parseManifest(spark, tableDir, v)
+    val violations = scanGroups(spark, tableDir, m.files, m.schemaDdl)
+      .filter(!coalesce(org.apache.spark.sql.functions.expr(exprSql), lit(true)))
+      .count()
+    require(violations == 0L,
+      s"cannot add CHECK constraint '$name' (`$exprSql`): " +
+        s"$violations existing row(s) violate it")
+    publish(spark, tableDir, m.files, m.nRows, "add_constraint", m.schemaDdl,
+      Some(existing :+ (name -> exprSql)))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT (metadata-only). */
+  def dropConstraint(
+      spark: SparkSession, tableDir: String, name: String): Long = {
+    val v = latestVersion(spark, tableDir)
+    require(v >= 0, s"no versions committed under $tableDir")
+    val existing = constraints(spark, tableDir)
+    require(existing.exists(_._1.equalsIgnoreCase(name)),
+      s"no such constraint: '$name' (have ${existing.map(_._1).mkString(", ")})")
+    val m = parseManifest(spark, tableDir, v)
+    publish(spark, tableDir, m.files, m.nRows, "drop_constraint", m.schemaDdl,
+      Some(existing.filterNot(_._1.equalsIgnoreCase(name))))
+  }
+
   /** Commit `df` as a FULL-SNAPSHOT version; returns the version number.
     * The manifest records the snapshot's schema (a snapshot may reshape
     * the table freely — it rewrites every row). */
   def commit(df: DataFrame, tableDir: String): Long = {
     val spark = df.sparkSession
     val (group, n) = writeGroup(df, tableDir)
+    enforceConstraints(spark, tableDir, group,
+      Some(storedSchema(df)), constraints(spark, tableDir))
     publish(spark, tableDir, Seq(group), n, "snapshot", Some(storedSchema(df)))
   }
 
@@ -245,6 +365,8 @@ object Versioned {
       }
     val schema = validateAppendSchema(df, parentSchema, evolveSchema)
     val (group, n) = writeGroup(df, tableDir)
+    enforceConstraints(spark, tableDir, group, schema,
+      constraints(spark, tableDir))
     publish(spark, tableDir, parentGroups :+ group, parentRows + n, "append", schema)
   }
 
@@ -289,6 +411,8 @@ object Versioned {
     val spark = df.sparkSession
     if (lastCommittedBatch(spark, tableDir, appId) >= batchId) return None
     val (group, n) = writeGroup(df, tableDir)
+    enforceConstraints(spark, tableDir, group,
+      Some(storedSchema(df)), constraints(spark, tableDir))
     val f = fs(spark, tableDir)
     while (true) {
       if (lastCommittedBatch(spark, tableDir, appId) >= batchId) {
@@ -298,18 +422,20 @@ object Versioned {
         return None
       }
       val parent = latestVersion(spark, tableDir)
-      val (parentGroups, parentRows, parentSchema) =
-        if (parent < 0) (Seq.empty[String], 0L, None: Option[String])
+      val (parentGroups, parentRows, parentSchema, parentCons) =
+        if (parent < 0)
+          (Seq.empty[String], 0L, None: Option[String],
+            Seq.empty[(String, String)])
         else {
           val m = parseManifest(spark, tableDir, parent)
-          (m.files, m.nRows, m.schemaDdl)
+          (m.files, m.nRows, m.schemaDdl, m.constraints)
         }
       // Streaming batches carry a fixed schema: strict validation.
       val schema = validateAppendSchema(df, parentSchema, evolve = false)
       val v = parent + 1
       val json = manifestJson(
         v, "append", parentGroups :+ group, parentRows + n,
-        Some(appId -> batchId), schema)
+        Some(appId -> batchId), schema, parentCons)
       if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
         return Some(v)
       // lost the race: loop re-reads the new latest AND the watermark
@@ -523,6 +649,7 @@ object Versioned {
     val survivors = scanGroups(spark, tableDir, touched, m.schemaDdl)
       .filter(!coalesce(cond, lit(false)))
     val (group, kept) = writeGroup(survivors, tableDir)
+    enforceConstraints(spark, tableDir, group, m.schemaDdl, m.constraints)
     val f = fs(spark, tableDir)
     val groups =
       if (kept == 0L && untouched.nonEmpty) {
@@ -576,6 +703,7 @@ object Versioned {
           "(cast the assignment expression to the column's type)")
     }
     val (group, n) = writeGroup(rewritten, tableDir)
+    enforceConstraints(spark, tableDir, group, m.schemaDdl, m.constraints)
     val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl)
     publish(spark, tableDir, untouched :+ group, untouchedRows + n,
       "update", m.schemaDdl)
@@ -647,6 +775,7 @@ object Versioned {
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(srcAligned)
     val (group, n) = writeGroup(newData, tableDir)
+    enforceConstraints(spark, tableDir, group, schemaDdl, m.constraints)
     val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl)
     publish(spark, tableDir, untouched :+ group, untouchedRows + n, "merge", schemaDdl)
   }
@@ -943,6 +1072,22 @@ object Versioned {
     require(missing.isEmpty,
       s"version $version is no longer restorable: vacuum dropped " +
         s"group(s) ${missing.mkString(", ")}")
+    // The LIVE constraint set carries forward (not the target
+    // version's): restoring to pre-constraint data must not launder a
+    // violation in, so when constraints exist the restored rows are
+    // validated first — the one case where restore pays a scan.
+    val liveCons = constraints(spark, tableDir)
+    if (liveCons.nonEmpty) {
+      val conds = liveCons.map { case (n, e) =>
+        (n, e, scanGroups(spark, tableDir, m.files, m.schemaDdl)
+          .filter(!coalesce(org.apache.spark.sql.functions.expr(e), lit(true)))
+          .count())
+      }.filter(_._3 > 0)
+      require(conds.isEmpty,
+        "restore would violate live CHECK constraint(s): " +
+          conds.map { case (n, e, c) => s"$n (`$e`): $c row(s)" }.mkString("; ") +
+          " — drop the constraint first or restore a later version")
+    }
     publish(spark, tableDir, m.files, m.nRows, "snapshot", m.schemaDdl)
   }
 
