@@ -1174,6 +1174,50 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Whole-document bin packing (best-fit-decreasing per shard): the
+    // padding-waste killer for loaders that must keep documents intact
+    // inside a context window (no cross-doc spill). The fit decision is
+    // sequential, so the oracle gates invariants instead of recomputing
+    // the assignment: doc and token totals EXACT, no multi-doc pack
+    // over budget, and fill ratio over the whole corpus at least 90%
+    // (BinPackingSpec pins bit-exact agreement with a sequential
+    // best-fit reference, determinism, and the next-fit dominance).
+    "pack_binpack_gate" -> ((s, dir) => {
+      val toks = TextAnalysis.withNormToks(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"))
+      val packed = Packing.packBestFitDecreasing(
+        toks, "doc_id", "n_tokens", budget = 256, shards = 8)
+        .localCheckpoint()
+      val byPack = packed.groupBy("shard", "pack_id")
+        .agg(sum(col("n_tokens")).as("pt"), count(lit(1)).as("n"))
+      val packStats = byPack.agg(
+        count(lit(1)).as("__n_packs"),
+        max(org.apache.spark.sql.functions.when(col("n") > 1, col("pt"))
+          .otherwise(0L)).as("__max_multi"))
+      packed.agg(
+        count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .crossJoin(packStats)
+        .select(col("n_docs"), col("total_tokens"),
+          (col("__max_multi") <= 256L).as("within_budget"),
+          (col("total_tokens").cast("double") /
+            (col("__n_packs") * lit(256.0d)) >= 0.9d).as("util_ok"))
+    }),
+
+    // Adaptive per-domain quality cutoff: drop the worst 20% of every
+    // lang by n_chars — the per-domain quantile form of filtering,
+    // where one global threshold would gut short-doc domains. Exact
+    // rank window, ties by doc_id; the oracle recomputes the identical
+    // window, so counts, the post-cut minimum AND the exact surviving
+    // id-set (via id_sum) must match.
+    "domain_drop_bottom" -> ((s, dir) =>
+      Sampling.dropBottomFraction(
+        t(s, dir, "documents"), "lang", "n_chars", "doc_id", 0.2)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          min("n_chars").as("min_chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")),
+
     // CHECK-constraint lifecycle: the table starts clean, ALTER TABLE
     // ADD CONSTRAINT pins n_chars <= 500, a dirty append (rows over the
     // cap) is REFUSED before its manifest publishes — no partial batch,
@@ -4575,6 +4619,30 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM rows WHERE nc IS NULL OR nc <= 400
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Exact doc/token totals from the same tokenization; the packing
+    // gates must hold whenever the operator is correct.
+    "pack_binpack_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
+        |           ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+        |      END) AS BIGINT) AS total_tokens,
+        |  true AS within_budget, true AS util_ok
+        |FROM documents""".stripMargin,
+
+    // The identical rank window recomputed: bottom floor(0.2·n) of each
+    // lang by (n_chars, doc_id) ascending drop.
+    "domain_drop_bottom" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r WHERE rk > floor(0.2 * n)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Only rows under the cap can exist in a correctly-enforced table.

@@ -47,6 +47,88 @@ object Packing {
       .drop("__cum_before")
   }
 
+  /** BIN-PACKING flavor of sequence packing — best-fit-decreasing
+    * within each shard, for pipelines that may reorder documents inside
+    * a shard and want the padding waste gone: [[packSequences]] (the
+    * concat-in-id-order contract) leaves `pack_tokens < budget` slack
+    * wherever the running sum crosses a boundary, while BFD places each
+    * document (largest first) into the open pack with the LEAST
+    * remaining room that still fits it — the classic 11/9·OPT+1 family.
+    * Fully deterministic: order is `(tokens DESC, id ASC)`, the fit tie
+    * breaks to the lowest pack id, so reruns and shards reproduce
+    * bit-for-bit. Documents longer than `budget` get a pack of their
+    * own (never reopened), mirroring how an oversized doc would be
+    * truncated/split downstream.
+    *
+    * Scale shape: one hash exchange on the shard + an in-partition
+    * `(shard, tokens DESC, id)` sort — the same shuffle the window
+    * packer pays — then a single streaming pass whose working set is
+    * the OPEN-PACK table only (`TreeMap[residual → pack ids]`,
+    * ~16 bytes per pack, never the documents), so a shard's memory is
+    * O(total_tokens/budget), not O(docs). Output:
+    * `(id, shard, tokens, pack_id)` with `pack_id` 0-based per shard.
+    *
+    * Not SQL-expressible (the fit decision is sequential), so the
+    * driver gate checks invariants instead: doc/token totals exact, no
+    * pack over budget, and pack count no worse than [[packSequences]]'
+    * on the same shards (and ≥ the ceil(total/budget) lower bound). */
+  def packBestFitDecreasing(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Int,
+      shards: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0, "shards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepped = df
+      .select(col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("tokens"))
+      .withColumn("shard", pmod(col("id"), lit(shards.toLong)))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("tokens").desc, col("id").asc)
+      .select("shard", "tokens", "id").as[(Long, Long, Long)]
+    prepped.mapPartitions { it =>
+      // Streaming best-fit over one partition; partitions hold whole
+      // shards (hash exchange on shard), possibly several — state
+      // resets at each shard boundary. Open packs indexed by residual.
+      var shard = Long.MinValue
+      var bins = new java.util.TreeMap[Long, java.util.TreeSet[Integer]]()
+      var residual = scala.collection.mutable.Map[Int, Long]()
+      var nextBin = 0
+      def reset(s: Long): Unit = {
+        shard = s; bins = new java.util.TreeMap(); residual.clear(); nextBin = 0
+      }
+      def place(t: Long): Int = {
+        val e = bins.ceilingEntry(t)
+        if (t <= budget && e != null) {
+          val bin: Int = e.getValue.first()
+          e.getValue.remove(bin)
+          if (e.getValue.isEmpty) bins.remove(e.getKey)
+          val r = residual(bin) - t
+          residual(bin) = r
+          if (r > 0) bins.computeIfAbsent(r, _ => new java.util.TreeSet())
+            .add(bin)
+          bin
+        } else {
+          val bin = nextBin; nextBin += 1
+          val r = budget.toLong - t
+          residual(bin) = r
+          if (r > 0) bins.computeIfAbsent(r, _ => new java.util.TreeSet())
+            .add(bin)
+          bin
+        }
+      }
+      it.map { case (s, t, id) =>
+        if (s != shard) reset(s)
+        (id, s, t, place(t).toLong)
+      }
+    }.toDF("id", "shard", "tokens", "pack_id")
+      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("tokens", tokenCol)
+  }
+
   /** Sliding-window token CHUNKING of long documents — the standard
     * preprocessing step upstream of packing: split each document into
     * windows of at most `maxTokens` whitespace tokens, consecutive

@@ -291,6 +291,33 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Per-domain QUANTILE cutoff — "drop the worst `frac` of every
+    * domain": the adaptive form of quality filtering, where a single
+    * global threshold would gut low-scoring domains (code, non-English)
+    * and leave high-scoring ones untrimmed. Exact and deterministic:
+    * rows rank ascending by `(score, id)` inside their domain and the
+    * bottom `floor(frac·n)` of each domain drop — no sampled quantiles,
+    * ties broken by id, so reruns and engines agree bit-for-bit (the
+    * oracle recomputes the same window). One keyed rank window = one
+    * shuffle; for mega-domains compose with the [[domainQuotaSkewed]]
+    * salting shape if a single domain exceeds a task's sort budget. */
+  def dropBottomFraction(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac < 1.0, s"frac must be in [0,1): $frac")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val n = Window.partitionBy(col(groupCol))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .filter(col("__rk") > floor(lit(frac) * col("__n")))
+      .drop("__rk", "__n")
+  }
+
   /** [[domainQuota]] for SKEWED domain distributions — result-identical
     * (spec-pinned), different cost shape. The plain quota sorts every
     * domain's full row set on ONE task under the rank window; a

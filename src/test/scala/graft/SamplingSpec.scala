@@ -144,6 +144,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("dropBottomFraction: exact per-group quantile cut, ties by id, frac 0 keeps all") {
+    val rows = (for {
+      g <- Seq("a", "b"); i <- 0 until 10
+    } yield (g, i.toLong, (i % 5).toLong)).toDF("g", "id", "score")
+    // frac 0.3 on n=10 -> drop exactly 3 per group, lowest (score, id).
+    val kept = graft.operators.Sampling
+      .dropBottomFraction(rows, "g", "score", "id", 0.3)
+    assert(kept.count() == 14L)
+    // Scores 0,0 (ids 0,5) and the tie at score 1 resolves to id 1.
+    val keptA = kept.filter(col("g") === "a").select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(keptA == Seq(2L, 3L, 4L, 6L, 7L, 8L, 9L), s"got $keptA")
+    assert(graft.operators.Sampling
+      .dropBottomFraction(rows, "g", "score", "id", 0.0).count() == 20L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.dropBottomFraction(rows, "g", "score", "id", 1.0)
+    }
+  }
+
   test("domainQuotaSkewed equals the exact quota on a skewed corpus, any salt") {
     // one mega-domain (5000 rows), several small ones, planted score ties
     val rows = (0L until 5000L).map(i => (i, "mega", (i % 97).toDouble)) ++
