@@ -1174,6 +1174,33 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // CREATE TABLE CLONE (deep): the en corpus clones into a sandbox,
+    // the sandbox strikes non-src0 rows and the SOURCE keeps appending
+    // — the two tables must stay fully independent (the oracle unions
+    // both sides' expected contents; any cross-contamination breaks
+    // either half's rows). Constraint carry-over and historical clones
+    // are pinned in ConstraintSpec.
+    "versioned_clone" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "source")
+      val src = s"/tmp/graft_versioned/clsrc_${etlSuffix(dir)}"
+      val dst = s"/tmp/graft_versioned/cldst_${etlSuffix(dir)}"
+      Seq(src, dst).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      Versioned.commit(docs.filter(col("lang") === "en"), src)
+      Versioned.cloneTable(s, src, dst)
+      Versioned.delete(s, dst)(col("source") =!= "src0") // sandbox strike
+      Versioned.append(docs.filter(col("lang") =!= "en"), src) // source evolves
+      val a = Versioned.read(s, src).groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
+        .withColumn("side", lit("src"))
+      val b = Versioned.read(s, dst).groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
+        .withColumn("side", lit("clone"))
+      a.unionByName(b).orderBy("side", "lang")
+    }),
+
     // Whole-document bin packing (best-fit-decreasing per shard): the
     // padding-waste killer for loaders that must keep documents intact
     // inside a context window (no cross-doc spill). The fit decision is
@@ -4620,6 +4647,18 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM rows WHERE nc IS NULL OR nc <= 400
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Source = every document; clone = en docs from src0 only. Any
+    // leakage across the clone boundary poisons one side's rows.
+    "versioned_clone" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum, 'src' AS side
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT lang, count(*), CAST(sum(doc_id) AS BIGINT), 'clone'
+        |FROM documents WHERE lang = 'en' AND source = 'src0'
+        |GROUP BY lang
+        |ORDER BY side, lang""".stripMargin,
 
     // Exact doc/token totals from the same tokenization; the packing
     // gates must hold whenever the operator is correct.

@@ -1091,6 +1091,33 @@ object Versioned {
     publish(spark, tableDir, m.files, m.nRows, "snapshot", m.schemaDdl)
   }
 
+  /** CREATE TABLE CLONE (deep): materialize `version` (default latest)
+    * of `srcDir` as version 0 of a FRESH table at `dstDir`, carrying
+    * the source's manifest schema and the constraint set live AT THAT
+    * VERSION. The copy is a distributed read→write (one Spark job, the
+    * same plan a snapshot commit pays), not a driver-side file copy —
+    * at 100 TB the executors move the bytes. The clone is fully
+    * independent afterwards: source history, vacuum and future writes
+    * on either side never touch the other. A shallow (metadata-only)
+    * clone is deliberately not offered: manifests reference file
+    * groups relative to their own tableDir, so sharing groups across
+    * tables would couple the two tables' vacuum lifecycles — the exact
+    * caveat Delta documents for shallow clones, made unrepresentable
+    * here instead. */
+  def cloneTable(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      version: Long = -1L): Long = {
+    require(latestVersion(spark, dstDir) < 0,
+      s"clone target already has versions: $dstDir")
+    val v = if (version >= 0) version else latestVersion(spark, srcDir)
+    require(v >= 0, s"no versions committed under $srcDir")
+    val m = parseManifest(spark, srcDir, v)
+    require(m.files.nonEmpty, s"version $v of $srcDir lists no files")
+    val (group, n) = writeGroup(read(spark, srcDir, v), dstDir)
+    publish(spark, dstDir, Seq(group), n, "clone", m.schemaDdl,
+      Some(m.constraints))
+  }
+
   /** Row-level diff between two versions (see [[Snapshot.diff]]). */
   def diffVersions(
       spark: SparkSession, tableDir: String, oldV: Long, newV: Long,

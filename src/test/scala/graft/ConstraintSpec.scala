@@ -113,6 +113,36 @@ class ConstraintSpec extends SparkSpec {
     assert(got.filter(col("score").isNull).count() == 1L)
   }
 
+  test("cloneTable: deep copy carries schema + constraints; sides fully independent") {
+    val src = tbl(); val dst = tbl()
+    Versioned.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "score"), src)
+    Versioned.addConstraint(spark, src, "score_pos", "score >= 0")
+    Versioned.append(Seq((3L, 30L)).toDF("id", "score"), src)
+    val v = Versioned.cloneTable(spark, src, dst)
+    assert(v == 0L)
+    assert(Versioned.read(spark, dst).orderBy("id").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // Constraints live on the clone.
+    assert(Versioned.constraints(spark, dst) == Seq("score_pos" -> "score >= 0"))
+    intercept[IllegalArgumentException] {
+      Versioned.append(Seq((4L, -4L)).toDF("id", "score"), dst)
+    }
+    // Independence: writes on one side never touch the other.
+    Versioned.delete(spark, dst)(col("id") === 1L)
+    assert(Versioned.read(spark, src).count() == 3L)
+    Versioned.append(Seq((9L, 90L)).toDF("id", "score"), src)
+    assert(Versioned.read(spark, dst).count() == 2L)
+    // Historical clone: version 0 of src, pre-constraint.
+    val dst2 = tbl()
+    Versioned.cloneTable(spark, src, dst2, version = 0L)
+    assert(Versioned.read(spark, dst2).count() == 2L)
+    assert(Versioned.constraints(spark, dst2).isEmpty)
+    // Non-empty target refused.
+    intercept[IllegalArgumentException] {
+      Versioned.cloneTable(spark, src, dst)
+    }
+  }
+
   test("exactly-once streaming ingest enforces constraints; duplicate names and bad names raise") {
     val dir = tbl()
     Versioned.commit(Seq((1L, 10L)).toDF("id", "score"), dir)
