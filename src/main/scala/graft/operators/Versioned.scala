@@ -157,6 +157,37 @@ object Versioned {
     v // unreachable
   }
 
+  /** OPTIMISTIC publication for HISTORY-DEPENDENT commits — Delta's
+    * conflict detection, simplified to its sound core: a mutation
+    * computed against parent version `expectedParent` may only land as
+    * `expectedParent + 1`. If any other committer got there first, the
+    * world this mutation read no longer exists — sliding to the next
+    * number (what [[publish]] does for parent-independent snapshots)
+    * would silently DROP the concurrent commit's effect, the classic
+    * lost update. Instead the written group is deleted and a
+    * `ConcurrentModificationException` tells the caller to re-run
+    * against the new latest version. The create-exclusive manifest
+    * makes the parent check and the publication one atomic step. */
+  private def publishExpecting(
+      spark: SparkSession, tableDir: String, expectedParent: Long,
+      groups: Seq[String], newGroups: Seq[String], nRows: Long, mode: String,
+      schemaDdl: Option[String],
+      constraintsOverride: Option[Seq[(String, String)]] = None): Long = {
+    val f = fs(spark, tableDir)
+    val cons = constraintsOverride.getOrElse(constraints(spark, tableDir))
+    val target = expectedParent + 1
+    val json = manifestJson(target, mode, groups, nRows, None, schemaDdl, cons)
+    if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, target), json))
+      target
+    else {
+      newGroups.foreach(g => f.delete(new Path(s"$tableDir/files/$g"), true))
+      throw new java.util.ConcurrentModificationException(
+        s"$mode on $tableDir read version $expectedParent but version " +
+          s"$target was committed concurrently — re-run the operation " +
+          "against the new latest version")
+    }
+  }
+
   /** The schema recorded in a version's manifest, TOP-LEVEL-NULLABLE
     * (groups written before or after a column's lifetime null-fill it,
     * so no column may promise NOT NULL across versions). */
@@ -319,7 +350,8 @@ object Versioned {
     require(violations == 0L,
       s"cannot add CHECK constraint '$name' (`$exprSql`): " +
         s"$violations existing row(s) violate it")
-    publish(spark, tableDir, m.files, m.nRows, "add_constraint", m.schemaDdl,
+    publishExpecting(spark, tableDir, v, m.files, Seq.empty,
+      m.nRows, "add_constraint", m.schemaDdl,
       Some(existing :+ (name -> exprSql)))
   }
 
@@ -332,7 +364,8 @@ object Versioned {
     require(existing.exists(_._1.equalsIgnoreCase(name)),
       s"no such constraint: '$name' (have ${existing.map(_._1).mkString(", ")})")
     val m = parseManifest(spark, tableDir, v)
-    publish(spark, tableDir, m.files, m.nRows, "drop_constraint", m.schemaDdl,
+    publishExpecting(spark, tableDir, v, m.files, Seq.empty,
+      m.nRows, "drop_constraint", m.schemaDdl,
       Some(existing.filterNot(_._1.equalsIgnoreCase(name))))
   }
 
@@ -356,18 +389,44 @@ object Versioned {
     * the new group); type conflicts always raise. */
   def append(df: DataFrame, tableDir: String, evolveSchema: Boolean = false): Long = {
     val spark = df.sparkSession
-    val parent = latestVersion(spark, tableDir)
-    val (parentGroups, parentRows, parentSchema) =
-      if (parent < 0) (Seq.empty[String], 0L, None: Option[String])
-      else {
-        val m = parseManifest(spark, tableDir, parent)
-        (m.files, m.nRows, m.schemaDdl)
-      }
-    val schema = validateAppendSchema(df, parentSchema, evolveSchema)
+    // Fail fast on schema drift before paying the write.
+    validateAppendSchema(df,
+      if (latestVersion(spark, tableDir) < 0) None
+      else parseManifest(spark, tableDir, latestVersion(spark, tableDir)).schemaDdl,
+      evolveSchema)
     val (group, n) = writeGroup(df, tableDir)
-    enforceConstraints(spark, tableDir, group, schema,
-      constraints(spark, tableDir))
-    publish(spark, tableDir, parentGroups :+ group, parentRows + n, "append", schema)
+    // Optimistic retry: the batch's data is parent-independent (the
+    // group is already durable), so a concurrent commit just means
+    // re-reading the new parent and re-publishing — appendOnce's loop,
+    // without the watermark. Schema and constraints are re-resolved
+    // against each observed parent; a violation deletes the group.
+    var enforcedFor: Option[Seq[(String, String)]] = None
+    while (true) {
+      val parent = latestVersion(spark, tableDir)
+      val (parentGroups, parentRows, parentSchema, parentCons) =
+        if (parent < 0)
+          (Seq.empty[String], 0L, None: Option[String],
+            Seq.empty[(String, String)])
+        else {
+          val m = parseManifest(spark, tableDir, parent)
+          (m.files, m.nRows, m.schemaDdl, m.constraints)
+        }
+      val schema =
+        try validateAppendSchema(df, parentSchema, evolveSchema)
+        catch { case e: Throwable =>
+          fs(spark, tableDir).delete(new Path(s"$tableDir/files/$group"), true)
+          throw e
+        }
+      if (!enforcedFor.contains(parentCons)) {
+        enforceConstraints(spark, tableDir, group, schema, parentCons)
+        enforcedFor = Some(parentCons)
+      }
+      try return publishExpecting(spark, tableDir, parent,
+        parentGroups :+ group, Seq.empty, parentRows + n, "append", schema,
+        Some(parentCons))
+      catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    -1L // unreachable
   }
 
   /** Highest `batchId` any committed version records for `appId`, or -1
@@ -484,8 +543,25 @@ object Versioned {
     * already does; the parent version's files are untouched (immutable
     * groups), so rollback is metadata-only. */
   def curate(spark: SparkSession, tableDir: String)(
-      action: DataFrame => DataFrame): Long =
-    commit(action(read(spark, tableDir)), tableDir)
+      action: DataFrame => DataFrame): Long = {
+    val v = latestVersion(spark, tableDir)
+    require(v >= 0, s"no versions committed under $tableDir")
+    snapshotExpecting(action(read(spark, tableDir, v)), tableDir, v)
+  }
+
+  /** [[commit]]'s shape for snapshots whose CONTENT derives from
+    * `expectedParent` ([[curate]], [[compact]]): publication is
+    * optimistic — a concurrent commit raises instead of being silently
+    * overwritten by a snapshot that never saw it. */
+  private def snapshotExpecting(
+      df: DataFrame, tableDir: String, expectedParent: Long): Long = {
+    val spark = df.sparkSession
+    val (group, n) = writeGroup(df, tableDir)
+    enforceConstraints(spark, tableDir, group,
+      Some(storedSchema(df)), constraints(spark, tableDir))
+    publishExpecting(spark, tableDir, expectedParent, Seq(group), Seq(group),
+      n, "snapshot", Some(storedSchema(df)))
+  }
 
   /** Read a version (default: latest) — `VERSION AS OF` for parquet.
     * A plain multi-path parquet scan: pushdown and pruning intact. With
@@ -658,7 +734,9 @@ object Versioned {
         untouched
       } else untouched :+ group
     val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl)
-    publish(spark, tableDir, groups, untouchedRows + kept, "delete", m.schemaDdl)
+    publishExpecting(spark, tableDir, v, groups,
+      groups.filterNot(untouched.contains), untouchedRows + kept, "delete",
+      m.schemaDdl)
   }
 
   /** Copy-on-write `UPDATE ... SET assignments WHERE cond` — the third
@@ -705,8 +783,8 @@ object Versioned {
     val (group, n) = writeGroup(rewritten, tableDir)
     enforceConstraints(spark, tableDir, group, m.schemaDdl, m.constraints)
     val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl)
-    publish(spark, tableDir, untouched :+ group, untouchedRows + n,
-      "update", m.schemaDdl)
+    publishExpecting(spark, tableDir, v, untouched :+ group, Seq(group),
+      untouchedRows + n, "update", m.schemaDdl)
   }
 
   /** Copy-on-write MERGE (upsert-by-replacement) into a versioned table:
@@ -777,7 +855,8 @@ object Versioned {
     val (group, n) = writeGroup(newData, tableDir)
     enforceConstraints(spark, tableDir, group, schemaDdl, m.constraints)
     val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl)
-    publish(spark, tableDir, untouched :+ group, untouchedRows + n, "merge", schemaDdl)
+    publishExpecting(spark, tableDir, v, untouched :+ group, Seq(group),
+      untouchedRows + n, "merge", schemaDdl)
   }
 
   /** OPTIMIZE-style compaction: rewrite the latest version's data as a
@@ -805,7 +884,8 @@ object Versioned {
       f.getContentSummary(new Path(s"$tableDir/files/$g")).getLength
     }.sum
     val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    commit(read(spark, tableDir, v).repartition(parts.toInt), tableDir)
+    snapshotExpecting(read(spark, tableDir, v).repartition(parts.toInt),
+      tableDir, v)
   }
 
   /** OPTIMIZE ZORDER BY for versioned tables: rewrite the latest
@@ -876,8 +956,8 @@ object Versioned {
         GroupStats.write(f, GroupStats.sidecarPath(tableDir, g), stats)
         (g, stats.nRows)
       }.toSeq
-      publish(spark, tableDir, groups.map(_._1), groups.map(_._2).sum, "snapshot",
-        Some(storedSchema(df)))
+      publishExpecting(spark, tableDir, v, groups.map(_._1), groups.map(_._1),
+        groups.map(_._2).sum, "snapshot", Some(storedSchema(df)))
     } finally {
       f.delete(stagingPath, true)
       // rmdir the shared staging root if now empty (a concurrent
@@ -1088,7 +1168,8 @@ object Versioned {
           conds.map { case (n, e, c) => s"$n (`$e`): $c row(s)" }.mkString("; ") +
           " — drop the constraint first or restore a later version")
     }
-    publish(spark, tableDir, m.files, m.nRows, "snapshot", m.schemaDdl)
+    publishExpecting(spark, tableDir, latest, m.files, Seq.empty,
+      m.nRows, "snapshot", m.schemaDdl)
   }
 
   /** CREATE TABLE CLONE (deep): materialize `version` (default latest)

@@ -202,6 +202,40 @@ class VersionedMutationSpec extends SparkSpec {
     }
   }
 
+  test("optimistic concurrency: racing disjoint mutations never lose updates") {
+    val dir = tbl()
+    rangedTable(dir)
+    // Two deletes on disjoint ranges race from two threads; each retries
+    // on the conflict exception. Whatever the interleaving, BOTH effects
+    // must land — the lost-update outcome (one delete silently dropped)
+    // is exactly what publishExpecting forbids.
+    def deleteRetrying(lo: Long, hi: Long): Unit = {
+      var done = false
+      while (!done) {
+        try { Versioned.delete(spark, dir)(col("id") >= lo && col("id") < hi); done = true }
+        catch { case _: java.util.ConcurrentModificationException => () }
+      }
+    }
+    val t1 = new Thread(() => deleteRetrying(0L, 50L))
+    val t2 = new Thread(() => deleteRetrying(120L, 170L))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val left = Versioned.read(spark, dir)
+    assert(left.count() == 200L)
+    assert(left.filter(col("id") < 50L || (col("id") >= 120L && col("id") < 170L))
+      .count() == 0L)
+
+    // Appends retry internally: race an append against a delete — both
+    // land regardless of interleaving.
+    val t3 = new Thread(() => deleteRetrying(200L, 250L))
+    val t4 = new Thread(() =>
+      Versioned.append((1000L until 1050L).map(i => (i, s"d$i")).toDF("id", "v"), dir))
+    t3.start(); t4.start(); t3.join(); t4.join()
+    val after = Versioned.read(spark, dir)
+    assert(after.filter(col("id").between(200L, 249L)).count() == 0L)
+    assert(after.filter(col("id") >= 1000L).count() == 50L)
+    assert(after.count() == 200L)
+  }
+
   test("delete then restore: the undo button works across mutation modes") {
     val dir = tbl()
     rangedTable(dir)
