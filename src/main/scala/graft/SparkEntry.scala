@@ -750,6 +750,25 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // The STREAMING twin: the token stream drains as two checkpointed
+    // micro-batches through per-shard Misra–Gries state (bounded at
+    // 2·sketch counters per shard, independent of vocabulary size),
+    // then the final summaries' candidates are recounted exactly and
+    // gated — the result must EQUAL the same full-vocabulary top-30
+    // oracle as the batch flavor, whatever the arrival order did to
+    // the intermediate summaries.
+    "heavy_hitters_streaming" -> ((s, dir) => {
+      val toks = TextAnalysis.withNormToks(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), explode(col("__toks")).as("token"))
+      val mid = 250L * (if (dir.endsWith("0.1")) 10 else 1)
+      val batches = Seq(
+        toks.filter(col("doc_id") < mid).select("token"),
+        toks.filter(col("doc_id") >= mid).select("token"))
+      graft.streaming.StreamingHeavyHitters.topKStaged(
+        s, batches, "token", k = 30, sketchSize = 2048)
+        .withColumnRenamed("value", "token")
+    }),
+
     // The SAME exact top-k through the heavy-hitter path: Misra–Gries
     // candidates (treeAggregate, ≤2·sketch counters per task) + an
     // exact recount over the broadcast candidate set, provably-exact
@@ -4474,6 +4493,17 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token ASC
         |LIMIT 20""".stripMargin,
+
+    // The streaming flavor's contract is the SAME full-vocabulary
+    // top-30 — exactness must survive micro-batch arrival order.
+    "heavy_hitters_streaming" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |      FROM documents
+        |      WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> '')
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC
+        |LIMIT 30""".stripMargin,
 
     // The heavy-hitter operator's contract IS the full-vocabulary
     // top-k: same tokenization, k=30.

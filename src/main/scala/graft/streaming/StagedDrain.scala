@@ -21,7 +21,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * production ingest path must keep the source's natural parallelism
   * (plain `readStream` over the landing directory, no staging), where
   * the same transforms run unchanged. */
-private[streaming] object StagedDrain {
+private[graft] object StagedDrain {
 
   /** Drain `batches` through `transform` one checkpointed AvailableNow
     * run each. Returns (all emitted rows, Σ numRowsDroppedByWatermark
