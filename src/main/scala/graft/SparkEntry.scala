@@ -750,6 +750,17 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // BPE merge training (Sennrich 2016), 3 rounds over the corpus
+    // vocabulary: each round's winning pair, merged symbol and
+    // corpus-weighted count are hash-compared against the oracle's
+    // hand-unrolled rounds — identical pair counting (boundary-correct,
+    // vocab-grain) and identical merge application (the double-space
+    // literal-replace trick, reproducible in any SQL engine). BpeSpec
+    // additionally pins a 5-round agreement with a naive in-test
+    // trainer and the left-to-right non-overlap rule.
+    "bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 3)),
+
     // The STREAMING twin: the token stream drains as two checkpointed
     // micro-batches through per-shard Misra–Gries state (bounded at
     // 2·sketch counters per shard, independent of vocabulary size),
@@ -4493,6 +4504,44 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token ASC
         |LIMIT 20""".stripMargin,
+
+    // Three BPE rounds unrolled: vocab → char representation → pair
+    // counts (vocab-weighted, boundary-correct) → argmax (ties lex) →
+    // double-space literal-replace merge, repeated. Identical
+    // arithmetic and identical replace semantics to the operator.
+    "bpe_merges" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents
+        |  WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''),
+        |wv AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+        |r0 AS (SELECT cnt, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS r FROM wv),
+        |x1 AS (SELECT cnt, string_split(r, ' ') AS a FROM r0),
+        |e1 AS (SELECT cnt, a, unnest(generate_series(1, len(a) - 1)) AS i FROM x1 WHERE len(a) >= 2),
+        |p1 AS (SELECT a[i] || ' ' || a[i + 1] AS p, CAST(sum(cnt) AS BIGINT) AS n FROM e1 GROUP BY 1),
+        |b1 AS (SELECT p, n FROM p1 ORDER BY n DESC, p ASC LIMIT 1),
+        |r1 AS (SELECT cnt, trim(regexp_replace(
+        |         replace(' ' || replace(r, ' ', '  ') || ' ',
+        |                 (SELECT ' ' || replace(p, ' ', '  ') || ' ' FROM b1),
+        |                 (SELECT ' ' || replace(p, ' ', '') || ' ' FROM b1)),
+        |         ' +', ' ', 'g')) AS r FROM r0),
+        |x2 AS (SELECT cnt, string_split(r, ' ') AS a FROM r1),
+        |e2 AS (SELECT cnt, a, unnest(generate_series(1, len(a) - 1)) AS i FROM x2 WHERE len(a) >= 2),
+        |p2 AS (SELECT a[i] || ' ' || a[i + 1] AS p, CAST(sum(cnt) AS BIGINT) AS n FROM e2 GROUP BY 1),
+        |b2 AS (SELECT p, n FROM p2 ORDER BY n DESC, p ASC LIMIT 1),
+        |r2 AS (SELECT cnt, trim(regexp_replace(
+        |         replace(' ' || replace(r, ' ', '  ') || ' ',
+        |                 (SELECT ' ' || replace(p, ' ', '  ') || ' ' FROM b2),
+        |                 (SELECT ' ' || replace(p, ' ', '') || ' ' FROM b2)),
+        |         ' +', ' ', 'g')) AS r FROM r1),
+        |x3 AS (SELECT cnt, string_split(r, ' ') AS a FROM r2),
+        |e3 AS (SELECT cnt, a, unnest(generate_series(1, len(a) - 1)) AS i FROM x3 WHERE len(a) >= 2),
+        |p3 AS (SELECT a[i] || ' ' || a[i + 1] AS p, CAST(sum(cnt) AS BIGINT) AS n FROM e3 GROUP BY 1),
+        |b3 AS (SELECT p, n FROM p3 ORDER BY n DESC, p ASC LIMIT 1)
+        |SELECT 1 AS merge_round, p AS pair, replace(p, ' ', '') AS merged, n FROM b1
+        |UNION ALL SELECT 2, p, replace(p, ' ', ''), n FROM b2
+        |UNION ALL SELECT 3, p, replace(p, ' ', ''), n FROM b3
+        |ORDER BY merge_round""".stripMargin,
 
     // The streaming flavor's contract is the SAME full-vocabulary
     // top-30 — exactness must survive micro-batch arrival order.

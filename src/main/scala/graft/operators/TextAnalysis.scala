@@ -442,4 +442,70 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("rank"), col("tfidf"))
   }
+
+  /** Byte-pair-encoding MERGE TRAINING — the core loop of tokenizer
+    * training (Sennrich et al. 2016, "Neural Machine Translation of
+    * Rare Words with Subword Units"), word-level: the corpus reduces to
+    * a `(word, count)` vocabulary, each word starts as its character
+    * sequence, and each round merges the adjacent symbol pair with the
+    * highest corpus-weighted frequency (ties to the lexicographically
+    * smallest pair). Returns one row per round:
+    * `(merge_round, pair, merged, n)`.
+    *
+    * Scale shape: everything after the first aggregation operates on
+    * the DISTINCT-WORD vocabulary, not the corpus — pair counting is a
+    * projection + explode + one keyed aggregate over vocab rows, the
+    * argmax is a bounded one-row collect per round (the same driver
+    * scalar discipline as [[Components.pageRank]]'s dangling mass), and
+    * the merge application is a row-local string rewrite. Web-scale
+    * corpora have vocabularies in the millions — trivially partitioned
+    * — while the corpus-sized work happens exactly once.
+    *
+    * The merge is applied with the DOUBLE-SPACE boundary trick so a
+    * plain left-to-right literal replace is token-boundary-correct
+    * (pattern `' a  b '` can only match whole symbols, and adjacent
+    * matches don't share boundary characters) — which also makes each
+    * round exactly reproducible in any SQL engine: the DuckDB oracle
+    * unrolls the identical rounds. */
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var repr = withNormToks(df, textCol)
+      .select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("r", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+      .select("cnt", "r").localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val top = repr
+        .withColumn("a", split(col("r"), " "))
+        // sequence(0, -1) DESCENDS in Spark, so single-symbol words need
+        // the explicit empty-array branch.
+        .withColumn("p", explode(expr(
+          """CASE WHEN size(a) < 2 THEN array()
+            |ELSE transform(sequence(0, size(a) - 2),
+            |               i -> concat(a[i], ' ', a[i + 1])) END""".stripMargin)))
+        .groupBy("p").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("p").asc).limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is a single symbol
+      else {
+        val pair = top(0).getString(0)
+        val n = top(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        out += ((round, pair, merged, n))
+        val marked = " " + pair.replace(" ", "  ") + " "
+        repr = repr.withColumn("r", trim(regexp_replace(
+          regexp_replace(
+            concat(lit(" "), regexp_replace(col("r"), lit(" "), lit("  ")), lit(" ")),
+            lit(java.util.regex.Pattern.quote(marked)),
+            lit(java.util.regex.Matcher.quoteReplacement(s" $merged "))),
+          lit(" +"), lit(" ")))).localCheckpoint()
+      }
+      round += 1
+    }
+    out.toSeq.toDF("merge_round", "pair", "merged", "n")
+  }
 }

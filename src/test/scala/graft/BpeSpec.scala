@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** [[TextAnalysis.bpeMerges]] — pinned against a hand-computed merge
+  * sequence, plus a naive in-test BPE trainer on random words, the
+  * boundary-correctness edge (a merged symbol's substring must not
+  * match across symbol boundaries), and the repeated-symbol overlap
+  * rule (left-to-right non-overlapping). */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def merges(texts: Seq[String], rounds: Int): Seq[(Int, String, String, Long)] =
+    TextAnalysis.bpeMerges(texts.toDF("text"), "text", rounds)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+
+  /** Naive reference trainer over a word-count map. */
+  private def reference(words: Map[String, Long], rounds: Int): Seq[(String, Long)] = {
+    var repr = words.map { case (w, c) => (w.toCharArray.map(_.toString).toSeq, c) }
+    (1 to rounds).flatMap { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      repr.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((a, b), n) = counts.toSeq.minBy { case ((x, y), m) => (-m, x + " " + y) }
+        repr = repr.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2 // left-to-right non-overlapping
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toSeq, c)
+        }
+        Some((s"$a $b", n))
+      }
+    }
+  }
+
+  test("hand-computed sequence on a tiny corpus") {
+    // Vocab: low:5, lower:2, newest:6. Classic BPE walkthrough shape.
+    val texts = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++ Seq.fill(6)("newest")
+    val got = merges(texts, 3)
+    // Round 1: w-e totals 2+6=8 (max). Round 2: l-o totals 7 (max).
+    // Round 3: max is 6, tied among {e we, n e, we s, s t} → lex min
+    // 'e we'.
+    assert(got.map(t => (t._2, t._4)) ==
+      Seq(("w e", 8L), ("l o", 7L), ("e we", 6L)), got.toString)
+    assert(got.map(_._3) == Seq("we", "lo", "ewe"))
+  }
+
+  test("matches the naive reference trainer on random words") {
+    val rnd = new scala.util.Random(13)
+    val words = (1 to 120).map(_ =>
+      (1 + rnd.nextInt(6), Seq.fill(2 + rnd.nextInt(6))(
+        ('a' + rnd.nextInt(5)).toChar).mkString))
+    val texts = words.flatMap { case (c, w) => Seq.fill(c)(w) }
+    val wc = texts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = merges(texts, 5).map(t => (t._2, t._4))
+    assert(got == reference(wc, 5), s"got $got")
+  }
+
+  test("repeated symbols merge left-to-right non-overlapping") {
+    // 'aaa' ×4: round 1 pair (a,a) counts 8 (two per word), merges to
+    // [aa, a] per word — not [a, aa], and never double-merged.
+    val got = merges(Seq.fill(4)("aaa"), 2)
+    assert(got.head == ((1, "a a", "aa", 8L)))
+    // Round 2 on [aa, a]: pair 'aa a' n=4.
+    assert(got(1) == ((2, "aa a", "aaa", 4L)))
+  }
+
+  test("exhaustion stops early: an all-single-symbol vocab yields no merges") {
+    assert(merges(Seq("a b c", "b c a"), 3).isEmpty)
+    // And a vocab that exhausts after one merge stops there.
+    assert(merges(Seq("ab", "ab"), 5).size == 1)
+  }
+}
