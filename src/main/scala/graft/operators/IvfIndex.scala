@@ -142,17 +142,47 @@ object IvfIndex {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val idx = new org.apache.hadoop.fs.Path(dir, "index")
     val done = new org.apache.hadoop.fs.Path(dir, "_FINGERPRINT")
-    if (!fs.exists(done)) {
+    if (fs.exists(done)) return idx.toString
+    // Create-exclusive on the builder marker decides exactly ONE writer
+    // of the shared `index` path (interleaved concurrent writes would
+    // corrupt it); `_FINGERPRINT` is created only AFTER the build, so a
+    // session that observes it never reads a half-built artifact. A
+    // loser serves its own staging build — the artifact is
+    // deterministic for a fixed config+input, so results are identical.
+    val building = new org.apache.hadoop.fs.Path(dir, "_BUILDING")
+    if (graft.sources.FsAtomic.createExclusive(fs, building, fp + "\n")) {
       build(idx.toString)
-      val out = fs.create(done, true)
-      out.writeBytes(fp + "\n")
-      out.close()
-      val parent = dir.getParent
-      fs.listStatus(parent).foreach { s =>
-        if (s.isDirectory && s.getPath.getName != fp) fs.delete(s.getPath, true)
-      }
+      graft.sources.FsAtomic.createExclusive(fs, done, fp + "\n")
+      pruneStaleSiblings(spark, fs, dir.getParent, fp)
+      idx.toString
+    } else {
+      val staging = new org.apache.hadoop.fs.Path(
+        dir, "staging-" + java.util.UUID.randomUUID().toString)
+      build(staging.toString)
+      staging.toString
     }
-    idx.toString
+  }
+
+  /** Delete sibling fingerprint dirs (superseded index builds) — but
+    * only those QUIET for longer than `spark.graft.ivf.cache.staleGraceMs`
+    * (default 15 min): a concurrent session may still be mid-read on
+    * the previous fingerprint's artifact, and yanking it under a
+    * running scan fails that query. A stale dir's mtime freezes when
+    * its build finishes, so "quiet past the grace window" outlives any
+    * single probing query; the next winning build sweeps it. */
+  private def pruneStaleSiblings(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      parent: org.apache.hadoop.fs.Path,
+      keepFp: String): Unit = {
+    val grace = spark.conf.getOption("spark.graft.ivf.cache.staleGraceMs")
+      .map(_.toLong).getOrElse(900000L)
+    val now = System.currentTimeMillis()
+    if (fs.exists(parent)) fs.listStatus(parent).foreach { s =>
+      if (s.isDirectory && s.getPath.getName != keepFp &&
+          now - s.getModificationTime > grace)
+        fs.delete(s.getPath, true)
+    }
   }
 
   /** Top-k by cosine for each query against a PERSISTED index (see

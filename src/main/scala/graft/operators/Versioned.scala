@@ -375,9 +375,26 @@ object Versioned {
   def commit(df: DataFrame, tableDir: String): Long = {
     val spark = df.sparkSession
     val (group, n) = writeGroup(df, tableDir)
-    enforceConstraints(spark, tableDir, group,
-      Some(storedSchema(df)), constraints(spark, tableDir))
-    publish(spark, tableDir, Seq(group), n, "snapshot", Some(storedSchema(df)))
+    // Enforce against the EXACT constraint set the published manifest
+    // carries: re-read per attempt, re-enforced only when the set
+    // changed, published via expected-parent so a concurrent
+    // addConstraint can neither be dropped from the manifest (lost
+    // metadata update) nor claimed without validation.
+    var enforcedFor: Option[Seq[(String, String)]] = None
+    while (true) {
+      val parent = latestVersion(spark, tableDir)
+      val cons =
+        if (parent < 0) Seq.empty[(String, String)]
+        else parseManifest(spark, tableDir, parent).constraints
+      if (!enforcedFor.contains(cons)) {
+        enforceConstraints(spark, tableDir, group, Some(storedSchema(df)), cons)
+        enforcedFor = Some(cons)
+      }
+      try return publishExpecting(spark, tableDir, parent, Seq(group),
+        Seq.empty, n, "snapshot", Some(storedSchema(df)), Some(cons))
+      catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    -1L // unreachable
   }
 
   /** Commit `df` as an APPEND version: parent file groups are shared,
@@ -470,9 +487,13 @@ object Versioned {
     val spark = df.sparkSession
     if (lastCommittedBatch(spark, tableDir, appId) >= batchId) return None
     val (group, n) = writeGroup(df, tableDir)
-    enforceConstraints(spark, tableDir, group,
-      Some(storedSchema(df)), constraints(spark, tableDir))
     val f = fs(spark, tableDir)
+    // Constraints are enforced against the EXACT set the published
+    // manifest will carry (re-checked after every lost race, like
+    // [[append]]): a concurrent addConstraint landing mid-commit must
+    // not yield a version whose manifest claims a constraint its data
+    // was never validated against.
+    var enforcedFor: Option[Seq[(String, String)]] = None
     while (true) {
       if (lastCommittedBatch(spark, tableDir, appId) >= batchId) {
         // A racer committed this batch between our check and publish:
@@ -489,8 +510,19 @@ object Versioned {
           val m = parseManifest(spark, tableDir, parent)
           (m.files, m.nRows, m.schemaDdl, m.constraints)
         }
-      // Streaming batches carry a fixed schema: strict validation.
-      val schema = validateAppendSchema(df, parentSchema, evolve = false)
+      // Streaming batches carry a fixed schema: strict validation. A
+      // drift failure deletes the already-written group — otherwise the
+      // orphan is permanent (vacuum only reclaims dropped-manifest groups).
+      val schema =
+        try validateAppendSchema(df, parentSchema, evolve = false)
+        catch { case e: Throwable =>
+          f.delete(new Path(s"$tableDir/files/$group"), true)
+          throw e
+        }
+      if (!enforcedFor.contains(parentCons)) {
+        enforceConstraints(spark, tableDir, group, schema, parentCons)
+        enforcedFor = Some(parentCons)
+      }
       val v = parent + 1
       val json = manifestJson(
         v, "append", parentGroups :+ group, parentRows + n,

@@ -107,7 +107,9 @@ class GraftSource
   * catalog CACHES relations (a `CREATE TABLE ... USING graft` handle
   * must observe later INSERTs and appends). Each individual scan still
   * reads one consistent manifest. The schema is taken from the latest
-  * version at creation time and assumed stable across versions. */
+  * version at creation time; each scan verifies the resolved version
+  * still matches it and fails explicitly on drift (a cached relation
+  * must never silently serve reshaped rows under a stale schema). */
 final case class GraftRelation(
     spark: SparkSession,
     tableDir: String,
@@ -137,10 +139,23 @@ final case class GraftRelation(
 
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val rv = resolvedVersion
+    // The relation's schema is pinned at creation while version < 0
+    // re-resolves the live latest per scan (cached catalog relations
+    // must observe later appends). If a concurrent snapshot RESHAPED
+    // the table in between, the scan's rows would no longer match the
+    // declared schema — silent wrong data; fail explicitly instead.
+    val live = Versioned.read(spark, tableDir, rv)
+    if (live.schema != schema)
+      throw new IllegalStateException(
+        s"graft table $tableDir changed schema since this relation was " +
+          s"resolved (relation: ${schema.toDDL}; version $rv: " +
+          s"${live.schema.toDDL}) — re-resolve the table " +
+          "(re-run spark.read / REFRESH TABLE)")
     val preds = filters.toSeq.flatMap(filterToColumn)
     val base =
-      if (preds.isEmpty) Versioned.read(spark, tableDir, resolvedVersion)
-      else Versioned.readWhere(spark, tableDir, resolvedVersion)(preds: _*)
+      if (preds.isEmpty) live
+      else Versioned.readWhere(spark, tableDir, rv)(preds: _*)
     // Project in the REQUESTED order (the contract for the returned
     // rows); an empty projection (SELECT count(*)) yields 0-col rows.
     val projected = base.select(requiredColumns.toSeq.map(col): _*)

@@ -61,7 +61,16 @@ object StreamingHeavyHitters {
           rows.foreach(r => mg.add(r.v))
           val seq = prior.seq + 1
           state.update(ShardState(mg.counts.toMap, mg.slack, seq))
-          mg.counts.iterator.map { case (v, c) =>
+          // ALWAYS at least one row per invoked shard per batch: a trim
+          // can empty the counter map (> 2·sketchSize near-equal values),
+          // and a silent batch would leave the reader's max(seq) window
+          // on an OLDER snapshot whose smaller slack understates the
+          // bound — breaking the always-exact gate. The null-value
+          // sentinel carries (shard, seq, slack); readers drop it from
+          // the candidate set but keep its slack.
+          if (mg.counts.isEmpty)
+            Iterator.single(SummaryRow(shard, seq, null, 0L, mg.slack))
+          else mg.counts.iterator.map { case (v, c) =>
             SummaryRow(shard, seq, v, c, mg.slack)
           }
       }.toDF()
@@ -95,7 +104,8 @@ object StreamingHeavyHitters {
     def fullTopK: DataFrame = all.groupBy("value")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("value").asc).limit(k)
-    val cand = latest.select(col("value")).distinct()
+    val cand = latest.select(col("value"))
+      .filter(col("value").isNotNull).distinct() // drop empty-map sentinels
     val recount = all.join(broadcast(cand), Seq("value"), "left_semi")
       .groupBy("value").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("value").asc).limit(k)

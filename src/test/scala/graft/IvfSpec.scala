@@ -154,8 +154,22 @@ class IvfSpec extends SparkSpec {
       val idx3 = get()
       assert(builds.get() == 2, "rewritten input must trigger a rebuild")
       assert(idx3 != idx1)
-      assert(new java.io.File(root, "spec_idx").listFiles().count(_.isDirectory) == 1,
-        "stale fingerprint dirs must be pruned")
+      // stale fingerprint dirs survive the grace window (a concurrent
+      // reader may still be probing the old artifact) ...
+      assert(new java.io.File(root, "spec_idx").listFiles().count(_.isDirectory) == 2,
+        "stale fingerprint dir must be kept inside the grace window")
+      // ... and are swept by the next winning build once quiet past it
+      spark.conf.set("spark.graft.ivf.cache.staleGraceMs", "0")
+      try {
+        Thread.sleep(1100) // mtime granularity: let the old dir go quiet
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+          .filter($"vec_id" % 3 === 0)
+          .write.mode("overwrite").parquet(src)
+        val idx4 = get()
+        assert(builds.get() == 3 && idx4 != idx3)
+        assert(new java.io.File(root, "spec_idx").listFiles().count(_.isDirectory) == 1,
+          "quiet stale fingerprint dirs must be pruned by the next build")
+      } finally spark.conf.unset("spark.graft.ivf.cache.staleGraceMs")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(src).getParentFile)

@@ -30,6 +30,28 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(got == reference(vals, 20))
   }
 
+  test("final batch that trims the shard map EMPTY still yields the exact top-k") {
+    // sketchSize=1: adding a third equal-count value trims ALL counters
+    // (cut == max), so the final micro-batch's Misra-Gries map is empty.
+    // Without the per-batch sentinel row, the reader's max(seq) window
+    // silently fell back to the seq-0 snapshot — stale candidates {a,b}
+    // and slack 0 — and returned a "provably exact" top-k missing c.
+    val batches = Seq(Seq("a", "b").toDF("v"), Seq("c").toDF("v"))
+    val got = StreamingHeavyHitters
+      .topKStaged(spark, batches, "v", k = 3, sketchSize = 1, shards = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == reference(Seq("a", "b", "c"), 3))
+    // And the sentinel really is the mechanism: the final seq carries a
+    // row for the shard even though its counter map is empty.
+    val (emitted, _) = graft.streaming.StagedDrain.run(spark, batches,
+      src => StreamingHeavyHitters.summaryStream(src, "v", 1, 1))
+    val finalSeq = emitted.agg(max("seq")).as[Long].head()
+    val lastRows = emitted.filter($"seq" === finalSeq).collect()
+    assert(lastRows.nonEmpty, "empty-map batch must still emit a sentinel")
+    assert(lastRows.forall(_.isNullAt(2)) && lastRows.forall(_.getLong(4) > 0L),
+      "sentinel carries null value and the true (grown) slack")
+  }
+
   test("state stays bounded: emissions per shard per batch <= 2*sketch") {
     val vals = (1 to 20000).map(i => s"x$i") // all distinct: worst case
     val batches = vals.grouped(10000).map(_.toDF("v")).toSeq

@@ -54,6 +54,25 @@ class VersionedIngestSpec extends SparkSpec {
     assert(Versioned.lastCommittedBatch(spark, dir, "missing") == -1L)
   }
 
+  test("appendOnce: schema-drift failure leaves NO orphaned file group") {
+    val dir = tbl()
+    assert(Versioned.appendOnce(rows(0, 5), dir, "app", 0L).contains(0L))
+    val groupsBefore = new java.io.File(s"$dir/files").listFiles()
+      .count(_.isDirectory)
+    // Incompatible batch (id retyped): strict validation raises — and
+    // the already-written group must be deleted, not leaked forever
+    // (vacuum only reclaims groups listed by dropped manifests).
+    intercept[IllegalArgumentException] {
+      Versioned.appendOnce(
+        Seq(("x", "d")).toDF("id", "v"), dir, "app", 1L)
+    }
+    val groupsAfter = new java.io.File(s"$dir/files").listFiles()
+      .count(_.isDirectory)
+    assert(groupsAfter == groupsBefore,
+      s"drift-failed appendOnce leaked a group: $groupsBefore -> $groupsAfter")
+    assert(Versioned.latestVersion(spark, dir) == 0L)
+  }
+
   test("appendOnce versions are ordinary appends: changes/pollChanges see each batch once") {
     val dir = tbl()
     Versioned.appendOnce(rows(0, 10), dir, "app", 0L)
