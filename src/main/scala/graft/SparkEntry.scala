@@ -1396,6 +1396,46 @@ object SparkEntry {
            |GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // SQL row-level DML — the Delta-migrant surface: DELETE FROM /
+    // UPDATE / MERGE INTO statements against a graft table via
+    // GraftExtensions (analyzer rule -> the same COW triad as the
+    // library API; graft.`/path` references resolve like delta.`path`).
+    // The oracle replays the three mutations relationally over raw
+    // documents. Scale: each statement rewrites ONLY the file groups
+    // holding matching rows (stats-pruned candidates + exact
+    // input_file_name() touched-group detection); everything else
+    // carries metadata-only — GraftDmlSpec pins that.
+    "datasource_dml_sql" -> ((s, dir) => {
+      val sql = graft.sources.GraftDml.enabledSession(s)
+      val docs = sql.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/dml_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sql.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Versioned.append(docs.filter(col("lang") =!= "en"), tbl)
+      sql.sql(s"DELETE FROM graft.`$tbl` WHERE doc_id % 7 = 0")
+      sql.sql(s"UPDATE graft.`$tbl` SET n_chars = n_chars + 1000 " +
+        "WHERE lang = 'de'")
+      sql.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === "src1")
+        .select(col("doc_id"), lit("xx").as("lang"),
+          lit(0L).as("n_chars"))
+        .unionByName(sql.read.parquet(s"$dir/documents.parquet")
+          .filter(col("source") === "src2")
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            lit("yy").as("lang"), lit(1L).as("n_chars")))
+        .createOrReplaceTempView("__dml_src")
+      sql.sql(s"""MERGE INTO graft.`$tbl` t USING __dml_src s
+                 |ON t.doc_id = s.doc_id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      sql.sql(s"""SELECT lang, count(*) AS n_rows,
+                 |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                 |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+                 |FROM graft.`$tbl` GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // The CDC consumer loop: three polls against an evolving table. The
     // first two land on all-append windows and receive ONLY the
     // appended rows (served from the new file groups, resync=false);
@@ -4821,6 +4861,28 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM rows WHERE n_chars >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Relational replay of the three SQL mutations: DELETE keys%7=0,
+    // UPDATE de rows +1000 chars, MERGE replace-src1/insert-shifted-src2.
+    "datasource_dml_sql" ->
+      """WITH d1 AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 7 <> 0),
+        |u1 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM d1),
+        |src AS (
+        |  SELECT doc_id, 'xx' AS lang, CAST(0 AS BIGINT) AS n_chars
+        |  FROM documents WHERE source = 'src1'
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, 'yy', CAST(1 AS BIGINT)
+        |  FROM documents WHERE source = 'src2'),
+        |merged AS (
+        |  SELECT u1.* FROM u1 WHERE doc_id NOT IN (SELECT doc_id FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Each poll's rollup from raw docs: p1 = the non-en append, p2 =
     // the src0-2 append, p3 = the FULL es snapshot (resync). id_sum

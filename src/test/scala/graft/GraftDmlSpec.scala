@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Versioned
+import graft.sources.GraftDml
+
+/** SQL row-level DML on graft tables ([[graft.sources.GraftExtensions]]):
+  * DELETE FROM / UPDATE / MERGE INTO statements — path form
+  * (graft.`/dir`) and catalog-name form — delegate to the COW triad,
+  * so untouched file groups carry METADATA-ONLY across SQL mutations;
+  * unsupported shapes raise clear errors, never wrong results. */
+class GraftDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val sql = {
+    val s = GraftDml.enabledSession(spark)
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def tbl() = Files.createTempDirectory("graft-dml").toString + "/t"
+
+  private def groupsOf(dir: String): Set[String] =
+    Versioned.read(sql, dir).inputFiles
+      .map(_.split("/files/")(1).split("/")(0)).toSet
+
+  /** Two groups with DISJOINT id ranges: low [0,100), high [100,200). */
+  private def seeded(): String = {
+    val dir = tbl()
+    Versioned.commit(
+      (0L until 100L).map(i => (i, s"v$i", i * 10L)).toDF("id", "v", "w"), dir)
+    Versioned.append(
+      (100L until 200L).map(i => (i, s"v$i", i * 10L)).toDF("id", "v", "w"), dir)
+    dir
+  }
+
+  test("SQL DELETE rewrites only touched groups; untouched carry metadata-only") {
+    val dir = seeded()
+    val before = groupsOf(dir)
+    assert(before.size == 2)
+    sql.sql(s"DELETE FROM graft.`$dir` WHERE id < 10")
+    val after = groupsOf(dir)
+    assert(Versioned.read(sql, dir).count() == 190)
+    assert(after.intersect(before).size == 1,
+      s"high-range group must carry over untouched: $before -> $after")
+    // and the whole-table read agrees row-for-row with the library path
+    assert(Versioned.read(sql, dir).filter($"id" < 10).count() == 0)
+  }
+
+  test("SQL UPDATE: only the matching group rewrites; values ANSI-cast to column type") {
+    val dir = seeded()
+    val before = groupsOf(dir)
+    // `SET w = 7` is an int literal against a BIGINT column: the command
+    // casts assignment values to the column's type (Delta does too).
+    sql.sql(s"UPDATE graft.`$dir` SET w = 7 WHERE id >= 150")
+    val after = groupsOf(dir)
+    assert(after.intersect(before).size == 1,
+      s"low-range group must carry over untouched: $before -> $after")
+    val got = Versioned.read(sql, dir)
+    assert(got.filter($"w" === 7L).count() == 50)
+    assert(got.filter($"id" < 150 && $"w" === 7L).count() == 0)
+    assert(got.schema("w").dataType.simpleString == "bigint")
+  }
+
+  test("SQL MERGE: replace-by-key + insert; untouched group carries; history records it") {
+    val dir = seeded()
+    val before = groupsOf(dir)
+    locally {
+      val ss = sql; import ss.implicits._
+      Seq((150L, "R", 0L), (500L, "N", 1L)).toDF("id", "v", "w")
+        .createOrReplaceTempView("dml_spec_src") // in the DML session
+    }
+    sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_spec_src s ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = groupsOf(dir)
+    val got = Versioned.read(sql, dir)
+    assert(got.count() == 201)
+    assert(got.filter($"id" === 150L).select("v").as[String].head() == "R")
+    assert(got.filter($"id" === 500L).count() == 1)
+    assert(after.intersect(before).size == 1,
+      s"low-range group must carry over untouched: $before -> $after")
+    val modes = Versioned.versions(sql, dir).select("mode")
+      .as[String].collect().toSeq
+    assert(modes == Seq("snapshot", "append", "merge"))
+  }
+
+  test("catalog-name form: CREATE TABLE USING graft, then DELETE/UPDATE by name") {
+    val dir = seeded()
+    sql.sql("DROP TABLE IF EXISTS graft_dml_spec_cat")
+    sql.sql(s"CREATE TABLE graft_dml_spec_cat USING graft OPTIONS (path '$dir')")
+    try {
+      sql.sql("DELETE FROM graft_dml_spec_cat WHERE id % 2 = 0")
+      sql.sql("UPDATE graft_dml_spec_cat SET v = 'odd' WHERE id < 100")
+      val got = sql.table("graft_dml_spec_cat")
+      assert(got.count() == 100)
+      assert(got.filter($"v" === "odd").count() == 50)
+    } finally sql.sql("DROP TABLE graft_dml_spec_cat")
+  }
+
+  test("unsupported shapes raise clear errors: merge clauses, subqueries") {
+    val dir = seeded()
+    locally {
+      val ss = sql; import ss.implicits._
+      Seq((1L, "x", 0L)).toDF("id", "v", "w")
+        .createOrReplaceTempView("dml_spec_bad") // in the DML session
+    }
+    val e1 = intercept[Exception] {
+      sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_spec_bad s ON t.id = s.id
+                 |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e1.getMessage.contains("replace-by-key"))
+    val e2 = intercept[Exception] {
+      sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_spec_bad s
+                 |ON t.id = s.id AND t.w > 5
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e2.getMessage.contains("replace-by-key"))
+    val e3 = intercept[Exception] {
+      sql.sql(s"DELETE FROM graft.`$dir` WHERE id IN (SELECT id FROM dml_spec_bad)")
+    }
+    assert(e3.getMessage.contains("subquer"))
+    // nothing mutated by the refused statements
+    assert(Versioned.read(sql, dir).count() == 200)
+    assert(Versioned.latestVersion(sql, dir) == 1L)
+  }
+
+  test("graft.`/path` resolves for plain reads too (delta.`path` surface)") {
+    val dir = seeded()
+    val n = sql.sql(s"SELECT count(*) AS n FROM graft.`$dir` WHERE id >= 100")
+      .as[Long].head()
+    assert(n == 100L)
+  }
+}
