@@ -761,6 +761,18 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 3)),
 
+    // REAL merge-count shape: 50 rounds over a corpus slice, viable
+    // only because the trainer maintains the (pair, n) frame
+    // incrementally — each round recounts just the words containing the
+    // merged pair (BpeSpec pins that structurally; a full-recount
+    // trainer is 50 vocab-wide explode+aggregate jobs instead). The
+    // oracle is the SAME 50 rounds unrolled mechanically in DuckDB
+    // (full recount per round — maintained ≡ recount by construction).
+    "bpe_merges_deep" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(
+        t(s, dir, "documents").filter(col("doc_id") % 20 === 0),
+        "text", rounds = 50)),
+
     // The STREAMING twin: the token stream drains as two checkpointed
     // micro-batches through per-shard Misra–Gries state (bounded at
     // 2·sketch counters per shard, independent of vocabulary size),
@@ -3142,7 +3154,44 @@ object SparkEntry {
   /** DuckDB-dialect oracles, column names aligned with `queries`. Spark's
     * `div 1000`-converted event timestamps equal DuckDB's TIMESTAMP_NS cast
     * to microseconds on the 15-minute bucket boundaries used here. */
+  /** Mechanically-unrolled N-round BPE oracle (same arithmetic and
+    * replace semantics as the 3-round hand-written one): each round is
+    * a FULL recount in DuckDB, which is exactly what the incremental
+    * trainer's maintained (pair, n) frame must equal. */
+  private def bpeDeepOracleSql(rounds: Int, where: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH toks AS MATERIALIZED (
+      |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents
+      |  WHERE ($where)
+      |    AND trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''),
+      |wv AS MATERIALIZED (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+      |r0 AS MATERIALIZED (SELECT cnt, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS r FROM wv)""".stripMargin
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+        |x$i AS (SELECT cnt, string_split(r, ' ') AS a FROM r${i - 1}),
+        |e$i AS (SELECT cnt, a, unnest(generate_series(1, len(a) - 1)) AS i FROM x$i WHERE len(a) >= 2),
+        |p$i AS (SELECT a[i] || ' ' || a[i + 1] AS p, CAST(sum(cnt) AS BIGINT) AS n FROM e$i GROUP BY 1),
+        |b$i AS MATERIALIZED (SELECT p, n FROM p$i ORDER BY n DESC, p ASC LIMIT 1)""".stripMargin
+      if (i < rounds) sb ++= s""",
+        |r$i AS MATERIALIZED (SELECT cnt, trim(regexp_replace(
+        |         replace(' ' || replace(r, ' ', '  ') || ' ',
+        |                 (SELECT ' ' || replace(p, ' ', '  ') || ' ' FROM b$i),
+        |                 (SELECT ' ' || replace(p, ' ', '') || ' ' FROM b$i)),
+        |         ' +', ' ', 'g')) AS r FROM r${i - 1})""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to rounds).map { i =>
+      if (i == 1)
+        "SELECT 1 AS merge_round, p AS pair, replace(p, ' ', '') AS merged, n FROM b1"
+      else s"UNION ALL SELECT $i, p, replace(p, ' ', ''), n FROM b$i"
+    }.mkString("\n")
+    sb ++= "\nORDER BY merge_round"
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bpe_merges_deep" -> bpeDeepOracleSql(50, "doc_id % 20 = 0"),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -452,21 +452,29 @@ object TextAnalysis {
     * smallest pair). Returns one row per round:
     * `(merge_round, pair, merged, n)`.
     *
-    * Scale shape: everything after the first aggregation operates on
-    * the DISTINCT-WORD vocabulary, not the corpus — pair counting is a
-    * projection + explode + one keyed aggregate over vocab rows, the
-    * argmax is a bounded one-row collect per round (the same driver
-    * scalar discipline as [[Components.pageRank]]'s dangling mass), and
-    * the merge application is a row-local string rewrite. Web-scale
-    * corpora have vocabularies in the millions — trivially partitioned
-    * — while the corpus-sized work happens exactly once.
+    * Scale shape — INCREMENTAL pair maintenance, the classic trainer
+    * optimization (Sennrich's reference implementation does the same):
+    * the full `(pair, n)` frame is counted ONCE from the seed
+    * vocabulary; each round the argmax is a bounded one-row collect
+    * over that maintained frame (the same driver scalar discipline as
+    * [[Components.pageRank]]'s dangling mass), and only the words that
+    * actually CONTAIN the merged pair are recounted — their old pairs
+    * leave with weight `-cnt`, their rewritten pairs enter with `+cnt`,
+    * one delta aggregate sized by the affected slice, never the
+    * vocabulary. A real tokenizer run is 30k–50k merges over a
+    * millions-strong vocabulary where each merge touches a shrinking
+    * sliver of words; per-round cost must track the sliver, not the
+    * vocabulary, or the loop is 30k full-vocab jobs. The corpus-sized
+    * work (tokenize + word count) still happens exactly once.
     *
     * The merge is applied with the DOUBLE-SPACE boundary trick so a
     * plain left-to-right literal replace is token-boundary-correct
     * (pattern `' a  b '` can only match whole symbols, and adjacent
     * matches don't share boundary characters) — which also makes each
     * round exactly reproducible in any SQL engine: the DuckDB oracle
-    * unrolls the identical rounds. */
+    * unrolls the identical rounds (full recount per round — the
+    * maintained frame equals the recount by construction, which
+    * BpeSpec pins explicitly). */
   def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val spark = df.sparkSession
@@ -476,36 +484,66 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("r", trim(regexp_replace(col("w"), "(.)", "$1 ")))
       .select("cnt", "r").localCheckpoint()
+    // Seeded ONCE; delta-maintained every round thereafter.
+    var counts = bpePairCounts(repr).localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
-      val top = repr
-        .withColumn("a", split(col("r"), " "))
-        // sequence(0, -1) DESCENDS in Spark, so single-symbol words need
-        // the explicit empty-array branch.
-        .withColumn("p", explode(expr(
-          """CASE WHEN size(a) < 2 THEN array()
-            |ELSE transform(sequence(0, size(a) - 2),
-            |               i -> concat(a[i], ' ', a[i + 1])) END""".stripMargin)))
-        .groupBy("p").agg(sum("cnt").as("n"))
-        .orderBy(col("n").desc, col("p").asc).limit(1).collect()
+      val top = counts.orderBy(col("n").desc, col("p").asc).limit(1).collect()
       if (top.isEmpty) exhausted = true // every word is a single symbol
       else {
         val pair = top(0).getString(0)
         val n = top(0).getLong(1)
-        val merged = pair.replace(" ", "")
-        out += ((round, pair, merged, n))
-        val marked = " " + pair.replace(" ", "  ") + " "
-        repr = repr.withColumn("r", trim(regexp_replace(
-          regexp_replace(
-            concat(lit(" "), regexp_replace(col("r"), lit(" "), lit("  ")), lit(" ")),
-            lit(java.util.regex.Pattern.quote(marked)),
-            lit(java.util.regex.Matcher.quoteReplacement(s" $merged "))),
-          lit(" +"), lit(" ")))).localCheckpoint()
+        out += ((round, pair, pair.replace(" ", ""), n))
+        val (newRepr, delta) = bpeStep(repr, pair)
+        counts = counts.unionByName(delta)
+          .groupBy("p").agg(sum("n").as("n"))
+          .filter(col("n") > 0L).localCheckpoint()
+        repr = newRepr.localCheckpoint()
       }
       round += 1
     }
     out.toSeq.toDF("merge_round", "pair", "merged", "n")
+  }
+
+  /** Boundary-correct corpus-weighted pair counts of a `(cnt, r)`
+    * symbol-representation frame — the seed count and (negated) delta
+    * building block of [[bpeMerges]]. */
+  private[graft] def bpePairCounts(repr: DataFrame): DataFrame = repr
+    .withColumn("a", split(col("r"), " "))
+    // sequence(0, -1) DESCENDS in Spark, so single-symbol words need
+    // the explicit empty-array branch.
+    .withColumn("p", explode(expr(
+      """CASE WHEN size(a) < 2 THEN array()
+        |ELSE transform(sequence(0, size(a) - 2),
+        |               i -> concat(a[i], ' ', a[i + 1])) END""".stripMargin)))
+    .groupBy("p").agg(sum("cnt").as("n"))
+
+  /** One incremental merge round: apply `pair`'s merge to `repr` and
+    * return `(rewritten repr, (pair, n) delta)`. The delta is computed
+    * from the AFFECTED words only — old symbol pairs weighted `-cnt`,
+    * rewritten pairs `+cnt`, one aggregate over the affected slice —
+    * so maintained counts + delta ≡ a full recount of the rewritten
+    * vocabulary (pinned by BpeSpec), at per-round cost proportional to
+    * the words the merge touches. */
+  private[graft] def bpeStep(
+      repr: DataFrame, pair: String): (DataFrame, DataFrame) = {
+    val merged = pair.replace(" ", "")
+    val marked = " " + pair.replace(" ", "  ") + " "
+    val doubled = concat(lit(" "),
+      regexp_replace(col("r"), lit(" "), lit("  ")), lit(" "))
+    val hasPair = instr(doubled, marked) > 0
+    val rewritten = trim(regexp_replace(
+      regexp_replace(doubled,
+        lit(java.util.regex.Pattern.quote(marked)),
+        lit(java.util.regex.Matcher.quoteReplacement(s" $merged "))),
+      lit(" +"), lit(" ")))
+    val affected = repr.filter(hasPair)
+    val delta = bpePairCounts(
+      affected.select((-col("cnt")).as("cnt"), col("r"))
+        .unionByName(affected.select(col("cnt"), rewritten.as("r"))))
+      .filter(col("n") =!= 0L)
+    (repr.withColumn("r", when(hasPair, rewritten).otherwise(col("r"))), delta)
   }
 }

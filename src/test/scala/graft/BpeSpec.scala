@@ -75,6 +75,44 @@ class BpeSpec extends SparkSpec {
     assert(got(1) == ((2, "aa a", "aaa", 4L)))
   }
 
+  test("60 rounds agree with the naive trainer (incremental maintenance, bounded time)") {
+    val rnd = new scala.util.Random(29)
+    val words = (1 to 400).map(_ =>
+      (1 + rnd.nextInt(9), Seq.fill(3 + rnd.nextInt(8))(
+        ('a' + rnd.nextInt(7)).toChar).mkString))
+    val texts = words.flatMap { case (c, w) => Seq.fill(c)(w) }
+    val wc = texts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = merges(texts, 60).map(t => (t._2, t._4))
+    val ref = reference(wc, 60)
+    assert(got.size == ref.size && got == ref,
+      s"first divergence: ${got.zip(ref).indexWhere(p => p._1 != p._2)}")
+  }
+
+  test("bpeStep recounts ONLY affected words; maintained counts equal a full recount") {
+    // Vocab: 'abab' contains pair (a,b); 'ccc' and 'dd' do not.
+    val repr = Seq((4L, "a b a b"), (3L, "c c c"), (2L, "d d"))
+      .toDF("cnt", "r")
+    val (newRepr, delta) = TextAnalysis.bpeStep(repr, "a b")
+    // The delta touches pairs of the affected word only: every pair in
+    // the delta involves a symbol of 'abab' pre- or post-merge; the
+    // untouched words' pairs (c,c)/(d,d) never enter the delta frame.
+    val deltaPairs = delta.select("p").as[String].collect().toSet
+    assert(!deltaPairs.contains("c c") && !deltaPairs.contains("d d"),
+      s"delta recounted unaffected words: $deltaPairs")
+    assert(deltaPairs == Set("a b", "b a", "ab ab"), deltaPairs.toString)
+    // Maintained = seed + delta must EQUAL a full recount of newRepr.
+    val maintained = TextAnalysis.bpePairCounts(repr)
+      .unionByName(delta)
+      .groupBy("p").agg(sum("n").as("n")).filter($"n" > 0L)
+      .as[(String, Long)].collect().toMap
+    val recount = TextAnalysis.bpePairCounts(newRepr)
+      .as[(String, Long)].collect().toMap
+    assert(maintained == recount, s"maintained=$maintained recount=$recount")
+    // And the rewrite itself: only the affected word changed.
+    val rows = newRepr.as[(Long, String)].collect().toMap
+    assert(rows == Map(4L -> "ab ab", 3L -> "c c c", 2L -> "d d"))
+  }
+
   test("exhaustion stops early: an all-single-symbol vocab yields no merges") {
     assert(merges(Seq("a b c", "b c a"), 3).isEmpty)
     // And a vocab that exhausts after one merge stops there.
