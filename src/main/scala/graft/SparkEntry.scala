@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.sources.DataSource
 import graft.streaming.EventWindows
+import graft.operators.Checkpoints.CapOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1256,7 +1257,7 @@ object SparkEntry {
         .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"))
       val packed = Packing.packBestFitDecreasing(
         toks, "doc_id", "n_tokens", budget = 256, shards = 8)
-        .localCheckpoint()
+        .capLineage()
       val byPack = packed.groupBy("shard", "pack_id")
         .agg(sum(col("n_tokens")).as("pt"), count(lit(1)).as("n"))
       val packStats = byPack.agg(

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.CapOps
 
 /** Distributed connected components over an undirected edge list — the
   * missing last mile of every near-dup pipeline: pair emitters
@@ -48,9 +49,9 @@ object Components {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .capLineage()
     val allNodes = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("v").as("node"))).distinct().capLineage()
 
     var round = 0
     var converged = e.isEmpty
@@ -79,7 +80,7 @@ object Components {
         .union(ssMin.select(col("m").as("u"), col("h").as("v")))
         .where(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .capLineage()
       // Fixpoint ⇔ identical canonical edge set (cheap count gate first,
       // set difference only when counts already agree).
       converged = afterSmall.count() == e.count() &&
@@ -176,14 +177,22 @@ object Components {
     * included.
     *
     * Scale shape: the edge set is joined with the out-degrees ONCE and
-    * the result pinned pre-partitioned on `src` — each of the K
-    * iterations then pays exactly one join against the rank frame (a
-    * shuffle keyed by node id, the same exchange a groupBy pays), one
-    * map-side-combined aggregation by `dst`, and one bounded driver
-    * scalar (the dangling mass, a single double). `localCheckpoint`
-    * caps the lineage so K iterations never deepen the plan — the same
-    * discipline as [[connectedComponents]]; nothing per-node ever
-    * reaches the driver.
+    * the result pinned pre-partitioned on `src`, with each SINK node
+    * folded in as one synthetic marker edge — so every iteration pays
+    * exactly ONE join against the rank frame and ONE map-side-combined
+    * aggregation, which delivers the per-destination contributions AND
+    * the dangling mass (the marker group) in the same pass; that frame
+    * is the iteration's single materialized action, the dangling scalar
+    * is a bounded head() over it, and the new rank frame derives flatly
+    * from checkpointed parents (no second materialization per round).
+    * [[Checkpoints.cap]] caps the lineage so K iterations never deepen
+    * the plan — the same discipline as [[connectedComponents]]; nothing
+    * per-node ever reaches the driver.
+    *
+    * Convergence: with `tol > 0` the loop stops once the L1 rank delta
+    * `Σ|pr_i − pr_{i−1}|` falls below `tol` (one more bounded scalar
+    * per iteration); `tol = 0` (default) runs exactly `iterations`
+    * rounds — the reproducible fixed-round contract the oracle unrolls.
     *
     * Returns one row per node: `(node, pr)`. */
   def pageRank(
@@ -191,37 +200,61 @@ object Components {
       srcCol: String,
       dstCol: String,
       iterations: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      tol: Double = 0.0): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    require(tol >= 0, s"tol must be >= 0: $tol")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().capLineage()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct().capLineage()
     val n = nodes.count().toDouble
     val outdeg = e.groupBy("src")
       .agg(count(lit(1)).cast("double").as("deg"))
       .withColumnRenamed("src", "onode")
-    // Fold the out-degree into the edge list once; every iteration's
-    // join then reuses this pre-partitioned, pinned frame.
+    // Fold the out-degree into the edge list once, PLUS one marker row
+    // per sink (deg 1, sink=true): the per-iteration aggregate then
+    // yields contributions and dangling mass together. The marker's
+    // null dst cannot collide with a real null-id destination — the
+    // sink flag is part of the grouping key.
+    val dstType = e.schema("dst").dataType
     val linked = e.join(outdeg, col("src") === col("onode"))
-      .select(col("src"), col("dst"), col("deg"))
-      .repartition(col("src")).localCheckpoint()
-    val sinks = nodes.join(outdeg, col("node") === col("onode"), "left_anti")
-      .localCheckpoint()
+      .select(col("src"), col("dst"), col("deg"), lit(false).as("sink"))
+      .unionByName(
+        nodes.join(outdeg, col("node") === col("onode"), "left_anti")
+          .select(col("node").as("src"), lit(null).cast(dstType).as("dst"),
+            lit(1.0d).as("deg"), lit(true).as("sink")))
+      .repartition(col("src")).capLineage()
 
-    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint()
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr")).capLineage()
     var i = 0
-    while (i < iterations) {
-      val dangling = sinks.join(pr, Seq("node"))
-        .agg(coalesce(sum("pr"), lit(0.0d))).head().getDouble(0)
+    var converged = false
+    while (i < iterations && !converged) {
+      // The round's ONE materialized pass: contributions by destination
+      // + the dangling mass under the sink-marker group.
       val contrib = linked.join(pr, col("src") === col("node"))
-        .groupBy("dst").agg(sum(col("pr") / col("deg")).as("contrib"))
-      pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .groupBy("sink", "dst").agg(sum(col("pr") / col("deg")).as("contrib"))
+        .capLineage()
+      val dangling = contrib.filter(col("sink"))
+        .agg(coalesce(sum("contrib"), lit(0.0d))).head().getDouble(0)
+      val newPr = nodes.join(
+          contrib.filter(!col("sink")).withColumnRenamed("dst", "cnode"),
+          nodes("node") === col("cnode"), "left")
         .select(nodes("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0d)) + lit(dangling / n))).as("pr"))
-        .localCheckpoint()
+      if (tol > 0) {
+        val l1 = pr.withColumnRenamed("pr", "prev")
+          .join(newPr.withColumnRenamed("node", "nnode"),
+            col("node") === col("nnode"))
+          .agg(coalesce(sum(abs(col("pr") - col("prev"))), lit(0.0d)))
+          .head().getDouble(0)
+        converged = l1 < tol
+      }
+      // newPr derives flatly from checkpointed frames (nodes, contrib):
+      // no per-round materialization of the rank frame itself.
+      pr = newPr
       i += 1
     }
     pr

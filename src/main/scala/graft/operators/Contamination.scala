@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.tokens
+import graft.operators.Checkpoints.CapOps
 
 /** Benchmark-contamination detection: find training documents that share
   * word n-grams with an evaluation/benchmark set (the GPT-3-style n-gram
@@ -131,10 +132,10 @@ object Contamination {
     // rows — tiny relative to the text — and replaces the subtree with an
     // RDD-scan leaf, same lineage cut as Dedup.minHashLshIncremental.
     val tfRaw = TextAnalysis.winnowFingerprints(train, textCol, idCol, k, w)
-      .localCheckpoint()
+      .capLineage()
       .select(col(idCol).as("train_id"), explode(col("fingerprints")).as("__fp"))
     val bf = TextAnalysis.winnowFingerprints(bench, textCol, idCol, k, w)
-      .localCheckpoint()
+      .capLineage()
       .select(col(idCol).as("bench_id"), col("fingerprints"))
     val bsizes = bf.select(col("bench_id"),
       size(col("fingerprints")).cast("long").as("bench_fps"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions._
+import graft.operators.Checkpoints.CapOps
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -188,7 +189,7 @@ object Dedup {
     // union below in minHashLshIncremental.
     val batchDf = lines.filter(col("__nh").isNotNull)
       .groupBy("__nh", "__nmd5").agg(countDistinct(col(idCol)).as("__bdf"))
-      .localCheckpoint()
+      .capLineage()
     val stored0 = spark.read.parquet(dfPath)
       .select(col("nh").as("__nh"), col("nmd5").as("__nmd5"), col("df").as("__sdf"))
     // Bloom-prune the store scan against the batch's paragraph keys:
@@ -229,7 +230,7 @@ object Dedup {
     spark.read.parquet(dfPath)
       .filter(col("df") >= minDocs)
       .select(col("nh").as("__nh"), col("nmd5").as("__nmd5"))
-      .localCheckpoint()
+      .capLineage()
 
   /** Paragraph strike as a STATELESS scan stage: drop the paragraphs of
     * incoming documents that match a persisted boilerplate set
@@ -783,7 +784,7 @@ object Dedup {
     val capped = capBuckets(
       prunedStored.unionByName(bandedFresh),
       Seq("__band", "__bandhash"), maxBucket)
-      .localCheckpoint()
+      .capLineage()
     val newB = capped.filter(col("__new")).drop("__new")
     val oldB = capped.filter(!col("__new")).drop("__new")
     val l = newB.select(col("__band"), col("__bandhash"), col("__id").as("id_a"))
@@ -801,7 +802,7 @@ object Dedup {
     // Same lineage cut before verification: verifyJaccard references the
     // candidate set three times (id extraction + the pair join).
     val prefiltered = sigPrefilter(candidates, sigs, numHashes, threshold)
-      .localCheckpoint()
+      .capLineage()
     val docs = corpus.select(col(idCol), col(textCol))
       .unionByName(batch.select(col(idCol), col(textCol)))
     val result = verifyJaccard(docs, idCol, prefiltered, threshold,
@@ -1097,7 +1098,7 @@ object Dedup {
     val pct = math.round(minContain * 100)
     val fps = graft.operators.TextAnalysis
       .winnowFingerprints(df, textCol, idCol, k, w)
-      .localCheckpoint()
+      .capLineage()
     val grams = fps.select(col(idCol), col("n_grams"))
     val ex = fps.select(col(idCol), explode(col("fingerprints")).as("__fp"))
     val rare = ex.groupBy("__fp").agg(count(lit(1)).as("__df"))

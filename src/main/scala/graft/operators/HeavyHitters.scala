@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.CapOps
 
 /** EXACT top-k most frequent values without a full-vocabulary shuffle —
   * the heavy-hitter shape for corpus statistics at 100 TB, where a
@@ -102,7 +103,7 @@ object HeavyHitters {
       .groupBy("value").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("value").asc)
       .limit(k)
-      .localCheckpoint()
+      .capLineage()
     // Exactness gate on the bounded k-row head: the weakest returned
     // count must beat the largest count any NON-candidate could hide
     // (= slack). Fewer than k candidates with slack 0 means fewer than

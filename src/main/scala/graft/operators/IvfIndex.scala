@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.functions.{GraftFunctions, VectorFunctions}
 import graft.functions.VectorFunctions.dotNative
+import graft.operators.Checkpoints.CapOps
 
 /** IVF (inverted-file) approximate nearest neighbor: the second scale
   * path next to hyperplane LSH (`Similarity.annTopK`).
@@ -285,7 +286,7 @@ object IvfIndex {
       iters: Int = 2,
       seed: Long = 42L): Unit = {
     val all = spark.read.parquet(s"$dir/assignments").select("id", "vec")
-      .localCheckpoint() // cut lineage: the rewrite deletes its own input
+      .capLineage() // cut lineage: the rewrite deletes its own input
     val staging = s"${dir.stripSuffix("/")}__graft_rebuild_" +
       java.util.UUID.randomUUID().toString.take(8)
     writeIndex(all, "vec", "id", staging, nlist, iters, seed)
@@ -504,7 +505,7 @@ object IvfIndex {
         // away. Storage is only the over-cap member subset.
         pending = splitGroups(members, SplitFanout, SplitProbe, 2, seed + depth + 1,
           mergeThreshold)
-          .localCheckpoint()
+          .capLineage()
         depth += 1
       }
     }
@@ -543,7 +544,7 @@ object IvfIndex {
     var state = members.join(seeds.drop("__sub"), "__cell")
       .select(col("__cell"), col("__id"), col("__vec"), col("__norm"),
         sim(col("__vec"), col("__norm"), col("__cvec"), col("__cnorm")).as("__maxsim"))
-      .localCheckpoint()
+      .capLineage()
     (1 until fanout).foreach { s =>
       val next = pick(state, col("__maxsim"), s)
       seeds = seeds.unionByName(next)
@@ -556,7 +557,7 @@ object IvfIndex {
             greatest(col("__maxsim"),
               sim(col("__vec"), col("__norm"), col("__cvec"), col("__cnorm")))
               .as("__maxsim"))
-          .localCheckpoint()
+          .capLineage()
       }
     }
     seeds

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis.withNormToks
+import graft.operators.Checkpoints.CapOps
 
 /** N-gram language-model document scoring — the perplexity-style quality
   * filter of CCNet (Wenzek et al. 2020) and the Gopher/MassiveText
@@ -95,7 +96,7 @@ object LanguageModel {
     val ctx = contexts(trainDf, textCol, idCol)
       .where(col("w").isNotNull)
       .groupBy("a", "b", "w").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .capLineage()
     val tri = ctx.where(col("a").isNotNull && col("c") >= minCount)
       .select("a", "b", "w", "c")
     val bi = ctx.where(col("b").isNotNull)
@@ -105,7 +106,7 @@ object LanguageModel {
       .where(col("c") >= minCount)
     val n = ctx.agg(coalesce(sum("c"), lit(0L))).first().getLong(0)
     require(n > 0, "training corpus has no tokens")
-    (uni.localCheckpoint(), bi.localCheckpoint(), tri.localCheckpoint(), n)
+    (uni.capLineage(), bi.capLineage(), tri.capLineage(), n)
   }
 
   /** Score `docs` under a model trained on `trainDf`. Output per doc:

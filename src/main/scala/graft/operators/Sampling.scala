@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.CapOps
 
 /** Deterministic sampling and dataset splitting for training-data
   * pipelines.
@@ -243,7 +244,7 @@ object Sampling {
       .withColumn("__tok", coalesce(col(tokenCol).cast("long"), lit(0L)))
       .repartitionByRange(nParts, col(qualityCol).desc, col(idCol).asc)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // pins partition ids: offsets below stay valid
+      .capLineage() // pins partition ids: offsets below stay valid
     val partSums = ranged.groupBy("__pid").agg(sum("__tok").as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     if (partSums.isEmpty) return ranged.withColumn("cum_tokens", lit(0L))

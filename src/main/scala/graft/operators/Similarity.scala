@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.functions.{GraftFunctions, VectorFunctions}
 import graft.functions.VectorFunctions.dotNative
+import graft.operators.Checkpoints.CapOps
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -339,7 +340,7 @@ object Similarity {
           .filter(cosineCol(col("__vec"), col("__norm"), col("__rv"), col("__rn"))
             >= threshold)
           .select("__id").distinct()
-          .localCheckpoint() // materialize before dropped/base unpersist
+          .capLineage() // materialize before dropped/base unpersist
         dropped.unpersist()
         val l = cells.withColumnRenamed("__id", "id_a")
         val r = cells.withColumnRenamed("__id", "id_b")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.operators.Checkpoints.CapOps
 
 /** Per-document text profiling: one narrow projection chain producing the
   * standard pre-training corpus statistics. Single scan, no shuffle, fully
@@ -429,7 +430,7 @@ object TextAnalysis {
     val toks = withNormToks(df, textCol)
       .select(col(idCol), explode_outer(col("__toks")).as("term"))
     val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .capLineage()
     val n = tf.select(countDistinct(col(idCol))).first().getLong(0)
     val real = tf.where(col("term").isNotNull)
     val dfreq = real.groupBy("term").agg(count(lit(1)).as("df"))
@@ -483,9 +484,9 @@ object TextAnalysis {
       .select(explode(col("__toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("r", trim(regexp_replace(col("w"), "(.)", "$1 ")))
-      .select("cnt", "r").localCheckpoint()
+      .select("cnt", "r").capLineage()
     // Seeded ONCE; delta-maintained every round thereafter.
-    var counts = bpePairCounts(repr).localCheckpoint()
+    var counts = bpePairCounts(repr).capLineage()
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var round = 1
     var exhausted = false
@@ -499,8 +500,8 @@ object TextAnalysis {
         val (newRepr, delta) = bpeStep(repr, pair)
         counts = counts.unionByName(delta)
           .groupBy("p").agg(sum("n").as("n"))
-          .filter(col("n") > 0L).localCheckpoint()
-        repr = newRepr.localCheckpoint()
+          .filter(col("n") > 0L).capLineage()
+        repr = newRepr.capLineage()
       }
       round += 1
     }

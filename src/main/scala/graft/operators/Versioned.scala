@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit, max, min}
 import org.apache.hadoop.fs.Path
+import graft.operators.Checkpoints.CapOps
 
 /** Parquet-native versioned tables — the time-travel workflow the
   * reference inherited implicitly from Delta
@@ -855,7 +856,7 @@ object Versioned {
     val schemaDdl = validateAppendSchema(source, m.schemaDdl, evolve = false)
     // The source feeds three consumers (bounds, duplicate gate,
     // anti-join + union); pin it once so its plan runs once.
-    val src = source.localCheckpoint(true)
+    val src = source.capLineage()
     if (src.isEmpty) return v
     val dup = src.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).limit(1).count()

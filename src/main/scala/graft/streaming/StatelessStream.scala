@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Checkpoints.CapOps
 
 /** Run a STATELESS transform (projections/filters only — no aggregation,
   * no state) over a parquet file source through Structured Streaming to
@@ -44,7 +45,7 @@ object StatelessStream {
     // drive this) would accumulate. Eagerly checkpoint the result into
     // block storage (released by the ContextCleaner once the returned
     // frame is unreferenced) and drop the view immediately.
-    val out = spark.table(sink).localCheckpoint(eager = true)
+    val out = spark.table(sink).capLineage()
     spark.catalog.dropTempView(sink)
     out
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.TextFunctions
 import graft.operators.Dedup
+import graft.operators.Checkpoints.CapOps
 
 /** STREAMING incremental curation: a batch of new documents flows through
   * quality gating + exact dedup (TTL state) + minhash near-dup detection
@@ -64,14 +65,14 @@ object StreamingCuration {
     // work worth paying exactly once per curate() call.
     val storeBands = Dedup.bandedStore(spark, sigPath, numHashes, bands)
       .withColumnRenamed("__id", "__sid")
-      .localCheckpoint()
+      .capLineage()
     // Stable side carries its DISTINCT shingle set, computed once on the
     // static branch — the verify join must never re-shingle text per
     // candidate row.
     val stableShingles = stable.select(col(idCol).as("__sid"),
       array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize))
         .as("__ssh"))
-      .localCheckpoint()
+      .capLineage()
 
     val (emitted, _) = StagedDrain.run(spark, batches, df => {
       import spark.implicits._

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.HeavyHitters
+import graft.operators.Checkpoints.CapOps
 
 /** Streaming twin of [[graft.operators.HeavyHitters.exactTopK]]: track
   * heavy hitters over an unbounded value stream with BOUNDED state —
@@ -109,7 +110,7 @@ object StreamingHeavyHitters {
     val recount = all.join(broadcast(cand), Seq("value"), "left_semi")
       .groupBy("value").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("value").asc).limit(k)
-      .localCheckpoint()
+      .capLineage()
     val head = recount.collect()
     val exact = slackBound == 0L ||
       (head.length == k && head.last.getLong(1) > slackBound)

@@ -59,6 +59,41 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(pr(0) - prOnce(0)) < 1e-12, "distinct-edge semantics")
   }
 
+  test("epsilon early stop: a converged graph stops before the iteration cap with unchanged ranks") {
+    // A 4-cycle converges immediately: the uniform start IS the fixed
+    // point (every node has in-degree = out-degree = 1), so the first
+    // L1 delta is 0 and tol stops the loop after round 1.
+    val cycle = Seq((0, 1), (1, 2), (2, 3), (3, 0))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val capped =
+      try Components.pageRank(
+        cycle.toDF("s", "t"), "s", "t", iterations = 500, tol = 1e-9)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      finally spark.sparkContext.removeSparkListener(listener)
+    // 500 un-stopped rounds would be >1000 jobs; the converged cycle
+    // must stop after the first L1 check.
+    assert(jobs.get() < 60, s"early stop did not fire: ${jobs.get()} jobs")
+    val exact = sparkPr(cycle, 5)
+    assert(capped.keySet == exact.keySet)
+    capped.foreach { case (k, v) => assert(math.abs(v - exact(k)) < 1e-9) }
+    // And on a non-trivial graph: early-stopped ranks agree with the
+    // fully-iterated ones to within the tolerance.
+    val g = Seq((0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 4))
+    val stopped = Components.pageRank(
+      g.toDF("s", "t"), "s", "t", iterations = 200, tol = 1e-12)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val long = sparkPr(g, 80)
+    stopped.foreach { case (k, v) => assert(math.abs(v - long(k)) < 1e-9) }
+    assert(math.abs(stopped.values.sum - 1.0) < 1e-9)
+  }
+
   test("invalid parameters raise") {
     intercept[IllegalArgumentException] {
       Components.pageRank(Seq((1, 2)).toDF("s", "t"), "s", "t", 0)
