@@ -1409,6 +1409,38 @@ object SparkEntry {
            |GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // COLUMN MAPPING: RENAME COLUMN is metadata-only (no group
+    // rewritten; VersionedColumnMappingSpec pins that and the
+    // tombstone/constraint refusals) and every version reads through
+    // its OWN mapping — the pre-rename read shows the old names while
+    // post-rename appends and COW deletes work on the new ones, with
+    // file groups storing physical names throughout. The oracle
+    // replays both table states from raw documents.
+    "versioned_rename" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/ren_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)   // v0
+      Versioned.append(docs.filter(col("lang") =!= "en"), tbl)   // v1
+      Versioned.renameColumn(s, tbl, "lang", "language")         // v2
+      Versioned.renameColumn(s, tbl, "n_chars", "chars")         // v3
+      Versioned.append(                                          // v4
+        t(s, dir, "documents").filter(col("source") === "src0")
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("lang").as("language"), col("n_chars").as("chars")), tbl)
+      Versioned.delete(s, tbl)(col("chars") < 100L)              // v5
+      def roll(df: DataFrame, phase: String, langCol: String): DataFrame =
+        df.groupBy(col(langCol).as("language"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("doc_id").cast("long").as("id_sum"))
+          .select(lit(phase).as("phase"), col("language"),
+            col("n_rows"), col("id_sum"))
+      roll(Versioned.read(s, tbl, 1L), "pre_rename", "lang")
+        .unionByName(roll(Versioned.read(s, tbl), "post_rename", "language"))
+        .orderBy("phase", "language")
+    }),
+
     // SQL row-level DML — the Delta-migrant surface: DELETE FROM /
     // UPDATE / MERGE INTO statements against a graft table via
     // GraftExtensions (analyzer rule -> the same COW triad as the
@@ -4911,6 +4943,27 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM rows WHERE n_chars >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // pre_rename = the full corpus under old names (version 1);
+    // post_rename = corpus + shifted src0 slice, chars>=100 survivors
+    // of the post-rename COW delete, under the new names.
+    "versioned_rename" ->
+      """WITH pre AS (
+        |  SELECT 'pre_rename' AS phase, lang AS language,
+        |    count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM documents GROUP BY 2),
+        |post_rows AS (
+        |  SELECT doc_id, lang AS language, n_chars AS chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, n_chars FROM documents
+        |  WHERE source = 'src0'),
+        |post AS (
+        |  SELECT 'post_rename' AS phase, language,
+        |    count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM post_rows WHERE chars >= 100 GROUP BY 2)
+        |SELECT * FROM pre
+        |UNION ALL SELECT * FROM post
+        |ORDER BY phase, language""".stripMargin,
 
     // Relational replay of the three SQL mutations: DELETE keys%7=0,
     // UPDATE de rows +1000 chars, MERGE replace-src1/insert-shifted-src2.

@@ -56,11 +56,19 @@ object Versioned {
       .foldLeft(-1L)(math.max)
   }
 
+  /** `mapping` is Delta-style COLUMN MAPPING state: (logical, physical)
+    * name pairs for every column of the logical schema, plus tombstones
+    * `("", physical)` for dropped columns. Empty = identity (tables
+    * that never renamed/dropped pay nothing). `schema` always records
+    * the LOGICAL schema; file groups store PHYSICAL column names, which
+    * never change once assigned — that is what makes RENAME/DROP
+    * metadata-only. */
   private final case class Manifest(
       files: Seq[String], nRows: Long, mode: String, committedAt: String,
       txn: Option[(String, Long)] = None,
       schemaDdl: Option[String] = None,
-      constraints: Seq[(String, String)] = Seq.empty)
+      constraints: Seq[(String, String)] = Seq.empty,
+      mapping: Seq[(String, String)] = Seq.empty)
 
   private def jsonEscape(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -100,7 +108,16 @@ object Versioned {
             .map(q => jsonUnescape(q.group(1))).toSeq
             .grouped(2).collect { case Seq(n, e) => (n, e) }.toSeq
         }.getOrElse(Seq.empty)
-    Manifest(files, nRows, mode, at, txn, schemaDdl, constraints)
+    // column mapping: flat [logical, physical, ...] pairs, same shape
+    // as constraints; "" logical marks a dropped column's tombstone.
+    val mapping =
+      "\"mapping\":\\[((?:\\s*\"(?:[^\"\\\\]|\\\\.)*\"\\s*,?)*)\\]".r
+        .findFirstMatchIn(raw).map { m =>
+          "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
+            .map(q => jsonUnescape(q.group(1))).toSeq
+            .grouped(2).collect { case Seq(l, p) => (l, p) }.toSeq
+        }.getOrElse(Seq.empty)
+    Manifest(files, nRows, mode, at, txn, schemaDdl, constraints, mapping)
   }
 
   private def readManifest(
@@ -116,7 +133,8 @@ object Versioned {
   private def manifestJson(
       v: Long, mode: String, groups: Seq[String], nRows: Long,
       txn: Option[(String, Long)], schemaDdl: Option[String],
-      constraints: Seq[(String, String)] = Seq.empty): String = {
+      constraints: Seq[(String, String)] = Seq.empty,
+      mapping: Seq[(String, String)] = Seq.empty): String = {
     val txnJson = txn.map { case (app, b) =>
       s""","txn_app":"$app","txn_batch":$b"""
     }.getOrElse("")
@@ -125,8 +143,12 @@ object Versioned {
       if (constraints.isEmpty) ""
       else constraints.flatMap { case (n, e) => Seq(n, e) }
         .map(s => "\"" + jsonEscape(s) + "\"").mkString(""","constraints":[""", ",", "]")
+    val mapJson =
+      if (mapping.isEmpty) ""
+      else mapping.flatMap { case (l, p) => Seq(l, p) }
+        .map(s => "\"" + jsonEscape(s) + "\"").mkString(""","mapping":[""", ",", "]")
     s"""{"version":$v,"mode":"$mode","files":[${groups.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"$txnJson$schemaJson$consJson}"""
+      s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"$txnJson$schemaJson$consJson$mapJson}"""
   }
 
   /** The live constraint set: the latest version's, or empty. */
@@ -140,7 +162,8 @@ object Versioned {
   private def publish(
       spark: SparkSession, tableDir: String, groups: Seq[String],
       nRows: Long, mode: String, schemaDdl: Option[String],
-      constraintsOverride: Option[Seq[(String, String)]] = None): Long = {
+      constraintsOverride: Option[Seq[(String, String)]] = None,
+      mapping: Seq[(String, String)] = Seq.empty): Long = {
     val f = fs(spark, tableDir)
     // Constraints are table-level metadata: every commit carries the
     // live set forward unless explicitly changed (add/dropConstraint).
@@ -150,7 +173,7 @@ object Versioned {
       // FsAtomic: Hadoop's local create(overwrite=false) is check-then-
       // act; a non-atomic create here could publish the SAME version
       // number twice under concurrent committers.
-      val json = manifestJson(v, mode, groups, nRows, None, schemaDdl, cons)
+      val json = manifestJson(v, mode, groups, nRows, None, schemaDdl, cons, mapping)
       if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
         return v
       v += 1 // lost the race: next number
@@ -173,11 +196,12 @@ object Versioned {
       spark: SparkSession, tableDir: String, expectedParent: Long,
       groups: Seq[String], newGroups: Seq[String], nRows: Long, mode: String,
       schemaDdl: Option[String],
-      constraintsOverride: Option[Seq[(String, String)]] = None): Long = {
+      constraintsOverride: Option[Seq[(String, String)]] = None,
+      mapping: Seq[(String, String)] = Seq.empty): Long = {
     val f = fs(spark, tableDir)
     val cons = constraintsOverride.getOrElse(constraints(spark, tableDir))
     val target = expectedParent + 1
-    val json = manifestJson(target, mode, groups, nRows, None, schemaDdl, cons)
+    val json = manifestJson(target, mode, groups, nRows, None, schemaDdl, cons, mapping)
     if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, target), json))
       target
     else {
@@ -204,14 +228,40 @@ object Versioned {
     * Pre-schema manifests fall back to parquet inference. */
   private def scanGroups(
       spark: SparkSession, tableDir: String,
-      groups: Seq[String], schemaDdl: Option[String]): DataFrame = {
-    val reader = schemaDdl match {
-      case Some(d) =>
+      groups: Seq[String], schemaDdl: Option[String],
+      mapping: Seq[(String, String)] = Seq.empty): DataFrame = {
+    val paths = groups.map(g => s"$tableDir/files/$g")
+    (schemaDdl, activeMapping(mapping)) match {
+      case (Some(d), am) if am.nonEmpty =>
+        // COLUMN MAPPING read: groups store PHYSICAL names; the scan
+        // declares the physical schema (logical types, physical names)
+        // and one alias projection restores the logical view. Catalyst
+        // pushes filters and pruning through the aliases, so skipping
+        // and pushdown see physical names — the same names the stats
+        // sidecars carry.
+        val logical = org.apache.spark.sql.types.StructType.fromDDL(d)
+        val physical = org.apache.spark.sql.types.StructType(
+          logical.fields.map(f => f.copy(name = physicalName(am, f.name))))
+        spark.read.schema(physical).parquet(paths: _*)
+          .select(logical.fields.map(f =>
+            col(physicalName(am, f.name)).as(f.name)).toSeq: _*)
+      case (Some(d), _) =>
         spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(d))
-      case None => spark.read
+          .parquet(paths: _*)
+      case (None, _) => spark.read.parquet(paths: _*)
     }
-    reader.parquet(groups.map(g => s"$tableDir/files/$g"): _*)
   }
+
+  /** The non-tombstone entries of a mapping; empty for identity. */
+  private def activeMapping(
+      mapping: Seq[(String, String)]): Seq[(String, String)] =
+    mapping.filter(_._1.nonEmpty)
+
+  private def physicalName(
+      active: Seq[(String, String)], logical: String): String =
+    active.collectFirst {
+      case (l, p) if l.equalsIgnoreCase(logical) => p
+    }.getOrElse(logical)
 
   /** Validate an APPEND batch's schema against the table's, returning
     * the (possibly evolved) schema DDL the new manifest should record.
@@ -263,9 +313,19 @@ object Versioned {
     }
   }
 
-  private def writeGroup(df: DataFrame, tableDir: String): (String, Long) = {
+  private def writeGroup(
+      df: DataFrame, tableDir: String,
+      mapping: Seq[(String, String)] = Seq.empty): (String, Long) = {
     val group = java.util.UUID.randomUUID().toString
-    df.write.parquet(s"$tableDir/files/$group")
+    // Under column mapping, groups always store PHYSICAL names: a
+    // batch arrives with logical columns and is renamed on the way in,
+    // so a later RENAME stays metadata-only for this group too.
+    val am = activeMapping(mapping)
+    val out =
+      if (am.isEmpty) df
+      else df.select(df.columns.map(c =>
+        col(c).as(physicalName(am, c))).toSeq: _*)
+    out.write.parquet(s"$tableDir/files/$group")
     // ONE read-back aggregate yields the manifest row count AND the
     // group's min/max column stats; the `_stats.json` sidecar lands
     // inside the (still-unpublished) group dir, so a published
@@ -290,17 +350,28 @@ object Versioned {
     * append missing a constrained column passes as NULL. */
   private def enforceConstraints(
       spark: SparkSession, tableDir: String, group: String,
-      schemaDdl: Option[String], cons: Seq[(String, String)]): Unit = {
+      schemaDdl: Option[String], cons: Seq[(String, String)],
+      mapping: Seq[(String, String)] = Seq.empty): Unit = {
     if (cons.isEmpty) return
     val path = s"$tableDir/files/$group"
     def fail(msg: String): Nothing = {
       fs(spark, tableDir).delete(new Path(path), true)
       throw new IllegalArgumentException(msg)
     }
-    val reader = schemaDdl match {
-      case Some(d) => spark.read.schema(
-        org.apache.spark.sql.types.StructType.fromDDL(d))
-      case None => spark.read
+    // Constraints are written against LOGICAL names; the group stores
+    // physical ones — read through the same aliasing as scanGroups.
+    val am = activeMapping(mapping)
+    def logicalView: DataFrame = (schemaDdl, am) match {
+      case (Some(d), m) if m.nonEmpty =>
+        val logical = org.apache.spark.sql.types.StructType.fromDDL(d)
+        val physical = org.apache.spark.sql.types.StructType(
+          logical.fields.map(f => f.copy(name = physicalName(m, f.name))))
+        spark.read.schema(physical).parquet(path)
+          .select(logical.fields.map(f =>
+            col(physicalName(m, f.name)).as(f.name)).toSeq: _*)
+      case (Some(d), _) => spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(d)).parquet(path)
+      case (None, _) => spark.read.parquet(path)
     }
     val aggs: Seq[Column] = cons.map { case (n, e) =>
       org.apache.spark.sql.functions.sum(
@@ -309,7 +380,7 @@ object Versioned {
           .otherwise(0L)).as(n)
     }
     val row =
-      try reader.parquet(path).agg(aggs.head, aggs.tail: _*).head()
+      try logicalView.agg(aggs.head, aggs.tail: _*).head()
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           fail(s"CHECK constraint no longer analyzes against the written " +
@@ -345,7 +416,7 @@ object Versioned {
     require(!existing.exists(_._1.equalsIgnoreCase(name)),
       s"constraint '$name' already exists")
     val m = parseManifest(spark, tableDir, v)
-    val violations = scanGroups(spark, tableDir, m.files, m.schemaDdl)
+    val violations = scanGroups(spark, tableDir, m.files, m.schemaDdl, m.mapping)
       .filter(!coalesce(org.apache.spark.sql.functions.expr(exprSql), lit(true)))
       .count()
     require(violations == 0L,
@@ -353,7 +424,7 @@ object Versioned {
         s"$violations existing row(s) violate it")
     publishExpecting(spark, tableDir, v, m.files, Seq.empty,
       m.nRows, "add_constraint", m.schemaDdl,
-      Some(existing :+ (name -> exprSql)))
+      Some(existing :+ (name -> exprSql)), m.mapping)
   }
 
   /** ALTER TABLE DROP CONSTRAINT (metadata-only). */
@@ -367,7 +438,104 @@ object Versioned {
     val m = parseManifest(spark, tableDir, v)
     publishExpecting(spark, tableDir, v, m.files, Seq.empty,
       m.nRows, "drop_constraint", m.schemaDdl,
-      Some(existing.filterNot(_._1.equalsIgnoreCase(name))))
+      Some(existing.filterNot(_._1.equalsIgnoreCase(name))), m.mapping)
+  }
+
+  /** The identifier-boundary test "does this constraint expression
+    * mention column `name`" — deliberately conservative (a false
+    * positive only refuses a DDL; a false negative would break a
+    * constraint silently). */
+  private def constraintMentions(expr: String, name: String): Boolean =
+    ("(?i)(?<![A-Za-z0-9_`])" + java.util.regex.Pattern.quote(name) +
+      "(?![A-Za-z0-9_])").r.findFirstIn(expr).isDefined
+
+  /** ALTER TABLE RENAME COLUMN — METADATA-ONLY, Delta's column mapping:
+    * the logical schema changes, the data files never do. The manifest
+    * records (logical → physical) name pairs; reads of EVERY version
+    * resolve through that version's own mapping, so time travel to a
+    * pre-rename version still shows the old name. Renaming a column a
+    * CHECK constraint references is refused (drop or rewrite the
+    * constraint first — Delta's rule too); so is a new name colliding
+    * with any live logical or historical physical name. Returns the new
+    * version. */
+  def renameColumn(
+      spark: SparkSession, tableDir: String,
+      oldName: String, newName: String): Long = {
+    require(newName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"new column name must be an identifier: '$newName'")
+    val v = latestVersion(spark, tableDir)
+    require(v >= 0, s"no versions committed under $tableDir")
+    val m = parseManifest(spark, tableDir, v)
+    val ddl = m.schemaDdl.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has a pre-schema manifest; rename needs a recorded schema"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(oldName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such column: '$oldName' (have ${schema.fieldNames.mkString(", ")})"))
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists")
+    val offenders = m.constraints.filter { case (_, e) =>
+      constraintMentions(e, field.name) }
+    require(offenders.isEmpty,
+      s"cannot rename '$oldName': CHECK constraint(s) " +
+        s"${offenders.map(_._1).mkString(", ")} reference it — " +
+        "drop the constraint first")
+    // Full mapping (identity entries materialize on first rename).
+    val base =
+      if (m.mapping.nonEmpty) m.mapping
+      else schema.fieldNames.toSeq.map(n => (n, n))
+    require(!base.exists(_._2.equalsIgnoreCase(newName)),
+      s"cannot rename to '$newName': it is the physical name of a " +
+        "renamed or dropped column; stale bytes in old file groups " +
+        "would resurface under it — choose a different name")
+    val mapping = base.map {
+      case (l, p) if l.equalsIgnoreCase(field.name) => (newName, p)
+      case other => other
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
+    publishExpecting(spark, tableDir, v, m.files, Seq.empty,
+      m.nRows, "rename_column", Some(newSchema.toDDL),
+      Some(m.constraints), mapping)
+  }
+
+  /** ALTER TABLE DROP COLUMN — METADATA-ONLY (Delta column mapping):
+    * the column leaves the logical schema, its physical bytes stay in
+    * the old groups (unread: every scan declares only the live physical
+    * columns) and its physical name is TOMBSTONED so a future column
+    * cannot accidentally resurface the stale bytes. Dropping a column a
+    * CHECK constraint references is refused by name; so is dropping the
+    * last column. Time travel before the drop still shows it. Returns
+    * the new version. */
+  def dropColumn(
+      spark: SparkSession, tableDir: String, name: String): Long = {
+    val v = latestVersion(spark, tableDir)
+    require(v >= 0, s"no versions committed under $tableDir")
+    val m = parseManifest(spark, tableDir, v)
+    val ddl = m.schemaDdl.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has a pre-schema manifest; drop needs a recorded schema"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such column: '$name' (have ${schema.fieldNames.mkString(", ")})"))
+    require(schema.fields.length > 1, "cannot drop the only column")
+    val offenders = m.constraints.filter { case (_, e) =>
+      constraintMentions(e, field.name) }
+    require(offenders.isEmpty,
+      s"cannot drop '$name': CHECK constraint(s) " +
+        s"${offenders.map(_._1).mkString(", ")} reference it — " +
+        "drop the constraint first")
+    val base =
+      if (m.mapping.nonEmpty) m.mapping
+      else schema.fieldNames.toSeq.map(n => (n, n))
+    val physical = physicalName(activeMapping(base), field.name)
+    val mapping = base.filterNot(_._1.equalsIgnoreCase(field.name)) :+
+      ("" -> physical) // tombstone: the physical name stays reserved
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
+    publishExpecting(spark, tableDir, v, m.files, Seq.empty,
+      m.nRows, "drop_column", Some(newSchema.toDDL),
+      Some(m.constraints), mapping)
   }
 
   /** Commit `df` as a FULL-SNAPSHOT version; returns the version number.
@@ -408,11 +576,15 @@ object Versioned {
   def append(df: DataFrame, tableDir: String, evolveSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     // Fail fast on schema drift before paying the write.
-    validateAppendSchema(df,
-      if (latestVersion(spark, tableDir) < 0) None
-      else parseManifest(spark, tableDir, latestVersion(spark, tableDir)).schemaDdl,
-      evolveSchema)
-    val (group, n) = writeGroup(df, tableDir)
+    val latest0 = latestVersion(spark, tableDir)
+    val m0 =
+      if (latest0 < 0) None else Some(parseManifest(spark, tableDir, latest0))
+    validateAppendSchema(df, m0.flatMap(_.schemaDdl), evolveSchema)
+    // The group is written under the CURRENT column mapping (physical
+    // names); a concurrent rename/drop between write and publish is a
+    // metadata conflict the loop detects and raises on.
+    val mappingAtWrite = m0.map(_.mapping).getOrElse(Seq.empty)
+    val (group, n) = writeGroup(df, tableDir, mappingAtWrite)
     // Optimistic retry: the batch's data is parent-independent (the
     // group is already durable), so a concurrent commit just means
     // re-reading the new parent and re-publishing — appendOnce's loop,
@@ -421,30 +593,67 @@ object Versioned {
     var enforcedFor: Option[Seq[(String, String)]] = None
     while (true) {
       val parent = latestVersion(spark, tableDir)
-      val (parentGroups, parentRows, parentSchema, parentCons) =
+      val (parentGroups, parentRows, parentSchema, parentCons, parentMap) =
         if (parent < 0)
           (Seq.empty[String], 0L, None: Option[String],
-            Seq.empty[(String, String)])
+            Seq.empty[(String, String)], Seq.empty[(String, String)])
         else {
           val m = parseManifest(spark, tableDir, parent)
-          (m.files, m.nRows, m.schemaDdl, m.constraints)
+          (m.files, m.nRows, m.schemaDdl, m.constraints, m.mapping)
         }
+      if (parentMap != mappingAtWrite) {
+        fs(spark, tableDir).delete(new Path(s"$tableDir/files/$group"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"column mapping of $tableDir changed while appending " +
+            "(concurrent RENAME/DROP COLUMN) — re-run the append")
+      }
       val schema =
         try validateAppendSchema(df, parentSchema, evolveSchema)
         catch { case e: Throwable =>
           fs(spark, tableDir).delete(new Path(s"$tableDir/files/$group"), true)
           throw e
         }
+      val mapping =
+        try extendedMapping(parentMap, schema)
+        catch { case e: Throwable =>
+          fs(spark, tableDir).delete(new Path(s"$tableDir/files/$group"), true)
+          throw e
+        }
       if (!enforcedFor.contains(parentCons)) {
-        enforceConstraints(spark, tableDir, group, schema, parentCons)
+        enforceConstraints(spark, tableDir, group, schema, parentCons, mapping)
         enforcedFor = Some(parentCons)
       }
       try return publishExpecting(spark, tableDir, parent,
         parentGroups :+ group, Seq.empty, parentRows + n, "append", schema,
-        Some(parentCons))
-      catch { case _: java.util.ConcurrentModificationException => () }
+        Some(parentCons), mapping)
+      catch { case _: java.util.ConcurrentModificationException
+          if latestVersion(spark, tableDir) != parent => () }
     }
     -1L // unreachable
+  }
+
+  /** Extend a column mapping to cover `schemaDdl`'s fields: existing
+    * entries keep their physical names, NEW (evolved) columns get
+    * identity entries — unless the new name collides with a physical
+    * name already used by a live or DROPPED column, which would make
+    * stale bytes in old groups resurface under the new column; that
+    * raises (pick a different name, as Delta's column mapping also
+    * requires). Identity tables (empty mapping) stay empty. */
+  private def extendedMapping(
+      parent: Seq[(String, String)],
+      schemaDdl: Option[String]): Seq[(String, String)] = {
+    if (parent.isEmpty) return parent
+    val fields = schemaDdl.map(d =>
+      org.apache.spark.sql.types.StructType.fromDDL(d).fields.map(_.name).toSeq)
+      .getOrElse(Seq.empty)
+    val newCols = fields.filterNot(f => parent.exists(_._1.equalsIgnoreCase(f)))
+    newCols.foreach { c =>
+      require(!parent.exists(_._2.equalsIgnoreCase(c)),
+        s"cannot add column '$c': its name is the physical name of a " +
+          "renamed or dropped column; stale bytes in old file groups " +
+          "would resurface under it — choose a different name")
+    }
+    parent ++ newCols.map(c => (c, c))
   }
 
   /** Highest `batchId` any committed version records for `appId`, or -1
@@ -487,7 +696,11 @@ object Versioned {
       s"appId must be non-empty and quote-free: '$appId'")
     val spark = df.sparkSession
     if (lastCommittedBatch(spark, tableDir, appId) >= batchId) return None
-    val (group, n) = writeGroup(df, tableDir)
+    val latest0 = latestVersion(spark, tableDir)
+    val mappingAtWrite =
+      if (latest0 < 0) Seq.empty[(String, String)]
+      else parseManifest(spark, tableDir, latest0).mapping
+    val (group, n) = writeGroup(df, tableDir, mappingAtWrite)
     val f = fs(spark, tableDir)
     // Constraints are enforced against the EXACT set the published
     // manifest will carry (re-checked after every lost race, like
@@ -503,14 +716,20 @@ object Versioned {
         return None
       }
       val parent = latestVersion(spark, tableDir)
-      val (parentGroups, parentRows, parentSchema, parentCons) =
+      val (parentGroups, parentRows, parentSchema, parentCons, parentMap) =
         if (parent < 0)
           (Seq.empty[String], 0L, None: Option[String],
-            Seq.empty[(String, String)])
+            Seq.empty[(String, String)], Seq.empty[(String, String)])
         else {
           val m = parseManifest(spark, tableDir, parent)
-          (m.files, m.nRows, m.schemaDdl, m.constraints)
+          (m.files, m.nRows, m.schemaDdl, m.constraints, m.mapping)
         }
+      if (parentMap != mappingAtWrite) {
+        f.delete(new Path(s"$tableDir/files/$group"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"column mapping of $tableDir changed while appending " +
+            "(concurrent RENAME/DROP COLUMN) — re-run the batch")
+      }
       // Streaming batches carry a fixed schema: strict validation. A
       // drift failure deletes the already-written group — otherwise the
       // orphan is permanent (vacuum only reclaims dropped-manifest groups).
@@ -521,13 +740,13 @@ object Versioned {
           throw e
         }
       if (!enforcedFor.contains(parentCons)) {
-        enforceConstraints(spark, tableDir, group, schema, parentCons)
+        enforceConstraints(spark, tableDir, group, schema, parentCons, parentMap)
         enforcedFor = Some(parentCons)
       }
       val v = parent + 1
       val json = manifestJson(
         v, "append", parentGroups :+ group, parentRows + n,
-        Some(appId -> batchId), schema, parentCons)
+        Some(appId -> batchId), schema, parentCons, parentMap)
       if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
         return Some(v)
       // lost the race: loop re-reads the new latest AND the watermark
@@ -605,7 +824,7 @@ object Versioned {
     require(v >= 0, s"no versions committed under $tableDir")
     val m = parseManifest(spark, tableDir, v)
     require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
-    scanGroups(spark, tableDir, m.files, m.schemaDdl)
+    scanGroups(spark, tableDir, m.files, m.schemaDdl, m.mapping)
   }
 
   /** TIMESTAMP AS OF: the largest version whose manifest `committed_at`
@@ -662,10 +881,11 @@ object Versioned {
     val groups = m.files
     require(groups.nonEmpty, s"version $v of $tableDir lists no files")
     val cond = preds.reduce(_ && _)
-    val (kept, _) = pruneGroups(spark, tableDir, groups, m.schemaDdl, cond)
+    val (kept, _) = pruneGroups(spark, tableDir, groups, m.schemaDdl, cond, m.mapping)
     if (kept.isEmpty)
-      scanGroups(spark, tableDir, groups, m.schemaDdl).filter(cond).limit(0)
-    else scanGroups(spark, tableDir, kept, m.schemaDdl).filter(cond)
+      scanGroups(spark, tableDir, groups, m.schemaDdl, m.mapping)
+        .filter(cond).limit(0)
+    else scanGroups(spark, tableDir, kept, m.schemaDdl, m.mapping).filter(cond)
   }
 
   /** Partition `groups` into (mayMatch, provablyNoMatch) under `cond`
@@ -677,8 +897,14 @@ object Versioned {
     * conservatively kept on the mayMatch side. */
   private def pruneGroups(
       spark: SparkSession, tableDir: String, groups: Seq[String],
-      schemaDdl: Option[String], cond: Column): (Seq[String], Seq[String]) = {
-    val full = scanGroups(spark, tableDir, groups, schemaDdl)
+      schemaDdl: Option[String], cond: Column,
+      mapping: Seq[(String, String)] = Seq.empty): (Seq[String], Seq[String]) = {
+    // Under column mapping the optimizer pushes `cond` through the
+    // alias projection, so the extracted Filter already speaks PHYSICAL
+    // names - the names the stats sidecars carry. A filter that cannot
+    // push (nondeterministic) keeps logical names and conservatively
+    // prunes nothing.
+    val full = scanGroups(spark, tableDir, groups, schemaDdl, mapping)
     val resolved: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
       full.filter(cond).queryExecution.optimizedPlan.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
@@ -697,14 +923,15 @@ object Versioned {
     * wrote); one counting scan as the pre-stats-table fallback. */
   private def groupRows(
       spark: SparkSession, tableDir: String, groups: Seq[String],
-      schemaDdl: Option[String]): Long =
+      schemaDdl: Option[String],
+      mapping: Seq[(String, String)] = Seq.empty): Long =
     if (groups.isEmpty) 0L
     else {
       val f = fs(spark, tableDir)
       val per = groups.map(g =>
         GroupStats.read(f, GroupStats.sidecarPath(tableDir, g)).map(_.nRows))
       if (per.forall(_.isDefined)) per.map(_.get).sum
-      else scanGroups(spark, tableDir, groups, schemaDdl).count()
+      else scanGroups(spark, tableDir, groups, schemaDdl, mapping).count()
     }
 
   /** The file groups among `candidates` that ACTUALLY contain a row
@@ -716,10 +943,11 @@ object Versioned {
     * row still carries over metadata-only. */
   private def touchedGroups(
       spark: SparkSession, tableDir: String, candidates: Seq[String],
-      schemaDdl: Option[String])(
+      schemaDdl: Option[String],
+      mapping: Seq[(String, String)] = Seq.empty)(
       probe: DataFrame => DataFrame): Set[String] = {
     if (candidates.isEmpty) return Set.empty
-    val tagged = scanGroups(spark, tableDir, candidates, schemaDdl)
+    val tagged = scanGroups(spark, tableDir, candidates, schemaDdl, mapping)
       .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
     probe(tagged).select("__file").distinct().collect()
       .map(r => r.getString(0).split("/files/")(1).split("/")(0)).toSet
@@ -751,14 +979,14 @@ object Versioned {
     val m = parseManifest(spark, tableDir, v)
     require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
     val cond = preds.reduce(_ && _)
-    val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, cond)
-    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl)(_.filter(cond))
+    val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, cond, m.mapping)
+    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)(_.filter(cond))
     if (hit.isEmpty) return v // nothing to delete anywhere
     val (touched, untouched) = m.files.partition(hit)
-    val survivors = scanGroups(spark, tableDir, touched, m.schemaDdl)
+    val survivors = scanGroups(spark, tableDir, touched, m.schemaDdl, m.mapping)
       .filter(!coalesce(cond, lit(false)))
-    val (group, kept) = writeGroup(survivors, tableDir)
-    enforceConstraints(spark, tableDir, group, m.schemaDdl, m.constraints)
+    val (group, kept) = writeGroup(survivors, tableDir, m.mapping)
+    enforceConstraints(spark, tableDir, group, m.schemaDdl, m.constraints, m.mapping)
     val f = fs(spark, tableDir)
     val groups =
       if (kept == 0L && untouched.nonEmpty) {
@@ -766,10 +994,10 @@ object Versioned {
         f.delete(new Path(s"$tableDir/files/$group"), true)
         untouched
       } else untouched :+ group
-    val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl)
+    val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl, m.mapping)
     publishExpecting(spark, tableDir, v, groups,
       groups.filterNot(untouched.contains), untouchedRows + kept, "delete",
-      m.schemaDdl)
+      m.schemaDdl, mapping = m.mapping)
   }
 
   /** Copy-on-write `UPDATE ... SET assignments WHERE cond` — the third
@@ -791,11 +1019,11 @@ object Versioned {
     require(v >= 0, s"no versions committed under $tableDir")
     val m = parseManifest(spark, tableDir, v)
     require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
-    val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, cond)
-    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl)(_.filter(cond))
+    val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, cond, m.mapping)
+    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)(_.filter(cond))
     if (hit.isEmpty) return v
     val (touched, untouched) = m.files.partition(hit)
-    val scan = scanGroups(spark, tableDir, touched, m.schemaDdl)
+    val scan = scanGroups(spark, tableDir, touched, m.schemaDdl, m.mapping)
     val resolver = org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
     assignments.foreach { case (c, _) =>
       require(scan.columns.exists(resolver(_, c)),
@@ -813,11 +1041,11 @@ object Versioned {
           s"${a.dataType.simpleString} -> ${b.dataType.simpleString} " +
           "(cast the assignment expression to the column's type)")
     }
-    val (group, n) = writeGroup(rewritten, tableDir)
-    enforceConstraints(spark, tableDir, group, m.schemaDdl, m.constraints)
-    val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl)
+    val (group, n) = writeGroup(rewritten, tableDir, m.mapping)
+    enforceConstraints(spark, tableDir, group, m.schemaDdl, m.constraints, m.mapping)
+    val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl, m.mapping)
     publishExpecting(spark, tableDir, v, untouched :+ group, Seq(group),
-      untouchedRows + n, "update", m.schemaDdl)
+      untouchedRows + n, "update", m.schemaDdl, mapping = m.mapping)
   }
 
   /** Copy-on-write MERGE (upsert-by-replacement) into a versioned table:
@@ -871,25 +1099,25 @@ object Versioned {
     val rangePred = keyCols.zipWithIndex.map { case (k, i) =>
       col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
     }.reduce(_ && _)
-    val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, rangePred)
+    val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, rangePred, m.mapping)
     val srcKeys = src.select(keyCols.map(col): _*)
-    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl)(
+    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)(
       _.join(srcKeys, keyCols, "left_semi"))
     val (touched, untouched) = m.files.partition(hit)
     // Align the source to the table's column order (names already
     // validated; resolution is case-insensitive).
-    val tableCols = scanGroups(spark, tableDir, m.files, m.schemaDdl).columns
+    val tableCols = scanGroups(spark, tableDir, m.files, m.schemaDdl, m.mapping).columns
     val srcAligned = src.select(tableCols.map(col): _*)
     val newData =
       if (touched.isEmpty) srcAligned
-      else scanGroups(spark, tableDir, touched, m.schemaDdl)
+      else scanGroups(spark, tableDir, touched, m.schemaDdl, m.mapping)
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(srcAligned)
-    val (group, n) = writeGroup(newData, tableDir)
-    enforceConstraints(spark, tableDir, group, schemaDdl, m.constraints)
-    val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl)
+    val (group, n) = writeGroup(newData, tableDir, m.mapping)
+    enforceConstraints(spark, tableDir, group, schemaDdl, m.constraints, m.mapping)
+    val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl, m.mapping)
     publishExpecting(spark, tableDir, v, untouched :+ group, Seq(group),
-      untouchedRows + n, "merge", schemaDdl)
+      untouchedRows + n, "merge", schemaDdl, mapping = m.mapping)
   }
 
   /** OPTIMIZE-style compaction: rewrite the latest version's data as a
@@ -1030,7 +1258,7 @@ object Versioned {
     val toManifest = parseManifest(spark, tableDir, to)
     val added = toManifest.files.filterNot(fromGroups)
     if (added.isEmpty) read(spark, tableDir, to).limit(0)
-    else scanGroups(spark, tableDir, added, toManifest.schemaDdl)
+    else scanGroups(spark, tableDir, added, toManifest.schemaDdl, toManifest.mapping)
   }
 
   /** Version history: (version, mode, n_rows), ascending. */
@@ -1192,7 +1420,7 @@ object Versioned {
     val liveCons = constraints(spark, tableDir)
     if (liveCons.nonEmpty) {
       val conds = liveCons.map { case (n, e) =>
-        (n, e, scanGroups(spark, tableDir, m.files, m.schemaDdl)
+        (n, e, scanGroups(spark, tableDir, m.files, m.schemaDdl, m.mapping)
           .filter(!coalesce(org.apache.spark.sql.functions.expr(e), lit(true)))
           .count())
       }.filter(_._3 > 0)
@@ -1202,7 +1430,7 @@ object Versioned {
           " — drop the constraint first or restore a later version")
     }
     publishExpecting(spark, tableDir, latest, m.files, Seq.empty,
-      m.nRows, "snapshot", m.schemaDdl)
+      m.nRows, "snapshot", m.schemaDdl, mapping = m.mapping)
   }
 
   /** CREATE TABLE CLONE (deep): materialize `version` (default latest)
