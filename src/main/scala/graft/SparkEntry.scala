@@ -2084,6 +2084,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // THREE-detector unified closure: minhash near-dup + substring
+    // containment + EMBEDDING near-dup (cell-blocked cosine at the
+    // recall-1.0 operating point dedup_embedding_pairs pins) merge into
+    // ONE connected-components closure — a semantic paraphrase of A, an
+    // excerpt of A, and a lexical near-dup of A all land in A's cluster
+    // before retention. vec_id ≡ doc_id (one embedding per original
+    // document; planted excerpts have none, so embedding edges only
+    // connect originals). The oracle recomputes ALL THREE detectors —
+    // the embedding side from exact all-pairs cosine ground truth — and
+    // the same recursive closure.
+    "dedup_unified_3way" -> ((s, dir) => {
+      val uni = excerptPlantedUnion(s, dir)
+      val mh = Dedup.minHashLsh(uni, "text", "doc_id",
+        numHashes = 32, bands = 16, threshold = 0.6)
+        .select("id_a", "id_b")
+      val ct = Dedup.containmentPairs(uni, "text", "doc_id",
+        maxDf = 100, minFp = 5, minContain = 0.8)
+        .select(col("inner_id").as("id_a"), col("outer_id").as("id_b"))
+      val em = Similarity.cellBlockedCosinePairs(t(s, dir, "embeddings"),
+        "embedding", "vec_id", threshold = 0.45, nlist = 8, probeCells = 4)
+        .select("id_a", "id_b")
+      Components.clusters(uni.select("doc_id"), "doc_id",
+        mh.unionByName(ct).unionByName(em).distinct())
+        .select("doc_id", "cluster", "is_canonical")
+        .orderBy("doc_id")
+    }),
+
     // VERSIONED update-then-strike — curation with rollback: the planted
     // corpus commits as v0 of a Versioned table, the keep-longest
     // containment strike writes v1 through Versioned.curate (the strike
@@ -3706,6 +3733,52 @@ object SparkEntry {
          |  UNION SELECT id_b, id_a FROM jpairs
          |  UNION SELECT id_a, id_b FROM cpairs
          |  UNION SELECT id_b, id_a FROM cpairs),
+         |reach(s, t) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.s, e.v FROM reach r JOIN edges e ON r.t = e.u),
+         |comp AS (SELECT s AS doc_id, least(min(t), s) AS cluster FROM reach GROUP BY s)
+         |SELECT d.doc_id,
+         |  coalesce(c.cluster, d.doc_id) AS cluster,
+         |  coalesce(c.cluster, d.doc_id) = d.doc_id AS is_canonical
+         |FROM uni d LEFT JOIN comp c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // All THREE detectors recomputed (jaccard + containment from raw
+    // text, embedding from exact all-pairs cosine), one recursive
+    // closure over the union of their edge sets.
+    "dedup_unified_3way" ->
+      s"""WITH RECURSIVE $containmentCtes,
+         |tok AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM uni),
+         |pos AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i FROM tok),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g FROM pos),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM grams a JOIN grams b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jpairs AS (
+         |  SELECT id_a, id_b
+         |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE i::double / (sa.n + sb.n - i) >= 0.6),
+         |cpairs AS (SELECT inner_id AS id_a, outer_id AS id_b FROM flagged),
+         |en AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_dot_product(embedding, embedding)) AS nrm FROM embeddings),
+         |epairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM en a JOIN en b ON a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.45),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM jpairs
+         |  UNION SELECT id_b, id_a FROM jpairs
+         |  UNION SELECT id_a, id_b FROM cpairs
+         |  UNION SELECT id_b, id_a FROM cpairs
+         |  UNION SELECT id_a, id_b FROM epairs
+         |  UNION SELECT id_b, id_a FROM epairs),
          |reach(s, t) AS (
          |  SELECT u, v FROM edges
          |  UNION
