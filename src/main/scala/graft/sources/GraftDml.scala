@@ -63,17 +63,62 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 /** Resolve `graft.`/table/dir`` references — Delta's ``delta.`path```
   * surface — into the v1 graft relation, for reads and DML targets
-  * alike: `SELECT * FROM graft.`/p``, `DELETE FROM graft.`/p` WHERE…`. */
+  * alike (`SELECT * FROM graft.`/p``, `DELETE FROM graft.`/p` WHERE…`),
+  * plus SQL TIME TRAVEL (`VERSION AS OF n` / `TIMESTAMP AS OF ts`) on
+  * both the path form and `USING graft` catalog tables — Spark only
+  * wires `RelationTimeTravel` up for v2 tables, so the v1 relation
+  * resolves it here. */
 final class GraftPathRelationRule(session: SparkSession)
     extends Rule[LogicalPlan] {
+
+  private def pathOf(
+      u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation): Option[String] =
+    if (u.multipartIdentifier.size == 2 &&
+      u.multipartIdentifier.head.equalsIgnoreCase("graft"))
+      Some(u.multipartIdentifier(1))
+    else
+      org.apache.spark.sql.graftshim.GraftSqlBridge
+        .graftTablePath(session, u.multipartIdentifier)
+
+  private def relation(dir: String, version: Long): LogicalPlan =
+    SubqueryAlias(dir,
+      LogicalRelation(GraftRelation(session, dir, version), isStreaming = false))
+
+  private def instantOf(e: Expression): java.time.Instant = {
+    require(e.resolved && e.foldable,
+      "graft TIMESTAMP AS OF must be a literal")
+    (e.eval(), e.dataType) match {
+      case (s, _: org.apache.spark.sql.types.StringType) =>
+        GraftDml.parseInstant(s.toString)
+      case (micros: Long, org.apache.spark.sql.types.TimestampType) =>
+        java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS)
+      case (v, dt) => throw new IllegalArgumentException(
+        s"unsupported TIMESTAMP AS OF operand: $v ($dt)")
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation, ts, ver) =>
+        pathOf(u) match {
+          case Some(dir) =>
+            val v = (ver, ts) match {
+              case (Some(s), _) =>
+                try s.toLong catch { case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"graft VERSION AS OF must be a version number: '$s'") }
+              case (None, Some(e)) =>
+                graft.operators.Versioned.versionAt(session, dir, instantOf(e))
+              case (None, None) => -1L
+            }
+            relation(dir, v)
+          case None => tt
+        }
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.size == 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
-        val dir = u.multipartIdentifier(1)
-        SubqueryAlias(dir,
-          LogicalRelation(GraftRelation(session, dir, -1L), isStreaming = false))
+        relation(u.multipartIdentifier(1), -1L)
     }
 }
 
@@ -236,6 +281,21 @@ private[graft] final case class GraftMergeCommand(
 }
 
 object GraftDml {
+
+  /** ISO-8601 instants, or the SQL-ish `yyyy-MM-dd[ HH:mm:ss]` read as
+    * UTC — the shapes users paste from `describeHistory` or a query.
+    * Shared by the datasource's `timestampAsOf` option and SQL
+    * `TIMESTAMP AS OF`. */
+  private[sources] def parseInstant(s: String): java.time.Instant = {
+    val t = s.trim
+    scala.util.Try(java.time.Instant.parse(t)).getOrElse {
+      val norm = if (t.contains(" ") || t.contains("T"))
+        t.replace(' ', 'T')
+      else s"${t}T00:00:00"
+      java.time.LocalDateTime.parse(norm)
+        .atOffset(java.time.ZoneOffset.UTC).toInstant
+    }
+  }
 
   /** A session on the SAME SparkContext with graft DML SQL enabled —
     * for contexts whose driver session was built without

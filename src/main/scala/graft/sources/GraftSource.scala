@@ -66,18 +66,8 @@ class GraftSource
     GraftRelation(spark, dir, v)
   }
 
-  /** ISO-8601 instants, or the SQL-ish `yyyy-MM-dd[ HH:mm:ss]` read as
-    * UTC — the shapes users paste from `describeHistory` or a query. */
-  private def parseInstant(s: String): java.time.Instant = {
-    val t = s.trim
-    scala.util.Try(java.time.Instant.parse(t)).getOrElse {
-      val norm = if (t.contains(" ") || t.contains("T"))
-        t.replace(' ', 'T')
-      else s"${t}T00:00:00"
-      java.time.LocalDateTime.parse(norm)
-        .atOffset(java.time.ZoneOffset.UTC).toInstant
-    }
-  }
+  private def parseInstant(s: String): java.time.Instant =
+    GraftDml.parseInstant(s)
 
   override def createRelation(
       sqlContext: SQLContext,

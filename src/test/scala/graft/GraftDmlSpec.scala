@@ -134,4 +134,37 @@ class GraftDmlSpec extends SparkSpec {
       .as[Long].head()
     assert(n == 100L)
   }
+
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on path and catalog forms") {
+    val dir = seeded() // v0 = 100 rows, v1 = 200 rows
+    sql.sql(s"DELETE FROM graft.`$dir` WHERE id >= 150") // v2 = 150 rows
+    assert(sql.sql(s"SELECT count(*) AS n FROM graft.`$dir` VERSION AS OF 0")
+      .as[Long].head() == 100L)
+    assert(sql.sql(s"SELECT count(*) AS n FROM graft.`$dir` VERSION AS OF 1")
+      .as[Long].head() == 200L)
+    assert(sql.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .as[Long].head() == 150L)
+    // TIMESTAMP AS OF far future = latest; a literal timestamp works too
+    assert(sql.sql(
+      s"SELECT count(*) AS n FROM graft.`$dir` TIMESTAMP AS OF '2999-01-01'")
+      .as[Long].head() == 150L)
+    // catalog-name form
+    sql.sql("DROP TABLE IF EXISTS graft_tt_spec_cat")
+    sql.sql(s"CREATE TABLE graft_tt_spec_cat USING graft OPTIONS (path '$dir')")
+    try {
+      assert(sql.sql(
+        "SELECT count(*) AS n FROM graft_tt_spec_cat VERSION AS OF 1")
+        .as[Long].head() == 200L)
+      assert(sql.table("graft_tt_spec_cat").count() == 150L)
+    } finally sql.sql("DROP TABLE graft_tt_spec_cat")
+    // clear errors: non-numeric version, pre-history timestamp
+    val e1 = intercept[Exception] {
+      sql.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 'abc'").collect()
+    }
+    assert(e1.getMessage.contains("version number"))
+    val e2 = intercept[Exception] {
+      sql.sql(s"SELECT * FROM graft.`$dir` TIMESTAMP AS OF '1990-01-01'").collect()
+    }
+    assert(e2.getMessage.contains("no version"))
+  }
 }
