@@ -1409,6 +1409,30 @@ object SparkEntry {
            |GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // MAINTENANCE SQL surface (GraftSqlParser — DeltaSqlParser's
+    // architecture): statements core Spark cannot parse — ALTER TABLE
+    // ADD CONSTRAINT, OPTIMIZE ZORDER BY, RESTORE TO VERSION AS OF,
+    // DESCRIBE HISTORY — drive a full lifecycle, and the audit read IS
+    // the query output (version/mode/n_rows are deterministic; the
+    // oracle replays the whole lifecycle's row counts relationally).
+    "datasource_maintenance_sql" -> ((s, dir) => {
+      val sql = graft.sources.GraftDml.enabledSession(s)
+      val docs = sql.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/maint_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sql.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)       // v0
+      Versioned.append(docs.filter(col("lang") =!= "en"), tbl)       // v1
+      sql.sql(s"ALTER TABLE graft.`$tbl` ADD CONSTRAINT nchars_pos " +
+        "CHECK (n_chars >= 0)")                                      // v2
+      sql.sql(s"OPTIMIZE graft.`$tbl` ZORDER BY (doc_id)")           // v3
+      sql.sql(s"DELETE FROM graft.`$tbl` WHERE doc_id % 5 = 0")      // v4
+      sql.sql(s"RESTORE graft.`$tbl` TO VERSION AS OF 3")            // v5
+      sql.sql(s"DESCRIBE HISTORY graft.`$tbl`")
+        .select("version", "mode", "n_rows").orderBy("version")
+    }),
+
     // COLUMN MAPPING: RENAME COLUMN is metadata-only (no group
     // rewritten; VersionedColumnMappingSpec pins that and the
     // tombstone/constraint refusals) and every version reads through
@@ -5016,6 +5040,25 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM rows WHERE n_chars >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The lifecycle's version/mode/row-count audit trail replayed
+    // relationally: v0 = en snapshot, v1 = full append, v2 =
+    // metadata-only constraint, v3 = ZORDER snapshot (same rows), v4 =
+    // the COW delete's survivors, v5 = the restore (full rows again).
+    "datasource_maintenance_sql" ->
+      """WITH c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+        |    CAST(count(*) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT) AS kept
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version, 'snapshot' AS mode, en AS n_rows FROM c
+        |  UNION ALL SELECT 1, 'append', total FROM c
+        |  UNION ALL SELECT 2, 'add_constraint', total FROM c
+        |  UNION ALL SELECT 3, 'snapshot', total FROM c
+        |  UNION ALL SELECT 4, 'delete', kept FROM c
+        |  UNION ALL SELECT 5, 'snapshot', total FROM c)
+        |ORDER BY version""".stripMargin,
 
     // pre_rename = the full corpus under old names (version 1);
     // post_rename = corpus + shifted src0 slice, chars>=100 survivors

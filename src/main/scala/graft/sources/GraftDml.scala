@@ -58,6 +58,10 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // FileFormat sources for direct path queries).
     ext.injectHintResolutionRule(session => new GraftPathRelationRule(session))
     ext.injectResolutionRule(_ => GraftDmlRule)
+    // Maintenance statements core Spark cannot parse (DESCRIBE
+    // HISTORY, VACUUM, OPTIMIZE, RESTORE, ADD/DROP CONSTRAINT, the
+    // column DDL) — DeltaSqlParser's architecture.
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
   }
 }
 

@@ -135,6 +135,59 @@ class GraftDmlSpec extends SparkSpec {
     assert(n == 100L)
   }
 
+  test("maintenance SQL: DESCRIBE HISTORY, OPTIMIZE [ZORDER], RESTORE, VACUUM") {
+    val dir = seeded() // v0 snapshot, v1 append
+    val hist = sql.sql(s"DESCRIBE HISTORY graft.`$dir`").collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "snapshot"), (1L, "append")))
+    // OPTIMIZE compacts into a new snapshot version; rows identical
+    val v2 = sql.sql(s"OPTIMIZE graft.`$dir`").as[Long].head()
+    assert(v2 == 2L && Versioned.read(sql, dir).count() == 200)
+    // ZORDER BY rewrites clustered; readWhere still exact
+    sql.sql(s"OPTIMIZE graft.`$dir` ZORDER BY (id, w)")
+    assert(Versioned.readWhere(sql, dir)(col("id") < 20L).count() == 20)
+    // RESTORE back to v1: metadata-only, row set of v1
+    val v4 = sql.sql(s"RESTORE graft.`$dir` TO VERSION AS OF 1").as[Long].head()
+    assert(v4 == 4L && Versioned.read(sql, dir).count() == 200)
+    // VACUUM RETAIN 1 VERSIONS drops everything before the latest
+    val vac = sql.sql(s"VACUUM graft.`$dir` RETAIN 1 VERSIONS").collect()(0)
+    assert(vac.getLong(0) == 4L, s"expected 4 dropped versions: $vac")
+    assert(Versioned.read(sql, dir).count() == 200) // latest intact
+    intercept[Exception] { Versioned.read(sql, dir, 0L).count() }
+  }
+
+  test("maintenance SQL: constraints and column DDL, catalog + path forms") {
+    val dir = seeded()
+    sql.sql(s"ALTER TABLE graft.`$dir` ADD CONSTRAINT pos CHECK (id >= 0)")
+    intercept[IllegalArgumentException] {
+      Versioned.append(Seq((-1L, "bad", 0L)).toDF("id", "v", "w"), dir)
+    }
+    // renaming the constrained column is refused by name, via SQL
+    val e = intercept[IllegalArgumentException] {
+      sql.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN id TO doc_id")
+    }
+    assert(e.getMessage.contains("pos"))
+    sql.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT pos")
+    sql.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN id TO doc_id")
+    sql.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN v")
+    assert(Versioned.read(sql, dir).columns.toSeq == Seq("doc_id", "w"))
+    // catalog-name form + fall-through: non-graft targets delegate
+    sql.sql("DROP TABLE IF EXISTS graft_maint_cat")
+    sql.sql(s"CREATE TABLE graft_maint_cat USING graft OPTIONS (path '$dir')")
+    try {
+      assert(sql.sql("DESCRIBE HISTORY graft_maint_cat").count() >= 5)
+      sql.sql("ALTER TABLE graft_maint_cat RENAME COLUMN w TO weight")
+      assert(Versioned.read(sql, dir).columns.toSeq == Seq("doc_id", "weight"))
+    } finally sql.sql("DROP TABLE graft_maint_cat")
+    // graft-only statement on a non-graft table: clear error
+    val e2 = intercept[Exception] {
+      sql.sql("DESCRIBE HISTORY some_random_table")
+    }
+    assert(e2.getMessage.contains("not a graft table"))
+    // ordinary SQL still parses through the delegate untouched
+    assert(sql.sql("SELECT 1 AS one").as[Int].head() == 1)
+  }
+
   test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on path and catalog forms") {
     val dir = seeded() // v0 = 100 rows, v1 = 200 rows
     sql.sql(s"DELETE FROM graft.`$dir` WHERE id >= 150") // v2 = 150 rows
