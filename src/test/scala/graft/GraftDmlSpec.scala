@@ -188,6 +188,39 @@ class GraftDmlSpec extends SparkSpec {
     assert(sql.sql("SELECT 1 AS one").as[Int].head() == 1)
   }
 
+  test("YAML job hooks reach the DML/maintenance SQL surface under an enabled session") {
+    // The reference's whole user surface is YAML whose pre/post SQL
+    // hooks run Delta SQL statements. With the job driven by a
+    // DML-enabled session, the same YAML reaches graft's SQL surface:
+    // here post_sql prunes the versioned target (DELETE) and compacts
+    // it (OPTIMIZE) right after the versioned_append lands.
+    val ss = sql; import ss.implicits._
+    val dir = seeded() // v0+v1 = 200 rows
+    (200L until 260L).map(i => (i, s"v$i", i * 10L)).toDF("id", "v", "w")
+      .createOrReplaceTempView("dml_hook_src")
+    val yaml =
+      s"""version: 0
+         |source:
+         |  query: SELECT id, v, w FROM dml_hook_src
+         |target:
+         |  path: $dir
+         |  operation: versioned_append
+         |  post_sql:
+         |    - DELETE FROM graft.`$dir` WHERE id % 2 = 1
+         |    - OPTIMIZE graft.`$dir`
+         |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_dml_hook_", ".yml")
+    java.nio.file.Files.writeString(f, yaml)
+    try graft.operators.EtlJob.fromConfig(f.toString)(ss).run()
+    finally java.nio.file.Files.deleteIfExists(f)
+    val got = Versioned.read(sql, dir)
+    assert(got.count() == 130, s"260 rows appended-then-pruned to evens: ${got.count()}")
+    assert(got.filter($"id" % 2 === 1).count() == 0)
+    val modes = Versioned.versions(sql, dir).select("mode").as[String].collect().toSeq
+    assert(modes == Seq("snapshot", "append", "append", "delete", "snapshot"),
+      modes.toString) // the OPTIMIZE is the final snapshot
+  }
+
   test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on path and catalog forms") {
     val dir = seeded() // v0 = 100 rows, v1 = 200 rows
     sql.sql(s"DELETE FROM graft.`$dir` WHERE id >= 150") // v2 = 150 rows
