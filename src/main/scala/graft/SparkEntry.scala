@@ -1409,6 +1409,41 @@ object SparkEntry {
            |GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // GENERAL MERGE clause surface (Versioned.mergeClauses through the
+    // SQL extension): conditional matched DELETE, matched UPDATE with
+    // expressions over both rows, conditional INSERT *, and NOT
+    // MATCHED BY SOURCE UPDATE — first-applicable per category, one
+    // COW pass. The oracle replays every clause relationally.
+    "datasource_merge_clauses" -> ((s, dir) => {
+      val sql = graft.sources.GraftDml.enabledSession(s)
+      val docs = sql.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/mrgc_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sql.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Versioned.append(docs.filter(col("lang") =!= "en"), tbl)
+      val raw = sql.read.parquet(s"$dir/documents.parquet")
+      raw.filter(col("source") === "src1")
+        .select(col("doc_id"), lit("xx").as("lang"), col("n_chars"))
+        .unionByName(raw.filter(col("source") === "src2")
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            lit("yy").as("lang"), col("n_chars")))
+        .createOrReplaceTempView("__mrgc_src")
+      sql.sql(s"""MERGE INTO graft.`$tbl` t USING __mrgc_src s
+                 |ON t.doc_id = s.doc_id
+                 |WHEN MATCHED AND t.n_chars < 200 THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET lang = s.lang,
+                 |  n_chars = t.n_chars + 1
+                 |WHEN NOT MATCHED AND s.lang = 'yy' THEN INSERT *
+                 |WHEN NOT MATCHED BY SOURCE AND t.lang = 'de'
+                 |  THEN UPDATE SET n_chars = 0""".stripMargin)
+      sql.sql(s"""SELECT lang, count(*) AS n_rows,
+                 |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                 |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+                 |FROM graft.`$tbl` GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // MAINTENANCE SQL surface (GraftSqlParser — DeltaSqlParser's
     // architecture): statements core Spark cannot parse — ALTER TABLE
     // ADD CONSTRAINT, OPTIMIZE ZORDER BY, RESTORE TO VERSION AS OF,
@@ -5040,6 +5075,26 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM rows WHERE n_chars >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Clause-by-clause replay: src1 docs are matched (deleted when
+    // n_chars<200, else lang='xx' and chars+1); other docs are
+    // not-matched-by-source (de rows zeroed); shifted src2 rows insert
+    // under the s.lang='yy' condition.
+    "datasource_merge_clauses" ->
+      """WITH final_t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN source = 'src1' THEN 'xx' ELSE lang END AS lang,
+        |    CASE WHEN source = 'src1' THEN n_chars + 1
+        |         WHEN lang = 'de' THEN 0 ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE NOT (source = 'src1' AND n_chars < 200)),
+        |ins AS (
+        |  SELECT doc_id + 5000000 AS doc_id, 'yy' AS lang, n_chars
+        |  FROM documents WHERE source = 'src2'),
+        |allr AS (SELECT * FROM final_t UNION ALL SELECT * FROM ins)
+        |SELECT lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+        |FROM allr GROUP BY lang ORDER BY lang""".stripMargin,
 
     // The lifecycle's version/mode/row-count audit trail replayed
     // relationally: v0 = en snapshot, v1 = full append, v2 =

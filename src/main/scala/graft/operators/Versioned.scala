@@ -1120,6 +1120,249 @@ object Versioned {
       untouchedRows + n, "merge", schemaDdl, mapping = m.mapping)
   }
 
+  /** One clause of a general [[mergeClauses]] MERGE. Conditions and
+    * assignment VALUES reference the target row as `TGT.col` and the
+    * source row as `SRC.col` (the same fixed aliases the YAML merge
+    * surface uses — [[Merge]]); assignment KEYS are plain target column
+    * names. `condition = None` means "always". NOT-MATCHED-BY-SOURCE
+    * conditions may reference only `TGT` (no source row exists). */
+  sealed trait MergeClause
+  object MergeClause {
+    final case class MatchedUpdate(
+        assignments: Seq[(String, Column)],
+        condition: Option[Column] = None) extends MergeClause
+    final case class MatchedDelete(
+        condition: Option[Column] = None) extends MergeClause
+    /** INSERT * — the whole source row (source schema must match the
+      * table's, as in [[merge]]). */
+    final case class NotMatchedInsert(
+        condition: Option[Column] = None) extends MergeClause
+    final case class NotMatchedBySourceUpdate(
+        assignments: Seq[(String, Column)],
+        condition: Option[Column] = None) extends MergeClause
+    final case class NotMatchedBySourceDelete(
+        condition: Option[Column] = None) extends MergeClause
+  }
+
+  /** GENERAL copy-on-write MERGE — the full Delta clause surface over
+    * the same two-phase economics as [[merge]]:
+    *
+    *   WHEN MATCHED [AND c] THEN UPDATE SET a = e, ... | DELETE
+    *   WHEN NOT MATCHED [AND c] THEN INSERT *
+    *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE ... | DELETE
+    *
+    * Clauses are FIRST-APPLICABLE within their category, in the order
+    * given (Delta's semantics); a row no clause claims is carried
+    * unchanged. Matching is key equality on `keyCols` (the ON clause);
+    * NULL keys never match.
+    *
+    * Scale shape: matched/insert work prunes exactly like [[merge]]
+    * (source key range → candidate groups → exact touched-group
+    * semi-join). NOT-MATCHED-BY-SOURCE clauses act on rows ABSENT from
+    * the source, which any group may hold — those clauses widen the
+    * rewrite to the groups whose stats admit a row satisfying their
+    * conditions (an unconditional by-source clause rewrites every
+    * group, exactly the cost Delta pays for it). Untouched groups
+    * carry metadata-only either way.
+    *
+    * Contracts: duplicate source keys raise when a MATCHED clause
+    * exists (ambiguous, as Delta raises); with INSERT clauses the
+    * source schema must match the table's; update assignments are cast
+    * to the column's type and may not reshape the table. Returns the
+    * new (or unchanged) version. */
+  def mergeClauses(
+      spark: SparkSession,
+      tableDir: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      clauses: Seq[MergeClause]): Long = {
+    import MergeClause._
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(clauses.nonEmpty, "merge needs at least one clause")
+    val matched = clauses.collect {
+      case c: MatchedUpdate => c: MergeClause
+      case c: MatchedDelete => c: MergeClause
+    }
+    val inserts = clauses.collect { case c: NotMatchedInsert => c }
+    val bySource = clauses.collect {
+      case c: NotMatchedBySourceUpdate => c: MergeClause
+      case c: NotMatchedBySourceDelete => c: MergeClause
+    }
+    val v = latestVersion(spark, tableDir)
+    require(v >= 0, s"no versions committed under $tableDir")
+    val m = parseManifest(spark, tableDir, v)
+    require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
+    val schemaDdl =
+      if (inserts.nonEmpty) validateAppendSchema(source, m.schemaDdl, evolve = false)
+      else m.schemaDdl
+    val resolver = org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
+    keyCols.foreach(k => require(source.columns.exists(resolver(_, k)),
+      s"merge key '$k' missing from the source " +
+        s"(has ${source.columns.mkString(", ")})"))
+    val src = source.capLineage()
+    val srcEmpty = src.isEmpty
+    if (srcEmpty && bySource.isEmpty) return v
+    if (matched.nonEmpty && !srcEmpty) {
+      val dup = src.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        s"merge source has duplicate keys on (${keyCols.mkString(", ")}); " +
+          "a multiply-matched target row is ambiguous (Delta MERGE raises too)")
+    }
+
+    // Candidate groups for MATCH-driven work: the source's key range.
+    val cand: Seq[String] =
+      if (srcEmpty || (matched.isEmpty && inserts.isEmpty)) Seq.empty
+      else {
+        val bounds = src.agg(
+          keyCols.flatMap(k =>
+            Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k"))).head,
+          keyCols.flatMap(k =>
+            Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k"))).tail: _*)
+          .collect()(0)
+        val rangePred = keyCols.zipWithIndex.map { case (k, i) =>
+          col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
+        }.reduce(_ && _)
+        pruneGroups(spark, tableDir, m.files, m.schemaDdl, rangePred, m.mapping)._1
+      }
+    val srcKeys = src.select(keyCols.map(col): _*)
+    val hitMatch: Set[String] =
+      if (matched.isEmpty || srcEmpty) Set.empty
+      else touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)(
+        _.join(srcKeys, keyCols, "left_semi"))
+    // By-source clauses touch groups that may HOLD a claimable row:
+    // prune by the (approximate) union of their conditions, then the
+    // exact contains-a-row probe. Matched-ness cannot be decided per
+    // group, so a group whose qualifying rows all turn out matched
+    // rewrites to identical content — sound, never wrong.
+    val hitBySource: Set[String] =
+      if (bySource.isEmpty) Set.empty
+      else {
+        // the conditions speak TGT.*; the prune/probe run on the bare scan
+        val bsCond = org.apache.spark.sql.graftshim.GraftSqlBridge
+          .stripTgtQualifier(bySource.map {
+            case NotMatchedBySourceUpdate(_, c) => c.getOrElse(lit(true))
+            case NotMatchedBySourceDelete(c) => c.getOrElse(lit(true))
+            case _ => lit(true)
+          }.reduce(_ || _))
+        val (bsCand, _) =
+          pruneGroups(spark, tableDir, m.files, m.schemaDdl, bsCond, m.mapping)
+        touchedGroups(spark, tableDir, bsCand, m.schemaDdl, m.mapping)(
+          _.filter(bsCond))
+      }
+    val hit = hitMatch ++ hitBySource
+    val (touched, untouched) = m.files.partition(hit)
+
+    val tableSchema = scanGroups(spark, tableDir, m.files, m.schemaDdl, m.mapping)
+      .schema
+    val tableCols = tableSchema.fieldNames.toSeq
+    clauses.foreach {
+      case MatchedUpdate(as, _) => as.foreach { case (c, _) =>
+        require(tableCols.exists(resolver(_, c)),
+          s"merge assignment targets unknown column '$c'") }
+      case NotMatchedBySourceUpdate(as, _) => as.foreach { case (c, _) =>
+        require(tableCols.exists(resolver(_, c)),
+          s"merge assignment targets unknown column '$c'") }
+      case _ => ()
+    }
+
+    // Rewrite of the touched groups: one left join against the source,
+    // a first-applicable action id per row, drops filtered, updates
+    // applied column-wise (cast to the column's type — the rewrite may
+    // not reshape the table).
+    val rewritten: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else {
+        val t = scanGroups(spark, tableDir, touched, m.schemaDdl, m.mapping)
+          .alias("TGT")
+        val s = src.withColumn("__src_match", lit(1)).alias("SRC")
+        val joinCond = keyCols.map(k =>
+          col(s"TGT.$k") === col(s"SRC.$k")).reduce(_ && _)
+        val joined = t.join(s, joinCond, "left")
+        val isM = col("SRC.__src_match").isNotNull
+        // ids: matched clauses 1..n, by-source clauses 101..: first
+        // matching branch of the when-chain wins = clause order.
+        val branches: Seq[(Column, Int, MergeClause)] =
+          matched.zipWithIndex.map { case (c, i) =>
+            val cond = c match {
+              case MatchedUpdate(_, cc) => cc.getOrElse(lit(true))
+              case MatchedDelete(cc) => cc.getOrElse(lit(true))
+              case _ => lit(true)
+            }
+            (isM && cond, i + 1, c)
+          } ++ bySource.zipWithIndex.map { case (c, j) =>
+            val cond = c match {
+              case NotMatchedBySourceUpdate(_, cc) => cc.getOrElse(lit(true))
+              case NotMatchedBySourceDelete(cc) => cc.getOrElse(lit(true))
+              case _ => lit(true)
+            }
+            (!isM && cond, 101 + j, c)
+          }
+        val action = branches.foldLeft(org.apache.spark.sql.functions
+          .when(lit(false), 0)) { case (acc, (cond, id, _)) =>
+            acc.when(cond, lit(id))
+          }.otherwise(lit(0))
+        val dropIds = branches.collect {
+          case (_, id, _: MatchedDelete) => id
+          case (_, id, _: NotMatchedBySourceDelete) => id
+        }
+        val withAction = joined.withColumn("__action", action)
+        val kept =
+          if (dropIds.isEmpty) withAction
+          else withAction.filter(!col("__action").isin(dropIds: _*))
+        val out = tableSchema.fields.toSeq.map { f =>
+          val updates = branches.collect {
+            case (_, id, MatchedUpdate(as, _))
+                if as.exists(a => resolver(a._1, f.name)) =>
+              (id, as.find(a => resolver(a._1, f.name)).get._2)
+            case (_, id, NotMatchedBySourceUpdate(as, _))
+                if as.exists(a => resolver(a._1, f.name)) =>
+              (id, as.find(a => resolver(a._1, f.name)).get._2)
+          }
+          updates.foldLeft(org.apache.spark.sql.functions
+            .when(lit(false), col(s"TGT.${f.name}"))) { case (acc, (id, value)) =>
+              acc.when(col("__action") === id, value.cast(f.dataType))
+            }.otherwise(col(s"TGT.${f.name}")).as(f.name)
+        }
+        Some(kept.select(out: _*))
+      }
+
+    // Inserts: source rows matching NOTHING in the candidate groups
+    // (matches are provably confined there), first-applicable insert
+    // condition = the union of the clause conditions (INSERT * rows
+    // are identical whichever clause admits them).
+    val inserted: Option[DataFrame] =
+      if (inserts.isEmpty || srcEmpty) None
+      else {
+        val candKeys =
+          if (cand.isEmpty) srcKeys.limit(0)
+          else scanGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)
+            .select(keyCols.map(col): _*)
+        val insCond = inserts.map(_.condition.getOrElse(lit(true)))
+          .reduce(_ || _)
+        Some(src.alias("SRC")
+          .join(candKeys, keyCols, "left_anti")
+          .filter(insCond)
+          .select(tableCols.map(col): _*))
+      }
+
+    val pieces = rewritten.toSeq ++ inserted.toSeq
+    if (pieces.isEmpty) return v // nothing touched, nothing to insert
+    val newData = pieces.reduce(_ unionByName _)
+    val (group, n) = writeGroup(newData, tableDir, m.mapping)
+    enforceConstraints(spark, tableDir, group, schemaDdl, m.constraints, m.mapping)
+    val f = fs(spark, tableDir)
+    val groups =
+      if (n == 0L && untouched.nonEmpty) {
+        f.delete(new Path(s"$tableDir/files/$group"), true)
+        untouched
+      } else untouched :+ group
+    val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl, m.mapping)
+    publishExpecting(spark, tableDir, v, groups,
+      groups.filterNot(untouched.contains), untouchedRows + n, "merge",
+      schemaDdl, mapping = m.mapping)
+  }
+
   /** OPTIMIZE-style compaction: rewrite the latest version's data as a
     * fresh file group sized to ~`targetFileBytes` output files and
     * commit it as a new SNAPSHOT version. Rows are identical (spec-

@@ -189,8 +189,9 @@ object GraftDmlRule extends Rule[LogicalPlan] {
   private def translateMerge(m: MergeIntoTable, dir: String): LogicalPlan = {
     def unsupported(why: String): Nothing =
       throw new UnsupportedOperationException(
-        s"graft MERGE INTO supports exactly `WHEN MATCHED THEN UPDATE " +
-          s"SET * WHEN NOT MATCHED THEN INSERT *` (replace-by-key); $why")
+        s"graft MERGE INTO supports UPDATE SET .../DELETE matched clauses, " +
+          s"INSERT * not-matched clauses, and NOT MATCHED BY SOURCE " +
+          s"UPDATE/DELETE, ON a conjunction of same-named key equalities; $why")
     val tgtIds = m.targetTable.outputSet
     val srcIds = m.sourceTable.outputSet
 
@@ -227,23 +228,108 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         }
       case _ => false
     }
+    // star-shaped INSERT, condition allowed (handled separately)
     def isStarInsert(a: MergeAction): Boolean = a match {
-      case InsertStarAction(None) => true
+      case InsertStarAction(_) => true
       case ia: InsertAction =>
-        ia.condition.isEmpty && ia.assignments.forall {
+        ia.assignments.forall {
           case Assignment(k: AttributeReference, v: AttributeReference) =>
             k.name.equalsIgnoreCase(v.name) && srcIds.contains(v)
           case _ => false
         }
       case _ => false
     }
+    def conditionFree(a: MergeAction): Boolean = a match {
+      case ua: UpdateAction => ua.condition.isEmpty
+      case ia: InsertAction => ia.condition.isEmpty
+      case UpdateStarAction(c) => c.isEmpty
+      case InsertStarAction(c) => c.isEmpty
+      case DeleteAction(c) => c.isEmpty
+      case _ => false
+    }
     (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
-      case (Seq(up), Seq(ins), Seq()) if isStarUpdate(up) && isStarInsert(ins) =>
+      // the tuned replace-by-key fast path: unconditional SET * / INSERT *
+      case (Seq(up), Seq(ins), Seq()) if isStarUpdate(up) && isStarInsert(ins)
+          && conditionFree(up) && conditionFree(ins) =>
         GraftMergeCommand(dir, m.sourceTable, keyCols)
       case (matched, notMatched, bySource) =>
-        unsupported(s"got matched=${matched.map(_.getClass.getSimpleName)} " +
-          s"notMatched=${notMatched.map(_.getClass.getSimpleName)} " +
-          s"notMatchedBySource=${bySource.map(_.getClass.getSimpleName)}")
+        // GENERAL clause translation → Versioned.mergeClauses. Bound
+        // references become TGT./SRC.-qualified names resolved against
+        // the operator's join aliases at run time.
+        def detachM(e: Expression, what: String): String = {
+          require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+            s"graft MERGE: subqueries are not supported in the $what")
+          e.transform {
+            case a: AttributeReference if srcIds.contains(a) =>
+              UnresolvedAttribute(Seq("SRC", a.name))
+            case a: AttributeReference if tgtIds.contains(a) =>
+              UnresolvedAttribute(Seq("TGT", a.name))
+          }.sql
+        }
+        def detachTgtOnly(e: Expression, what: String): String = {
+          e.foreach {
+            case a: AttributeReference if srcIds.contains(a) =>
+              unsupported(s"$what may reference only the target row " +
+                s"(found source column `${a.name}`)")
+            case _ => ()
+          }
+          detachM(e, what)
+        }
+        def assignsOf(as: Seq[Assignment], what: String): Seq[(String, String)] =
+          as.map {
+            case Assignment(k: AttributeReference, value) =>
+              k.name -> detachM(value, s"$what SET ${k.name}")
+            case Assignment(other, _) => unsupported(
+              s"$what assignment target `${other.sql}` is not a column")
+          }
+        val sqlClauses: Seq[SqlMergeClause] =
+          matched.map {
+            case ua: UpdateAction => SqlMergeClause("matched_update",
+              ua.condition.map(detachM(_, "WHEN MATCHED condition")),
+              assignsOf(ua.assignments, "WHEN MATCHED UPDATE"))
+            case UpdateStarAction(cond) => SqlMergeClause("matched_update",
+              cond.map(detachM(_, "WHEN MATCHED condition")),
+              Seq.empty) // empty = SET * (filled from the table schema at run)
+            case DeleteAction(cond) => SqlMergeClause("matched_delete",
+              cond.map(detachM(_, "WHEN MATCHED condition")), Seq.empty)
+            case other => unsupported(
+              s"matched action ${other.getClass.getSimpleName}")
+          } ++ notMatched.map {
+            case a if isStarInsert(a) || a.isInstanceOf[InsertStarAction] =>
+              val cond = a match {
+                case ia: InsertAction => ia.condition
+                case InsertStarAction(c) => c
+                case _ => None
+              }
+              SqlMergeClause("not_matched_insert",
+                cond.map(detachM(_, "WHEN NOT MATCHED condition")), Seq.empty)
+            case other => unsupported("WHEN NOT MATCHED supports INSERT * " +
+              s"only (got ${other.getClass.getSimpleName} with a partial " +
+              "column list)")
+          } ++ bySource.map {
+            case ua: UpdateAction => SqlMergeClause("by_source_update",
+              ua.condition.map(detachTgtOnly(_, "WHEN NOT MATCHED BY SOURCE condition")),
+              assignsOf(ua.assignments, "WHEN NOT MATCHED BY SOURCE UPDATE")
+                .map { case (k, v) => k -> v }) // values target-only checked below
+            case DeleteAction(cond) => SqlMergeClause("by_source_delete",
+              cond.map(detachTgtOnly(_, "WHEN NOT MATCHED BY SOURCE condition")),
+              Seq.empty)
+            case other => unsupported(
+              s"by-source action ${other.getClass.getSimpleName}")
+          }
+        // by-source update VALUES must be target-only too
+        bySource.foreach {
+          case ua: UpdateAction => ua.assignments.foreach { a =>
+            a.value.foreach {
+              case ar: AttributeReference if srcIds.contains(ar) =>
+                unsupported("WHEN NOT MATCHED BY SOURCE UPDATE values may " +
+                  s"reference only the target row (found `${ar.name}`)")
+              case _ => ()
+            }
+          }
+          case _ => ()
+        }
+        GraftMergeClausesCommand(dir, m.sourceTable, keyCols, sqlClauses)
     }
   }
 }
@@ -280,6 +366,48 @@ private[graft] final case class GraftMergeCommand(
   override def output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     Versioned.merge(spark, tableDir, GraftDml.ofRows(spark, source), keyCols)
+    Seq.empty
+  }
+}
+
+/** One translated SQL merge clause: condition and assignment values as
+  * TGT./SRC.-qualified SQL strings ([[GraftDmlRule.translateMerge]]).
+  * `matched_update` with empty assigns means SET * (all columns from
+  * the same-named source columns). */
+private[graft] final case class SqlMergeClause(
+    kind: String, condSql: Option[String], assigns: Seq[(String, String)])
+
+private[graft] final case class GraftMergeClausesCommand(
+    tableDir: String,
+    source: LogicalPlan,
+    keyCols: Seq[String],
+    clauses: Seq[SqlMergeClause])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    import Versioned.MergeClause._
+    val tableCols = Versioned.read(spark, tableDir).columns.toSeq
+    val built = clauses.map { c =>
+      val cond = c.condSql.map(expr)
+      c.kind match {
+        case "matched_update" =>
+          val as =
+            if (c.assigns.nonEmpty) c.assigns.map { case (k, v) => k -> expr(v) }
+            else tableCols.map(col => col -> org.apache.spark.sql.functions
+              .col(s"SRC.$col")) // SET *
+          MatchedUpdate(as, cond)
+        case "matched_delete" => MatchedDelete(cond)
+        case "not_matched_insert" => NotMatchedInsert(cond)
+        case "by_source_update" =>
+          NotMatchedBySourceUpdate(
+            c.assigns.map { case (k, v) => k -> expr(v) }, cond)
+        case "by_source_delete" => NotMatchedBySourceDelete(cond)
+        case other => throw new IllegalStateException(s"unknown clause $other")
+      }
+    }
+    Versioned.mergeClauses(
+      spark, tableDir, GraftDml.ofRows(spark, source), keyCols, built)
     Seq.empty
   }
 }

@@ -15,6 +15,28 @@ object GraftSqlBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Catalyst expression behind a Column (debug/bridge use). */
+  def exprOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Strip a `TGT.` qualifier from every unresolved attribute in a
+    * Column — merge-clause conditions are written against the TGT/SRC
+    * aliases, but group pruning and touched-group probes run them
+    * against the bare table scan. `ExpressionUtils.expression` returns
+    * a LAZY `ColumnNodeExpression` leaf, so the node must be converted
+    * to a real catalyst tree before the transform can see the
+    * attributes. */
+  def stripTgtQualifier(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
+    val real = ColumnNodeToExpressionConverter(c.node)
+    ExpressionUtils.column(real.transform {
+      case UnresolvedAttribute(parts)
+          if parts.length > 1 && parts.head.equalsIgnoreCase("TGT") =>
+        UnresolvedAttribute(parts.tail)
+    })
+  }
+
   /** The storage path of catalog table `parts` IF it is a `USING graft`
     * table; None otherwise (including non-existent tables). Used to
     * resolve catalog-name time travel, which Spark only wires up for

@@ -100,25 +100,57 @@ class GraftDmlSpec extends SparkSpec {
     } finally sql.sql("DROP TABLE graft_dml_spec_cat")
   }
 
-  test("unsupported shapes raise clear errors: merge clauses, subqueries") {
+  test("general SQL MERGE: conditional update, matched delete, conditional insert") {
+    val dir = seeded()
+    locally {
+      val ss = sql; import ss.implicits._
+      Seq((10L, "S10", 1L), (150L, "S150", 2L), (500L, "S500", 3L),
+        (600L, "S600", 4L)).toDF("id", "v", "w")
+        .createOrReplaceTempView("dml_gen_src")
+    }
+    sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_gen_src s ON t.id = s.id
+               |WHEN MATCHED AND t.w < 500 THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET v = concat(s.v, '!'), w = t.w + s.w
+               |WHEN NOT MATCHED AND s.w > 3 THEN INSERT *""".stripMargin)
+    val got = Versioned.read(sql, dir).as[(Long, String, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!got.contains(10L), "matched delete (w=100 < 500)")
+    assert(got(150L) == ("S150!", 1502L), got(150L).toString)
+    assert(!got.contains(500L), "insert condition s.w > 3 excludes w=3")
+    assert(got(600L) == ("S600", 4L), "conditional insert admits w=4")
+    assert(got.size == 200) // -1 deleted, +1 inserted
+  }
+
+  test("SQL MERGE: NOT MATCHED BY SOURCE DELETE sweeps rows absent from the source") {
+    val dir = seeded()
+    locally {
+      val ss = sql; import ss.implicits._
+      (0L until 20L).map(i => (i, s"k$i", 0L)).toDF("id", "v", "w")
+        .createOrReplaceTempView("dml_bs_src")
+    }
+    sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_bs_src s ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED BY SOURCE AND t.id < 100 THEN DELETE""".stripMargin)
+    val got = Versioned.read(sql, dir)
+    assert(got.count() == 120, s"20 kept low + 100 high: ${got.count()}")
+    assert(got.filter($"id" < 100 && $"v".startsWith("v")).count() == 0,
+      "all surviving low rows were replaced by the source")
+  }
+
+  test("unsupported shapes raise clear errors: non-equality ON, subqueries") {
     val dir = seeded()
     locally {
       val ss = sql; import ss.implicits._
       Seq((1L, "x", 0L)).toDF("id", "v", "w")
         .createOrReplaceTempView("dml_spec_bad") // in the DML session
     }
-    val e1 = intercept[Exception] {
-      sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_spec_bad s ON t.id = s.id
-                 |WHEN MATCHED THEN DELETE""".stripMargin)
-    }
-    assert(e1.getMessage.contains("replace-by-key"))
     val e2 = intercept[Exception] {
       sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_spec_bad s
                  |ON t.id = s.id AND t.w > 5
                  |WHEN MATCHED THEN UPDATE SET *
                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
-    assert(e2.getMessage.contains("replace-by-key"))
+    assert(e2.getMessage.contains("equality"), e2.getMessage)
     val e3 = intercept[Exception] {
       sql.sql(s"DELETE FROM graft.`$dir` WHERE id IN (SELECT id FROM dml_spec_bad)")
     }

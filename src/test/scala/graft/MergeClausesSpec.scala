@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Versioned
+import graft.operators.Versioned.MergeClause._
+
+/** [[Versioned.mergeClauses]] — the full Delta MERGE clause surface:
+  * first-applicable semantics per category, conditional
+  * update/delete/insert, NOT MATCHED BY SOURCE, COW touched-group
+  * economics, and the ambiguity/schema contracts. */
+class MergeClausesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl() = Files.createTempDirectory("graft-mrgc").toString + "/t"
+
+  /** Two groups, ids [0,100) and [100,200), w = id*10. */
+  private def seeded(): String = {
+    val dir = tbl()
+    Versioned.commit(
+      (0L until 100L).map(i => (i, s"v$i", i * 10L)).toDF("id", "v", "w"), dir)
+    Versioned.append(
+      (100L until 200L).map(i => (i, s"v$i", i * 10L)).toDF("id", "v", "w"), dir)
+    dir
+  }
+
+  private def rows(dir: String): Map[Long, (String, Long)] =
+    Versioned.read(spark, dir).as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  private def groupsOf(dir: String): Set[String] =
+    Versioned.read(spark, dir).inputFiles
+      .map(_.split("/files/")(1).split("/")(0)).toSet
+
+  test("conditional matched update + matched delete + insert, exact row semantics") {
+    val dir = seeded()
+    // source keys: 10 (w small -> delete), 150 (update), 500 (insert)
+    val src = Seq((10L, "S10", 1L), (150L, "S150", 2L), (500L, "S500", 3L))
+      .toDF("id", "v", "w")
+    Versioned.mergeClauses(spark, dir, src, Seq("id"), Seq(
+      MatchedDelete(Some(col("TGT.w") < 500L)),
+      MatchedUpdate(Seq("v" -> concat(col("SRC.v"), lit("!")),
+        "w" -> (col("TGT.w") + col("SRC.w")))),
+      NotMatchedInsert()))
+    val got = rows(dir)
+    assert(!got.contains(10L), "id 10 (w=100 < 500) must be deleted")
+    assert(got(150L) == ("S150!", 1502L), got(150L).toString) // 1500 + 2
+    assert(got(500L) == ("S500", 3L), "unmatched source row inserted")
+    assert(got(99L) == ("v99", 990L), "unclaimed rows carry unchanged")
+    assert(got.size == 200) // 200 - 1 deleted + 1 inserted
+  }
+
+  test("first-applicable clause order decides overlapping conditions") {
+    val dir = seeded()
+    val src = Seq((20L, "x", 0L)).toDF("id", "v", "w")
+    // Both clauses' conditions hold for id 20; the FIRST wins.
+    Versioned.mergeClauses(spark, dir, src, Seq("id"), Seq(
+      MatchedUpdate(Seq("v" -> lit("first")), Some(col("TGT.id") >= 0L)),
+      MatchedUpdate(Seq("v" -> lit("second")), Some(col("TGT.id") >= 10L))))
+    assert(rows(dir)(20L)._1 == "first")
+  }
+
+  test("NOT MATCHED BY SOURCE delete = retention sweep; conditional flavor keeps untouched groups") {
+    val dir = seeded()
+    // keep only the source's ids among the low group; the high group is
+    // out of the by-source condition's range and must carry untouched.
+    val src = (0L until 10L).map(i => (i, s"k$i", 0L)).toDF("id", "v", "w")
+    val before = groupsOf(dir)
+    Versioned.mergeClauses(spark, dir, src, Seq("id"), Seq(
+      NotMatchedBySourceDelete(Some(col("TGT.id") < 100L))))
+    val got = rows(dir)
+    assert(got.size == 110, s"10 kept low + 100 high: ${got.size}")
+    assert(got.keySet.filter(_ < 100L) == (0L until 10L).toSet)
+    assert(got(150L) == ("v150", 1500L))
+    assert(groupsOf(dir).intersect(before).size == 1,
+      "the high group must carry metadata-only")
+  }
+
+  test("NOT MATCHED BY SOURCE update with empty source acts on every row") {
+    val dir = seeded()
+    val src = Seq.empty[(Long, String, Long)].toDF("id", "v", "w")
+    Versioned.mergeClauses(spark, dir, src, Seq("id"), Seq(
+      NotMatchedBySourceUpdate(Seq("v" -> lit("stale")))))
+    val got = rows(dir)
+    assert(got.size == 200 && got.values.forall(_._1 == "stale"))
+  }
+
+  test("matched-clause merges touch only the groups holding matches") {
+    val dir = seeded()
+    val before = groupsOf(dir)
+    val src = Seq((5L, "z", 0L)).toDF("id", "v", "w") // low group only
+    Versioned.mergeClauses(spark, dir, src, Seq("id"), Seq(
+      MatchedUpdate(Seq("v" -> col("SRC.v")))))
+    assert(groupsOf(dir).intersect(before).size == 1,
+      "high group must carry metadata-only")
+    assert(rows(dir)(5L)._1 == "z")
+  }
+
+  test("contracts: duplicate source keys raise; assignments cast to column type; unknown columns raise") {
+    val dir = seeded()
+    val dup = Seq((1L, "a", 0L), (1L, "b", 0L)).toDF("id", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.mergeClauses(spark, dir, dup, Seq("id"),
+        Seq(MatchedUpdate(Seq("v" -> lit("x")))))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    intercept[IllegalArgumentException] {
+      Versioned.mergeClauses(spark, dir,
+        Seq((1L, "a", 0L)).toDF("id", "v", "w"), Seq("id"),
+        Seq(MatchedUpdate(Seq("nope" -> lit(1)))))
+    }
+    // int literal into BIGINT column: cast applies, schema unchanged
+    Versioned.mergeClauses(spark, dir,
+      Seq((1L, "a", 0L)).toDF("id", "v", "w"), Seq("id"),
+      Seq(MatchedUpdate(Seq("w" -> lit(7)))))
+    val sch = Versioned.read(spark, dir).schema
+    assert(sch("w").dataType.simpleString == "bigint")
+    assert(rows(dir)(1L)._2 == 7L)
+  }
+
+  test("star shape agrees with the tuned replace-by-key merge()") {
+    val dirA = seeded(); val dirB = seeded()
+    val src = Seq((3L, "R", 1L), (250L, "N", 2L)).toDF("id", "v", "w")
+    Versioned.merge(spark, dirA, src, Seq("id"))
+    val tableCols = Seq("id", "v", "w")
+    Versioned.mergeClauses(spark, dirB, src, Seq("id"), Seq(
+      MatchedUpdate(tableCols.map(c => c -> col(s"SRC.$c"))),
+      NotMatchedInsert()))
+    assert(rows(dirA) == rows(dirB))
+  }
+}
