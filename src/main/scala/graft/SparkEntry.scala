@@ -1409,6 +1409,30 @@ object SparkEntry {
            |GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // CONVERT TO GRAFT: a plain parquet directory becomes version 0 in
+    // place (file MOVES — at 100 TB conversion costs renames + one
+    // stats pass, never a copy; GraftDmlSpec pins the same-file-names
+    // adoption), then lives as a full table: append + SQL DELETE here.
+    // Oracle replays the post-migration lifecycle from raw documents.
+    "convert_to_graft" -> ((s, dir) => {
+      val sql = graft.sources.GraftDml.enabledSession(s)
+      val tbl = s"/tmp/graft_versioned/conv_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sql.sparkContext.hadoopConfiguration).delete(p, true)
+      val raw = sql.read.parquet(s"$dir/documents.parquet")
+      raw.select("doc_id", "lang", "n_chars")
+        .repartition(4).write.parquet(tbl) // the pre-migration plain dir
+      sql.sql(s"CONVERT TO GRAFT parquet.`$tbl`")
+      Versioned.append(raw.filter(col("source") === "src0")
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          col("lang"), col("n_chars")), tbl)
+      sql.sql(s"DELETE FROM graft.`$tbl` WHERE n_chars < 100")
+      sql.sql(s"""SELECT lang, count(*) AS n_rows,
+                 |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                 |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+                 |FROM graft.`$tbl` GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // GENERAL MERGE clause surface (Versioned.mergeClauses through the
     // SQL extension): conditional matched DELETE, matched UPDATE with
     // expressions over both rows, conditional INSERT *, and NOT
@@ -5073,6 +5097,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, lang, n_chars FROM documents WHERE source = 'src0')
         |SELECT lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM rows WHERE n_chars >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Converted corpus + shifted src0 append, long-docs survivors of
+    // the SQL delete.
+    "convert_to_graft" ->
+      """WITH rows AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, lang, n_chars FROM documents
+        |  WHERE source = 'src0')
+        |SELECT lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_sum
         |FROM rows WHERE n_chars >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
 

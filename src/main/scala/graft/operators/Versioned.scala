@@ -1632,6 +1632,57 @@ object Versioned {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(s"$tableDir/files/*")
 
+  /** CONVERT TO GRAFT — adopt an existing plain-parquet directory as
+    * version 0 of a versioned table IN PLACE, Delta's `CONVERT TO
+    * DELTA` economics: the data files are MOVED (same-filesystem
+    * renames) into one file group, never read-rewritten — converting a
+    * 100 TB directory costs one metadata pass (the stats/schema
+    * read-back aggregate) plus renames, not a copy. After conversion
+    * the directory IS the table: time travel, appends, COW DML,
+    * constraints and vacuum all apply; the original file names are
+    * preserved inside the group.
+    *
+    * Restrictions (clear errors, matching the honest subset):
+    * partition-directory layouts are refused (re-write via [[commit]]
+    * to adopt them — declaring partition columns is a different schema
+    * contract), as is a directory that already has versions. NOT
+    * crash-atomic: a failure mid-move leaves some files under
+    * `files/<group>/` with no manifest published — re-running after
+    * moving them back (or completing the move by hand) recovers;
+    * readers never see a torn table because the manifest only appears
+    * at the end. Returns version 0. */
+  def convert(spark: SparkSession, dir: String): Long = {
+    require(latestVersion(spark, dir) < 0,
+      s"$dir already has versions — it is already a graft table")
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    require(f.exists(root), s"no such directory: $dir")
+    val entries = f.listStatus(root).toSeq
+    val dataFiles = entries.filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val partDirs = entries.filter(s => s.isDirectory && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") && n != "files"
+    })
+    require(partDirs.isEmpty,
+      s"$dir has partition directories (${partDirs.map(_.getPath.getName).take(3).mkString(", ")}…) — " +
+        "CONVERT adopts flat parquet layouts only; rewrite partitioned " +
+        "data via commit() to adopt it")
+    require(dataFiles.nonEmpty, s"no parquet files to adopt under $dir")
+    val group = java.util.UUID.randomUUID().toString
+    val gdir = new Path(s"$dir/files/$group")
+    require(f.mkdirs(gdir), s"cannot create $gdir")
+    dataFiles.foreach { df =>
+      require(f.rename(df.getPath, new Path(gdir, df.getPath.getName)),
+        s"failed to move ${df.getPath} into the file group")
+    }
+    val back = spark.read.parquet(gdir.toString)
+    val stats = GroupStats.compute(back)
+    GroupStats.write(f, GroupStats.sidecarPath(dir, group), stats)
+    publish(spark, dir, Seq(group), stats.nRows, "convert",
+      Some(storedSchema(back)))
+  }
+
   /** RESTORE: republish an earlier version's file groups as the NEW
     * latest version — Delta's `RESTORE TABLE ... TO VERSION AS OF`,
     * and like Delta's it is METADATA-ONLY: no data is read or copied,

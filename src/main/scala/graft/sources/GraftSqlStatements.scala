@@ -16,6 +16,7 @@ import graft.operators.Versioned
   * injected through `SparkSessionExtensions`, its `DeltaSqlParser`
   * architecture):
   *
+  *   CONVERT TO GRAFT parquet.`/dir`
   *   DESCRIBE HISTORY <tbl>
   *   VACUUM <tbl> [RETAIN <n> VERSIONS | RETAIN <n> HOURS]
   *   OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...)]
@@ -61,6 +62,8 @@ private[graft] object GraftSqlStatements {
   private def re(pattern: String) =
     ("(?is)^\\s*" + pattern + "\\s*;?\\s*$").r
 
+  private val Convert =
+    re("CONVERT\\s+TO\\s+GRAFT\\s+parquet\\s*\\.\\s*`([^`]+)`")
   private val DescribeHistory = re(s"DESCRIBE\\s+HISTORY\\s+$Tbl")
   private val VacuumVersions = re(s"VACUUM\\s+$Tbl\\s+RETAIN\\s+(\\d+)\\s+VERSIONS")
   private val VacuumHours = re(s"VACUUM\\s+$Tbl\\s+RETAIN\\s+(\\d+)\\s+HOURS")
@@ -97,6 +100,7 @@ private[graft] object GraftSqlStatements {
         resolved
       }
     sql match {
+      case Convert(path) => Some(GraftConvertCommand(path))
       case DescribeHistory(p, n) =>
         dir(p, n, graftOnly = true).map(GraftDescribeHistoryCommand)
       case VacuumVersions(p, n, k) =>
@@ -129,6 +133,13 @@ private[graft] object GraftSqlStatements {
 
   private[sources] def versionOut: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
+}
+
+private[graft] final case class GraftConvertCommand(dir: String)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = GraftSqlStatements.versionOut
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Versioned.convert(spark, dir)))
 }
 
 private[graft] final case class GraftDescribeHistoryCommand(tableDir: String)

@@ -253,6 +253,44 @@ class GraftDmlSpec extends SparkSpec {
       modes.toString) // the OPTIMIZE is the final snapshot
   }
 
+  test("CONVERT TO GRAFT adopts a plain parquet dir in place (moves, never rewrites)") {
+    val ss = sql; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-convert").toString + "/data"
+    (0L until 100L).map(i => (i, s"d$i")).toDF("id", "v")
+      .repartition(4).write.parquet(dir)
+    val beforeNames = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(beforeNames.size == 4)
+    val v = sql.sql(s"CONVERT TO GRAFT parquet.`$dir`").as[Long].head()
+    assert(v == 0L)
+    // adopted, not copied: the same file names live inside the group,
+    // none remain at the root
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 0)
+    val group = new java.io.File(s"$dir/files").listFiles()
+      .filter(_.isDirectory).toSeq
+    assert(group.size == 1)
+    assert(group.head.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.getName).toSet == beforeNames)
+    // it is a live table now: reads, SQL DML, history
+    assert(Versioned.read(sql, dir).count() == 100)
+    sql.sql(s"DELETE FROM graft.`$dir` WHERE id < 10")
+    assert(Versioned.read(sql, dir).count() == 90)
+    assert(Versioned.read(sql, dir, 0L).count() == 100) // time travel
+    // refusals: double convert; partitioned layout
+    val e1 = intercept[IllegalArgumentException] {
+      Versioned.convert(sql, dir)
+    }
+    assert(e1.getMessage.contains("already"))
+    val pdir = Files.createTempDirectory("graft-convp").toString + "/p"
+    (0L until 10L).map(i => (i, i % 2)).toDF("id", "k")
+      .write.partitionBy("k").parquet(pdir)
+    val e2 = intercept[IllegalArgumentException] {
+      sql.sql(s"CONVERT TO GRAFT parquet.`$pdir`")
+    }
+    assert(e2.getMessage.contains("partition"), e2.getMessage)
+  }
+
   test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on path and catalog forms") {
     val dir = seeded() // v0 = 100 rows, v1 = 200 rows
     sql.sql(s"DELETE FROM graft.`$dir` WHERE id >= 150") // v2 = 150 rows
