@@ -1482,6 +1482,13 @@ object Versioned {
     * an APPEND: a snapshot rewrites the file set, so "what changed"
     * stops being a file-group difference — crossing one raises (use
     * [[diffVersions]] for a row-level diff instead). */
+  /** Version modes whose manifests can only ADD file groups (append)
+    * or leave them untouched (metadata-only DDL) — the modes a
+    * file-group-differencing CDC window may safely cross. */
+  private val appendSafeModes: Set[String] = Set(
+    "append", "add_constraint", "drop_constraint",
+    "rename_column", "drop_column")
+
   def changes(
       spark: SparkSession,
       tableDir: String,
@@ -1492,10 +1499,15 @@ object Versioned {
       s"invalid version range ($fromVersion, $to]")
     ((fromVersion + 1) to to).foreach { v =>
       val m = parseManifest(spark, tableDir, v)
-      require(m.mode == "append",
-        s"changes($fromVersion, $to] crosses non-append version $v " +
+      // Metadata-only versions (constraint and column DDL) keep the
+      // file set untouched, so differencing across them stays sound —
+      // a CDC consumer must not be forced to resync because someone
+      // added a constraint or renamed a column mid-window. Rewrites
+      // (snapshot/delete/update/merge/...) still raise.
+      require(appendSafeModes(m.mode),
+        s"changes($fromVersion, $to] crosses rewrite version $v " +
           s"(mode=${m.mode}); file-group differencing is only valid over " +
-          "append chains — use diffVersions for a row-level diff")
+          "append/metadata chains — use diffVersions for a row-level diff")
     }
     val fromGroups = readManifest(spark, tableDir, fromVersion)._1.toSet
     val toManifest = parseManifest(spark, tableDir, to)
@@ -1602,7 +1614,8 @@ object Versioned {
     val windowIsAppend = cursor >= 0 &&
       scala.util.Try(readManifest(spark, tableDir, cursor)).isSuccess &&
       ((cursor + 1) to latest).forall { v =>
-        scala.util.Try(parseManifest(spark, tableDir, v)).toOption.exists(_.mode == "append")
+        scala.util.Try(parseManifest(spark, tableDir, v)).toOption
+          .exists(m => appendSafeModes(m.mode))
       }
     if (windowIsAppend) (changes(spark, tableDir, cursor, latest), latest, false)
     else (read(spark, tableDir, latest), latest, true)

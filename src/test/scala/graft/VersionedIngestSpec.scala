@@ -73,6 +73,32 @@ class VersionedIngestSpec extends SparkSpec {
     assert(Versioned.latestVersion(spark, dir) == 0L)
   }
 
+  test("CDC windows cross metadata-only versions without resync; rewrites still raise") {
+    val dir = tbl()
+    Versioned.append(rows(0, 10), dir)                       // v0
+    Versioned.append(rows(10, 20), dir)                      // v1
+    Versioned.addConstraint(spark, dir, "pos", "id >= 0")    // v2 metadata
+    Versioned.append(rows(20, 30), dir)                      // v3
+    Versioned.dropConstraint(spark, dir, "pos")              // v4 metadata
+    Versioned.renameColumn(spark, dir, "v", "label")         // v5 metadata
+    Versioned.append(
+      (30L until 40L).map(i => (i, s"d$i")).toDF("id", "label"), dir) // v6
+    // the window crosses three metadata-only versions: still a pure
+    // file-group difference, rows under the LATEST logical names
+    val ch = Versioned.changes(spark, dir, 1L)
+    assert(ch.columns.toSeq == Seq("id", "label"))
+    assert(ch.select("id").as[Long].collect().sorted.toSeq == (20L until 40L))
+    val (d, cur, resync) = Versioned.pollChanges(spark, dir, 1L)
+    assert(!resync && cur == 6L && d.count() == 20)
+    // a rewrite in the window still raises
+    Versioned.delete(spark, dir)(col("id") < 5L)             // v7 rewrite
+    val e = intercept[IllegalArgumentException] {
+      Versioned.changes(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("rewrite"))
+    assert(Versioned.pollChanges(spark, dir, 1L)._3, "rewrite => resync")
+  }
+
   test("appendOnce versions are ordinary appends: changes/pollChanges see each batch once") {
     val dir = tbl()
     Versioned.appendOnce(rows(0, 10), dir, "app", 0L)

@@ -354,7 +354,7 @@ class VersionedSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Versioned.changes(spark, dir, 0L)
     }
-    assert(e.getMessage.contains("non-append"))
+    assert(e.getMessage.contains("rewrite"))
     // an all-append subrange before the snapshot still works
     assert(Versioned.changes(spark, dir, 0L, 1L).collect().map(_.getString(1)).toSeq ==
       Seq("b"))
