@@ -119,6 +119,28 @@ class MergeClausesSpec extends SparkSpec {
     assert(rows(dir)(1L)._2 == 7L)
   }
 
+  test("optimistic concurrency: racing clause merges on disjoint keys never lose updates") {
+    val dir = seeded()
+    def mergeRetrying(ids: Seq[Long], tag: String): Unit = {
+      val src = ids.map(i => (i, tag, 0L)).toDF("id", "v", "w")
+      var done = false
+      while (!done) {
+        try {
+          Versioned.mergeClauses(spark, dir, src, Seq("id"),
+            Seq(MatchedUpdate(Seq("v" -> col("SRC.v"))), NotMatchedInsert()))
+          done = true
+        } catch { case _: java.util.ConcurrentModificationException => () }
+      }
+    }
+    val t1 = new Thread(() => mergeRetrying(0L until 10L, "A"))
+    val t2 = new Thread(() => mergeRetrying(300L until 310L, "B"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val got = rows(dir)
+    assert(got.size == 210)
+    assert((0L until 10L).forall(got(_)._1 == "A"), "merge A's updates landed")
+    assert((300L until 310L).forall(got(_)._1 == "B"), "merge B's inserts landed")
+  }
+
   test("star shape agrees with the tuned replace-by-key merge()") {
     val dirA = seeded(); val dirB = seeded()
     val src = Seq((3L, "R", 1L), (250L, "N", 2L)).toDF("id", "v", "w")
