@@ -432,27 +432,38 @@ object GraftDml {
   /** A session on the SAME SparkContext with graft DML SQL enabled —
     * for contexts whose driver session was built without
     * `spark.sql.extensions` (the production path is the builder
-    * config, exactly as with Delta). The new session shares the
-    * context, catalog metastore and data; only session state (temp
-    * views, conf overrides) is fresh. The caller's active/default
-    * session registration is restored before returning. */
+    * config, exactly as with Delta). The session shares the context,
+    * catalog metastore and data; only session state (temp views, conf
+    * overrides) is its own. ONE extension session is kept per
+    * SparkContext — repeated callers (every query of a pipeline) share
+    * it instead of paying session-state spin-up each time. The
+    * caller's active/default session registration is untouched. */
   def enabledSession(spark: SparkSession): SparkSession = synchronized {
-    val prevActive = SparkSession.getActiveSession
-    val prevDefault = SparkSession.getDefaultSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try
-      SparkSession.builder()
-        .config(spark.sparkContext.getConf)
-        .withExtensions(new GraftExtensions)
-        .getOrCreate()
-    finally {
+    val sc = spark.sparkContext
+    Option(sessions.get(sc)).getOrElse {
+      val prevActive = SparkSession.getActiveSession
+      val prevDefault = SparkSession.getDefaultSession
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      prevActive.foreach(SparkSession.setActiveSession)
-      prevDefault.foreach(SparkSession.setDefaultSession)
+      val s =
+        try
+          SparkSession.builder()
+            .config(sc.getConf)
+            .withExtensions(new GraftExtensions)
+            .getOrCreate()
+        finally {
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          prevActive.foreach(SparkSession.setActiveSession)
+          prevDefault.foreach(SparkSession.setDefaultSession)
+        }
+      sessions.put(sc, s)
+      s
     }
   }
+
+  private val sessions =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, SparkSession]
 
   /** DataFrame over an analyzed logical plan (the MERGE source). */
   private[sources] def ofRows(
