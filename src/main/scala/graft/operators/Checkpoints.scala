@@ -35,8 +35,19 @@ object Checkpoints {
     else {
       val sc = spark.sparkContext
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(
-        spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse(
-          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_checkpoints"))
+        spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse {
+          // The tmpdir default is driver-LOCAL: fine under local masters
+          // (one JVM), but on a real cluster it is not a shared
+          // filesystem, so the fault-tolerance hatch would silently fail
+          // its one purpose (executor loss still loses blocks). Refuse
+          // instead of degrading.
+          require(sc.isLocal,
+            "spark.graft.checkpoint.reliable=true on a non-local master " +
+              "requires spark.graft.checkpoint.dir to point at a SHARED " +
+              "filesystem (hdfs://, s3a://, ...); the local-tmp fallback " +
+              "cannot survive executor loss")
+          sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_checkpoints"
+        })
       ds.checkpoint(true)
     }
   }

@@ -151,16 +151,70 @@ object IvfIndex {
     // loser serves its own staging build — the artifact is
     // deterministic for a fixed config+input, so results are identical.
     val building = new org.apache.hadoop.fs.Path(dir, "_BUILDING")
-    if (graft.sources.FsAtomic.createExclusive(fs, building, fp + "\n")) {
+    def winnerBuild(): String = {
       build(idx.toString)
       graft.sources.FsAtomic.createExclusive(fs, done, fp + "\n")
       pruneStaleSiblings(spark, fs, dir.getParent, fp)
+      pruneStaleStaging(spark, fs, dir)
       idx.toString
-    } else {
-      val staging = new org.apache.hadoop.fs.Path(
-        dir, "staging-" + java.util.UUID.randomUUID().toString)
-      build(staging.toString)
-      staging.toString
+    }
+    if (graft.sources.FsAtomic.createExclusive(fs, building, fp + "\n"))
+      winnerBuild()
+    else {
+      // A winner that crashed mid-build leaves `_BUILDING` behind forever:
+      // `_FINGERPRINT` then never publishes and every later session would
+      // silently rebuild a throwaway staging index per call. Lease-based
+      // takeover: a marker QUIET past the stale grace window (same window
+      // the sibling sweep uses) with no fingerprint published is claimed
+      // via create-exclusive on a takeover marker whose NAME embeds the
+      // observed mtime — two sessions observing the same stale epoch race
+      // on the same name, so exactly one rebuilds into the shared path
+      // (overwrite-mode writes flatten the crashed half-build). A winner
+      // merely SLOWER than the grace window is the inherent lease
+      // trade-off; both builds are deterministic and identical, and the
+      // fingerprint publish is create-exclusive either way.
+      val staleEpoch: Option[Long] =
+        try {
+          val st = fs.getFileStatus(building)
+          val grace = staleGraceMs(spark)
+          if (!fs.exists(done) &&
+              System.currentTimeMillis() - st.getModificationTime > grace)
+            Some(st.getModificationTime)
+          else None
+        } catch { case _: java.io.FileNotFoundException => None }
+      val tookOver = staleEpoch.exists { mt =>
+        graft.sources.FsAtomic.createExclusive(
+          fs, new org.apache.hadoop.fs.Path(dir, s"_TAKEOVER_$mt"), fp + "\n")
+      }
+      if (tookOver) {
+        if (fs.exists(done)) idx.toString else winnerBuild()
+      } else {
+        val staging = new org.apache.hadoop.fs.Path(
+          dir, "staging-" + java.util.UUID.randomUUID().toString)
+        build(staging.toString)
+        staging.toString
+      }
+    }
+  }
+
+  private def staleGraceMs(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.ivf.cache.staleGraceMs")
+      .map(_.toLong).getOrElse(900000L)
+
+  /** Sweep loser staging builds inside the CURRENT fingerprint dir —
+    * they live under `<fp>/staging-<uuid>` so the sibling sweep never
+    * sees them; quiet-past-grace keeps a concurrent loser's in-flight
+    * read safe, same rule as [[pruneStaleSiblings]]. */
+  private def pruneStaleStaging(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    val grace = staleGraceMs(spark)
+    val now = System.currentTimeMillis()
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
+      if (s.isDirectory && s.getPath.getName.startsWith("staging-") &&
+          now - s.getModificationTime > grace)
+        fs.delete(s.getPath, true)
     }
   }
 
@@ -176,8 +230,7 @@ object IvfIndex {
       fs: org.apache.hadoop.fs.FileSystem,
       parent: org.apache.hadoop.fs.Path,
       keepFp: String): Unit = {
-    val grace = spark.conf.getOption("spark.graft.ivf.cache.staleGraceMs")
-      .map(_.toLong).getOrElse(900000L)
+    val grace = staleGraceMs(spark)
     val now = System.currentTimeMillis()
     if (fs.exists(parent)) fs.listStatus(parent).foreach { s =>
       if (s.isDirectory && s.getPath.getName != keepFp &&

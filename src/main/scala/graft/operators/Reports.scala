@@ -25,7 +25,7 @@ object Reports {
     * stable across runs, changed by any rewrite. Shared with
     * [[IvfIndex.cachedIndex]] so parquet reports and index artifacts
     * invalidate on the same rule. */
-  private[operators] def fingerprint(spark: SparkSession, inputPath: String): String = {
+  private[graft] def fingerprint(spark: SparkSession, inputPath: String): String = {
     val p = new org.apache.hadoop.fs.Path(inputPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)

@@ -1275,7 +1275,16 @@ object Versioned {
       else {
         val t = scanGroups(spark, tableDir, touched, m.schemaDdl, m.mapping)
           .alias("TGT")
-        val s = src.withColumn("__src_match", lit(1)).alias("SRC")
+        // With no MATCHED clause the join exists only to FLAG matched-ness
+        // (by-source branches test !isM; no branch reads SRC columns), so
+        // join the DISTINCT key set: a dup-keyed source is legal for
+        // by-source-only programs (the dup check above deliberately does
+        // not run) and the full source would multiply matched target rows
+        // — every copy action-0-carried = silent duplication.
+        val s =
+          (if (matched.nonEmpty) src
+           else srcKeys.distinct())
+            .withColumn("__src_match", lit(1)).alias("SRC")
         val joinCond = keyCols.map(k =>
           col(s"TGT.$k") === col(s"SRC.$k")).reduce(_ && _)
         val joined = t.join(s, joinCond, "left")

@@ -77,8 +77,7 @@ final class GraftPathRelationRule(session: SparkSession)
 
   private def pathOf(
       u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation): Option[String] =
-    if (u.multipartIdentifier.size == 2 &&
-      u.multipartIdentifier.head.equalsIgnoreCase("graft"))
+    if (GraftPathRelationRule.isPathForm(u.multipartIdentifier))
       Some(u.multipartIdentifier(1))
     else
       org.apache.spark.sql.graftshim.GraftSqlBridge
@@ -120,9 +119,20 @@ final class GraftPathRelationRule(session: SparkSession)
           case None => tt
         }
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-          if u.multipartIdentifier.size == 2 &&
-            u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+          if GraftPathRelationRule.isPathForm(u.multipartIdentifier) =>
         relation(u.multipartIdentifier(1), -1L)
+    }
+}
+
+private[graft] object GraftPathRelationRule {
+  /** ``graft.`x``` claims the identifier ONLY when `x` looks like a
+    * filesystem path (Delta's ``delta.`x``` rule) — a real catalog
+    * database named `graft` must stay resolvable; its graft-provider
+    * tables still time-travel via the catalog lookup branch. */
+  def isPathForm(parts: Seq[String]): Boolean =
+    parts.size == 2 && parts.head.equalsIgnoreCase("graft") && {
+      val p = parts(1)
+      p.contains("/") || p.contains("\\")
     }
 }
 

@@ -54,7 +54,13 @@ object GraftSqlBridge {
       val meta = catalog.getTableMetadata(ident)
       if (meta.provider.exists(_.equalsIgnoreCase("graft")))
         meta.storage.properties.get("path")
-          .orElse(meta.storage.locationUri.map(_.getPath))
+          // URIToString, NOT getPath: getPath strips the scheme and
+          // authority, so a table on a non-default filesystem
+          // (hdfs://nn/x, s3a://bucket/x) would resolve to the bare
+          // path on the default FS — reading/mutating the wrong
+          // location.
+          .orElse(meta.storage.locationUri.map(
+            org.apache.spark.sql.catalyst.catalog.CatalogUtils.URIToString))
       else None
     }
   }

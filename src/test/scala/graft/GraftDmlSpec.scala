@@ -160,6 +160,24 @@ class GraftDmlSpec extends SparkSpec {
     assert(Versioned.latestVersion(sql, dir) == 1L)
   }
 
+  test("a catalog database literally named `graft` stays resolvable (path form needs a path)") {
+    // The path rule claims graft.`x` only when x LOOKS like a path —
+    // otherwise a real database named graft becomes unreadable.
+    sql.sql("CREATE DATABASE IF NOT EXISTS graft")
+    try {
+      locally {
+        val ss = sql; import ss.implicits._
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+          .write.mode("overwrite").saveAsTable("graft.plain_parquet_tbl")
+      }
+      assert(sql.sql("SELECT * FROM graft.plain_parquet_tbl").count() == 2,
+        "a non-path identifier under the graft database must resolve via the catalog")
+    } finally {
+      sql.sql("DROP TABLE IF EXISTS graft.plain_parquet_tbl")
+      sql.sql("DROP DATABASE IF EXISTS graft")
+    }
+  }
+
   test("graft.`/path` resolves for plain reads too (delta.`path` surface)") {
     val dir = seeded()
     val n = sql.sql(s"SELECT count(*) AS n FROM graft.`$dir` WHERE id >= 100")

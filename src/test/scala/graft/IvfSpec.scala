@@ -177,6 +177,53 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("cachedIndex: a crashed winner's stale _BUILDING marker is taken over, not rebuilt forever") {
+    val src = java.nio.file.Files.createTempDirectory("graft_ivf_src2").toString + "/emb"
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_root2").toString
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .write.parquet(src)
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      def get(): String = IvfIndex.cachedIndex(spark, src, "crash_idx", Some(root)) { d =>
+        builds.incrementAndGet()
+        IvfIndex.writeIndex(spark.read.parquet(src), "embedding", "vec_id",
+          d, nlist = 8, iters = 2)
+      }
+      // Simulate the crash: the winner created _BUILDING then died before
+      // building anything (no index, no _FINGERPRINT).
+      val fp = graft.operators.Reports.fingerprint(spark, src)
+      val fpDir = new java.io.File(new java.io.File(root, "crash_idx"), fp)
+      fpDir.mkdirs()
+      java.nio.file.Files.writeString(
+        fpDir.toPath.resolve("_BUILDING"), fp + "\n")
+      // Inside the grace window the marker is honored: losers build
+      // throwaway staging indexes.
+      val staged = get()
+      assert(staged.contains("staging-") && builds.get() == 1,
+        s"fresh _BUILDING must route to a staging build: $staged")
+      // Quiet past the grace window: the next session TAKES OVER the
+      // stale marker, rebuilds the shared artifact, and publishes it.
+      spark.conf.set("spark.graft.ivf.cache.staleGraceMs", "0")
+      try {
+        Thread.sleep(1100) // mtime granularity
+        val idx = get()
+        assert(!idx.contains("staging-") && idx.endsWith("/index"),
+          s"takeover must rebuild the SHARED path: $idx")
+        assert(builds.get() == 2)
+        assert(fpDir.toPath.resolve("_FINGERPRINT").toFile.exists(),
+          "takeover must publish the fingerprint")
+        assert(!fpDir.listFiles().exists(_.getName.startsWith("staging-")),
+          "the winning build must sweep quiet loser staging dirs")
+        // and from here on the artifact is simply served
+        assert(get() == idx && builds.get() == 2)
+      } finally spark.conf.unset("spark.graft.ivf.cache.staleGraceMs")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(src).getParentFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("IVF output is deterministic, ranked, and k-bounded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)

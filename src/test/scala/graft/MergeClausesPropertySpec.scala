@@ -162,4 +162,44 @@ class MergeClausesPropertySpec extends SparkSpec {
             k -> (v, got(k)) }.take(5)}")
     }
   }
+
+  test("by-source-only programs with DUP-KEYED sources match the reference (3 seeded waves)") {
+    // No MATCHED clause → duplicate source keys are legal (the source is
+    // only a match flag); the rewrite must not multiply matched rows.
+    for (seed <- Seq(11, 29, 53)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60 + rnd.nextInt(120)
+      val target: Seq[R] = (0 until n).map(i =>
+        (i.toLong, s"t$i", rnd.nextInt(2000).toLong))
+      val baseKeys = rnd.shuffle(target.map(_._1)).take(1 + rnd.nextInt(n / 2))
+      val source: Seq[R] = baseKeys.flatMap { k =>
+        (0 until 1 + rnd.nextInt(3)).map(j => (k, s"s$k-$j", rnd.nextInt(100).toLong))
+      }
+      val bySourceProg = (0 until 1 + rnd.nextInt(2)).map { _ =>
+        val c = Some(conds(rnd)).filter(_.tgtOnly)
+        (c, if (rnd.nextInt(3) == 0) None
+            else Some(Seq(assigns(rnd, tgtOnly = true))))
+      }
+      val dir = Files.createTempDirectory(s"graft-mrgd$seed").toString + "/t"
+      Versioned.commit(target.filter(_._1 < n / 2).toDF("id", "v", "w"), dir)
+      Versioned.append(target.filter(_._1 >= n / 2).toDF("id", "v", "w"), dir)
+      val clauses: Seq[MergeClause] = bySourceProg.map {
+        case (c, None) => NotMatchedBySourceDelete(c.map(_.col))
+        case (c, Some(as)) =>
+          NotMatchedBySourceUpdate(as.map(a => a.name -> a.col), c.map(_.col))
+      }
+      Versioned.mergeClauses(spark, dir, source.toDF("id", "v", "w"),
+        Seq("id"), clauses)
+      val got = Versioned.read(spark, dir).as[R].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val gotSize = Versioned.read(spark, dir).count()
+      assert(gotSize == got.size, s"seed=$seed: duplicated target rows " +
+        s"(${gotSize} rows, ${got.size} distinct keys)")
+      val want = reference(target, source,
+        matched = Seq.empty, insert = None, bySource = bySourceProg)
+      assert(got == want,
+        s"seed=$seed n=$n: missing=${(want.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- want.keySet).take(5)}")
+    }
+  }
 }

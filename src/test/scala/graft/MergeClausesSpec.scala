@@ -119,6 +119,33 @@ class MergeClausesSpec extends SparkSpec {
     assert(rows(dir)(1L)._2 == 7L)
   }
 
+  test("by-source-only clauses with a dup-keyed source never duplicate matched rows") {
+    val dir = seeded()
+    // Duplicate source keys are LEGAL here (no MATCHED clause — nothing
+    // ambiguous); the rewrite join must use the source only as a match
+    // FLAG. Before the fix, target row 5 was multiplied by the join and
+    // every copy carried (action 0) — silent duplication.
+    val src = Seq((5L, "a", 0L), (5L, "b", 0L), (7L, "c", 0L))
+      .toDF("id", "v", "w")
+    Versioned.mergeClauses(spark, dir, src, Seq("id"), Seq(
+      NotMatchedBySourceDelete(Some(col("TGT.id") < 10L))))
+    val got = rows(dir)
+    // ids 0..9 except the source's {5,7} deleted; 5 and 7 exactly once
+    assert(got.keySet.filter(_ < 10L) == Set(5L, 7L))
+    assert(got.size == 192, s"190 (>=10) + {5,7}: ${got.size}")
+    assert(got(5L) == ("v5", 50L), "matched row carried exactly once, unchanged")
+    // same guarantee for the by-source UPDATE flavor
+    val dir2 = seeded()
+    Versioned.mergeClauses(spark, dir2, src, Seq("id"), Seq(
+      NotMatchedBySourceUpdate(Seq("v" -> lit("stale")),
+        Some(col("TGT.id") < 10L))))
+    val got2 = rows(dir2)
+    assert(got2.size == 200, "no row gained or lost")
+    assert(got2(5L) == ("v5", 50L) && got2(7L) == ("v7", 70L))
+    assert((0L until 10L).filterNot(Set(5L, 7L))
+      .forall(got2(_)._1 == "stale"))
+  }
+
   test("optimistic concurrency: racing clause merges on disjoint keys never lose updates") {
     val dir = seeded()
     def mergeRetrying(ids: Seq[Long], tag: String): Unit = {
