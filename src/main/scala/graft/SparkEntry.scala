@@ -1468,6 +1468,40 @@ object SparkEntry {
                  |FROM graft.`$tbl` GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // PARTIAL-COLUMN MERGE surface: UPDATE SET <subset> leaves unlisted
+    // columns untouched; INSERT (cols) VALUES (exprs) NULL-fills
+    // unlisted columns — the reference's own upsert semantic (pk ∪
+    // update columns, the rest NULL, delta.py:146-147) now expressible
+    // in SQL. The inserted rows' lang IS NULL — the oracle pins it via
+    // lang_known. Untouched-group carry pinned in GraftDmlSpec.
+    "datasource_merge_partial_insert" -> ((s, dir) => {
+      val sql = graft.sources.GraftDml.enabledSession(s)
+      val docs = sql.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/mrgpi_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sql.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Versioned.append(docs.filter(col("lang") =!= "en"), tbl)
+      val raw = sql.read.parquet(s"$dir/documents.parquet")
+      raw.filter(col("source") === "src1")
+        .select(col("doc_id"), col("n_chars"))
+        .unionByName(raw.filter(col("source") === "src2")
+          .select((col("doc_id") + 7000000L).as("doc_id"), col("n_chars")))
+        .createOrReplaceTempView("__mrgpi_src")
+      sql.sql(s"""MERGE INTO graft.`$tbl` t USING __mrgpi_src s
+                 |ON t.doc_id = s.doc_id
+                 |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 10
+                 |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars)
+                 |  VALUES (s.doc_id, s.n_chars * 2)""".stripMargin)
+      sql.sql(s"""SELECT coalesce(lang, 'NULL') AS lang,
+                 |  count(*) AS n_rows, count(lang) AS lang_known,
+                 |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                 |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+                 |FROM graft.`$tbl`
+                 |GROUP BY coalesce(lang, 'NULL') ORDER BY lang""".stripMargin)
+    }),
+
     // MAINTENANCE SQL surface (GraftSqlParser — DeltaSqlParser's
     // architecture): statements core Spark cannot parse — ALTER TABLE
     // ADD CONSTRAINT, OPTIMIZE ZORDER BY, RESTORE TO VERSION AS OF,
@@ -5132,6 +5166,26 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(n_chars) AS BIGINT) AS char_sum
         |FROM allr GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Partial-merge replay: src1 docs matched (only n_chars updated —
+    // lang carries), shifted src2 rows inserted with UNLISTED lang
+    // NULL; lang_known pins the NULL-fill.
+    "datasource_merge_partial_insert" ->
+      """WITH upd AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN source = 'src1' THEN n_chars + 10 ELSE n_chars END
+        |      AS n_chars
+        |  FROM documents),
+        |ins AS (
+        |  SELECT doc_id + 7000000 AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+        |    n_chars * 2 AS n_chars
+        |  FROM documents WHERE source = 'src2'),
+        |allr AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT coalesce(lang, 'NULL') AS lang,
+        |  count(*) AS n_rows, count(lang) AS lang_known,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+        |FROM allr GROUP BY coalesce(lang, 'NULL') ORDER BY lang""".stripMargin,
 
     // The lifecycle's version/mode/row-count audit trail replayed
     // relationally: v0 = en snapshot, v1 = full append, v2 =

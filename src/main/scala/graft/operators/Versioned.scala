@@ -1133,10 +1133,16 @@ object Versioned {
         condition: Option[Column] = None) extends MergeClause
     final case class MatchedDelete(
         condition: Option[Column] = None) extends MergeClause
-    /** INSERT * — the whole source row (source schema must match the
-      * table's, as in [[merge]]). */
+    /** INSERT: with empty `assignments` this is INSERT * — the whole
+      * source row (source schema must match the table's, as in
+      * [[merge]]). With assignments it is Delta's partial-column
+      * INSERT (c1, c2) VALUES (e1, e2): listed columns take their
+      * expression (SRC-qualified references allowed), UNLISTED columns
+      * are NULL — the reference's own upsert semantic
+      * (`source/pyzzle/datasource/delta.py:146-147`). */
     final case class NotMatchedInsert(
-        condition: Option[Column] = None) extends MergeClause
+        condition: Option[Column] = None,
+        assignments: Seq[(String, Column)] = Seq.empty) extends MergeClause
     final case class NotMatchedBySourceUpdate(
         assignments: Seq[(String, Column)],
         condition: Option[Column] = None) extends MergeClause
@@ -1192,8 +1198,12 @@ object Versioned {
     require(v >= 0, s"no versions committed under $tableDir")
     val m = parseManifest(spark, tableDir, v)
     require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
+    // Only STAR inserts need the source to mirror the table; a partial
+    // INSERT (cols) VALUES (...) source may have any shape (unlisted
+    // table columns become NULL).
     val schemaDdl =
-      if (inserts.nonEmpty) validateAppendSchema(source, m.schemaDdl, evolve = false)
+      if (inserts.exists(_.assignments.isEmpty))
+        validateAppendSchema(source, m.schemaDdl, evolve = false)
       else m.schemaDdl
     val resolver = org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
     keyCols.foreach(k => require(source.columns.exists(resolver(_, k)),
@@ -1263,6 +1273,9 @@ object Versioned {
       case NotMatchedBySourceUpdate(as, _) => as.foreach { case (c, _) =>
         require(tableCols.exists(resolver(_, c)),
           s"merge assignment targets unknown column '$c'") }
+      case NotMatchedInsert(_, as) => as.foreach { case (c, _) =>
+        require(tableCols.exists(resolver(_, c)),
+          s"merge INSERT targets unknown column '$c'") }
       case _ => ()
     }
 
@@ -1337,9 +1350,11 @@ object Versioned {
       }
 
     // Inserts: source rows matching NOTHING in the candidate groups
-    // (matches are provably confined there), first-applicable insert
-    // condition = the union of the clause conditions (INSERT * rows
-    // are identical whichever clause admits them).
+    // (matches are provably confined there). FIRST-APPLICABLE clause
+    // selection decides the inserted values: star clauses take the
+    // whole source row, partial clauses take their assignment
+    // expressions with unlisted table columns NULL (Delta's partial
+    // INSERT — the reference's own upsert semantic).
     val inserted: Option[DataFrame] =
       if (inserts.isEmpty || srcEmpty) None
       else {
@@ -1347,12 +1362,29 @@ object Versioned {
           if (cand.isEmpty) srcKeys.limit(0)
           else scanGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)
             .select(keyCols.map(col): _*)
-        val insCond = inserts.map(_.condition.getOrElse(lit(true)))
-          .reduce(_ || _)
-        Some(src.alias("SRC")
+        val insAction = inserts.zipWithIndex.foldLeft(
+          org.apache.spark.sql.functions.when(lit(false), 0)) {
+            case (acc, (c, i)) =>
+              acc.when(c.condition.getOrElse(lit(true)), lit(i + 1))
+          }.otherwise(lit(0))
+        val claimed = src.alias("SRC")
           .join(candKeys, keyCols, "left_anti")
-          .filter(insCond)
-          .select(tableCols.map(col): _*))
+          .withColumn("__ins", insAction)
+          .filter(col("__ins") =!= 0)
+        val out = tableSchema.fields.toSeq.map { f =>
+          inserts.zipWithIndex.foldLeft(
+            org.apache.spark.sql.functions
+              .when(lit(false), lit(null).cast(f.dataType))) {
+              case (acc, (c, i)) =>
+                val value =
+                  if (c.assignments.isEmpty) col(s"SRC.${f.name}") // INSERT *
+                  else c.assignments.find(a => resolver(a._1, f.name))
+                    .map(_._2.cast(f.dataType))
+                    .getOrElse(lit(null).cast(f.dataType))
+                acc.when(col("__ins") === (i + 1), value)
+            }.otherwise(lit(null).cast(f.dataType)).as(f.name)
+        }
+        Some(claimed.select(out: _*))
       }
 
     val pieces = rewritten.toSeq ++ inserted.toSeq

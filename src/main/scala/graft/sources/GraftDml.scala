@@ -200,8 +200,9 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     def unsupported(why: String): Nothing =
       throw new UnsupportedOperationException(
         s"graft MERGE INTO supports UPDATE SET .../DELETE matched clauses, " +
-          s"INSERT * not-matched clauses, and NOT MATCHED BY SOURCE " +
-          s"UPDATE/DELETE, ON a conjunction of same-named key equalities; $why")
+          s"INSERT * / INSERT (cols) VALUES (...) not-matched clauses, and " +
+          s"NOT MATCHED BY SOURCE UPDATE/DELETE, ON a conjunction of " +
+          s"same-named key equalities; $why")
     val tgtIds = m.targetTable.outputSet
     val srcIds = m.sourceTable.outputSet
 
@@ -227,22 +228,26 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     val keyCols = keys(m.mergeCondition)
 
     // Matched: UPDATE SET * (either still a star action, or the
-    // analyzer-expanded all-columns col = source.col form).
+    // analyzer-expanded all-columns col = source.col form). The
+    // assignment list must COVER every target column — a partial
+    // name-matched list (`SET v = s.v`) is NOT a star action.
+    val nTargetCols = m.targetTable.output.size
     def isStarUpdate(a: MergeAction): Boolean = a match {
       case UpdateStarAction(None) => true
       case ua: UpdateAction =>
-        ua.condition.isEmpty && ua.assignments.forall {
-          case Assignment(k: AttributeReference, v: AttributeReference) =>
-            k.name.equalsIgnoreCase(v.name) && srcIds.contains(v)
-          case _ => false
-        }
+        ua.condition.isEmpty && ua.assignments.size == nTargetCols &&
+          ua.assignments.forall {
+            case Assignment(k: AttributeReference, v: AttributeReference) =>
+              k.name.equalsIgnoreCase(v.name) && srcIds.contains(v)
+            case _ => false
+          }
       case _ => false
     }
     // star-shaped INSERT, condition allowed (handled separately)
     def isStarInsert(a: MergeAction): Boolean = a match {
       case InsertStarAction(_) => true
       case ia: InsertAction =>
-        ia.assignments.forall {
+        ia.assignments.size == nTargetCols && ia.assignments.forall {
           case Assignment(k: AttributeReference, v: AttributeReference) =>
             k.name.equalsIgnoreCase(v.name) && srcIds.contains(v)
           case _ => false
@@ -313,9 +318,22 @@ object GraftDmlRule extends Rule[LogicalPlan] {
               }
               SqlMergeClause("not_matched_insert",
                 cond.map(detachM(_, "WHEN NOT MATCHED condition")), Seq.empty)
-            case other => unsupported("WHEN NOT MATCHED supports INSERT * " +
-              s"only (got ${other.getClass.getSimpleName} with a partial " +
-              "column list)")
+            case ia: InsertAction =>
+              // Partial-column INSERT (c1, c2) VALUES (...): listed
+              // columns take their expression, UNLISTED columns are NULL
+              // — Delta's semantic, and the reference's own upsert shape
+              // (pk ∪ update columns, the rest NULL).
+              ia.assignments.foreach(a => a.value.foreach {
+                case ar: AttributeReference if tgtIds.contains(ar) =>
+                  unsupported("WHEN NOT MATCHED INSERT values may reference " +
+                    s"only the source row (found target column `${ar.name}`)")
+                case _ => ()
+              })
+              SqlMergeClause("not_matched_insert",
+                ia.condition.map(detachM(_, "WHEN NOT MATCHED condition")),
+                assignsOf(ia.assignments, "WHEN NOT MATCHED INSERT"))
+            case other => unsupported(
+              s"WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
           } ++ bySource.map {
             case ua: UpdateAction => SqlMergeClause("by_source_update",
               ua.condition.map(detachTgtOnly(_, "WHEN NOT MATCHED BY SOURCE condition")),
@@ -408,7 +426,8 @@ private[graft] final case class GraftMergeClausesCommand(
               .col(s"SRC.$col")) // SET *
           MatchedUpdate(as, cond)
         case "matched_delete" => MatchedDelete(cond)
-        case "not_matched_insert" => NotMatchedInsert(cond)
+        case "not_matched_insert" =>
+          NotMatchedInsert(cond, c.assigns.map { case (k, v) => k -> expr(v) })
         case "by_source_update" =>
           NotMatchedBySourceUpdate(
             c.assigns.map { case (k, v) => k -> expr(v) }, cond)

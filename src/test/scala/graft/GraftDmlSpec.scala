@@ -121,6 +121,44 @@ class GraftDmlSpec extends SparkSpec {
     assert(got.size == 200) // -1 deleted, +1 inserted
   }
 
+  test("SQL MERGE: partial-column INSERT NULL-fills unlisted columns; untouched groups carry") {
+    val dir = seeded()
+    val before = groupsOf(dir)
+    locally {
+      val ss = sql; import ss.implicits._
+      Seq((10L, "U10", 123L), (700L, "N700", 456L)).toDF("id", "v", "w")
+        .createOrReplaceTempView("dml_partial_src")
+    }
+    // the reference's own upsert shape: pk ∪ update columns, others NULL
+    sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_partial_src s ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET v = s.v
+               |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+               |""".stripMargin)
+    val got = Versioned.read(sql, dir)
+    assert(got.count() == 201)
+    assert(got.filter($"id" === 700L && $"v" === "N700" && $"w".isNull)
+      .count() == 1, "unlisted column w must be NULL on insert")
+    assert(got.filter($"id" === 10L && $"v" === "U10" && $"w" === 100L)
+      .count() == 1, "partial UPDATE SET leaves unlisted columns untouched")
+    assert(groupsOf(dir).intersect(before).size == 1,
+      "the high-range group holds no matches and must carry metadata-only")
+    // expressions (not just column refs) in the VALUES list work too
+    sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_partial_src s ON t.id = s.id
+               |WHEN NOT MATCHED AND s.w > 9999 THEN INSERT (id, v)
+               |  VALUES (s.id + 1000, upper(s.v))""".stripMargin)
+    assert(Versioned.read(sql, dir).count() == 201,
+      "conditional partial insert admits nothing at w <= 9999")
+    // target references in INSERT values are refused loudly (Spark's
+    // analyzer rejects them before our rule; our guard backstops it)
+    val e = intercept[Exception] {
+      sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_partial_src s ON t.id = s.id
+                 |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (t.id, s.v)
+                 |""".stripMargin)
+    }
+    assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+      e.getMessage.contains("source row"), e.toString)
+  }
+
   test("SQL MERGE: NOT MATCHED BY SOURCE DELETE sweeps rows absent from the source") {
     val dir = seeded()
     locally {

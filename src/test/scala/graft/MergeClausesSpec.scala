@@ -119,6 +119,43 @@ class MergeClausesSpec extends SparkSpec {
     assert(rows(dir)(1L)._2 == 7L)
   }
 
+  test("partial-column INSERT: listed columns take their expression, unlisted are NULL") {
+    val dir = seeded()
+    val before = groupsOf(dir)
+    // the source need NOT mirror the table for partial inserts
+    val src = Seq((500L, "ignored", "P500"), (5L, "x", "P5"))
+      .toDF("id", "extra", "name")
+    Versioned.mergeClauses(spark, dir, src, Seq("id"), Seq(
+      NotMatchedInsert(None, Seq("id" -> col("SRC.id"),
+        "v" -> concat(col("SRC.name"), lit("!"))))))
+    val got = Versioned.read(spark, dir)
+    assert(got.count() == 201)
+    assert(got.filter($"id" === 500L && $"v" === "P500!" && $"w".isNull)
+      .count() == 1, "listed columns take their expression, unlisted w is NULL")
+    assert(got.filter($"id" === 5L && $"v" === "v5" && $"w" === 50L)
+      .count() == 1, "matched source rows are NOT inserted, target carries")
+    // schema unchanged, and with NO matched/by-source clause both data
+    // groups carry metadata-only (insert-only merges never rewrite)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "w"))
+    assert(before.subsetOf(groupsOf(dir)),
+      "insert-only merges must carry every existing group metadata-only")
+  }
+
+  test("multiple INSERT clauses are first-applicable with per-clause values") {
+    val dir = seeded()
+    val src = Seq((300L, "a", 7L), (301L, "b", 99L)).toDF("id", "v", "w")
+    Versioned.mergeClauses(spark, dir, src, Seq("id"), Seq(
+      NotMatchedInsert(Some(col("SRC.w") < 50L),
+        Seq("id" -> col("SRC.id"), "v" -> lit("small"))),
+      NotMatchedInsert(None))) // catch-all INSERT *
+    val got = Versioned.read(spark, dir)
+    assert(got.filter($"id" === 300L && $"v" === "small" && $"w".isNull)
+      .count() == 1, "first clause wins for w<50: partial insert, w NULL")
+    assert(got.filter($"id" === 301L && $"v" === "b" && $"w" === 99L)
+      .count() == 1, "catch-all INSERT * takes the source row")
+    assert(got.count() == 202)
+  }
+
   test("by-source-only clauses with a dup-keyed source never duplicate matched rows") {
     val dir = seeded()
     // Duplicate source keys are LEGAL here (no MATCHED clause — nothing
