@@ -1468,6 +1468,36 @@ object SparkEntry {
                  |FROM graft.`$tbl` GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // IN-SUBQUERY DML surface: `DELETE ... WHERE k IN (SELECT ...)`
+    // (a Delta migrant's first cleanup job) rides the merge-clause COW
+    // — subquery evaluated against the PRE-IMAGE, key range → candidate
+    // groups → exact semi-join, untouched groups metadata-only. The
+    // UPDATE's subquery reads the target table ITSELF mid-lifecycle
+    // (pre-image pinned in GraftDmlSpec).
+    "datasource_dml_subquery" -> ((s, dir) => {
+      val sql = graft.sources.GraftDml.enabledSession(s)
+      val docs = sql.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/dmlsq_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sql.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Versioned.append(docs.filter(col("lang") =!= "en"), tbl)
+      sql.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === "src1").select("doc_id")
+        .createOrReplaceTempView("__dmlsq_quarantine")
+      sql.sql(s"""DELETE FROM graft.`$tbl`
+                 |WHERE doc_id IN (SELECT doc_id FROM __dmlsq_quarantine)
+                 |  AND n_chars < 300""".stripMargin)
+      sql.sql(s"""UPDATE graft.`$tbl` SET n_chars = n_chars + 1000
+                 |WHERE doc_id IN
+                 |  (SELECT doc_id FROM graft.`$tbl` WHERE lang = 'de')""".stripMargin)
+      sql.sql(s"""SELECT lang, count(*) AS n_rows,
+                 |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                 |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+                 |FROM graft.`$tbl` GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // PARTIAL-COLUMN MERGE surface: UPDATE SET <subset> leaves unlisted
     // columns untouched; INSERT (cols) VALUES (exprs) NULL-fills
     // unlisted columns — the reference's own upsert semantic (pk ∪
@@ -5166,6 +5196,24 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(n_chars) AS BIGINT) AS char_sum
         |FROM allr GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Subquery-DML replay: quarantined (src1) short docs deleted, then
+    // de-language survivors bumped — the UPDATE's self-referential
+    // subquery reads the post-delete pre-image, so the CASE applies to
+    // the delete's survivors only.
+    "datasource_dml_subquery" ->
+      """WITH d1 AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE NOT (source = 'src1' AND n_chars < 300)),
+        |u1 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END
+        |      AS n_chars
+        |  FROM d1)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+        |FROM u1 GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Partial-merge replay: src1 docs matched (only n_chars updated —
     // lang carries), shifted src2 rows inserted with UNLISTED lang

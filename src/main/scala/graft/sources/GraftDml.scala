@@ -48,9 +48,11 @@ import graft.operators.Versioned
   *    — the replace-by-key contract of [[Versioned.merge]]; the ON
   *    clause must be a conjunction of same-named target=source column
   *    equalities (the key columns).
-  * Conditions may be any deterministic row-local expression; subqueries
-  * are refused (they would capture the pre-image plan, not the
-  * rewrite-time table). */
+  * Conditions may be any deterministic row-local expression, plus ONE
+  * top-level `col IN (SELECT ...)` conjunct in DELETE/UPDATE (Delta's
+  * semantics: the subquery is evaluated against the PRE-IMAGE, then the
+  * merge-clause COW runs keyed on the materialized set). Any other
+  * subquery shape is refused. */
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Hints batch runs BEFORE resolution: graft.`/path` references must
@@ -158,7 +160,13 @@ object GraftDmlRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(GraftTarget(dir), cond) if d.resolved =>
-      GraftDeleteCommand(dir, detach(cond, "DELETE condition"))
+      splitInSubquery(cond, "DELETE condition") match {
+        case None =>
+          GraftDeleteCommand(dir, detach(cond, "DELETE condition"))
+        case Some((keyCols, keysPlan, residual)) =>
+          GraftDmlKeysCommand(dir, keyCols, keysPlan,
+            residual.map(detachTgt(_, "DELETE condition")), sets = Seq.empty)
+      }
 
     case u @ UpdateTable(GraftTarget(dir), assignments, cond) if u.resolved =>
       val sets = assignments.map { case Assignment(key, value) =>
@@ -172,8 +180,18 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         // same); Versioned.update refuses type-changing rewrites.
         name -> (detach(value, s"UPDATE SET $name"), key.dataType)
       }
-      GraftUpdateCommand(dir,
-        cond.map(detach(_, "UPDATE condition")), sets)
+      cond.flatMap(splitInSubquery(_, "UPDATE condition")) match {
+        case None =>
+          GraftUpdateCommand(dir,
+            cond.map(detach(_, "UPDATE condition")), sets)
+        case Some((keyCols, keysPlan, residual)) =>
+          val tgtSets = assignments.map { case Assignment(key, value) =>
+            val name = key.asInstanceOf[AttributeReference].name
+            (name, detachTgt(value, s"UPDATE SET $name"), key.dataType)
+          }
+          GraftDmlKeysCommand(dir, keyCols, keysPlan,
+            residual.map(detachTgt(_, "UPDATE condition")), sets = tgtSets)
+      }
 
     case m: MergeIntoTable if m.targetTable.resolved && m.sourceTable.resolved =>
       m.targetTable match {
@@ -187,13 +205,77 @@ object GraftDmlRule extends Rule[LogicalPlan] {
   /** Resolved expressions are bound to THIS plan's attribute ids; the
     * command re-reads the table at run time, so bound references must
     * become unresolved names that re-resolve against the fresh scan.
-    * Subqueries cannot be detached — refuse them. */
+    * Subqueries cannot be detached — refuse them (IN-subquery
+    * conditions take the [[splitInSubquery]] path instead). */
   private def detach(e: Expression, what: String): String = {
     require(!e.exists(_.isInstanceOf[SubqueryExpression]),
-      s"graft DML: subqueries are not supported in the $what")
+      s"graft DML: subqueries are supported only as a top-level " +
+        s"`col IN (SELECT ...)` conjunct of the $what (evaluated against " +
+        "the pre-image, as Delta does); other subquery shapes are not")
     e.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     }.sql
+  }
+
+  /** [[detach]] with TGT-qualified names — for expressions evaluated in
+    * [[graft.operators.Versioned.mergeClauses]]' joined TGT/SRC scope,
+    * where a bare target column name would be ambiguous with the
+    * source's key column. */
+  private def detachTgt(e: Expression, what: String): String = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"graft DML: only one `col IN (SELECT ...)` conjunct is supported " +
+        s"in the $what; the residual must be subquery-free")
+    e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq("TGT", a.name))
+    }.sql
+  }
+
+  /** Delta-style IN-subquery support for DELETE/UPDATE conditions:
+    * accepts `cond` shaped as a conjunction with EXACTLY ONE
+    * `(col[, col...]) IN (SELECT ...)` conjunct over bare,
+    * identically-typed target columns and an uncorrelated subquery; the
+    * remaining conjuncts must be subquery-free. Returns (key column
+    * names, the analyzed subquery plan, the residual condition).
+    * None = no subquery anywhere (the plain row-local path). Any other
+    * subquery shape raises — never a wrong result. */
+  private def splitInSubquery(
+      cond: Expression,
+      what: String): Option[(Seq[String], LogicalPlan, Option[Expression])] = {
+    if (!cond.exists(_.isInstanceOf[SubqueryExpression])) return None
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val cs = conjuncts(cond)
+    val (subq, residual) = cs.partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    def unsupported(why: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"graft DML: the $what supports subqueries only as ONE top-level " +
+          s"`col IN (SELECT ...)` conjunct over bare target columns " +
+          s"(evaluated against the pre-image); $why")
+    if (subq.size != 1)
+      unsupported(s"found ${subq.size} subquery conjuncts")
+    residual.foreach { r =>
+      if (r.exists(_.isInstanceOf[SubqueryExpression]))
+        unsupported(s"residual conjunct `${r.sql}` contains a subquery")
+    }
+    subq.head match {
+      case org.apache.spark.sql.catalyst.expressions.InSubquery(values, q) =>
+        if (q.isCorrelated || q.outerAttrs.nonEmpty)
+          unsupported("the subquery is correlated")
+        val keyCols = values.map {
+          case a: AttributeReference => a.name
+          case other => unsupported(
+            s"IN operand `${other.sql}` is not a bare column (type " +
+              "coercion casts are refused: the key join must be exact)")
+        }
+        Some((keyCols, q.plan,
+          residual.reduceOption(
+            org.apache.spark.sql.catalyst.expressions.And(_, _))))
+      case other =>
+        unsupported(s"`${other.sql}` is not an IN-subquery")
+    }
   }
 
   private def translateMerge(m: MergeIntoTable, dir: String): LogicalPlan = {
@@ -383,6 +465,36 @@ private[graft] final case class GraftUpdateCommand(
       name -> expr(valueSql).cast(dt)
     }
     Versioned.update(spark, tableDir, cond, assignments: _*)
+    Seq.empty
+  }
+}
+
+/** DELETE/UPDATE whose condition carries an IN-subquery: the subquery
+  * is evaluated against the PRE-IMAGE (Delta's semantics — the merge
+  * operator caps the source's lineage before any write, so a subquery
+  * over the target itself reads the old version), then the existing
+  * merge-clause COW runs keyed on the materialized set: source key
+  * range → candidate groups → exact touched-group semi-join, untouched
+  * groups metadata-only. Empty `sets` = DELETE; else UPDATE. */
+private[graft] final case class GraftDmlKeysCommand(
+    tableDir: String,
+    keyCols: Seq[String],
+    keysPlan: LogicalPlan,
+    residualSql: Option[String],
+    sets: Seq[(String, String, org.apache.spark.sql.types.DataType)])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(keysPlan)
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.Versioned.MergeClause._
+    val keys = GraftDml.ofRows(spark, keysPlan).toDF(keyCols: _*).distinct()
+    val cond = residualSql.map(expr)
+    val clause =
+      if (sets.isEmpty) MatchedDelete(cond)
+      else MatchedUpdate(
+        sets.map { case (name, valueSql, dt) => name -> expr(valueSql).cast(dt) },
+        cond)
+    Versioned.mergeClauses(spark, tableDir, keys, keyCols, Seq(clause))
     Seq.empty
   }
 }

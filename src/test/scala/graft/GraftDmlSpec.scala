@@ -175,6 +175,57 @@ class GraftDmlSpec extends SparkSpec {
       "all surviving low rows were replaced by the source")
   }
 
+  test("IN-subquery DELETE/UPDATE: pre-image evaluation, COW carry, residual conjuncts") {
+    val dir = seeded()
+    val before = groupsOf(dir)
+    locally {
+      val ss = sql; import ss.implicits._
+      (0L until 20L).toDF("k").createOrReplaceTempView("dml_sq_keys")
+    }
+    // keys 0..19, residual keeps odd ids: deletes even ids < 20
+    sql.sql(s"""DELETE FROM graft.`$dir`
+               |WHERE id IN (SELECT k FROM dml_sq_keys) AND id % 2 = 0""".stripMargin)
+    val afterDelete = Versioned.read(sql, dir)
+    assert(afterDelete.count() == 190)
+    assert(afterDelete.filter($"id" < 20 && $"id" % 2 === 0).count() == 0)
+    assert(groupsOf(dir).intersect(before).size == 1,
+      "the high-range group admits no subquery keys and must carry metadata-only")
+    // UPDATE with a SELF-REFERENTIAL subquery: the key set is evaluated
+    // against the PRE-IMAGE (w of the id<10 survivors), so rows gaining
+    // w=5555 here must not re-qualify mid-statement.
+    sql.sql(s"""UPDATE graft.`$dir` SET w = 5555
+               |WHERE id IN (SELECT id FROM graft.`$dir` WHERE w < 100)""".stripMargin)
+    val got = Versioned.read(sql, dir)
+    // pre-image w<100: ids 1..9 odd (w=10..90) → exactly 5 rows
+    assert(got.filter($"w" === 5555L).count() == 5, "pre-image key set only")
+    assert(got.filter($"id" === 1L && $"w" === 5555L).count() == 1)
+    assert(got.filter($"id" === 11L && $"w" === 110L).count() == 1,
+      "rows outside the pre-image key set keep their values")
+  }
+
+  test("IN-subquery DML refusals: correlated, NOT IN, multiple subquery conjuncts, cast operands") {
+    val dir = seeded()
+    locally {
+      val ss = sql; import ss.implicits._
+      Seq(1L, 2L).toDF("k").createOrReplaceTempView("dml_sq_k2")
+    }
+    def refuse(stmt: String, want: String): Unit = {
+      val e = intercept[Exception](sql.sql(stmt))
+      assert(e.getMessage != null && (e.getMessage.contains(want) ||
+        e.getMessage.contains("subquer")), s"$stmt -> ${e.getMessage}")
+    }
+    refuse(s"DELETE FROM graft.`$dir` WHERE id NOT IN (SELECT k FROM dml_sq_k2)",
+      "IN-subquery")
+    refuse(s"""DELETE FROM graft.`$dir` WHERE id IN (SELECT k FROM dml_sq_k2)
+              |AND w IN (SELECT k FROM dml_sq_k2)""".stripMargin,
+      "subquery conjuncts")
+    refuse(s"""DELETE FROM graft.`$dir`
+              |WHERE EXISTS (SELECT 1 FROM dml_sq_k2 WHERE k = id)""".stripMargin,
+      "IN-subquery")
+    // and nothing above mutated the table
+    assert(Versioned.read(sql, dir).count() == 200)
+  }
+
   test("unsupported shapes raise clear errors: non-equality ON, subqueries") {
     val dir = seeded()
     locally {
@@ -189,10 +240,14 @@ class GraftDmlSpec extends SparkSpec {
                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(e2.getMessage.contains("equality"), e2.getMessage)
+    // subqueries in MERGE conditions are still refused (only the
+    // DELETE/UPDATE IN-subquery path is supported)
     val e3 = intercept[Exception] {
-      sql.sql(s"DELETE FROM graft.`$dir` WHERE id IN (SELECT id FROM dml_spec_bad)")
+      sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_spec_bad s ON t.id = s.id
+                 |WHEN MATCHED AND t.w IN (SELECT w FROM dml_spec_bad)
+                 |THEN DELETE""".stripMargin)
     }
-    assert(e3.getMessage.contains("subquer"))
+    assert(e3.getMessage.contains("subquer"), e3.getMessage)
     // nothing mutated by the refused statements
     assert(Versioned.read(sql, dir).count() == 200)
     assert(Versioned.latestVersion(sql, dir) == 1L)
