@@ -1064,6 +1064,18 @@ object SparkEntry {
       drain()
       Versioned.append(docs.filter(col("source").isin("src0", "src1", "src2")), tbl)
       drain()
+      // The append-only contract is ENFORCED: a mid-stream compact must
+      // FAIL the next drain (guard stream) and must NOT re-emit the
+      // re-packed rows into the checkpointed sink (exclusion join) —
+      // if either leg broke, the rollup below would double and the
+      // oracle hash would fail.
+      Versioned.compact(s, tbl)
+      val raised =
+        try { drain(); false }
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException => true
+        }
+      require(raised, "mid-stream compact must fail the changes stream")
       s.read.parquet(sink).groupBy("lang")
         .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
         .orderBy("lang")

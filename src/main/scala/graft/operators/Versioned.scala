@@ -1670,21 +1670,129 @@ object Versioned {
     * listing emits the existing groups: CDC-from-start of an
     * append-only table), then incrementally, with the engine's own
     * checkpoint guaranteeing each group is processed once across
-    * restarts. Append-only tables ONLY: a snapshot or [[compact]]
-    * writes a new group holding existing rows, which a manifest-blind
-    * file stream would re-emit — when rewrites can occur, use
-    * [[pollChanges]] and honor its resync flag instead. Safe against
-    * [[vacuum]]: retention deletes only groups no kept version lists,
-    * which a checkpointed consumer processed long before. `schema` is
-    * required by `readStream`; pass `read(spark, dir).schema` of the
-    * live table. Groups are durable BEFORE their manifest publishes
-    * (see [[publish]]), so the stream can briefly lead the manifest by
-    * one group but never emits a torn group. */
+    * restarts.
+    *
+    * The append-only contract is ENFORCED, not advisory: the stream is
+    * manifest-aware on two layers. (1) A per-batch exclusion joins the
+    * file groups against the groups introduced by non-append versions
+    * (computed fresh from the manifest log at every micro-batch plan),
+    * so a [[compact]]/[[snapshotTo]]/COW-DML rewrite group can never
+    * re-emit existing rows into the checkpointed sink — not even in the
+    * batch racing the failure below. (2) A guard stream tails the
+    * manifest log itself and FAILS THE QUERY loudly the moment a
+    * version whose mode is outside [[streamSafeModes]] exists past
+    * genesis (v0 may be any mode — it is the initial state), matching
+    * [[changes]]'s raise and [[pollChanges]]'s resync flag; that
+    * includes RENAME/DROP COLUMN versions, whose mapping a schema-blind
+    * file stream cannot apply. When rewrites can occur, use
+    * [[pollChanges]] and honor its resync flag instead.
+    *
+    * Safe against [[vacuum]]: retention deletes only groups no kept
+    * version lists, which a checkpointed consumer processed long
+    * before. `schema` is required by `readStream`; pass
+    * `read(spark, dir).schema` of the live table. Groups are durable
+    * BEFORE their manifest publishes (see [[publish]]), so the stream
+    * can briefly lead the manifest by one group but never emits a torn
+    * group (an unknown group is presumed an in-flight append; if its
+    * manifest turns out to be a rewrite, the guard kills the query
+    * within a batch). */
   def changesStream(
       spark: SparkSession,
       tableDir: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(s"$tableDir/files/*")
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val data = spark.readStream.schema(schema).parquet(s"$tableDir/files/*")
+    // (1) exclusion: groups introduced by non-append versions never
+    // emit. The static side is a custom TableScan relation whose
+    // buildScan re-reads the manifest log — IncrementalExecution plans
+    // every micro-batch afresh, so the exclusion set tracks the LIVE
+    // table, and it is broadcast-tiny (bounded by rewrite count).
+    val unsafe = org.apache.spark.sql.graftshim.GraftSqlBridge.ofRows(
+      spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        StreamUnsafeGroupsRelation(spark, tableDir), isStreaming = false))
+      .withColumn("__graft_unsafe", lit(true))
+    val filtered = data
+      .withColumn("__graft_group",
+        org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.input_file_name(),
+          "/files/([^/]+)/", 1))
+      .join(org.apache.spark.sql.functions.broadcast(unsafe),
+        Seq("__graft_group"), "left_outer")
+      .filter(col("__graft_unsafe").isNull)
+      .drop("__graft_group", "__graft_unsafe")
+    // (2) guard: the manifest log is itself a (text) file stream; a
+    // non-append manifest past genesis fails the query with a clear
+    // error. Emits no rows — it exists to throw.
+    val safeModes = streamSafeModes
+    val dirForMsg = tableDir
+    val guard = spark.readStream
+      .textFile(s"$tableDir/_versions/v*.json")
+      .flatMap { raw: String =>
+        val mode = "\"mode\":\"([^\"]*)\"".r
+          .findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
+        val v = "\"version\":(\\d+)".r
+          .findFirstMatchIn(raw).map(_.group(1).toLong).getOrElse(0L)
+        if (v > 0 && !safeModes(mode))
+          throw new IllegalStateException(
+            s"changesStream($dirForMsg): version $v (mode=$mode) is not an " +
+              "append — a file-group stream over a rewritten table would " +
+              "re-emit existing rows (or, for column DDL, misread physical " +
+              "names). This stream supports APPEND-ONLY tables; use " +
+              "pollChanges and honor its resync flag instead.")
+        Iterator.empty[org.apache.spark.sql.Row]
+      }(org.apache.spark.sql.Encoders.row(schema))
+    filtered.unionByName(guard.toDF(schema.fieldNames.toIndexedSeq: _*))
+  }
+
+  /** Version modes [[changesStream]] may live through past genesis:
+    * appends and the metadata-only CONSTRAINT versions. Rewrites
+    * (snapshot/compact/restore/COW DML) re-emit rows; RENAME/DROP
+    * COLUMN change the physical-name mapping a schema-blind file
+    * stream cannot apply — both fail the stream. */
+  private[operators] val streamSafeModes: Set[String] =
+    Set("append", "add_constraint", "drop_constraint")
+
+  /** The exclusion set for [[changesStream]]: file groups INTRODUCED
+    * (not carried) by a stream-unsafe version past genesis. Manifests
+    * are immutable once published, so the walk is cached per table and
+    * extended incrementally — a micro-batch pays one `latestVersion`
+    * listing plus parses only for versions it has not seen. */
+  private[operators] def streamUnsafeIntroducedGroups(
+      spark: SparkSession, tableDir: String): Seq[String] = {
+    val latest = latestVersion(spark, tableDir)
+    if (latest <= 0) return Seq.empty
+    // Epoch = the v0 manifest's mtime: a table deleted and re-created at
+    // the same path restarts its manifest log, which must invalidate the
+    // incremental walk (one getFileStatus per call — metadata-sized).
+    val epoch = scala.util.Try(
+      fs(spark, tableDir).getFileStatus(manifestPath(tableDir, 0L))
+        .getModificationTime).getOrElse(-1L)
+    unsafeGroupsCache.synchronized {
+      val (cachedV, cachedPrev, cachedUnsafe) =
+        unsafeGroupsCache.get(tableDir) match {
+          case Some((e, v, p, u)) if e == epoch && v <= latest => (v, p, u)
+          case _ =>
+            (0L, scala.util.Try(parseManifest(spark, tableDir, 0L).files.toSet)
+              .getOrElse(Set.empty[String]), Set.empty[String])
+        }
+      var prev = cachedPrev
+      var unsafe = cachedUnsafe
+      ((cachedV + 1) to latest).foreach { v =>
+        scala.util.Try(parseManifest(spark, tableDir, v)).toOption match {
+          case Some(m) =>
+            if (!streamSafeModes(m.mode))
+              unsafe = unsafe ++ m.files.filterNot(prev)
+            prev = m.files.toSet
+          case None => () // vacuumed manifest: its dropped groups are gone
+        }
+      }
+      unsafeGroupsCache.put(tableDir, (epoch, latest, prev, unsafe))
+      unsafe.toSeq.sorted
+    }
+  }
+
+  private val unsafeGroupsCache =
+    scala.collection.mutable.Map.empty[String, (Long, Long, Set[String], Set[String])]
 
   /** CONVERT TO GRAFT — adopt an existing plain-parquet directory as
     * version 0 of a versioned table IN PLACE, Delta's `CONVERT TO

@@ -346,6 +346,49 @@ class VersionedSpec extends SparkSpec {
       "each appended group must be emitted exactly once")
   }
 
+  test("changesStream: a mid-stream compact FAILS the query and never re-emits") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Versioned.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    val schema = Versioned.read(spark, dir).schema
+    val scratch = Files.createTempDirectory("graft-vstream-guard")
+    val sink = scratch.resolve("sink").toString
+    val ckpt = scratch.resolve("ckpt").toString
+    def drain(): Unit = {
+      val q = Versioned.changesStream(spark, dir, schema)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // genesis + one append
+    assert(spark.read.parquet(sink).count() == 3)
+    // the rewrite: a compact re-packs all 3 rows into a NEW group
+    Versioned.compact(spark, dir)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(e.getMessage.contains("not an append") ||
+      Option(e.getCause).exists(_.getMessage.contains("not an append")),
+      s"the guard must name the violation: ${e.getMessage}")
+    // NO re-emission into the checkpointed sink — not even from the
+    // batch that raced the failure (the exclusion join holds it back)
+    assert(spark.read.parquet(sink).count() == 3,
+      "the compact group's rows must never re-emit")
+    // a NEW consumer of the compacted table fails at start too (the
+    // historical rewrite makes file-group tailing unsound from genesis
+    // once the superseded groups can be vacuumed)
+    val ckpt2 = scratch.resolve("ckpt2").toString
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = Versioned.changesStream(spark, dir, schema)
+        .writeStream.format("parquet")
+        .option("path", scratch.resolve("sink2").toString)
+        .option("checkpointLocation", ckpt2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+  }
+
   test("changes: crossing a snapshot boundary raises; bad ranges raise") {
     val dir = tbl()
     Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)
