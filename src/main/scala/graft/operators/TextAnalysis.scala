@@ -453,20 +453,33 @@ object TextAnalysis {
     * smallest pair). Returns one row per round:
     * `(merge_round, pair, merged, n)`.
     *
-    * Scale shape — INCREMENTAL pair maintenance, the classic trainer
-    * optimization (Sennrich's reference implementation does the same):
-    * the full `(pair, n)` frame is counted ONCE from the seed
-    * vocabulary; each round the argmax is a bounded one-row collect
-    * over that maintained frame (the same driver scalar discipline as
-    * [[Components.pageRank]]'s dangling mass), and only the words that
-    * actually CONTAIN the merged pair are recounted — their old pairs
-    * leave with weight `-cnt`, their rewritten pairs enter with `+cnt`,
-    * one delta aggregate sized by the affected slice, never the
-    * vocabulary. A real tokenizer run is 30k–50k merges over a
-    * millions-strong vocabulary where each merge touches a shrinking
-    * sliver of words; per-round cost must track the sliver, not the
-    * vocabulary, or the loop is 30k full-vocab jobs. The corpus-sized
-    * work (tokenize + word count) still happens exactly once.
+    * Scale shape — the corpus-sized work (tokenize + word count) is
+    * distributed and happens exactly ONCE; the merge loop itself is
+    * two-tier:
+    *
+    *  - DRIVER-LOCAL TAIL (the default whenever the distinct-word
+    *    vocabulary fits driver memory, `spark.graft.bpe.localVocabLimit`
+    *    rows, default 2M): the `(cnt, symbols)` vocabulary is collected
+    *    once and the loop runs in-process with an exact pair→words
+    *    inverted index — per-round cost is the AFFECTED WORDS ONLY,
+    *    end-to-end, with zero Spark jobs per round. This is Sennrich's
+    *    reference trainer verbatim (`learn_bpe.py` is single-node with
+    *    exactly this index); a 30k-merge production run is 30k
+    *    in-memory sliver updates, not 30k cluster jobs. The corpus can
+    *    be 100 TB — the VOCABULARY (distinct word forms after
+    *    normalization) is what must fit, and a tokenizer-training vocab
+    *    is capped/sampled in practice exactly because every published
+    *    trainer is single-node past the counting step.
+    *  - DISTRIBUTED INCREMENTAL fallback (vocabulary above the limit):
+    *    the `(pair, n)` frame is seeded once and delta-maintained —
+    *    each round recounts only words containing the merged pair (old
+    *    pairs −cnt, rewritten +cnt), the argmax is a bounded one-row
+    *    collect. Per-round aggregate work tracks the affected slice;
+    *    the representation rewrite is a narrow vocab-wide map.
+    *
+    * Both tiers produce BIT-IDENTICAL rounds (ties broken by UTF-8
+    * binary order, Spark's own string ordering; BpeSpec pins local ≡
+    * distributed ≡ naive recount).
     *
     * The merge is applied with the DOUBLE-SPACE boundary trick so a
     * plain left-to-right literal replace is token-boundary-correct
@@ -485,6 +498,16 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("r", trim(regexp_replace(col("w"), "(.)", "$1 ")))
       .select("cnt", "r").capLineage()
+    val localLimit = spark.conf
+      .getOption("spark.graft.bpe.localVocabLimit").map(_.toLong)
+      .getOrElse(2000000L)
+    val vocabSize = repr.count()
+    if (vocabSize <= localLimit) {
+      val vocab = repr.select("cnt", "r").as[(Long, String)].collect()
+        .map { case (cnt, r) => (cnt, r.split(" ")) }
+      return bpeMergesLocal(vocab, rounds).toSeq
+        .toDF("merge_round", "pair", "merged", "n")
+    }
     // Seeded ONCE; delta-maintained every round thereafter.
     var counts = bpePairCounts(repr).capLineage()
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -506,6 +529,106 @@ object TextAnalysis {
       round += 1
     }
     out.toSeq.toDF("merge_round", "pair", "merged", "n")
+  }
+
+  /** The driver-local merge loop (Sennrich's `learn_bpe.py` shape):
+    * exact corpus-weighted pair counts plus a pair→word-indices
+    * inverted index, so each round touches ONLY the words containing
+    * the merged pair. Tie-breaking and merge application replicate the
+    * distributed path exactly: argmax = (n desc, pair asc in UTF-8
+    * binary order — Spark's UTF8String comparison); the merge rewrites
+    * non-overlapping occurrences left to right, the literal-replace
+    * semantics of [[bpeStep]]'s double-space trick. */
+  private[graft] def bpeMergesLocal(
+      vocab: Array[(Long, Array[String])],
+      rounds: Int): Array[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] = vocab.map(_._2)
+    val cnts: Array[Long] = vocab.map(_._1)
+    val pairN = mutable.HashMap.empty[String, Long]
+    val index = mutable.HashMap.empty[String, mutable.Set[Int]]
+    def pairsOf(syms: Array[String]): Iterator[String] =
+      if (syms.length < 2) Iterator.empty
+      else (0 until syms.length - 1).iterator.map(i => syms(i) + " " + syms(i + 1))
+    var wi = 0
+    while (wi < words.length) {
+      val c = cnts(wi)
+      pairsOf(words(wi)).foreach { p =>
+        pairN.update(p, pairN.getOrElse(p, 0L) + c)
+        index.getOrElseUpdate(p, mutable.Set.empty) += wi
+      }
+      wi += 1
+    }
+    def utf8Less(x: String, y: String): Boolean = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      // argmax over the maintained counts (n desc, pair asc binary)
+      var bestP: String = null
+      var bestN = 0L
+      pairN.foreach { case (p, n) =>
+        if (n > 0L &&
+          (bestP == null || n > bestN || (n == bestN && utf8Less(p, bestP)))) {
+          bestP = p; bestN = n
+        }
+      }
+      if (bestP == null) exhausted = true
+      else {
+        val merged = bestP.replace(" ", "")
+        out += ((round, bestP, merged, bestN))
+        val Array(a, b) = bestP.split(" ", 2)
+        // rewrite ONLY the words containing the pair; maintain counts
+        // and index from each word's old/new pair multisets
+        val affected = index.getOrElse(bestP, mutable.Set.empty).toArray
+        java.util.Arrays.sort(affected)
+        affected.foreach { w =>
+          val syms = words(w)
+          val c = cnts(w)
+          val rewritten = mutable.ArrayBuffer.empty[String]
+          var i = 0
+          var changed = false
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              rewritten += merged; i += 2; changed = true
+            } else { rewritten += syms(i); i += 1 }
+          }
+          if (changed) {
+            val next = rewritten.toArray
+            val oldPairs = pairsOf(syms).toSeq
+            val newPairs = pairsOf(next).toSeq
+            oldPairs.foreach { p =>
+              val n2 = pairN(p) - c
+              if (n2 == 0L) pairN.remove(p) else pairN.update(p, n2)
+            }
+            newPairs.foreach { p =>
+              pairN.update(p, pairN.getOrElse(p, 0L) + c)
+            }
+            val oldSet = oldPairs.toSet
+            val newSet = newPairs.toSet
+            (oldSet -- newSet).foreach { p =>
+              index.get(p).foreach { s => s -= w; if (s.isEmpty) index.remove(p) }
+            }
+            (newSet -- oldSet).foreach { p =>
+              index.getOrElseUpdate(p, mutable.Set.empty) += w
+            }
+            words(w) = next
+          }
+        }
+      }
+      round += 1
+    }
+    out.toArray
   }
 
   /** Boundary-correct corpus-weighted pair counts of a `(cnt, r)`

@@ -29,6 +29,8 @@ object ScaleCurve {
     if (family == "embedding") { embeddingCurve(dir, multipliers); return }
     if (family == "containment") { containmentCurve(dir, multipliers); return }
     if (family == "incremental") { incrementalCurve(dir, multipliers); return }
+    if (family == "bpe") { bpeCurve(dir, multipliers); return }
+    if (family == "merge") { mergeCurve(dir, multipliers); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,6 +63,121 @@ object ScaleCurve {
         numHashes = 32, bands = 16, threshold = 0.6).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""[scale] {"multiplier":$m,"docs":$n,"candidate_pairs":$cand,"verified_pairs":$pairs,"lsh_seconds":$sec%.1f}""")
+    }
+    spark.stop()
+  }
+
+  /** BPE per-round-cost curve: cumulative bpeMerges runs at increasing
+    * round counts over the same corpus; the MARGINAL seconds per block
+    * isolate the per-round cost from the (shared, corpus-sized) seed.
+    * The claim under test: per-round time is flat-to-falling as merges
+    * accumulate — i.e. the loop's cost tracks the affected slice (the
+    * driver-local tail's inverted index), never the vocabulary. The
+    * multipliers argument is read as ROUND counts (default
+    * 100,200,300,400,500). */
+  private def bpeCurve(dir: String, blocks: Seq[Int]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rounds = if (blocks == Seq(1, 2, 5, 10)) Seq(100, 200, 300, 400, 500)
+      else blocks
+    // The synthetic corpus has a small distinct-word set (it exhausts
+    // under 100 merges), so the 500-round probe salts 15 token-prefixed
+    // copies — 15× the vocabulary, same text statistics per copy.
+    val base = spark.read.parquet(s"$dir/documents.parquet").select("text")
+    val docs = (0 until 15).map(c => base.select(
+        array_join(transform(graft.functions.TextFunctions.tokens(col("text")),
+          t => concat(lit(s"c${c}_"), t)), " ").as("text")))
+      .reduce(_.unionByName(_))
+      .localCheckpoint()
+    var prevSec = 0.0
+    var prevRounds = 0
+    rounds.foreach { r =>
+      val t0 = System.nanoTime()
+      val done = graft.operators.TextAnalysis.bpeMerges(docs, "text", r).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val marginal = sec - prevSec
+      val perRound =
+        if (r > prevRounds) marginal / (r - prevRounds) * 1000.0 else 0.0
+      println(f"""[scale-bpe] {"rounds":$r,"completed":$done,"total_seconds":$sec%.2f,"marginal_seconds":$marginal%.2f,"marginal_ms_per_round":$perRound%.1f}""")
+      prevSec = sec; prevRounds = r
+    }
+    spark.stop()
+  }
+
+  /** Merge-clause COW curve: table at multiplier m (m salted copies of
+    * the documents corpus, ONE file group per copy with a disjoint
+    * doc_id range), a FIXED-SIZE source (updates + inserts confined to
+    * copy 0's key range, plus a by-source clause whose condition's
+    * stats admit only copy 0). The claim under test: touched groups and
+    * rewritten bytes track the SOURCE (flat in m), while the table and
+    * its group count grow m× — the same linearity evidence the dedup
+    * curves record, for the mutation path. */
+  private def mergeCurve(dir: String, multipliers: Seq[Int]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Versioned
+    import graft.operators.Versioned.MergeClause._
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    def copyAt(c: Int): DataFrame = base.select(
+      (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+      col("lang"), col("n_chars"))
+    // fixed source: ~200 updates in copy 0 + 100 fresh inserts BELOW
+    // copy 1's range (a wide-spanning source would widen the candidate
+    // key range — the same care a Delta user takes)
+    val src = base.filter(graft.operators.Sampling.bucket(col("doc_id"), 17L) < 30)
+      .limit(200).select(col("doc_id"), lit("xx").as("lang"), col("n_chars"))
+      .unionByName(base.limit(100).select(
+        (col("doc_id") + lit(9000000L)).as("doc_id"),
+        lit("yy").as("lang"), col("n_chars")))
+      .localCheckpoint()
+    def groupsOf(tbl: String, v: Long): Set[String] =
+      Versioned.read(spark, tbl, v).inputFiles
+        .map(_.split("/files/")(1).split("/")(0)).toSet
+    def bytesOf(tbl: String, groups: Set[String]): Long = {
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      groups.toSeq.map(g => f.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$tbl/files/$g")).getLength).sum
+    }
+    multipliers.foreach { m =>
+      val tbl = java.nio.file.Files
+        .createTempDirectory(s"graft-mrg-scale$m").toString + "/t"
+      Versioned.commit(copyAt(0), tbl)
+      (1 until m).foreach(c => Versioned.append(copyAt(c), tbl))
+      val nRows = Versioned.read(spark, tbl).count()
+      val v0 = Versioned.latestVersion(spark, tbl)
+      val before = groupsOf(tbl, v0)
+      val t0 = System.nanoTime()
+      Versioned.mergeClauses(spark, tbl, src, Seq("doc_id"), Seq(
+        MatchedUpdate(Seq("lang" -> col("SRC.lang"))),
+        NotMatchedInsert()))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = groupsOf(tbl, v0 + 1)
+      val touched = (before -- after).size
+      val rewriteBytes = bytesOf(tbl, after -- before)
+      // by-source clause confined (by stats) to copy 0's range
+      val t1 = System.nanoTime()
+      Versioned.mergeClauses(spark, tbl, src, Seq("doc_id"), Seq(
+        NotMatchedBySourceUpdate(Seq("lang" -> lit("zz")),
+          Some(col("TGT.doc_id") < 1000000L && col("TGT.n_chars") < 50))))
+      val secBs = (System.nanoTime() - t1) / 1e9
+      val afterBs = groupsOf(tbl, v0 + 2)
+      val touchedBs = (after -- afterBs).size
+      val rewriteBytesBs = bytesOf(tbl, afterBs -- after)
+      println(f"""[scale-merge] {"multiplier":$m,"table_rows":$nRows,"table_groups":${before.size},"touched_groups":$touched,"rewrite_bytes":$rewriteBytes,"merge_seconds":$sec%.1f,"bysource_touched_groups":$touchedBs,"bysource_rewrite_bytes":$rewriteBytesBs,"bysource_seconds":$secBs%.1f}""")
     }
     spark.stop()
   }

@@ -88,6 +88,22 @@ class BpeSpec extends SparkSpec {
       s"first divergence: ${got.zip(ref).indexWhere(p => p._1 != p._2)}")
   }
 
+  test("driver-local tail and distributed incremental loop are BIT-IDENTICAL") {
+    val rnd = new scala.util.Random(47)
+    val words = (1 to 300).map(_ =>
+      (1 + rnd.nextInt(7), Seq.fill(2 + rnd.nextInt(7))(
+        ('a' + rnd.nextInt(6)).toChar).mkString))
+    val texts = words.flatMap { case (c, w) => Seq.fill(c)(w) }
+    val local = merges(texts, 40) // default: vocab fits, local tail
+    spark.conf.set("spark.graft.bpe.localVocabLimit", "0") // force distributed
+    try {
+      val dist = merges(texts, 40)
+      assert(local == dist,
+        s"first divergence at round ${local.zip(dist).indexWhere(p => p._1 != p._2) + 1}: " +
+          s"local=${local.take(3)} dist=${dist.take(3)}")
+    } finally spark.conf.unset("spark.graft.bpe.localVocabLimit")
+  }
+
   test("bpeStep recounts ONLY affected words; maintained counts equal a full recount") {
     // Vocab: 'abab' contains pair (a,b); 'ccc' and 'dd' do not.
     val repr = Seq((4L, "a b a b"), (3L, "c c c"), (2L, "d d"))
