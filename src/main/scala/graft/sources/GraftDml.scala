@@ -48,11 +48,13 @@ import graft.operators.Versioned
   *    — the replace-by-key contract of [[Versioned.merge]]; the ON
   *    clause must be a conjunction of same-named target=source column
   *    equalities (the key columns).
-  * Conditions may be any deterministic row-local expression, plus ONE
-  * top-level `col IN (SELECT ...)` conjunct in DELETE/UPDATE (Delta's
-  * semantics: the subquery is evaluated against the PRE-IMAGE, then the
-  * merge-clause COW runs keyed on the materialized set). Any other
-  * subquery shape is refused. */
+  * Conditions may be any deterministic row-local expression, plus — in
+  * DELETE/UPDATE, with Delta's pre-image semantics — either ONE
+  * top-level `col IN (SELECT ...)` conjunct (the subquery materializes
+  * against the PRE-IMAGE, then the merge-clause COW runs keyed on the
+  * set) or uncorrelated SCALAR subqueries (each evaluated against the
+  * pre-image and substituted as a typed literal, so stats pruning sees
+  * a plain comparison). Any other subquery shape is refused. */
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Hints batch runs BEFORE resolution: graft.`/path` references must
@@ -160,7 +162,10 @@ object GraftDmlRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(GraftTarget(dir), cond) if d.resolved =>
-      splitInSubquery(cond, "DELETE condition") match {
+      val (condNs, scalars) = extractScalars(cond, "DELETE condition")
+      if (scalars.nonEmpty)
+        GraftDeleteCommand(dir, detach(condNs, "DELETE condition"), scalars)
+      else splitInSubquery(cond, "DELETE condition") match {
         case None =>
           GraftDeleteCommand(dir, detach(cond, "DELETE condition"))
         case Some((keyCols, keysPlan, residual)) =>
@@ -180,7 +185,12 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         // same); Versioned.update refuses type-changing rewrites.
         name -> (detach(value, s"UPDATE SET $name"), key.dataType)
       }
-      cond.flatMap(splitInSubquery(_, "UPDATE condition")) match {
+      val scalarSplit = cond.map(extractScalars(_, "UPDATE condition"))
+      if (scalarSplit.exists(_._2.nonEmpty)) {
+        val (condNs, scalars) = scalarSplit.get
+        GraftUpdateCommand(dir,
+          Some(detach(condNs, "UPDATE condition")), sets, scalars)
+      } else cond.flatMap(splitInSubquery(_, "UPDATE condition")) match {
         case None =>
           GraftUpdateCommand(dir,
             cond.map(detach(_, "UPDATE condition")), sets)
@@ -228,6 +238,33 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     e.transform {
       case a: AttributeReference => UnresolvedAttribute(Seq("TGT", a.name))
     }.sql
+  }
+
+  /** Extract uncorrelated SCALAR subqueries from a DELETE/UPDATE
+    * condition: each becomes a placeholder attribute whose value the
+    * command computes against the PRE-IMAGE at run time (one bounded
+    * one-row collect per subquery — `WHERE w < (SELECT avg(w) FROM t)`
+    * evaluates avg on the old version, Delta's semantics) and
+    * substitutes back as a typed literal, so the remaining condition is
+    * row-local and stats pruning sees a plain literal comparison.
+    * Correlated scalar subqueries refuse. */
+  private def extractScalars(
+      e: Expression, what: String)
+      : (Expression, Seq[(String, LogicalPlan, org.apache.spark.sql.types.DataType)]) = {
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(String, LogicalPlan, org.apache.spark.sql.types.DataType)]
+    val out = e.transform {
+      case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+        if (s.outerAttrs.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"graft DML: correlated scalar subqueries are not supported " +
+              s"in the $what (only uncorrelated ones, evaluated against " +
+              "the pre-image)")
+        val name = s"__graft_scalar_${acc.size}"
+        acc += ((name, s.plan, s.dataType))
+        UnresolvedAttribute(name)
+    }
+    (out, acc.toSeq)
   }
 
   /** Delta-style IN-subquery support for DELETE/UPDATE conditions:
@@ -444,11 +481,39 @@ object GraftDmlRule extends Rule[LogicalPlan] {
   }
 }
 
+private[graft] object GraftDmlScalars {
+  /** Evaluate each extracted scalar-subquery plan against the PRE-IMAGE
+    * (one bounded collect apiece — scalar by SQL contract) and
+    * substitute the typed literals into the condition. */
+  def substitute(
+      spark: SparkSession,
+      cond: org.apache.spark.sql.Column,
+      scalars: Seq[(String, LogicalPlan, org.apache.spark.sql.types.DataType)])
+      : org.apache.spark.sql.Column =
+    if (scalars.isEmpty) cond
+    else {
+      val subs = scalars.map { case (name, plan, dt) =>
+        val rows = GraftDml.ofRows(spark, plan).limit(2).collect()
+        require(rows.length <= 1,
+          "graft DML: a scalar subquery returned more than one row")
+        val v = if (rows.isEmpty || rows(0).isNullAt(0)) null else rows(0).get(0)
+        name -> ((v: Any, dt))
+      }.toMap
+      org.apache.spark.sql.graftshim.GraftSqlBridge.substituteScalars(cond, subs)
+    }
+}
+
 private[graft] final case class GraftDeleteCommand(
-    tableDir: String, condSql: String) extends LeafRunnableCommand {
+    tableDir: String,
+    condSql: String,
+    scalars: Seq[(String, LogicalPlan, org.apache.spark.sql.types.DataType)] =
+      Seq.empty)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = scalars.map(_._2)
   override def output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    Versioned.delete(spark, tableDir)(expr(condSql))
+    Versioned.delete(spark, tableDir)(
+      GraftDmlScalars.substitute(spark, expr(condSql), scalars))
     Seq.empty
   }
 }
@@ -456,11 +521,16 @@ private[graft] final case class GraftDeleteCommand(
 private[graft] final case class GraftUpdateCommand(
     tableDir: String,
     condSql: Option[String],
-    sets: Seq[(String, (String, org.apache.spark.sql.types.DataType))])
+    sets: Seq[(String, (String, org.apache.spark.sql.types.DataType))],
+    scalars: Seq[(String, LogicalPlan, org.apache.spark.sql.types.DataType)] =
+      Seq.empty)
     extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = scalars.map(_._2)
   override def output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    val cond = condSql.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true))
+    val cond = GraftDmlScalars.substitute(spark,
+      condSql.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true)),
+      scalars)
     val assignments = sets.map { case (name, (valueSql, dt)) =>
       name -> expr(valueSql).cast(dt)
     }

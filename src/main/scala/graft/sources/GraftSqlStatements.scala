@@ -55,8 +55,12 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
 private[graft] object GraftSqlStatements {
 
-  // graft.`/path`  |  name  |  db.name
-  private val Tbl = "(?:graft\\s*\\.\\s*`([^`]+)`|([A-Za-z_][\\w]*(?:\\.[A-Za-z_][\\w]*)?))"
+  // graft.`/path`  |  name | db.name | cat.db.name, each part plain or
+  // `backquoted` (a backquoted FIRST part distinguishes `graft`.x — a
+  // database literally named graft — from the path form)
+  private val Part = "(?:[A-Za-z_][\\w]*|`[^`]+`)"
+  private val Tbl =
+    s"(?:graft\\s*\\.\\s*`([^`]+)`|($Part(?:\\s*\\.\\s*$Part){0,2}))"
   private val Id = "([A-Za-z_][\\w]*)"
 
   private def re(pattern: String) =
@@ -91,8 +95,18 @@ private[graft] object GraftSqlStatements {
     // to fall through.
     def dir(path: String, name: String, graftOnly: Boolean): Option[String] =
       Option(path).orElse {
+        // split into identifier parts honoring `backquotes` (a naive
+        // dot-split would break a backquoted part containing dots); a
+        // leading spark_catalog qualifier resolves in the session catalog
+        val partRe = "`([^`]+)`|([A-Za-z_][\\w]*)".r
+        val ps0 = partRe.findAllMatchIn(name)
+          .map(m => Option(m.group(1)).getOrElse(m.group(2))).toSeq
+        val ps =
+          if (ps0.size == 3 && ps0.head.equalsIgnoreCase("spark_catalog"))
+            ps0.tail
+          else ps0
         val resolved = org.apache.spark.sql.graftshim.GraftSqlBridge
-          .graftTablePath(session, name.split("\\.").toSeq)
+          .graftTablePath(session, ps)
         if (resolved.isEmpty && graftOnly)
           throw new IllegalArgumentException(
             s"'$name' is not a graft table (USING graft) — this statement " +

@@ -37,6 +37,25 @@ object GraftSqlBridge {
     })
   }
 
+  /** Replace placeholder attributes with typed literals — the scalar-
+    * subquery substitution of the DML commands: the subquery was
+    * evaluated against the pre-image to an external value, which
+    * `Literal.create` converts through the catalyst converters. */
+  def substituteScalars(
+      c: org.apache.spark.sql.Column,
+      subs: Map[String, (Any, org.apache.spark.sql.types.DataType)])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
+    val real = ColumnNodeToExpressionConverter(c.node)
+    ExpressionUtils.column(real.transform {
+      case UnresolvedAttribute(parts)
+          if parts.length == 1 && subs.contains(parts.head) =>
+        val (v, dt) = subs(parts.head)
+        org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)
+    })
+  }
+
   /** The storage path of catalog table `parts` IF it is a `USING graft`
     * table; None otherwise (including non-existent tables). Used to
     * resolve catalog-name time travel, which Spark only wires up for

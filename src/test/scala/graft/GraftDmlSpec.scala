@@ -201,6 +201,48 @@ class GraftDmlSpec extends SparkSpec {
     assert(got.filter($"id" === 1L && $"w" === 5555L).count() == 1)
     assert(got.filter($"id" === 11L && $"w" === 110L).count() == 1,
       "rows outside the pre-image key set keep their values")
+    // multi-column IN: (id, v) pairs — composite keys ride the same path
+    locally {
+      val ss = sql; import ss.implicits._
+      Seq((21L, "v21"), (23L, "nope")).toDF("id", "v")
+        .createOrReplaceTempView("dml_sq_pairs")
+    }
+    sql.sql(s"""DELETE FROM graft.`$dir`
+               |WHERE (id, v) IN (SELECT id, v FROM dml_sq_pairs)""".stripMargin)
+    val got2 = Versioned.read(sql, dir)
+    assert(got2.filter($"id" === 21L).count() == 0, "matching pair deleted")
+    assert(got2.filter($"id" === 23L).count() == 1,
+      "id matches but v does not — the composite key must not match")
+  }
+
+  test("scalar-subquery DML conditions: pre-image evaluation, empty -> NULL, correlated refused") {
+    val dir = seeded() // ids 0..199, w = id*10 -> avg(w) = 995
+    // the scalar is computed on the PRE-IMAGE and substituted as a
+    // typed literal, so stats pruning sees a plain comparison
+    sql.sql(s"DELETE FROM graft.`$dir` WHERE w < (SELECT avg(w) FROM graft.`$dir`)")
+    val got = Versioned.read(sql, dir)
+    assert(got.count() == 100, "w < 995 (the pre-image avg) deletes ids 0..99")
+    assert(got.filter($"id" < 100).count() == 0)
+    // arithmetic around the scalar + UPDATE flavor
+    sql.sql(s"""UPDATE graft.`$dir` SET v = 'top'
+               |WHERE w > (SELECT max(w) FROM graft.`$dir`) - 100""".stripMargin)
+    assert(Versioned.read(sql, dir).filter($"v" === "top").count() == 10,
+      "w > 1990-100 marks ids 190..199")
+    // empty scalar result -> NULL -> ANSI: no row qualifies, nothing deleted
+    locally {
+      val ss = sql; import ss.implicits._
+      Seq.empty[Long].toDF("k").createOrReplaceTempView("dml_scalar_empty")
+    }
+    sql.sql(s"DELETE FROM graft.`$dir` WHERE w < (SELECT max(k) FROM dml_scalar_empty)")
+    assert(Versioned.read(sql, dir).count() == 100, "NULL scalar deletes nothing")
+    // correlated scalar subqueries refuse loudly
+    val e = intercept[Exception] {
+      sql.sql(s"""DELETE FROM graft.`$dir`
+                 |WHERE w < (SELECT max(k) FROM dml_scalar_empty WHERE k = id)""".stripMargin)
+    }
+    assert(e.getMessage.contains("correlated") || e.getMessage.contains("subquer"),
+      e.getMessage)
+    assert(Versioned.read(sql, dir).count() == 100)
   }
 
   test("IN-subquery DML refusals: correlated, NOT IN, multiple subquery conjuncts, cast operands") {
@@ -265,8 +307,26 @@ class GraftDmlSpec extends SparkSpec {
       }
       assert(sql.sql("SELECT * FROM graft.plain_parquet_tbl").count() == 2,
         "a non-path identifier under the graft database must resolve via the catalog")
+      // a graft-provider table UNDER the graft database: DML and
+      // maintenance statements resolve through the catalog branch, with
+      // plain and backquoted identifier forms alike
+      val tdir = tbl()
+      locally {
+        val ss = sql; import ss.implicits._
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+          .write.format("graft").option("path", tdir)
+          .saveAsTable("graft.versioned_tbl")
+      }
+      sql.sql("DELETE FROM graft.versioned_tbl WHERE id = 1")
+      assert(sql.sql("SELECT count(*) FROM graft.versioned_tbl")
+        .collect()(0).getLong(0) == 1L)
+      assert(sql.sql("DESCRIBE HISTORY `graft`.`versioned_tbl`").count() == 2L)
+      assert(sql.sql("DESCRIBE HISTORY spark_catalog.graft.versioned_tbl")
+        .count() == 2L)
+      sql.sql("DROP TABLE IF EXISTS graft.versioned_tbl")
     } finally {
       sql.sql("DROP TABLE IF EXISTS graft.plain_parquet_tbl")
+      sql.sql("DROP TABLE IF EXISTS graft.versioned_tbl")
       sql.sql("DROP DATABASE IF EXISTS graft")
     }
   }
