@@ -189,10 +189,24 @@ object IvfIndex {
       if (tookOver) {
         if (fs.exists(done)) idx.toString else winnerBuild()
       } else {
-        val staging = new org.apache.hadoop.fs.Path(
-          dir, "staging-" + java.util.UUID.randomUUID().toString)
-        build(staging.toString)
-        staging.toString
+        // A healthy winner is mid-build. At 100 TB a throwaway staging
+        // rebuild is a full corpus pass, so a loser may WAIT for the
+        // shared artifact instead: `spark.graft.ivf.cache.waitMs` > 0
+        // polls the fingerprint up to that long before falling back.
+        // Default 0 keeps the never-blocks contract for interactive
+        // sessions; batch pipelines set it to ~the build time.
+        val waitMs = spark.conf.getOption("spark.graft.ivf.cache.waitMs")
+          .map(_.toLong).getOrElse(0L)
+        val deadline = System.currentTimeMillis() + waitMs
+        while (!fs.exists(done) && System.currentTimeMillis() < deadline)
+          Thread.sleep(200L)
+        if (fs.exists(done)) idx.toString
+        else {
+          val staging = new org.apache.hadoop.fs.Path(
+            dir, "staging-" + java.util.UUID.randomUUID().toString)
+          build(staging.toString)
+          staging.toString
+        }
       }
     }
   }

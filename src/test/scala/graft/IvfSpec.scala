@@ -224,6 +224,40 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("cachedIndex: a loser can WAIT for the winner's artifact instead of staging-rebuilding") {
+    val src = java.nio.file.Files.createTempDirectory("graft_ivf_src3").toString + "/emb"
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_root3").toString
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .write.parquet(src)
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      def get(): String = IvfIndex.cachedIndex(spark, src, "wait_idx", Some(root)) { d =>
+        builds.incrementAndGet()
+        IvfIndex.writeIndex(spark.read.parquet(src), "embedding", "vec_id",
+          d, nlist = 8, iters = 2)
+      }
+      // winner thread starts first; the loser (this thread) waits for
+      // the shared artifact rather than paying a throwaway build
+      spark.conf.set("spark.graft.ivf.cache.waitMs", "60000")
+      try {
+        val winner = new java.util.concurrent.CompletableFuture[String]()
+        val t = new Thread(() => winner.complete(get()))
+        t.start()
+        Thread.sleep(300) // let the winner claim _BUILDING
+        val loser = get()
+        t.join()
+        assert(builds.get() == 1, "the waiting loser must not build")
+        assert(loser == winner.get() && loser.endsWith("/index") &&
+          !loser.contains("staging-"),
+          s"the loser must serve the SHARED artifact: $loser")
+      } finally spark.conf.unset("spark.graft.ivf.cache.waitMs")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(src).getParentFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("IVF output is deterministic, ranked, and k-bounded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)
