@@ -127,10 +127,17 @@ object IvfIndex {
     * probes read nprobe/nlist of it. Distinct configurations must use
     * distinct `name`s (the config is not part of the fingerprint).
     *
-    * Concurrency: create-exclusive on the marker decides a builder the
-    * same way version manifests do; a concurrent loser rebuilds into
-    * its own staging path and loses harmlessly (the artifact is
-    * deterministic for a fixed config+input). */
+    * Concurrency: `_FINGERPRINT` is a POINTER — its second line names
+    * the published index directory, and it is created exclusively only
+    * AFTER that directory is fully built, so a session that observes it
+    * never reads a half-built or later-overwritten artifact. Every
+    * builder (original winner, stale-marker takeover, loser staging)
+    * writes its OWN directory; no two writers ever share a target, so
+    * a slow original winner racing a takeover claimant cannot tear a
+    * published artifact — exactly one of them wins the pointer
+    * create-exclusive and the other's directory is swept once quiet.
+    * The artifact is deterministic for a fixed config+input, so which
+    * build publishes is immaterial. */
   def cachedIndex(
       spark: org.apache.spark.sql.SparkSession,
       inputPath: String,
@@ -141,58 +148,66 @@ object IvfIndex {
     val fp = Reports.fingerprint(spark, inputPath)
     val dir = new org.apache.hadoop.fs.Path(s"$root/$name/$fp")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idx = new org.apache.hadoop.fs.Path(dir, "index")
     val done = new org.apache.hadoop.fs.Path(dir, "_FINGERPRINT")
-    if (fs.exists(done)) return idx.toString
-    // Create-exclusive on the builder marker decides exactly ONE writer
-    // of the shared `index` path (interleaved concurrent writes would
-    // corrupt it); `_FINGERPRINT` is created only AFTER the build, so a
-    // session that observes it never reads a half-built artifact. A
-    // loser serves its own staging build — the artifact is
-    // deterministic for a fixed config+input, so results are identical.
+    // the pointer's second line names the published dir ("index" for
+    // artifacts recorded before the pointer existed)
+    def publishedIdx(): String = {
+      val in = fs.open(done)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = content.split("\n").filter(_.nonEmpty)
+      val target = if (lines.length >= 2) lines(1) else "index"
+      new org.apache.hadoop.fs.Path(dir, target).toString
+    }
+    if (fs.exists(done)) return publishedIdx()
     val building = new org.apache.hadoop.fs.Path(dir, "_BUILDING")
-    def winnerBuild(): String = {
-      build(idx.toString)
-      graft.sources.FsAtomic.createExclusive(fs, done, fp + "\n")
-      pruneStaleSiblings(spark, fs, dir.getParent, fp)
-      pruneStaleStaging(spark, fs, dir)
-      idx.toString
+    def winnerBuild(target: String): String = {
+      val t = new org.apache.hadoop.fs.Path(dir, target)
+      build(t.toString)
+      if (graft.sources.FsAtomic.createExclusive(fs, done, fp + "\n" + target + "\n")) {
+        pruneStaleSiblings(spark, fs, dir.getParent, fp)
+        pruneStaleLocal(spark, fs, dir, keep = target)
+        t.toString
+      } else publishedIdx() // lost the publish race: serve the winner
     }
     if (graft.sources.FsAtomic.createExclusive(fs, building, fp + "\n"))
-      winnerBuild()
+      winnerBuild("index")
     else {
-      // A winner that crashed mid-build leaves `_BUILDING` behind forever:
-      // `_FINGERPRINT` then never publishes and every later session would
-      // silently rebuild a throwaway staging index per call. Lease-based
-      // takeover: a marker QUIET past the stale grace window (same window
-      // the sibling sweep uses) with no fingerprint published is claimed
-      // via create-exclusive on a takeover marker whose NAME embeds the
-      // observed mtime — two sessions observing the same stale epoch race
-      // on the same name, so exactly one rebuilds into the shared path
-      // (overwrite-mode writes flatten the crashed half-build). A winner
-      // merely SLOWER than the grace window is the inherent lease
-      // trade-off; both builds are deterministic and identical, and the
-      // fingerprint publish is create-exclusive either way.
+      // A winner that crashed mid-build leaves `_BUILDING` behind
+      // forever: the pointer then never publishes and every later
+      // session would silently rebuild a throwaway staging index per
+      // call. Lease-based takeover: once the marker is QUIET past the
+      // stale grace window with no pointer published, claimants race
+      // create-exclusive on a takeover marker keyed by (marker mtime,
+      // current grace window) — one claimant per window, so a crashed
+      // CLAIMANT self-heals when the window rolls over, and a claimant
+      // racing a merely-slow original winner is safe because each
+      // builds its own directory and the pointer picks one.
+      val grace = staleGraceMs(spark)
       val staleEpoch: Option[Long] =
         try {
           val st = fs.getFileStatus(building)
-          val grace = staleGraceMs(spark)
           if (!fs.exists(done) &&
               System.currentTimeMillis() - st.getModificationTime > grace)
             Some(st.getModificationTime)
           else None
         } catch { case _: java.io.FileNotFoundException => None }
       val tookOver = staleEpoch.exists { mt =>
+        val window = System.currentTimeMillis() / math.max(1L, grace)
         graft.sources.FsAtomic.createExclusive(
-          fs, new org.apache.hadoop.fs.Path(dir, s"_TAKEOVER_$mt"), fp + "\n")
+          fs, new org.apache.hadoop.fs.Path(dir, s"_TAKEOVER_${mt}_$window"),
+          fp + "\n")
       }
       if (tookOver) {
-        if (fs.exists(done)) idx.toString else winnerBuild()
+        if (fs.exists(done)) publishedIdx()
+        else winnerBuild(
+          "index-tk-" + java.util.UUID.randomUUID().toString)
       } else {
         // A healthy winner is mid-build. At 100 TB a throwaway staging
         // rebuild is a full corpus pass, so a loser may WAIT for the
         // shared artifact instead: `spark.graft.ivf.cache.waitMs` > 0
-        // polls the fingerprint up to that long before falling back.
+        // polls the pointer up to that long before falling back.
         // Default 0 keeps the never-blocks contract for interactive
         // sessions; batch pipelines set it to ~the build time.
         val waitMs = spark.conf.getOption("spark.graft.ivf.cache.waitMs")
@@ -200,7 +215,7 @@ object IvfIndex {
         val deadline = System.currentTimeMillis() + waitMs
         while (!fs.exists(done) && System.currentTimeMillis() < deadline)
           Thread.sleep(200L)
-        if (fs.exists(done)) idx.toString
+        if (fs.exists(done)) publishedIdx()
         else {
           val staging = new org.apache.hadoop.fs.Path(
             dir, "staging-" + java.util.UUID.randomUUID().toString)
@@ -215,18 +230,26 @@ object IvfIndex {
     spark.conf.getOption("spark.graft.ivf.cache.staleGraceMs")
       .map(_.toLong).getOrElse(900000L)
 
-  /** Sweep loser staging builds inside the CURRENT fingerprint dir —
-    * they live under `<fp>/staging-<uuid>` so the sibling sweep never
-    * sees them; quiet-past-grace keeps a concurrent loser's in-flight
-    * read safe, same rule as [[pruneStaleSiblings]]. */
-  private def pruneStaleStaging(
+  /** Sweep UNPUBLISHED build dirs inside the CURRENT fingerprint dir —
+    * loser stagings, losing takeover builds, and a crashed winner's
+    * half-built `index` (everything but `keep`, the pointer's target).
+    * The sibling sweep never sees these (they live inside the live fp
+    * dir). Swept only once quiet past 4× the grace window: a dir's
+    * mtime freezes when its build finishes, but a LOSER may keep
+    * serving its staging path for a while — the widened window is the
+    * honest time-based bound on that (a loser session outliving it
+    * re-calls cachedIndex and gets the published artifact). */
+  private def pruneStaleLocal(
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Unit = {
-    val grace = staleGraceMs(spark)
+      dir: org.apache.hadoop.fs.Path,
+      keep: String): Unit = {
+    val grace = staleGraceMs(spark) * 4
     val now = System.currentTimeMillis()
     if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
-      if (s.isDirectory && s.getPath.getName.startsWith("staging-") &&
+      val n = s.getPath.getName
+      if (s.isDirectory && n != keep &&
+          (n.startsWith("staging-") || n.startsWith("index")) &&
           now - s.getModificationTime > grace)
         fs.delete(s.getPath, true)
     }

@@ -1676,9 +1676,9 @@ object Versioned {
     * manifest-aware on two layers. (1) A per-batch exclusion joins the
     * file groups against the groups introduced by non-append versions
     * (computed fresh from the manifest log at every micro-batch plan),
-    * so a [[compact]]/[[snapshotTo]]/COW-DML rewrite group can never
-    * re-emit existing rows into the checkpointed sink — not even in the
-    * batch racing the failure below. (2) A guard stream tails the
+    * so a [[compact]]/[[snapshotTo]]/COW-DML rewrite group whose
+    * manifest is visible at batch-plan time never re-emits existing
+    * rows into the checkpointed sink. (2) A guard stream tails the
     * manifest log itself and FAILS THE QUERY loudly the moment a
     * version whose mode is outside [[streamSafeModes]] exists past
     * genesis (v0 may be any mode — it is the initial state), matching
@@ -1686,6 +1686,18 @@ object Versioned {
     * includes RENAME/DROP COLUMN versions, whose mapping a schema-blind
     * file stream cannot apply. When rewrites can occur, use
     * [[pollChanges]] and honor its resync flag instead.
+    *
+    * Honest residual window: rewrite GROUP FILES become durable before
+    * their manifest publishes (the same ordering appends rely on), so a
+    * batch whose listing catches the new files while the manifest write
+    * is still in flight can commit those rows before the guard kills
+    * the query one batch later — a file-source filter cannot hold back
+    * unknown files without also losing in-flight APPENDS forever (the
+    * engine marks listed files processed either way). Closing that
+    * window takes a custom manifest-driven MicroBatchStream; until
+    * then, do not run rewrites against a table a changesStream consumer
+    * is tailing — the guard turns that mistake into a loud failure
+    * rather than a silent corruption.
     *
     * Safe against [[vacuum]]: retention deletes only groups no kept
     * version lists, which a checkpointed consumer processed long
@@ -1715,7 +1727,9 @@ object Versioned {
       .withColumn("__graft_group",
         org.apache.spark.sql.functions.regexp_extract(
           org.apache.spark.sql.functions.input_file_name(),
-          "/files/([^/]+)/", 1))
+          // greedy prefix anchors to the LAST /files/ segment — the
+          // table's own path may legitimately contain "/files/"
+          "^.*/files/([^/]+)/", 1))
       .join(org.apache.spark.sql.functions.broadcast(unsafe),
         Seq("__graft_group"), "left_outer")
       .filter(col("__graft_unsafe").isNull)
@@ -1778,11 +1792,18 @@ object Versioned {
       var prev = cachedPrev
       var unsafe = cachedUnsafe
       ((cachedV + 1) to latest).foreach { v =>
-        scala.util.Try(parseManifest(spark, tableDir, v)).toOption match {
-          case Some(m) =>
-            if (!streamSafeModes(m.mode))
-              unsafe = unsafe ++ m.files.filterNot(prev)
-            prev = m.files.toSet
+        // ONLY absence means vacuumed; a transient read error must
+        // propagate (fail the batch, engine retries) — treating it as
+        // "no manifest" and then CACHING the walk would permanently
+        // omit that version's groups from the exclusion set.
+        val m =
+          try Some(parseManifest(spark, tableDir, v))
+          catch { case _: java.io.FileNotFoundException => None }
+        m match {
+          case Some(mf) =>
+            if (!streamSafeModes(mf.mode))
+              unsafe = unsafe ++ mf.files.filterNot(prev)
+            prev = mf.files.toSet
           case None => () // vacuumed manifest: its dropped groups are gone
         }
       }

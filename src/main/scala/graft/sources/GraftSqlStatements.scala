@@ -93,13 +93,23 @@ private[graft] object GraftSqlStatements {
     // graftOnly statements raise on a non-graft target (core Spark
     // cannot parse them anyway); shared-syntax statements return None
     // to fall through.
-    def dir(path: String, name: String, graftOnly: Boolean): Option[String] =
-      Option(path).orElse {
+    def dir(path: String, name: String, graftOnly: Boolean): Option[String] = {
+      // graft.`x` is the PATH form only when x looks like a path — the
+      // same rule as GraftPathRelationRule.isPathForm, so DML/SELECT and
+      // maintenance statements resolve one spelling identically; a
+      // non-path x is a table under a database literally named graft.
+      val (p2, n2) = Option(path) match {
+        case Some(p) if GraftPathRelationRule.isPathForm(Seq("graft", p)) =>
+          (Some(p), name)
+        case Some(p) => (None, s"graft.`$p`")
+        case None => (None, name)
+      }
+      p2.orElse {
         // split into identifier parts honoring `backquotes` (a naive
         // dot-split would break a backquoted part containing dots); a
         // leading spark_catalog qualifier resolves in the session catalog
         val partRe = "`([^`]+)`|([A-Za-z_][\\w]*)".r
-        val ps0 = partRe.findAllMatchIn(name)
+        val ps0 = partRe.findAllMatchIn(n2)
           .map(m => Option(m.group(1)).getOrElse(m.group(2))).toSeq
         val ps =
           if (ps0.size == 3 && ps0.head.equalsIgnoreCase("spark_catalog"))
@@ -109,10 +119,11 @@ private[graft] object GraftSqlStatements {
           .graftTablePath(session, ps)
         if (resolved.isEmpty && graftOnly)
           throw new IllegalArgumentException(
-            s"'$name' is not a graft table (USING graft) — this statement " +
+            s"'$n2' is not a graft table (USING graft) — this statement " +
               "only applies to graft tables")
         resolved
       }
+    }
     sql match {
       case Convert(path) => Some(GraftConvertCommand(path))
       case DescribeHistory(p, n) =>

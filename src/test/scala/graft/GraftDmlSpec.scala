@@ -323,6 +323,10 @@ class GraftDmlSpec extends SparkSpec {
       assert(sql.sql("DESCRIBE HISTORY `graft`.`versioned_tbl`").count() == 2L)
       assert(sql.sql("DESCRIBE HISTORY spark_catalog.graft.versioned_tbl")
         .count() == 2L)
+      // graft.`x` with a NON-path x is the catalog form on the
+      // maintenance surface too — the same rule as SELECT/DML, so one
+      // spelling never resolves to a relative directory 'x'
+      assert(sql.sql("DESCRIBE HISTORY graft.`versioned_tbl`").count() == 2L)
       sql.sql("DROP TABLE IF EXISTS graft.versioned_tbl")
     } finally {
       sql.sql("DROP TABLE IF EXISTS graft.plain_parquet_tbl")

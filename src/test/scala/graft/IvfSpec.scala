@@ -207,15 +207,56 @@ class IvfSpec extends SparkSpec {
       try {
         Thread.sleep(1100) // mtime granularity
         val idx = get()
-        assert(!idx.contains("staging-") && idx.endsWith("/index"),
-          s"takeover must rebuild the SHARED path: $idx")
+        // the takeover builds its OWN dir (never the crashed winner's
+        // "index" — a merely-slow winner must not be torn) and
+        // publishes it through the _FINGERPRINT pointer
+        assert(!idx.contains("staging-") && idx.contains("/index"),
+          s"takeover must publish a SHARED path: $idx")
         assert(builds.get() == 2)
         assert(fpDir.toPath.resolve("_FINGERPRINT").toFile.exists(),
-          "takeover must publish the fingerprint")
+          "takeover must publish the fingerprint pointer")
         assert(!fpDir.listFiles().exists(_.getName.startsWith("staging-")),
           "the winning build must sweep quiet loser staging dirs")
-        // and from here on the artifact is simply served
+        // and from here on the artifact is simply served via the pointer
         assert(get() == idx && builds.get() == 2)
+      } finally spark.conf.unset("spark.graft.ivf.cache.staleGraceMs")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(src).getParentFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("cachedIndex: a crashed TAKEOVER claimant self-heals (lease re-leases across windows)") {
+    val src = java.nio.file.Files.createTempDirectory("graft_ivf_src4").toString + "/emb"
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_root4").toString
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .write.parquet(src)
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      def get(): String = IvfIndex.cachedIndex(spark, src, "heal_idx", Some(root)) { d =>
+        builds.incrementAndGet()
+        IvfIndex.writeIndex(spark.read.parquet(src), "embedding", "vec_id",
+          d, nlist = 8, iters = 2)
+      }
+      // crashed winner AND a crashed claimant from an earlier window:
+      // both markers persist, neither published a pointer
+      val fp = graft.operators.Reports.fingerprint(spark, src)
+      val fpDir = new java.io.File(new java.io.File(root, "heal_idx"), fp)
+      fpDir.mkdirs()
+      java.nio.file.Files.writeString(fpDir.toPath.resolve("_BUILDING"), fp + "\n")
+      val mt = fpDir.toPath.resolve("_BUILDING").toFile.lastModified()
+      java.nio.file.Files.writeString(
+        fpDir.toPath.resolve(s"_TAKEOVER_${mt}_1"), fp + "\n") // stale window
+      spark.conf.set("spark.graft.ivf.cache.staleGraceMs", "0")
+      try {
+        Thread.sleep(1100) // let _BUILDING go quiet
+        val idx = get()
+        assert(builds.get() == 1 && !idx.contains("staging-"),
+          s"a later window must be able to re-lease the takeover: $idx " +
+            s"(builds=${builds.get()})")
+        assert(fpDir.toPath.resolve("_FINGERPRINT").toFile.exists())
+        assert(get() == idx && builds.get() == 1)
       } finally spark.conf.unset("spark.graft.ivf.cache.staleGraceMs")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(
