@@ -659,20 +659,45 @@ object Versioned {
   /** Highest `batchId` any committed version records for `appId`, or -1
     * if none — the idempotence watermark [[appendOnce]] consults. The
     * scan is metadata-only (a few KB of JSON per version, on the
-    * driver); versions dropped by [[vacuum]] no longer witness their
-    * batches, so retention must exceed the longest replay window a
-    * restarting writer can attempt — the exact contract Delta documents
-    * for its SetTransaction retention. */
+    * driver) and INCREMENTAL: manifests are immutable once published,
+    * so the per-table walk is cached (v0-mtime epoch detects a table
+    * re-created at the same path) and each call parses only manifests
+    * it has not seen. Without this a long-running ingest would pay an
+    * O(versions) manifest sweep PER BATCH — quadratic over the life of
+    * a 10k-batch stream. Versions dropped by [[vacuum]] no longer
+    * witness their batches, so retention must exceed the longest replay
+    * window a restarting writer can attempt — the exact contract Delta
+    * documents for its SetTransaction retention; the cache keeps the
+    * max it witnessed BEFORE the vacuum for the session's lifetime,
+    * which only widens the replay protection. */
   def lastCommittedBatch(
       spark: SparkSession, tableDir: String, appId: String): Long = {
     val latest = latestVersion(spark, tableDir)
-    (0L to latest).foldLeft(-1L) { (acc, v) =>
-      scala.util.Try(parseManifest(spark, tableDir, v)).toOption
-        .flatMap(_.txn)
-        .collect { case (app, b) if app == appId => b }
-        .fold(acc)(math.max(acc, _))
+    if (latest < 0) return -1L
+    val epoch = scala.util.Try(
+      fs(spark, tableDir).getFileStatus(manifestPath(tableDir, 0L))
+        .getModificationTime).getOrElse(-1L)
+    txnWatermarkCache.synchronized {
+      val (cachedV, marks) = txnWatermarkCache.get(tableDir) match {
+        case Some((e, v, m)) if e == epoch && v <= latest => (v, m)
+        case _ => (-1L, Map.empty[String, Long])
+      }
+      var out = marks
+      ((cachedV + 1) to latest).foreach { v =>
+        val txn =
+          try parseManifest(spark, tableDir, v).txn
+          catch { case _: java.io.FileNotFoundException => None }
+        txn.foreach { case (app, b) =>
+          out = out.updated(app, math.max(out.getOrElse(app, -1L), b))
+        }
+      }
+      txnWatermarkCache.put(tableDir, (epoch, latest, out))
+      out.getOrElse(appId, -1L)
     }
   }
+
+  private val txnWatermarkCache =
+    scala.collection.mutable.Map.empty[String, (Long, Long, Map[String, Long])]
 
   /** IDEMPOTENT append — the exactly-once streaming-ingest seam, the
     * same mechanism as Delta's `txnAppId`/`txnVersion` options: the

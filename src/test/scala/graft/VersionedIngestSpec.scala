@@ -54,6 +54,32 @@ class VersionedIngestSpec extends SparkSpec {
     assert(Versioned.lastCommittedBatch(spark, dir, "missing") == -1L)
   }
 
+  test("txn watermark is incremental-cache-correct: interleaved writers, re-created tables") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    assert(Versioned.appendOnce(Seq((2L, "b")).toDF("id", "v"), dir, "appA", 0L).isDefined)
+    assert(Versioned.lastCommittedBatch(spark, dir, "appA") == 0L)
+    // interleave: a txn-less append and a FOREIGN appId must not move
+    // appA's watermark (the cache walks every new version, whoever wrote it)
+    Versioned.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(Versioned.appendOnce(Seq((4L, "d")).toDF("id", "v"), dir, "appB", 9L).isDefined)
+    assert(Versioned.lastCommittedBatch(spark, dir, "appA") == 0L)
+    assert(Versioned.lastCommittedBatch(spark, dir, "appB") == 9L)
+    assert(Versioned.appendOnce(Seq((5L, "e")).toDF("id", "v"), dir, "appA", 1L).isDefined)
+    assert(Versioned.lastCommittedBatch(spark, dir, "appA") == 1L)
+    // replay below the watermark: skipped
+    assert(Versioned.appendOnce(Seq((5L, "e")).toDF("id", "v"), dir, "appA", 1L).isEmpty)
+    // table DELETED and RE-CREATED at the same path: the v0-mtime epoch
+    // must reset the cached walk, not serve the old table's watermark
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Thread.sleep(1100) // mtime granularity on the epoch file
+    Versioned.commit(Seq((9L, "z")).toDF("id", "v"), dir)
+    assert(Versioned.lastCommittedBatch(spark, dir, "appA") == -1L,
+      "a re-created table must not inherit the old watermark")
+    assert(Versioned.appendOnce(Seq((10L, "y")).toDF("id", "v"), dir, "appA", 0L).isDefined)
+  }
+
   test("appendOnce: schema-drift failure leaves NO orphaned file group") {
     val dir = tbl()
     assert(Versioned.appendOnce(rows(0, 5), dir, "app", 0L).contains(0L))
