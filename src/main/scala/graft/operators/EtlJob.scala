@@ -469,19 +469,29 @@ object Writes {
           s"holder clears itself after the ${leaseMs}ms lease.")
     // Heartbeat: keep the lease visibly alive for merges longer than the
     // lease. Overwrite is safe — only the holder heartbeats this path.
+    // Shutdown is flag-FIRST, interrupt second: Hadoop filesystem code
+    // inside stamp() can swallow/clear the interrupt flag, and a
+    // heartbeat that survives its interrupt would re-create the lock
+    // file AFTER the release below deleted it — a phantom lock the next
+    // writer must wait a full lease to break (the one observed full-
+    // suite flake: "broken-then-reacquired lock must be released").
     val hbPeriod = math.max(leaseMs / 3, 50L)
+    val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hb = new Thread(() => {
-      try while (!Thread.interrupted()) {
+      try while (!hbStop.get()) {
         Thread.sleep(hbPeriod)
-        stamp(overwrite = true)
+        if (!hbStop.get()) stamp(overwrite = true)
       } catch { case _: InterruptedException => () }
     }, s"graft-merge-lease-$owner")
     hb.setDaemon(true)
     hb.start()
     try body
     finally {
+      hbStop.set(true)
       hb.interrupt()
-      hb.join(5000L)
+      // The join bound only matters if a single local-FS create stalls
+      // this long; the stop flag guarantees no further stamp either way.
+      hb.join(30000L)
       fs.delete(lock, false)
     }
   }

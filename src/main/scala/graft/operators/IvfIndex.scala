@@ -160,11 +160,43 @@ object IvfIndex {
       val target = if (lines.length >= 2) lines(1) else "index"
       new org.apache.hadoop.fs.Path(dir, target).toString
     }
-    if (fs.exists(done)) return publishedIdx()
+    if (fs.exists(done)) {
+      // Opportunistic sweep on the hot path too: a losing takeover dir
+      // created AFTER the winner's one-shot sweep would otherwise leak
+      // inside the live fingerprint dir forever. Never fails a read.
+      val p = publishedIdx()
+      scala.util.Try(pruneStaleLocal(spark, fs, dir,
+        keep = new org.apache.hadoop.fs.Path(p).getName))
+      return p
+    }
     val building = new org.apache.hadoop.fs.Path(dir, "_BUILDING")
-    def winnerBuild(target: String): String = {
+    def winnerBuild(target: String, heartbeatBuilding: Boolean): String = {
+      // A HEALTHY build longer than the stale grace window must not
+      // look crashed (it would trigger a takeover paying a duplicate
+      // full-corpus build): the ORIGINAL winner re-stamps _BUILDING's
+      // mtime every grace/3 while it builds, so staleness means "no
+      // live builder", not "slow builder". Takeover claimants do NOT
+      // heartbeat — their liveness is windowed by the _TAKEOVER_
+      // markers, and re-stamping _BUILDING would stall the window roll.
+      val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val hb: Option[Thread] =
+        if (!heartbeatBuilding) None
+        else {
+          val period = math.max(staleGraceMs(spark) / 3, 50L)
+          val th = new Thread(() => {
+            try while (!hbStop.get()) {
+              Thread.sleep(period)
+              if (!hbStop.get())
+                scala.util.Try(fs.setTimes(building, System.currentTimeMillis(), -1L))
+            } catch { case _: InterruptedException => () }
+          }, "graft-ivf-building-heartbeat")
+          th.setDaemon(true)
+          th.start()
+          Some(th)
+        }
       val t = new org.apache.hadoop.fs.Path(dir, target)
-      build(t.toString)
+      try build(t.toString)
+      finally { hbStop.set(true); hb.foreach(_.interrupt()) }
       if (graft.sources.FsAtomic.createExclusive(fs, done, fp + "\n" + target + "\n")) {
         pruneStaleSiblings(spark, fs, dir.getParent, fp)
         pruneStaleLocal(spark, fs, dir, keep = target)
@@ -172,7 +204,7 @@ object IvfIndex {
       } else publishedIdx() // lost the publish race: serve the winner
     }
     if (graft.sources.FsAtomic.createExclusive(fs, building, fp + "\n"))
-      winnerBuild("index")
+      winnerBuild("index", heartbeatBuilding = true)
     else {
       // A winner that crashed mid-build leaves `_BUILDING` behind
       // forever: the pointer then never publishes and every later
@@ -202,7 +234,8 @@ object IvfIndex {
       if (tookOver) {
         if (fs.exists(done)) publishedIdx()
         else winnerBuild(
-          "index-tk-" + java.util.UUID.randomUUID().toString)
+          "index-tk-" + java.util.UUID.randomUUID().toString,
+          heartbeatBuilding = false)
       } else {
         // A healthy winner is mid-build. At 100 TB a throwaway staging
         // rebuild is a full corpus pass, so a loser may WAIT for the

@@ -46,15 +46,63 @@ object Versioned {
     new Path(s"$tableDir/_versions/v$v.json")
 
   /** Largest committed version, or -1 for an empty/absent table. */
-  def latestVersion(spark: SparkSession, tableDir: String): Long = {
+  def latestVersion(spark: SparkSession, tableDir: String): Long =
+    versionBounds(spark, tableDir)._2
+
+  /** (lowest, highest) committed version in one listing, or (-1, -1)
+    * for an empty/absent table. The LOWEST version matters to the
+    * incremental caches: their epoch derives from the oldest present
+    * manifest, so a vacuum (which drops a prefix of the log) is
+    * observable as an epoch change. */
+  private def versionBounds(spark: SparkSession, tableDir: String): (Long, Long) = {
     val p = new Path(s"$tableDir/_versions")
     val f = fs(spark, tableDir)
-    if (!f.exists(p)) -1L
+    if (!f.exists(p)) (-1L, -1L)
     else f.listStatus(p).iterator.map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong }
-      .foldLeft(-1L)(math.max)
+      .foldLeft((Long.MaxValue, -1L)) { case ((lo, hi), v) =>
+        (math.min(lo, v), math.max(hi, v)) } match {
+        case (Long.MaxValue, hi) => (-1L, hi)
+        case bounds => bounds
+      }
   }
+
+  /** CONTENT-derived epoch of a table's manifest log, for the
+    * incremental per-table caches (txn watermarks, stream-unsafe
+    * groups): a table deleted and re-created at the same path must
+    * invalidate them, and an mtime epoch misses a re-creation inside
+    * the filesystem's timestamp granularity (1 s on several) — a stale
+    * watermark then silently SKIPS a legitimate batch. The epoch is an
+    * FNV-1a hash of the OLDEST present manifest's text xor its version
+    * number: a re-created table's v0 text always differs (fresh group
+    * UUIDs and commit instant), and a vacuum that dropped the previous
+    * oldest manifest rolls the epoch too (conservative: one cache
+    * rebuild after a vacuum, never a stale read). -1 = unreadable. */
+  private def tableEpoch(spark: SparkSession, tableDir: String, lowest: Long): Long = {
+    if (lowest < 0) return -1L
+    try {
+      val in = fs(spark, tableDir).open(manifestPath(tableDir, lowest))
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      var h = 0xcbf29ce484222325L
+      raw.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+      h ^ lowest
+    } catch { case _: java.io.IOException => -1L }
+  }
+
+  /** Qualified-path cache key: trailing slashes and scheme-qualified vs
+    * bare spellings of one directory must hit ONE cache entry. */
+  private def cacheKey(spark: SparkSession, tableDir: String): String =
+    fs(spark, tableDir).makeQualified(new Path(tableDir)).toString
+
+  /** Bounded, access-ordered (LRU) cache map — the per-table
+    * incremental caches must not grow without bound in a long-lived
+    * session that touches many tables. */
+  private def lruMap[V](maxEntries: Int): java.util.LinkedHashMap[String, V] =
+    new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, V]): Boolean = size() > maxEntries
+    }
 
   /** `mapping` is Delta-style COLUMN MAPPING state: (logical, physical)
     * name pairs for every column of the logical schema, plus tombstones
@@ -672,13 +720,12 @@ object Versioned {
     * which only widens the replay protection. */
   def lastCommittedBatch(
       spark: SparkSession, tableDir: String, appId: String): Long = {
-    val latest = latestVersion(spark, tableDir)
+    val (lowest, latest) = versionBounds(spark, tableDir)
     if (latest < 0) return -1L
-    val epoch = scala.util.Try(
-      fs(spark, tableDir).getFileStatus(manifestPath(tableDir, 0L))
-        .getModificationTime).getOrElse(-1L)
+    val epoch = tableEpoch(spark, tableDir, lowest)
+    val key = cacheKey(spark, tableDir)
     txnWatermarkCache.synchronized {
-      val (cachedV, marks) = txnWatermarkCache.get(tableDir) match {
+      val (cachedV, marks) = Option(txnWatermarkCache.get(key)) match {
         case Some((e, v, m)) if e == epoch && v <= latest => (v, m)
         case _ => (-1L, Map.empty[String, Long])
       }
@@ -691,13 +738,13 @@ object Versioned {
           out = out.updated(app, math.max(out.getOrElse(app, -1L), b))
         }
       }
-      txnWatermarkCache.put(tableDir, (epoch, latest, out))
+      txnWatermarkCache.put(key, (epoch, latest, out))
       out.getOrElse(appId, -1L)
     }
   }
 
   private val txnWatermarkCache =
-    scala.collection.mutable.Map.empty[String, (Long, Long, Map[String, Long])]
+    lruMap[(Long, Long, Map[String, Long])](256)
 
   /** IDEMPOTENT append — the exactly-once streaming-ingest seam, the
     * same mechanism as Delta's `txnAppId`/`txnVersion` options: the
@@ -1767,10 +1814,21 @@ object Versioned {
     val guard = spark.readStream
       .textFile(s"$tableDir/_versions/v*.json")
       .flatMap { raw: String =>
-        val mode = "\"mode\":\"([^\"]*)\"".r
-          .findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
-        val v = "\"version\":(\\d+)".r
-          .findFirstMatchIn(raw).map(_.group(1).toLong).getOrElse(0L)
+        // FAIL CLOSED: a manifest line the guard cannot parse (format
+        // drift, future pretty-printing) must stop the stream, not be
+        // waved through as "genesis" — a safety guard that silently
+        // stops guarding is worse than none.
+        val modeOpt = "\"mode\":\"([^\"]*)\"".r
+          .findFirstMatchIn(raw).map(_.group(1))
+        val vOpt = "\"version\":(\\d+)".r
+          .findFirstMatchIn(raw).map(_.group(1).toLong)
+        if (modeOpt.isEmpty || vOpt.isEmpty)
+          throw new IllegalStateException(
+            s"changesStream($dirForMsg): unparsable manifest line (no " +
+              "version/mode field) — failing closed rather than skipping " +
+              s"the append-only check: ${raw.take(200)}")
+        val mode = modeOpt.get
+        val v = vOpt.get
         if (v > 0 && !safeModes(mode))
           throw new IllegalStateException(
             s"changesStream($dirForMsg): version $v (mode=$mode) is not an " +
@@ -1798,17 +1856,18 @@ object Versioned {
     * listing plus parses only for versions it has not seen. */
   private[operators] def streamUnsafeIntroducedGroups(
       spark: SparkSession, tableDir: String): Seq[String] = {
-    val latest = latestVersion(spark, tableDir)
+    val (lowest, latest) = versionBounds(spark, tableDir)
     if (latest <= 0) return Seq.empty
-    // Epoch = the v0 manifest's mtime: a table deleted and re-created at
-    // the same path restarts its manifest log, which must invalidate the
-    // incremental walk (one getFileStatus per call — metadata-sized).
-    val epoch = scala.util.Try(
-      fs(spark, tableDir).getFileStatus(manifestPath(tableDir, 0L))
-        .getModificationTime).getOrElse(-1L)
+    // Epoch = oldest-manifest CONTENT hash ([[tableEpoch]]): a table
+    // deleted and re-created at the same path restarts its manifest
+    // log, which must invalidate the incremental walk — and an mtime
+    // epoch misses a re-creation within the filesystem's timestamp
+    // granularity, silently dropping valid rows from the stream.
+    val epoch = tableEpoch(spark, tableDir, lowest)
+    val key = cacheKey(spark, tableDir)
     unsafeGroupsCache.synchronized {
       val (cachedV, cachedPrev, cachedUnsafe) =
-        unsafeGroupsCache.get(tableDir) match {
+        Option(unsafeGroupsCache.get(key)) match {
           case Some((e, v, p, u)) if e == epoch && v <= latest => (v, p, u)
           case _ =>
             (0L, scala.util.Try(parseManifest(spark, tableDir, 0L).files.toSet)
@@ -1832,13 +1891,13 @@ object Versioned {
           case None => () // vacuumed manifest: its dropped groups are gone
         }
       }
-      unsafeGroupsCache.put(tableDir, (epoch, latest, prev, unsafe))
+      unsafeGroupsCache.put(key, (epoch, latest, prev, unsafe))
       unsafe.toSeq.sorted
     }
   }
 
   private val unsafeGroupsCache =
-    scala.collection.mutable.Map.empty[String, (Long, Long, Set[String], Set[String])]
+    lruMap[(Long, Long, Set[String], Set[String])](256)
 
   /** CONVERT TO GRAFT — adopt an existing plain-parquet directory as
     * version 0 of a versioned table IN PLACE, Delta's `CONVERT TO

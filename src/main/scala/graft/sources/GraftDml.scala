@@ -81,7 +81,7 @@ final class GraftPathRelationRule(session: SparkSession)
 
   private def pathOf(
       u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation): Option[String] =
-    if (GraftPathRelationRule.isPathForm(u.multipartIdentifier))
+    if (GraftPathRelationRule.resolvesAsPath(session, u.multipartIdentifier))
       Some(u.multipartIdentifier(1))
     else
       org.apache.spark.sql.graftshim.GraftSqlBridge
@@ -123,7 +123,7 @@ final class GraftPathRelationRule(session: SparkSession)
           case None => tt
         }
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-          if GraftPathRelationRule.isPathForm(u.multipartIdentifier) =>
+          if GraftPathRelationRule.resolvesAsPath(session, u.multipartIdentifier) =>
         relation(u.multipartIdentifier(1), -1L)
     }
 }
@@ -138,6 +138,25 @@ private[graft] object GraftPathRelationRule {
       val p = parts(1)
       p.contains("/") || p.contains("\\")
     }
+
+  /** [[isPathForm]] plus a filesystem probe: ``graft.`x``` with a
+    * single-segment x (no slash) is ALSO the path form when `x` names
+    * an existing directory holding a `_versions/` manifest log — a
+    * relative single-segment path is a legitimate spelling, and
+    * without the probe it silently changed meaning to a lookup in a
+    * database literally named `graft`. Probe order keeps one spelling
+    * = one resolution: an actual versioned directory wins; otherwise
+    * the catalog path is tried (a database named graft keeps working
+    * as long as its table names don't shadow a live table directory
+    * in the working directory — the same shadowing rule Delta's
+    * ``delta.`x``` applies). */
+  def resolvesAsPath(session: SparkSession, parts: Seq[String]): Boolean =
+    isPathForm(parts) || (
+      parts.size == 2 && parts.head.equalsIgnoreCase("graft") &&
+        scala.util.Try {
+          val p = new org.apache.hadoop.fs.Path(parts(1), "_versions")
+          p.getFileSystem(session.sparkContext.hadoopConfiguration).exists(p)
+        }.getOrElse(false))
 }
 
 /** Match a (possibly aliased) resolved reference to a graft table and

@@ -99,7 +99,8 @@ private[graft] object GraftSqlStatements {
       // maintenance statements resolve one spelling identically; a
       // non-path x is a table under a database literally named graft.
       val (p2, n2) = Option(path) match {
-        case Some(p) if GraftPathRelationRule.isPathForm(Seq("graft", p)) =>
+        case Some(p)
+            if GraftPathRelationRule.resolvesAsPath(session, Seq("graft", p)) =>
           (Some(p), name)
         case Some(p) => (None, s"graft.`$p`")
         case None => (None, name)

@@ -342,6 +342,29 @@ class GraftDmlSpec extends SparkSpec {
     assert(n == 100L)
   }
 
+  test("graft.`reldir`: a single-segment RELATIVE path resolves as the path form " +
+      "when the directory holds a _versions log") {
+    // No slash in the identifier, so the lexical rule alone would route
+    // it to a database literally named `graft` — but the directory
+    // probe sees the live manifest log and keeps the legitimate
+    // relative-path spelling working (SELECT, DML and maintenance
+    // statements all through one resolution).
+    val name = s"graft_reldir_${java.util.UUID.randomUUID().toString.take(8)}"
+    val fs = new org.apache.hadoop.fs.Path(name)
+      .getFileSystem(sql.sparkContext.hadoopConfiguration)
+    try {
+      locally {
+        val ss = sql; import ss.implicits._
+        Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), name)
+      }
+      assert(sql.sql(s"SELECT count(*) AS n FROM graft.`$name`")
+        .collect()(0).getLong(0) == 2L)
+      sql.sql(s"DELETE FROM graft.`$name` WHERE id = 1")
+      assert(Versioned.read(sql, name).count() == 1L)
+      assert(sql.sql(s"DESCRIBE HISTORY graft.`$name`").count() == 2L)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(name), true)
+  }
+
   test("maintenance SQL: DESCRIBE HISTORY, OPTIMIZE [ZORDER], RESTORE, VACUUM") {
     val dir = seeded() // v0 snapshot, v1 append
     val hist = sql.sql(s"DESCRIBE HISTORY graft.`$dir`").collect()

@@ -69,11 +69,13 @@ class VersionedIngestSpec extends SparkSpec {
     assert(Versioned.lastCommittedBatch(spark, dir, "appA") == 1L)
     // replay below the watermark: skipped
     assert(Versioned.appendOnce(Seq((5L, "e")).toDF("id", "v"), dir, "appA", 1L).isEmpty)
-    // table DELETED and RE-CREATED at the same path: the v0-mtime epoch
-    // must reset the cached walk, not serve the old table's watermark
+    // table DELETED and RE-CREATED at the same path — IMMEDIATELY, with
+    // no sleep: the epoch is CONTENT-derived (oldest manifest text), so
+    // a re-creation inside the filesystem's mtime granularity still
+    // resets the cached walk instead of serving the old watermark
+    // (an mtime epoch needed a 1100 ms dodge here; that was the bug).
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    Thread.sleep(1100) // mtime granularity on the epoch file
     Versioned.commit(Seq((9L, "z")).toDF("id", "v"), dir)
     assert(Versioned.lastCommittedBatch(spark, dir, "appA") == -1L,
       "a re-created table must not inherit the old watermark")
