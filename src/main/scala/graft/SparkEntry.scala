@@ -1043,6 +1043,19 @@ object SparkEntry {
     // re-emitted anything the counts below double and the hash fails,
     // so exactly-once across restarts is what the oracle gates. Rollup
     // over the sink = every appended row once.
+    // The MANIFEST-DRIVEN streaming source: spark.readStream
+    // .format("graft") — offsets ARE table versions, each micro-batch is
+    // planned as the file groups the manifest range introduced (a
+    // metadata set-difference, never a directory listing), and the
+    // schema comes from the manifest itself (no caller-supplied schema).
+    // The append-only contract is ENFORCED at batch-plan time: a
+    // mid-stream compact must FAIL the third drain loudly BEFORE any
+    // repacked row could emit — planning from manifests (not listings)
+    // also closes the durable-before-manifest race the file-stream
+    // flavor documented: an unpublished group is in no manifest, so it
+    // is invisible by construction. If enforcement or exactly-once
+    // broke, the rollup below would double and the oracle hash would
+    // fail.
     "version_changes_streaming" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
       val tbl = s"/tmp/graft_versioned/tail_${etlSuffix(dir)}"
@@ -1050,12 +1063,11 @@ object SparkEntry {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       Versioned.commit(docs.filter(col("lang") === "en"), tbl)
       Versioned.append(docs.filter(col("lang") =!= "en"), tbl)
-      val schema = Versioned.read(s, tbl).schema
       val scratch = java.nio.file.Files.createTempDirectory("graft_vtail")
       val sink = scratch.resolve("sink").toString
       val ckpt = scratch.resolve("ckpt").toString
       def drain(): Unit = {
-        val q = Versioned.changesStream(s, tbl, schema)
+        val q = s.readStream.format("graft").load(tbl)
           .writeStream.format("parquet").option("path", sink)
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -1064,11 +1076,6 @@ object SparkEntry {
       drain()
       Versioned.append(docs.filter(col("source").isin("src0", "src1", "src2")), tbl)
       drain()
-      // The append-only contract is ENFORCED: a mid-stream compact must
-      // FAIL the next drain (guard stream) and must NOT re-emit the
-      // re-packed rows into the checkpointed sink (exclusion join) —
-      // if either leg broke, the rollup below would double and the
-      // oracle hash would fail.
       Versioned.compact(s, tbl)
       val raised =
         try { drain(); false }

@@ -111,7 +111,7 @@ object Versioned {
     * the LOGICAL schema; file groups store PHYSICAL column names, which
     * never change once assigned — that is what makes RENAME/DROP
     * metadata-only. */
-  private final case class Manifest(
+  private[graft] final case class Manifest(
       files: Seq[String], nRows: Long, mode: String, committedAt: String,
       txn: Option[(String, Long)] = None,
       schemaDdl: Option[String] = None,
@@ -123,7 +123,7 @@ object Versioned {
   private def jsonUnescape(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
-  private def parseManifest(
+  private[graft] def parseManifest(
       spark: SparkSession, tableDir: String, v: Long): Manifest = {
     val f = fs(spark, tableDir)
     val in = f.open(manifestPath(tableDir, v))
@@ -274,7 +274,7 @@ object Versioned {
     * from the manifest, not from whichever file the reader samples);
     * groups missing a column null-fill it — the evolution contract.
     * Pre-schema manifests fall back to parquet inference. */
-  private def scanGroups(
+  private[graft] def scanGroups(
       spark: SparkSession, tableDir: String,
       groups: Seq[String], schemaDdl: Option[String],
       mapping: Seq[(String, String)] = Seq.empty): DataFrame = {
@@ -1765,11 +1765,17 @@ object Versioned {
     * is still in flight can commit those rows before the guard kills
     * the query one batch later — a file-source filter cannot hold back
     * unknown files without also losing in-flight APPENDS forever (the
-    * engine marks listed files processed either way). Closing that
-    * window takes a custom manifest-driven MicroBatchStream; until
-    * then, do not run rewrites against a table a changesStream consumer
-    * is tailing — the guard turns that mistake into a loud failure
-    * rather than a silent corruption.
+    * engine marks listed files processed either way). The window is
+    * CLOSED by the manifest-driven streaming source
+    * (`spark.readStream.format("graft")`,
+    * [[graft.sources.GraftStreamSource]]): it plans each micro-batch
+    * from manifest version ranges, so an unpublished group is invisible
+    * by construction, the schema comes from the manifest, and
+    * `startingVersion` works — PREFER IT for new consumers. This
+    * file-stream flavor remains for schema-pinned listeners on paths
+    * where the datasource is not registered; do not run rewrites
+    * against a table it is tailing — the guard turns that mistake into
+    * a loud failure rather than a silent corruption.
     *
     * Safe against [[vacuum]]: retention deletes only groups no kept
     * version lists, which a checkpointed consumer processed long
@@ -1846,7 +1852,7 @@ object Versioned {
     * (snapshot/compact/restore/COW DML) re-emit rows; RENAME/DROP
     * COLUMN change the physical-name mapping a schema-blind file
     * stream cannot apply — both fail the stream. */
-  private[operators] val streamSafeModes: Set[String] =
+  private[graft] val streamSafeModes: Set[String] =
     Set("append", "add_constraint", "drop_constraint")
 
   /** The exclusion set for [[changesStream]]: file groups INTRODUCED

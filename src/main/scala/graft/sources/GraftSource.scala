@@ -42,6 +42,7 @@ import graft.operators.Versioned
 class GraftSource
     extends RelationProvider
     with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -50,6 +51,34 @@ class GraftSource
     parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft datasource requires a path (load(dir) or OPTIONS (path '...'))"))
+
+  /** `spark.readStream.format("graft")` — the manifest-driven streaming
+    * source ([[GraftStreamSource]]): schema comes from the manifest
+    * (pass none), offsets are table versions, batches are planned from
+    * version ranges — never from file listings. */
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val s = GraftStreamSource.tableSchema(
+      sqlContext.sparkSession, pathOf(parameters))
+    schema.foreach(u => require(u == s,
+      s"graft streaming source: the manifest already carries the table " +
+        s"schema (${s.toDDL}); drop the .schema(...) call or pass the " +
+        "identical schema"))
+    ("graft", s)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(
+      sqlContext.sparkSession, pathOf(parameters), parameters,
+      metadataPath = Some(metadataPath))
 
   override def createRelation(
       sqlContext: SQLContext,

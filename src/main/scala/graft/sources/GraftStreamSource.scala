@@ -1,0 +1,229 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Versioned
+
+/** MANIFEST-DRIVEN streaming source for versioned tables —
+  * `spark.readStream.format("graft").load(dir)`, the push-flavor CDC
+  * surface (Delta's streaming source, re-expressed over the bare-parquet
+  * manifest log). Offsets ARE table versions: each micro-batch is
+  * planned as the file groups INTRODUCED by the manifest range
+  * `(fromVersion, toVersion]` — a pure metadata computation — so:
+  *
+  *  - the schema comes from the MANIFEST (no caller-supplied schema,
+  *    unlike [[graft.operators.Versioned.changesStream]] which rides a
+  *    schema-blind file stream);
+  *  - a file group that is DURABLE BUT UNPUBLISHED is invisible by
+  *    construction (it is in no manifest yet) — closing the residual
+  *    race `changesStream` documents, where a directory listing could
+  *    catch a rewrite's files before their manifest appeared;
+  *  - the append-only contract is enforced at BATCH-PLAN time: a
+  *    version whose mode is outside [[Versioned.streamSafeModes]]
+  *    (snapshot/compact/COW DML/column DDL) fails the query loudly
+  *    BEFORE any of its rows could emit, matching `changes`'s raise
+  *    and `pollChanges`'s resync flag;
+  *  - exactly-once across restarts is the engine's own offset
+  *    checkpointing: manifests are immutable, so `getBatch` is
+  *    deterministic for a given version range.
+  *
+  * Options: `startingVersion` (a version number, or `latest` = only
+  * versions committed after the stream starts; default 0 = from
+  * genesis, CDC-from-start) and `maxVersionsPerBatch` (admission
+  * control: cap how many versions one micro-batch may span; best
+  * effort — the first batch after a restart may span the full backlog).
+  *
+  * Scale shape: batch planning is a manifest set difference on the
+  * driver (KB of JSON); the data scan is Spark's own vectorized parquet
+  * reader over exactly the introduced groups — reading a day of
+  * appends from a 100 TB table costs the appended groups, never a
+  * listing of the table's files (the file-stream flavor pays an
+  * O(files) listing per micro-batch; this source pays O(new versions)).
+  * Vacuum safety matches [[Versioned.changes]]: retention that drops a
+  * manifest the stream still needs fails loudly with the version named. */
+final class GraftStreamSource(
+    spark: SparkSession,
+    tableDir: String,
+    options: Map[String, String],
+    metadataPath: Option[String] = None)
+    extends Source {
+
+  /** The resolved start is PERSISTED under the stream's metadata path
+    * on first resolution (create-exclusive; a racing restart re-reads
+    * the winner's value): `startingVersion=latest` means "versions
+    * committed after the QUERY first started", and without persistence
+    * a restart would re-resolve 'latest' and silently skip everything
+    * committed between the runs — the same reason Delta's source
+    * writes its initial offset into the checkpoint. */
+  private val startingVersion: Long = {
+    def requested(): Long = options.get("startingVersion") match {
+      case None => 0L
+      case Some(s) if s.equalsIgnoreCase("latest") =>
+        // only versions committed AFTER stream start
+        Versioned.latestVersion(spark, tableDir) + 1
+      case Some(s) =>
+        val v = try s.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft streaming: startingVersion must be a version number or " +
+              s"'latest': '$s'")
+        }
+        require(v >= 0, s"graft streaming: startingVersion must be >= 0: $v")
+        v
+    }
+    metadataPath match {
+      case None => requested()
+      case Some(mp) =>
+        val p = new org.apache.hadoop.fs.Path(mp, "graft-starting-version")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def read(): Option[Long] =
+          if (!fs.exists(p)) None
+          else {
+            val in = fs.open(p)
+            val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+            Some(raw.trim.toLong)
+          }
+        read().getOrElse {
+          val v = requested()
+          fs.mkdirs(p.getParent)
+          if (FsAtomic.createExclusive(fs, p, s"$v\n")) v
+          else read().getOrElse(v) // lost the race: adopt the winner's
+        }
+    }
+  }
+
+  private val maxVersionsPerBatch: Option[Long] =
+    options.get("maxVersionsPerBatch").map { s =>
+      val m = s.toLong
+      require(m > 0, s"graft streaming: maxVersionsPerBatch must be > 0: $m")
+      m
+    }
+
+  override val schema: StructType = GraftStreamSource.tableSchema(spark, tableDir)
+
+  /** Highest version this instance has offered or served — admission
+    * control state only; correctness lives in the engine's checkpoint. */
+  private var lastSeen: Long = startingVersion - 1
+  private var offeredOnce: Boolean = false
+
+  override def getOffset: Option[OffsetV1] = synchronized {
+    val latest = Versioned.latestVersion(spark, tableDir)
+    if (latest < startingVersion && lastSeen < startingVersion) return None
+    // The FIRST offer of a (possibly restarted) instance is uncapped:
+    // the engine's checkpoint may already sit past any cap we could
+    // compute locally, and an offset must never regress.
+    val capped =
+      if (!offeredOnce) latest
+      else maxVersionsPerBatch.map(m => math.min(latest, lastSeen + m))
+        .getOrElse(latest)
+    offeredOnce = true
+    lastSeen = math.max(lastSeen, capped)
+    if (lastSeen < 0) None else Some(LongOffset(lastSeen))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = GraftStreamSource.versionOf(end)
+    val fromV = start.map(GraftStreamSource.versionOf).getOrElse(startingVersion - 1)
+    synchronized {
+      lastSeen = math.max(lastSeen, endV)
+      offeredOnce = true
+    }
+    if (endV <= fromV) return emptyBatch()
+    // Append-only enforcement at PLAN time: every version in the range
+    // must be an append or metadata-only constraint DDL. v0 is exempt
+    // (any mode — it is the initial state, same as changesStream's
+    // genesis rule). A missing manifest means vacuum outran this
+    // consumer: fail loudly, the data may be incomplete.
+    ((math.max(fromV, 0L) + 1L) to endV).foreach { v =>
+      val m =
+        try Versioned.parseManifest(spark, tableDir, v)
+        catch {
+          case _: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"graft streaming source on $tableDir: version $v was " +
+                "vacuumed away before this stream consumed it — its rows " +
+                "are unrecoverable here; restart from a retained version " +
+                "(startingVersion) or widen retention past the consumer lag")
+        }
+      if (!Versioned.streamSafeModes(m.mode))
+        throw new IllegalStateException(
+          s"graft streaming source on $tableDir: version $v " +
+            s"(mode=${m.mode}) is not an append — a version-range stream " +
+            "over a rewritten table would re-emit existing rows (or, for " +
+            "column DDL, reshape the pinned schema). This source supports " +
+            "APPEND-ONLY tables; use pollChanges and honor its resync " +
+            "flag when rewrites can occur.")
+    }
+    val fromGroups: Set[String] =
+      if (fromV < 0) Set.empty
+      else {
+        try Versioned.parseManifest(spark, tableDir, fromV).files.toSet
+        catch {
+          case _: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"graft streaming source on $tableDir: start version $fromV " +
+                "is no longer retained (vacuumed) — pick a retained " +
+                "startingVersion or resync from a snapshot read")
+        }
+      }
+    val endMeta = Versioned.parseManifest(spark, tableDir, endV)
+    val introduced = endMeta.files.filterNot(fromGroups)
+    if (introduced.isEmpty) return emptyBatch()
+    val batch = Versioned.scanGroups(
+      spark, tableDir, introduced, endMeta.schemaDdl, endMeta.mapping)
+    if (batch.schema != schema)
+      throw new IllegalStateException(
+        s"graft streaming source on $tableDir: the table's schema evolved " +
+          s"since this stream started (stream: ${schema.toDDL}; version " +
+          s"$endV: ${batch.schema.toDDL}) — restart the stream to adopt " +
+          "the new schema (Delta's streaming contract)")
+    // The batch plan must be STREAMING (the engine splices it into the
+    // incremental plan): flip the scan leaf; projections above it (the
+    // column-mapping alias restore) propagate the flag.
+    val plan = batch.queryExecution.analyzed.transform {
+      case lr: LogicalRelation => lr.copy(isStreaming = true)
+    }
+    org.apache.spark.sql.graftshim.GraftSqlBridge.ofRows(spark, plan)
+  }
+
+  private def emptyBatch(): DataFrame = {
+    val attrs = schema.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    org.apache.spark.sql.graftshim.GraftSqlBridge.ofRows(
+      spark, LocalRelation(attrs, Nil, isStreaming = true))
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftStreamSource[$tableDir, startingVersion=$startingVersion]"
+}
+
+private[graft] object GraftStreamSource {
+
+  /** The table's LOGICAL schema from the latest manifest (column
+    * mapping applied) — what `readStream.format("graft")` serves
+    * without any caller-supplied schema. */
+  def tableSchema(spark: SparkSession, tableDir: String): StructType = {
+    require(Versioned.latestVersion(spark, tableDir) >= 0,
+      s"graft streaming source: no versions committed under $tableDir — " +
+        "create the table before streaming from it")
+    Versioned.read(spark, tableDir).schema
+  }
+
+  /** Version number of any offset shape the engine hands back —
+    * LongOffset live, SerializedOffset across restarts; LongOffset's
+    * json IS the plain version number. */
+  def versionOf(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+}

@@ -1,0 +1,223 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Versioned
+
+/** `spark.readStream.format("graft")` — the manifest-driven streaming
+  * source ([[graft.sources.GraftStreamSource]]): schema from the
+  * manifest, offsets = versions, batches planned from version ranges.
+  * Pins the contracts the file-stream flavor could not give:
+  * written-but-unpublished groups NEVER emit, rewrites fail loudly at
+  * plan time, checkpointed re-drains are exactly-once, startingVersion
+  * and maxVersionsPerBatch admission. */
+class GraftStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl() = Files.createTempDirectory("graft-ssrc").toString + "/t"
+
+  private def scratch(): (String, String) = {
+    val d = Files.createTempDirectory("graft-ssrc-io")
+    (d.resolve("sink").toString, d.resolve("ckpt").toString)
+  }
+
+  private def drain(dir: String, sink: String, ckpt: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream.format("graft")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(dir)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  private def sinkIds(sink: String): Seq[Long] =
+    spark.read.parquet(sink).select("id").as[Long].collect().toSeq.sorted
+
+  test("drain from genesis equals the table; incremental appends arrive once") {
+    val dir = tbl()
+    Versioned.commit((0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    Versioned.append((10L until 20L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    val (sink, ckpt) = scratch()
+    drain(dir, sink, ckpt)
+    assert(sinkIds(sink) == (0L until 20L))
+    // no new data: a re-drain on the same checkpoint emits NOTHING
+    drain(dir, sink, ckpt)
+    assert(sinkIds(sink) == (0L until 20L), "re-drain must be exactly-once")
+    // new append arrives exactly once
+    Versioned.append((20L until 25L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    drain(dir, sink, ckpt)
+    assert(sinkIds(sink) == (0L until 25L))
+  }
+
+  test("schema comes from the manifest — no user schema needed; a conflicting one refuses") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    val df = spark.readStream.format("graft").load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft")
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("x INT"))
+        .load(dir)
+    }
+    assert(e.getMessage.contains("manifest already carries"))
+  }
+
+  test("a group written but UNPUBLISHED never emits (the changesStream race, closed)") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    // simulate a writer mid-commit: data files durable under files/,
+    // manifest not yet published — a file-listing stream would emit
+    // these rows; the manifest-driven source must not see them
+    Seq((99L, "torn")).toDF("id", "v")
+      .write.parquet(s"$dir/files/unpublished-${java.util.UUID.randomUUID()}")
+    val (sink, ckpt) = scratch()
+    drain(dir, sink, ckpt)
+    assert(sinkIds(sink) == Seq(1L, 2L),
+      "an unpublished group must be invisible to the stream")
+  }
+
+  test("a rewrite version fails the query loudly at plan time; no rewrite row emits") {
+    val dir = tbl()
+    Versioned.commit((0L until 6L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    val (sink, ckpt) = scratch()
+    drain(dir, sink, ckpt)
+    assert(sinkIds(sink) == (0L until 6L))
+    Versioned.append((6L until 8L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    Versioned.compact(spark, dir) // rewrite: repacks ALL rows into one group
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(dir, sink, ckpt)
+    }
+    assert(e.getMessage.contains("not an append") ||
+      Option(e.getCause).exists(_.getMessage.contains("not an append")))
+    // the failed batch committed nothing: neither the append the compact
+    // swallowed nor the repacked rows reached the sink
+    assert(sinkIds(sink) == (0L until 6L),
+      "a failing guard must not half-emit the offending range")
+  }
+
+  test("constraint DDL versions are metadata-only and stream through") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, 5L)).toDF("id", "w"), dir)
+    Versioned.addConstraint(spark, dir, "w_pos", "w > 0")
+    Versioned.append(Seq((2L, 6L)).toDF("id", "w"), dir)
+    val (sink, ckpt) = scratch()
+    drain(dir, sink, ckpt)
+    assert(sinkIds(sink) == Seq(1L, 2L))
+  }
+
+  test("startingVersion: a number tails from that version; 'latest' only new commits") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)  // v0
+    Versioned.append(Seq((2L, "b")).toDF("id", "v"), dir)  // v1
+    Versioned.append(Seq((3L, "c")).toDF("id", "v"), dir)  // v2
+    locally {
+      val (sink, ckpt) = scratch()
+      drain(dir, sink, ckpt, Map("startingVersion" -> "1"))
+      assert(sinkIds(sink) == Seq(2L, 3L),
+        "startingVersion=1 must skip v0's groups")
+    }
+    locally {
+      val (sink, ckpt) = scratch()
+      val reader = spark.readStream.format("graft")
+        .option("startingVersion", "latest")
+      val q = reader.load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // nothing committed after stream start → nothing emitted (the
+      // sink directory may not even exist yet)
+      val emitted = scala.util.Try(sinkIds(sink)).getOrElse(Seq.empty)
+      assert(emitted.isEmpty, s"latest must skip the backlog: $emitted")
+      Versioned.append(Seq((4L, "d")).toDF("id", "v"), dir)
+      drain(dir, sink, ckpt, Map("startingVersion" -> "latest"))
+      assert(sinkIds(sink) == Seq(4L), "only the post-start append emits")
+    }
+  }
+
+  test("maxVersionsPerBatch: the backlog drains in capped per-batch slices") {
+    val dir = tbl()
+    (0 until 5).foreach { i =>
+      if (i == 0) Versioned.commit(Seq((i.toLong, "x")).toDF("id", "v"), dir)
+      else Versioned.append(Seq((i.toLong, "x")).toDF("id", "v"), dir)
+    }
+    val (sink, ckpt) = scratch()
+    // AvailableNow keeps triggering until the cached end offset is
+    // reached, so the capped batches still drain everything — in ≥3
+    // batches (the parquet sink commits per batch, visible as job dirs)
+    val src = new graft.sources.GraftStreamSource(
+      spark, dir, Map("maxVersionsPerBatch" -> "2"))
+    // drive the Source API directly: offsets must advance by ≤2 versions
+    val o1 = src.getOffset.get // first offer is uncapped by design (restart safety)
+    assert(graft.sources.GraftStreamSource.versionOf(o1) == 4L)
+    val b = src.getBatch(None, o1)
+    assert(b.isStreaming, "getBatch must return a streaming frame")
+    val fresh = new graft.sources.GraftStreamSource(
+      spark, dir, Map("maxVersionsPerBatch" -> "2", "startingVersion" -> "0"))
+    val first = fresh.getBatch(None,
+      org.apache.spark.sql.execution.streaming.runtime.LongOffset(1L))
+    // after a served batch the next offer is capped relative to it
+    val next = fresh.getOffset.get
+    assert(graft.sources.GraftStreamSource.versionOf(next) == 3L,
+      s"offer after version 1 with cap 2 must be 3, got $next")
+    assert(first.isStreaming)
+    // and the full checkpointed drain still delivers everything once
+    drain(dir, sink, ckpt, Map("maxVersionsPerBatch" -> "2"))
+    assert(sinkIds(sink) == (0L until 5L))
+  }
+
+  test("a vacuumed range fails loudly instead of silently skipping rows") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)  // v0
+    Versioned.append(Seq((2L, "b")).toDF("id", "v"), dir)  // v1
+    Versioned.append(Seq((3L, "c")).toDF("id", "v"), dir)  // v2
+    Versioned.vacuum(spark, dir, keepFrom = 2L)
+    val src = new graft.sources.GraftStreamSource(spark, dir, Map.empty)
+    val e = intercept[IllegalStateException] {
+      src.getBatch(None,
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(2L))
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // startingVersion=2 ALSO refuses: version 2's introduced groups are
+    // a set difference against v1's manifest, which retention dropped —
+    // manifests are full snapshots, so the predecessor is required (the
+    // documented resync path is a batch read of the latest version)
+    val ok = new graft.sources.GraftStreamSource(
+      spark, dir, Map("startingVersion" -> "2"))
+    val e2 = intercept[IllegalStateException] {
+      ok.getBatch(None,
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(2L))
+    }
+    assert(e2.getMessage.contains("no longer retained"))
+    assert(Versioned.read(spark, dir).count() == 3L,
+      "the batch-read resync path stays available")
+  }
+
+  test("empty table refuses with a clear message; schema evolution mid-stream refuses") {
+    val dir = tbl()
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft").load(dir)
+    }
+    assert(e.getMessage.contains("no versions committed"))
+    // evolution: pin the stream's schema, evolve the table, next batch refuses
+    Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    val src = new graft.sources.GraftStreamSource(spark, dir, Map.empty)
+    Versioned.append(
+      Seq((2L, "b", 9L)).toDF("id", "v", "extra"), dir, evolveSchema = true)
+    val err = intercept[IllegalStateException] {
+      src.getBatch(None,
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(1L))
+    }
+    assert(err.getMessage.contains("schema evolved"))
+  }
+
+  private implicit class StreamingDF(df: DataFrame) {
+    def isStreaming: Boolean = df.queryExecution.logical.isStreaming
+  }
+}
