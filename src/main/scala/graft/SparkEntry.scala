@@ -1551,6 +1551,39 @@ object SparkEntry {
                  |GROUP BY coalesce(lang, 'NULL') ORDER BY lang""".stripMargin)
     }),
 
+    // GENERAL MERGE ON surface: differently-named key equalities
+    // (t.doc_id = s.sdoc — the source is projected with the target key
+    // name added, then the same-named COW key path runs unchanged) plus
+    // a NON-KEY residual conjunct (t.n_chars < 400) folded into
+    // matched-ness with the ANSI reading: a key-equal pair FAILING the
+    // residual is NOT matched — its source row INSERTS (the classic
+    // hand-written-MERGE trap, which the oracle recomputes relationally
+    // as LEFT JOIN ON keys+residual / NOT EXISTS keys+residual).
+    "datasource_merge_on_expr" -> ((s, dir) => {
+      val sql = graft.sources.GraftDml.enabledSession(s)
+      val docs = sql.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/mrgon_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sql.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Versioned.append(docs.filter(col("lang") =!= "en"), tbl)
+      sql.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === "src2")
+        .select(col("doc_id").as("sdoc"),
+          (col("n_chars") % 50 + 1).as("bump"))
+        .createOrReplaceTempView("__mrgon_src")
+      sql.sql(s"""MERGE INTO graft.`$tbl` t USING __mrgon_src s
+                 |ON t.doc_id = s.sdoc AND t.n_chars < 400
+                 |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.bump
+                 |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+                 |  VALUES (s.sdoc, 'xx', s.bump)""".stripMargin)
+      sql.sql(s"""SELECT lang, count(*) AS n_rows,
+                 |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                 |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+                 |FROM graft.`$tbl` GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // MAINTENANCE SQL surface (GraftSqlParser — DeltaSqlParser's
     // architecture): statements core Spark cannot parse — ALTER TABLE
     // ADD CONSTRAINT, OPTIMIZE ZORDER BY, RESTORE TO VERSION AS OF,
@@ -5315,6 +5348,33 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(n_chars) AS BIGINT) AS char_sum
         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Relational replay of the general-ON MERGE: matched-ness = key
+    // equality (doc_id = sdoc) AND the residual (n_chars < 400); a
+    // key-equal pair failing the residual is NOT matched, so its
+    // source row INSERTS — LEFT JOIN on keys+residual for updates,
+    // NOT EXISTS on keys+residual for the inserts.
+    "datasource_merge_on_expr" ->
+      """WITH tgt AS (SELECT doc_id, lang, n_chars FROM documents),
+        |src AS (
+        |  SELECT doc_id AS sdoc, (n_chars % 50 + 1) AS bump
+        |  FROM documents WHERE source = 'src2'),
+        |upd AS (
+        |  SELECT t.doc_id, t.lang,
+        |    CASE WHEN s.sdoc IS NOT NULL THEN t.n_chars + s.bump
+        |         ELSE t.n_chars END AS n_chars
+        |  FROM tgt t LEFT JOIN src s
+        |    ON t.doc_id = s.sdoc AND t.n_chars < 400),
+        |ins AS (
+        |  SELECT s.sdoc AS doc_id, 'xx' AS lang, s.bump AS n_chars
+        |  FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t
+        |    WHERE t.doc_id = s.sdoc AND t.n_chars < 400)),
+        |finaltbl AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+        |FROM finaltbl GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Each poll's rollup from raw docs: p1 = the non-en append, p2 =
     // the src0-2 append, p3 = the FULL es snapshot (resync). id_sum

@@ -1243,8 +1243,21 @@ object Versioned {
     * group, exactly the cost Delta pays for it). Untouched groups
     * carry metadata-only either way.
     *
+    * `onResidual` is the NON-KEY remainder of a general ON clause
+    * (`MERGE ... ON t.k = s.k AND <residual>`), a row-local condition
+    * over `TGT.*`/`SRC.*`: matched-ness becomes key equality AND the
+    * residual (ANSI MERGE — a key-equal pair failing the residual is
+    * NOT matched: the source row inserts, the target row is claimable
+    * by NOT-MATCHED-BY-SOURCE clauses). NULL residual = not matched.
+    * Candidate pruning still runs on the key range (sound: the residual
+    * only shrinks the matched set); the touched-group probe and the
+    * insert anti-join evaluate the FULL condition.
+    *
     * Contracts: duplicate source keys raise when a MATCHED clause
-    * exists (ambiguous, as Delta raises); with INSERT clauses the
+    * exists (ambiguous, as Delta raises) — and always when a residual
+    * is given (two same-key source rows with different residual truth
+    * cannot be disambiguated per target row here; refusal is loud,
+    * never a wrong merge); with INSERT clauses the
     * source schema must match the table's; update assignments are cast
     * to the column's type and may not reshape the table. Returns the
     * new (or unchanged) version. */
@@ -1253,7 +1266,8 @@ object Versioned {
       tableDir: String,
       source: DataFrame,
       keyCols: Seq[String],
-      clauses: Seq[MergeClause]): Long = {
+      clauses: Seq[MergeClause],
+      onResidual: Option[Column] = None): Long = {
     import MergeClause._
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(clauses.nonEmpty, "merge needs at least one clause")
@@ -1284,7 +1298,7 @@ object Versioned {
     val src = source.capLineage()
     val srcEmpty = src.isEmpty
     if (srcEmpty && bySource.isEmpty) return v
-    if (matched.nonEmpty && !srcEmpty) {
+    if ((matched.nonEmpty || onResidual.isDefined) && !srcEmpty) {
       val dup = src.groupBy(keyCols.map(col): _*).count()
         .filter(col("count") > 1).limit(1).count()
       require(dup == 0L,
@@ -1308,10 +1322,20 @@ object Versioned {
         pruneGroups(spark, tableDir, m.files, m.schemaDdl, rangePred, m.mapping)._1
       }
     val srcKeys = src.select(keyCols.map(col): _*)
+    val keyJoinCond = keyCols.map(k =>
+      col(s"TGT.$k") === col(s"SRC.$k")).reduce(_ && _)
+    // matched-ness = key equality AND the ON residual (when given)
+    val matchCond = onResidual.foldLeft(keyJoinCond)(_ && _)
     val hitMatch: Set[String] =
       if (matched.isEmpty || srcEmpty) Set.empty
-      else touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)(
-        _.join(srcKeys, keyCols, "left_semi"))
+      else if (onResidual.isEmpty)
+        touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)(
+          _.join(srcKeys, keyCols, "left_semi"))
+      else
+        // the residual narrows the probe too: a group whose key-equal
+        // pairs all fail the residual holds no matched row
+        touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)(
+          _.alias("TGT").join(src.alias("SRC"), matchCond, "left_semi"))
     // By-source clauses touch groups that may HOLD a claimable row:
     // prune by the (approximate) union of their conditions, then the
     // exact contains-a-row probe. Matched-ness cannot be decided per
@@ -1360,19 +1384,21 @@ object Versioned {
       else {
         val t = scanGroups(spark, tableDir, touched, m.schemaDdl, m.mapping)
           .alias("TGT")
-        // With no MATCHED clause the join exists only to FLAG matched-ness
-        // (by-source branches test !isM; no branch reads SRC columns), so
-        // join the DISTINCT key set: a dup-keyed source is legal for
-        // by-source-only programs (the dup check above deliberately does
-        // not run) and the full source would multiply matched target rows
-        // — every copy action-0-carried = silent duplication.
+        // With no MATCHED clause AND no residual the join exists only to
+        // FLAG matched-ness (by-source branches test !isM; no branch
+        // reads SRC columns), so join the DISTINCT key set: a dup-keyed
+        // source is legal for by-source-only programs (the dup check
+        // above deliberately does not run) and the full source would
+        // multiply matched target rows — every copy action-0-carried =
+        // silent duplication. A residual may read any SRC column, so it
+        // joins the full (dup-checked) source; the residual lives in the
+        // JOIN condition, so a key-equal pair failing it yields SRC
+        // nulls = not matched, exactly the ANSI reading.
         val s =
-          (if (matched.nonEmpty) src
+          (if (matched.nonEmpty || onResidual.isDefined) src
            else srcKeys.distinct())
             .withColumn("__src_match", lit(1)).alias("SRC")
-        val joinCond = keyCols.map(k =>
-          col(s"TGT.$k") === col(s"SRC.$k")).reduce(_ && _)
-        val joined = t.join(s, joinCond, "left")
+        val joined = t.join(s, matchCond, "left")
         val isM = col("SRC.__src_match").isNotNull
         // ids: matched clauses 1..n, by-source clauses 101..: first
         // matching branch of the when-chain wins = clause order.
@@ -1430,17 +1456,32 @@ object Versioned {
     val inserted: Option[DataFrame] =
       if (inserts.isEmpty || srcEmpty) None
       else {
-        val candKeys =
-          if (cand.isEmpty) srcKeys.limit(0)
-          else scanGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)
-            .select(keyCols.map(col): _*)
         val insAction = inserts.zipWithIndex.foldLeft(
           org.apache.spark.sql.functions.when(lit(false), 0)) {
             case (acc, (c, i)) =>
               acc.when(c.condition.getOrElse(lit(true)), lit(i + 1))
           }.otherwise(lit(0))
-        val claimed = src.alias("SRC")
-          .join(candKeys, keyCols, "left_anti")
+        // NOT MATCHED = no target row satisfies keys AND residual: with
+        // a residual the anti-join must evaluate the full condition
+        // against candidate target ROWS (a key-equal pair failing the
+        // residual still inserts — the classic ANSI MERGE trap); the
+        // keys-only anti-join stays for the residual-free path (cheaper:
+        // the right side is just the key columns).
+        val notMatchedSrc: DataFrame = onResidual match {
+          case None =>
+            val candKeys =
+              if (cand.isEmpty) srcKeys.limit(0)
+              else scanGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)
+                .select(keyCols.map(col): _*)
+            src.alias("SRC").join(candKeys, keyCols, "left_anti")
+          case Some(_) if cand.isEmpty => src.alias("SRC")
+          case Some(_) =>
+            src.alias("SRC").join(
+              scanGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)
+                .alias("TGT"),
+              matchCond, "left_anti")
+        }
+        val claimed = notMatchedSrc
           .withColumn("__ins", insAction)
           .filter(col("__ins") =!= 0)
         val out = tableSchema.fields.toSeq.map { f =>

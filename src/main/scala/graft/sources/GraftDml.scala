@@ -339,31 +339,44 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       throw new UnsupportedOperationException(
         s"graft MERGE INTO supports UPDATE SET .../DELETE matched clauses, " +
           s"INSERT * / INSERT (cols) VALUES (...) not-matched clauses, and " +
-          s"NOT MATCHED BY SOURCE UPDATE/DELETE, ON a conjunction of " +
-          s"same-named key equalities; $why")
+          s"NOT MATCHED BY SOURCE UPDATE/DELETE, ON at least one " +
+          s"target=source key equality (same- or differently-named) plus " +
+          s"optional row-local residual conjuncts; $why")
     val tgtIds = m.targetTable.outputSet
     val srcIds = m.sourceTable.outputSet
 
-    // ON clause -> key columns: conjunction of same-named tgt=src equalities.
-    def keys(cond: Expression): Seq[String] = cond match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) => keys(l) ++ keys(r)
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        val (t, s) =
-          if (tgtIds.contains(a) && srcIds.contains(b)) (a, b)
-          else if (tgtIds.contains(b) && srcIds.contains(a)) (b, a)
-          else unsupported(s"ON clause term `${cond.sql}` does not compare " +
-            "a target column with a source column")
-        if (!t.name.equalsIgnoreCase(s.name))
-          unsupported(s"ON clause matches differently-named columns " +
-            s"(${t.name} vs ${s.name}); the replace-by-key contract needs " +
-            "same-named keys")
-        Seq(t.name)
-      case other =>
-        unsupported(s"ON clause term `${other.sql}` is not an equality")
+    // ON clause split: key equalities (a target column = a source
+    // column, names may differ — a source-side rename rides the
+    // same-named path) vs RESIDUAL conjuncts (any other row-local term;
+    // matched-ness = keys AND residual, the ANSI reading).
+    def conjunctsOf(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjunctsOf(l) ++ conjunctsOf(r)
+      case other => Seq(other)
     }
     if (!m.mergeCondition.resolved)
       return m // let resolution finish; we fire on a later iteration
-    val keyCols = keys(m.mergeCondition)
+    val (keyTerms, residualTerms) =
+      conjunctsOf(m.mergeCondition).partitionMap {
+        case eq @ EqualTo(a: AttributeReference, b: AttributeReference)
+            if (tgtIds.contains(a) && srcIds.contains(b)) ||
+              (tgtIds.contains(b) && srcIds.contains(a)) =>
+          val (t, s) =
+            if (tgtIds.contains(a)) (a, b) else (b, a)
+          val _ = eq
+          Left((t.name, s.name))
+        case other => Right(other)
+      }
+    if (keyTerms.isEmpty)
+      unsupported("the ON clause has no target=source column equality — " +
+        "the COW merge needs at least one key to prune and join on")
+    val keyCols = keyTerms.map(_._1)
+    if (keyCols.map(_.toLowerCase).distinct.size != keyCols.size)
+      unsupported("the ON clause equates one target column with multiple " +
+        "source columns")
+    val keyRenames = keyTerms.filterNot { case (t, s) =>
+      t.equalsIgnoreCase(s)
+    }
 
     // Matched: UPDATE SET * (either still a star action, or the
     // analyzer-expanded all-columns col = source.col form). The
@@ -402,8 +415,10 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     }
     (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
       // the tuned replace-by-key fast path: unconditional SET * / INSERT *
+      // over same-named keys with no ON residual
       case (Seq(up), Seq(ins), Seq()) if isStarUpdate(up) && isStarInsert(ins)
-          && conditionFree(up) && conditionFree(ins) =>
+          && conditionFree(up) && conditionFree(ins)
+          && keyRenames.isEmpty && residualTerms.isEmpty =>
         GraftMergeCommand(dir, m.sourceTable, keyCols)
       case (matched, notMatched, bySource) =>
         // GENERAL clause translation → Versioned.mergeClauses. Bound
@@ -435,6 +450,14 @@ object GraftDmlRule extends Rule[LogicalPlan] {
             case Assignment(other, _) => unsupported(
               s"$what assignment target `${other.sql}` is not a column")
           }
+        // INSERT * needs every target column present in the source BY
+        // NAME — with a renamed key the source does not carry the
+        // target's key name, so the star shape cannot be satisfied
+        // honestly (Delta refuses it the same way).
+        if (keyRenames.nonEmpty && notMatched.exists(_.isInstanceOf[InsertStarAction]))
+          unsupported("INSERT * with differently-named ON keys — the " +
+            "source has no column named after the target key; list the " +
+            "columns explicitly: INSERT (cols) VALUES (...)")
         val sqlClauses: Seq[SqlMergeClause] =
           matched.map {
             case ua: UpdateAction => SqlMergeClause("matched_update",
@@ -495,7 +518,11 @@ object GraftDmlRule extends Rule[LogicalPlan] {
           }
           case _ => ()
         }
-        GraftMergeClausesCommand(dir, m.sourceTable, keyCols, sqlClauses)
+        val residualSql = residualTerms
+          .reduceOption(org.apache.spark.sql.catalyst.expressions.And(_, _))
+          .map(detachM(_, "ON residual condition"))
+        GraftMergeClausesCommand(dir, m.sourceTable, keyCols, sqlClauses,
+          keyRenames = keyRenames, onResidualSql = residualSql)
     }
   }
 }
@@ -610,7 +637,9 @@ private[graft] final case class GraftMergeClausesCommand(
     tableDir: String,
     source: LogicalPlan,
     keyCols: Seq[String],
-    clauses: Seq[SqlMergeClause])
+    clauses: Seq[SqlMergeClause],
+    keyRenames: Seq[(String, String)] = Seq.empty,
+    onResidualSql: Option[String] = None)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def output: Seq[Attribute] = Nil
@@ -636,8 +665,26 @@ private[graft] final case class GraftMergeClausesCommand(
         case other => throw new IllegalStateException(s"unknown clause $other")
       }
     }
+    // Differently-named ON keys (t.k = s.sk): the source is projected
+    // with the target key name ADDED (original column kept — clause
+    // expressions still say SRC.sk), then the same-named key machinery
+    // runs unchanged. A source that already carries a column with the
+    // target key's name is ambiguous and refuses.
+    val src0 = GraftDml.ofRows(spark, source)
+    val resolver = org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
+    keyRenames.foreach { case (tk, sk) =>
+      if (src0.columns.exists(c => resolver(c, tk)))
+        throw new UnsupportedOperationException(
+          s"graft MERGE ON t.$tk = s.$sk: the source ALSO has a column " +
+            s"named '$tk' — renaming the key onto it would shadow that " +
+            "column in clause expressions; alias it away in the source")
+    }
+    val src = keyRenames.foldLeft(src0) { case (d, (tk, sk)) =>
+      d.withColumn(tk, org.apache.spark.sql.functions.col(sk))
+    }
     Versioned.mergeClauses(
-      spark, tableDir, GraftDml.ofRows(spark, source), keyCols, built)
+      spark, tableDir, src, keyCols, built,
+      onResidual = onResidualSql.map(expr))
     Seq.empty
   }
 }

@@ -268,31 +268,150 @@ class GraftDmlSpec extends SparkSpec {
     assert(Versioned.read(sql, dir).count() == 200)
   }
 
-  test("unsupported shapes raise clear errors: non-equality ON, subqueries") {
+  test("MERGE ON with differently-named keys: t.id = s.src_id rides the key path") {
+    val dir = seeded() // ids 0..199, two groups split at 100
+    val before = groupsOf(dir)
+    locally {
+      val ss = sql; import ss.implicits._
+      Seq((5L, "R5"), (150L, "R150"), (900L, "NEW"))
+        .toDF("src_id", "sv").createOrReplaceTempView("merge_ren_src")
+    }
+    sql.sql(s"""MERGE INTO graft.`$dir` t USING merge_ren_src s
+               |ON t.id = s.src_id
+               |WHEN MATCHED THEN UPDATE SET v = s.sv
+               |WHEN NOT MATCHED THEN INSERT (id, v, w)
+               |  VALUES (s.src_id, s.sv, 0)""".stripMargin)
+    val out = Versioned.read(sql, dir)
+    assert(out.count() == 201)
+    assertRows(out.filter($"id".isin(5L, 150L, 900L)), Seq("id", "v"),
+      Set(Seq(5L, "R5"), Seq(150L, "R150"), Seq(900L, "NEW")))
+    // COW carry still holds under renamed keys: add a fresh high-range
+    // group the source cannot touch, merge again — it must carry over
+    locally {
+      val ss = sql; import ss.implicits._
+      Versioned.append(
+        (1000L until 1100L).map(i => (i, s"v$i", i * 10L)).toDF("id", "v", "w"),
+        dir)
+    }
+    val before2 = groupsOf(dir)
+    sql.sql(s"""MERGE INTO graft.`$dir` t USING merge_ren_src s
+               |ON t.id = s.src_id
+               |WHEN MATCHED AND s.src_id = 5 THEN UPDATE SET v = 'again'
+               |""".stripMargin)
+    assert(groupsOf(dir).intersect(before2).nonEmpty,
+      s"groups without matches must carry over: $before2 -> ${groupsOf(dir)}")
+    assertRows(Versioned.read(sql, dir).filter($"id" === 5L).select("id", "v"),
+      Seq("id", "v"), Set(Seq(5L, "again")))
+    // INSERT * cannot be satisfied with a renamed key: loud refusal
+    val e = intercept[Exception] {
+      sql.sql(s"""MERGE INTO graft.`$dir` t USING merge_ren_src s
+                 |ON t.id = s.src_id
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("INSERT *") ||
+      e.getMessage.contains("Cannot resolve") ||
+      e.getMessage.contains("UNRESOLVED"), e.getMessage)
+  }
+
+  test("MERGE ON residual conjuncts: key-equal pairs failing the residual are " +
+      "NOT MATCHED (the ANSI trap: the source row inserts)") {
+    val dir = seeded() // w = id * 10
+    locally {
+      val ss = sql; import ss.implicits._
+      // id=5 key-matches with w=50 <= 500 → residual FALSE → NOT matched
+      // id=150 key-matches with w=1500 > 500 → matched
+      Seq((5L, "U5"), (150L, "U150")).toDF("id", "sv")
+        .createOrReplaceTempView("merge_res_src")
+    }
+    sql.sql(s"""MERGE INTO graft.`$dir` t USING merge_res_src s
+               |ON t.id = s.id AND t.w > 500
+               |WHEN MATCHED THEN UPDATE SET v = s.sv
+               |WHEN NOT MATCHED THEN INSERT (id, v, w)
+               |  VALUES (s.id, concat('INS_', s.sv), -1)""".stripMargin)
+    val out = Versioned.read(sql, dir)
+    // id=5's source row INSERTED (now two rows with id=5); id=150 updated
+    assert(out.count() == 201)
+    assertRows(out.filter($"id" === 5L).select("id", "v", "w"),
+      Seq("id", "v", "w"),
+      Set(Seq(5L, "v5", 50L), Seq(5L, "INS_U5", -1L)))
+    assertRows(out.filter($"id" === 150L), Seq("id", "v"),
+      Set(Seq(150L, "U150")))
+  }
+
+  test("MERGE ON residual + NOT MATCHED BY SOURCE: residual-false rows are " +
+      "claimable by by-source clauses; NULL residual = not matched") {
+    val dir = tbl()
+    locally {
+      val ss = sql; import ss.implicits._
+      Versioned.commit(Seq(
+        (1L, "a", java.lang.Long.valueOf(10L)),
+        (2L, "b", java.lang.Long.valueOf(999L)),
+        (3L, "c", null.asInstanceOf[java.lang.Long])).toDF("id", "v", "w"), dir)
+      // source matches ids 1 (w=10: residual w>100 FALSE), 2 (TRUE),
+      // 3 (w NULL: residual NULL = not matched)
+      Seq((1L, "S1"), (2L, "S2"), (3L, "S3")).toDF("id", "sv")
+        .createOrReplaceTempView("merge_bs_res_src")
+    }
+    sql.sql(s"""MERGE INTO graft.`$dir` t USING merge_bs_res_src s
+               |ON t.id = s.id AND t.w > 100
+               |WHEN MATCHED THEN UPDATE SET v = s.sv
+               |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    // id=2 matched → updated; ids 1 and 3 NOT matched (residual false /
+    // NULL) → by-source DELETE claims them
+    assertRows(Versioned.read(sql, dir).select("id", "v"), Seq("id", "v"),
+      Set(Seq(2L, "S2")))
+  }
+
+  test("MERGE ON refusals: no key equality at all; dup-keyed source under a residual") {
+    val dir = seeded()
+    locally {
+      val ss = sql; import ss.implicits._
+      Seq((5L, "x"), (5L, "y")).toDF("id", "sv")
+        .createOrReplaceTempView("merge_dup_src")
+    }
+    val e1 = intercept[Exception] {
+      sql.sql(s"""MERGE INTO graft.`$dir` t USING merge_dup_src s
+                 |ON t.id < s.id
+                 |WHEN MATCHED THEN UPDATE SET v = s.sv""".stripMargin)
+    }
+    assert(e1.getMessage.contains("no target=source column equality"),
+      e1.getMessage)
+    val e2 = intercept[Exception] {
+      sql.sql(s"""MERGE INTO graft.`$dir` t USING merge_dup_src s
+                 |ON t.id = s.id AND t.w > 0
+                 |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(e2.getMessage.contains("duplicate keys"), e2.getMessage)
+  }
+
+  test("MERGE ON residual with star actions runs; subqueries still refuse") {
     val dir = seeded()
     locally {
       val ss = sql; import ss.implicits._
       Seq((1L, "x", 0L)).toDF("id", "v", "w")
         .createOrReplaceTempView("dml_spec_bad") // in the DML session
     }
-    val e2 = intercept[Exception] {
-      sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_spec_bad s
-                 |ON t.id = s.id AND t.w > 5
-                 |WHEN MATCHED THEN UPDATE SET *
-                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
-    assert(e2.getMessage.contains("equality"), e2.getMessage)
+    // formerly a refusal — ON residuals are now the general ON surface:
+    // id=1 has w=10 > 5 → matched → SET * replaces the row
+    sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_spec_bad s
+               |ON t.id = s.id AND t.w > 5
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(Versioned.read(sql, dir).count() == 200, "matched: no insert")
+    assertRows(Versioned.read(sql, dir).filter($"id" === 1L),
+      Seq("id", "v", "w"), Set(Seq(1L, "x", 0L)))
     // subqueries in MERGE conditions are still refused (only the
     // DELETE/UPDATE IN-subquery path is supported)
+    val vAfter = Versioned.latestVersion(sql, dir)
     val e3 = intercept[Exception] {
       sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_spec_bad s ON t.id = s.id
                  |WHEN MATCHED AND t.w IN (SELECT w FROM dml_spec_bad)
                  |THEN DELETE""".stripMargin)
     }
     assert(e3.getMessage.contains("subquer"), e3.getMessage)
-    // nothing mutated by the refused statements
+    // nothing mutated by the refused statement
     assert(Versioned.read(sql, dir).count() == 200)
-    assert(Versioned.latestVersion(sql, dir) == 1L)
+    assert(Versioned.latestVersion(sql, dir) == vAfter)
   }
 
   test("a catalog database literally named `graft` stays resolvable (path form needs a path)") {
