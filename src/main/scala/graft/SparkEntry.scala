@@ -1551,6 +1551,59 @@ object SparkEntry {
                  |GROUP BY coalesce(lang, 'NULL') ORDER BY lang""".stripMargin)
     }),
 
+    // EXISTS / NOT IN / NOT EXISTS DML conditions — pre-image key-set
+    // evaluation riding the merge-clause COW: correlated EXISTS strips
+    // its key equality and runs as the IN key set; NOT EXISTS runs
+    // by-source (a NULL target key never matches, so it IS claimed);
+    // NOT IN is NULL-aware (a NULL in the set = global no-op — step 3
+    // deletes NOTHING because its set contains NULL; a NULL key is kept
+    // against a non-empty set). The oracle replays every step with
+    // DuckDB's OWN evaluator via `(cond) IS [NOT] TRUE`, so the ANSI
+    // NULL semantics are judged by DuckDB, not by a hand-derived
+    // simplification.
+    "datasource_dml_exists" -> ((s, dir) => {
+      val sql = graft.sources.GraftDml.enabledSession(s)
+      val docs = sql.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/dmlex_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sql.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Versioned.append(docs.filter(col("lang") =!= "en"), tbl)
+      sql.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === "src1")
+        .select(col("doc_id"), col("n_chars").as("nc"))
+        .createOrReplaceTempView("__dmlex_src")
+      sql.sql("SELECT DISTINCT lang AS l FROM parquet.`" + dir +
+        "/documents.parquet` WHERE lang IN ('en', 'de')")
+        .createOrReplaceTempView("__dmlex_langs")
+      sql.sql("SELECT DISTINCT CASE WHEN lang = 'en' THEN lang END AS l " +
+        "FROM parquet.`" + dir + "/documents.parquet`")
+        .createOrReplaceTempView("__dmlex_nulls")
+      // 1: correlated EXISTS with a local conjunct (the outer column
+      // must be alias-qualified — an unqualified doc_id binds to the
+      // subquery's own column, exactly as in ANSI scoping)
+      sql.sql(s"""DELETE FROM graft.`$tbl` t
+                 |WHERE EXISTS (SELECT 1 FROM __dmlex_src e
+                 |  WHERE e.doc_id = t.doc_id AND e.nc < 200)""".stripMargin)
+      // 2: NOT IN over a non-empty NULL-free set + residual conjunct
+      sql.sql(s"""UPDATE graft.`$tbl` SET n_chars = n_chars + 500
+                 |WHERE lang NOT IN (SELECT l FROM __dmlex_langs)
+                 |  AND n_chars < 300""".stripMargin)
+      // 3: NOT IN whose set CONTAINS NULL — the ANSI no-op
+      sql.sql(s"""DELETE FROM graft.`$tbl`
+                 |WHERE lang NOT IN (SELECT l FROM __dmlex_nulls)""".stripMargin)
+      // 4: NOT EXISTS + residual
+      sql.sql(s"""DELETE FROM graft.`$tbl` t
+                 |WHERE NOT EXISTS (SELECT 1 FROM __dmlex_src e
+                 |  WHERE e.doc_id = t.doc_id)
+                 |  AND n_chars > 800""".stripMargin)
+      sql.sql(s"""SELECT lang, count(*) AS n_rows,
+                 |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                 |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+                 |FROM graft.`$tbl` GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // GENERAL MERGE ON surface: differently-named key equalities
     // (t.doc_id = s.sdoc — the source is projected with the target key
     // name added, then the same-named COW key path runs unchanged) plus
@@ -5348,6 +5401,41 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(n_chars) AS BIGINT) AS char_sum
         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Replay of the four subquery-DML steps with DuckDB's OWN
+    // NULL-aware evaluator: a DELETE keeps rows where the condition
+    // `IS NOT TRUE`, an UPDATE applies where it `IS TRUE` — so NOT IN
+    // against a NULL-bearing set (step 3) no-ops because DuckDB says
+    // so, not because the oracle hand-simplified it away.
+    "datasource_dml_exists" ->
+      """WITH src AS (
+        |  SELECT doc_id, n_chars AS nc FROM documents WHERE source = 'src1'),
+        |langs AS (
+        |  SELECT DISTINCT lang AS l FROM documents WHERE lang IN ('en','de')),
+        |nulls AS (
+        |  SELECT DISTINCT CASE WHEN lang = 'en' THEN lang END AS l
+        |  FROM documents),
+        |d1 AS (
+        |  SELECT doc_id, lang, n_chars FROM documents t
+        |  WHERE (EXISTS (SELECT 1 FROM src e
+        |    WHERE e.doc_id = t.doc_id AND e.nc < 200)) IS NOT TRUE),
+        |u1 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN (lang NOT IN (SELECT l FROM langs)
+        |               AND n_chars < 300) IS TRUE
+        |         THEN n_chars + 500 ELSE n_chars END AS n_chars
+        |  FROM d1),
+        |d2 AS (
+        |  SELECT * FROM u1
+        |  WHERE (lang NOT IN (SELECT l FROM nulls)) IS NOT TRUE),
+        |d3 AS (
+        |  SELECT * FROM d2 t
+        |  WHERE (NOT EXISTS (SELECT 1 FROM src e WHERE e.doc_id = t.doc_id)
+        |         AND n_chars > 800) IS NOT TRUE)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+        |FROM d3 GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Relational replay of the general-ON MERGE: matched-ness = key
     // equality (doc_id = sdoc) AND the residual (n_chars < 400); a

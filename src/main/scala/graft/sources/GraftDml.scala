@@ -187,9 +187,10 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       else splitInSubquery(cond, "DELETE condition") match {
         case None =>
           GraftDeleteCommand(dir, detach(cond, "DELETE condition"))
-        case Some((keyCols, keysPlan, residual)) =>
+        case Some((keyCols, keysPlan, residual, negation)) =>
           GraftDmlKeysCommand(dir, keyCols, keysPlan,
-            residual.map(detachTgt(_, "DELETE condition")), sets = Seq.empty)
+            residual.map(detachTgt(_, "DELETE condition")), sets = Seq.empty,
+            negation = negation)
       }
 
     case u @ UpdateTable(GraftTarget(dir), assignments, cond) if u.resolved =>
@@ -213,13 +214,14 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         case None =>
           GraftUpdateCommand(dir,
             cond.map(detach(_, "UPDATE condition")), sets)
-        case Some((keyCols, keysPlan, residual)) =>
+        case Some((keyCols, keysPlan, residual, negation)) =>
           val tgtSets = assignments.map { case Assignment(key, value) =>
             val name = key.asInstanceOf[AttributeReference].name
             (name, detachTgt(value, s"UPDATE SET $name"), key.dataType)
           }
           GraftDmlKeysCommand(dir, keyCols, keysPlan,
-            residual.map(detachTgt(_, "UPDATE condition")), sets = tgtSets)
+            residual.map(detachTgt(_, "UPDATE condition")), sets = tgtSets,
+            negation = negation)
       }
 
     case m: MergeIntoTable if m.targetTable.resolved && m.sourceTable.resolved =>
@@ -286,51 +288,130 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     (out, acc.toSeq)
   }
 
-  /** Delta-style IN-subquery support for DELETE/UPDATE conditions:
-    * accepts `cond` shaped as a conjunction with EXACTLY ONE
-    * `(col[, col...]) IN (SELECT ...)` conjunct over bare,
-    * identically-typed target columns and an uncorrelated subquery; the
-    * remaining conjuncts must be subquery-free. Returns (key column
-    * names, the analyzed subquery plan, the residual condition).
-    * None = no subquery anywhere (the plain row-local path). Any other
-    * subquery shape raises — never a wrong result. */
+  /** Delta-style subquery support for DELETE/UPDATE conditions:
+    * accepts `cond` shaped as a conjunction with EXACTLY ONE subquery
+    * conjunct of a supported shape — evaluated against the PRE-IMAGE,
+    * then delegated to the merge-clause COW:
+    *
+    *  - `(col[, col...]) IN (SELECT ...)` — uncorrelated; the key set
+    *    drives MATCHED clauses (the existing path);
+    *  - `col NOT IN (SELECT ...)` — uncorrelated, SINGLE column, with
+    *    the ANSI NULL semantics: any NULL in the subquery result means
+    *    NO row matches (no-op); a NULL `col` never matches a non-empty
+    *    set; an EMPTY set matches every row (NULL col included). Runs
+    *    as a NOT-MATCHED-BY-SOURCE clause over the materialized keys.
+    *    Multi-column NOT IN refuses (its partial-NULL tuple semantics
+    *    are a different machine);
+    *  - `EXISTS (SELECT ... WHERE inner = t.col [AND local...])` —
+    *    correlated by key equalities only: the correlation strips to a
+    *    key projection and rides the IN path;
+    *  - `NOT EXISTS (...)` — same extraction, runs by-source: target
+    *    rows matching NO key are claimed (a NULL target key never
+    *    matches, so NOT EXISTS claims it — unlike NOT IN).
+    *
+    * The remaining conjuncts must be subquery-free. Returns (key
+    * column names, the analyzed keys plan, the residual condition, the
+    * negation mode "" | "not_in" | "not_exists"). None = no subquery
+    * anywhere. Any other shape raises — never a wrong result. */
   private def splitInSubquery(
       cond: Expression,
-      what: String): Option[(Seq[String], LogicalPlan, Option[Expression])] = {
+      what: String): Option[(Seq[String], LogicalPlan, Option[Expression], String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Exists, InSubquery, Not, OuterReference}
     if (!cond.exists(_.isInstanceOf[SubqueryExpression])) return None
     def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
     val cs = conjuncts(cond)
-    val (subq, residual) = cs.partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    val (subq, residualTerms) = cs.partition(_.exists(_.isInstanceOf[SubqueryExpression]))
     def unsupported(why: String): Nothing =
       throw new UnsupportedOperationException(
         s"graft DML: the $what supports subqueries only as ONE top-level " +
-          s"`col IN (SELECT ...)` conjunct over bare target columns " +
-          s"(evaluated against the pre-image); $why")
+          s"IN / NOT IN / EXISTS / NOT EXISTS conjunct (evaluated against " +
+          s"the pre-image); $why")
     if (subq.size != 1)
       unsupported(s"found ${subq.size} subquery conjuncts")
-    residual.foreach { r =>
+    residualTerms.foreach { r =>
       if (r.exists(_.isInstanceOf[SubqueryExpression]))
         unsupported(s"residual conjunct `${r.sql}` contains a subquery")
     }
+    val residual = residualTerms.reduceOption(And(_, _))
+    def bareCols(values: Seq[Expression]): Seq[String] = values.map {
+      case a: AttributeReference => a.name
+      case other => unsupported(
+        s"IN operand `${other.sql}` is not a bare column (type " +
+          "coercion casts are refused: the key join must be exact)")
+    }
+    /** Correlated EXISTS plan → (target key names, inner keys plan):
+      * the subquery's top filter must correlate ONLY via equalities
+      * `inner = outer(target col)`; local conjuncts stay as the inner
+      * filter, and the inner key columns project out. */
+    def stripExists(plan: LogicalPlan): (Seq[String], LogicalPlan) = {
+      def hasOuter(p: LogicalPlan): Boolean =
+        p.expressions.exists(_.exists(_.isInstanceOf[OuterReference])) ||
+          p.children.exists(hasOuter)
+      def descend(p: LogicalPlan): (Seq[String], LogicalPlan) = p match {
+        case Project(_, child) => descend(child)
+        case SubqueryAlias(_, child) => descend(child)
+        case Filter(c, child) =>
+          if (hasOuter(child))
+            unsupported("EXISTS correlation below the subquery's top " +
+              "filter (join/nested correlation) is not supported")
+          val (corr, local) = conjuncts(c)
+            .partition(_.exists(_.isInstanceOf[OuterReference]))
+          if (corr.isEmpty)
+            unsupported("EXISTS correlates outside its top filter")
+          val pairs = corr.map {
+            case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                a: AttributeReference, OuterReference(t: AttributeReference)) =>
+              (t.name, a)
+            case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                OuterReference(t: AttributeReference), a: AttributeReference) =>
+              (t.name, a)
+            case other => unsupported(
+              s"EXISTS correlation `${other.sql}` is not an equality " +
+                "between an inner column and a target column")
+          }
+          val inner = local.reduceOption(And(_, _))
+            .map(Filter(_, child)).getOrElse(child)
+          (pairs.map(_._1), Project(pairs.map(_._2), inner))
+        case other =>
+          if (hasOuter(other))
+            unsupported("EXISTS correlates outside a recognizable top filter")
+          unsupported("uncorrelated EXISTS — it is a constant condition; " +
+            "rewrite it as a literal or a scalar-subquery comparison")
+      }
+      descend(plan)
+    }
     subq.head match {
-      case org.apache.spark.sql.catalyst.expressions.InSubquery(values, q) =>
+      case InSubquery(values, q) =>
         if (q.isCorrelated || q.outerAttrs.nonEmpty)
-          unsupported("the subquery is correlated")
-        val keyCols = values.map {
-          case a: AttributeReference => a.name
-          case other => unsupported(
-            s"IN operand `${other.sql}` is not a bare column (type " +
-              "coercion casts are refused: the key join must be exact)")
-        }
-        Some((keyCols, q.plan,
-          residual.reduceOption(
-            org.apache.spark.sql.catalyst.expressions.And(_, _))))
+          unsupported("the IN subquery is correlated")
+        Some((bareCols(values), q.plan, residual, ""))
+      case Not(InSubquery(values, q)) =>
+        if (q.isCorrelated || q.outerAttrs.nonEmpty)
+          unsupported("the NOT IN subquery is correlated")
+        if (values.size != 1)
+          unsupported("multi-column NOT IN — its partial-NULL tuple " +
+            "semantics differ per column; split into single-column " +
+            "conditions or use NOT EXISTS")
+        Some((bareCols(values), q.plan, residual, "not_in"))
+      case e: Exists =>
+        if (e.outerAttrs.isEmpty)
+          unsupported("uncorrelated EXISTS — it is a constant condition; " +
+            "rewrite it as a literal or a scalar-subquery comparison")
+        val (keyCols, plan) = stripExists(e.plan)
+        Some((keyCols, plan, residual, ""))
+      case Not(e: Exists) =>
+        if (e.outerAttrs.isEmpty)
+          unsupported("uncorrelated NOT EXISTS — it is a constant " +
+            "condition; rewrite it as a literal or a scalar-subquery " +
+            "comparison")
+        val (keyCols, plan) = stripExists(e.plan)
+        Some((keyCols, plan, residual, "not_exists"))
       case other =>
-        unsupported(s"`${other.sql}` is not an IN-subquery")
+        unsupported(s"`${other.sql}` is not an IN / NOT IN / EXISTS / " +
+          "NOT EXISTS subquery conjunct")
     }
   }
 
@@ -585,32 +666,67 @@ private[graft] final case class GraftUpdateCommand(
   }
 }
 
-/** DELETE/UPDATE whose condition carries an IN-subquery: the subquery
-  * is evaluated against the PRE-IMAGE (Delta's semantics — the merge
-  * operator caps the source's lineage before any write, so a subquery
-  * over the target itself reads the old version), then the existing
-  * merge-clause COW runs keyed on the materialized set: source key
-  * range → candidate groups → exact touched-group semi-join, untouched
-  * groups metadata-only. Empty `sets` = DELETE; else UPDATE. */
+/** DELETE/UPDATE whose condition carries an IN / EXISTS / NOT IN /
+  * NOT EXISTS subquery: the subquery is evaluated against the
+  * PRE-IMAGE (Delta's semantics — the merge operator caps the source's
+  * lineage before any write, so a subquery over the target itself
+  * reads the old version), then the existing merge-clause COW runs
+  * keyed on the materialized set: source key range → candidate groups
+  * → exact touched-group semi-join, untouched groups metadata-only.
+  * Empty `sets` = DELETE; else UPDATE.
+  *
+  * `negation`: "" = the positive key-set path (IN / EXISTS rows become
+  * MATCHED clauses); "not_exists" = the same key set drives
+  * NOT-MATCHED-BY-SOURCE clauses (rows matching NO key are claimed —
+  * a NULL target key never matches, so NOT EXISTS claims it);
+  * "not_in" = by-source WITH the ANSI NULL semantics — any NULL in the
+  * materialized set means no row matches (no-op), a NULL target key
+  * never matches a NON-empty set (guarded), and an empty set claims
+  * everything, NULL keys included. */
 private[graft] final case class GraftDmlKeysCommand(
     tableDir: String,
     keyCols: Seq[String],
     keysPlan: LogicalPlan,
     residualSql: Option[String],
-    sets: Seq[(String, String, org.apache.spark.sql.types.DataType)])
+    sets: Seq[(String, String, org.apache.spark.sql.types.DataType)],
+    negation: String = "")
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(keysPlan)
   override def output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.operators.Versioned.MergeClause._
+    import org.apache.spark.sql.functions.{col, count, lit}
     val keys = GraftDml.ofRows(spark, keysPlan).toDF(keyCols: _*).distinct()
     val cond = residualSql.map(expr)
-    val clause =
-      if (sets.isEmpty) MatchedDelete(cond)
-      else MatchedUpdate(
-        sets.map { case (name, valueSql, dt) => name -> expr(valueSql).cast(dt) },
-        cond)
-    Versioned.mergeClauses(spark, tableDir, keys, keyCols, Seq(clause))
+    val assigns = sets.map { case (name, valueSql, dt) =>
+      name -> expr(valueSql).cast(dt)
+    }
+    negation match {
+      case "" =>
+        val clause =
+          if (sets.isEmpty) MatchedDelete(cond)
+          else MatchedUpdate(assigns, cond)
+        Versioned.mergeClauses(spark, tableDir, keys, keyCols, Seq(clause))
+      case "not_in" | "not_exists" =>
+        val guards: Seq[org.apache.spark.sql.Column] =
+          if (negation == "not_in") {
+            // one bounded aggregate over the PRE-IMAGE key set decides
+            // the two ANSI branches: a NULL in the set = global no-op;
+            // a non-empty NULL-free set = NULL target keys are kept
+            val r = keys.agg(count(lit(1)).as("n"),
+              count(col(keyCols.head)).as("nn")).head()
+            if (r.getLong(0) > r.getLong(1)) return Seq.empty // NULL ∈ S
+            if (r.getLong(0) == 0L) Nil // empty S: TRUE for every row
+            else Seq(col(s"TGT.${keyCols.head}").isNotNull)
+          } else Nil
+        val bsCond = (guards ++ cond.toSeq).reduceOption(_ && _)
+        val clause =
+          if (sets.isEmpty) NotMatchedBySourceDelete(bsCond)
+          else NotMatchedBySourceUpdate(assigns, bsCond)
+        Versioned.mergeClauses(spark, tableDir, keys, keyCols, Seq(clause))
+      case other =>
+        throw new IllegalStateException(s"unknown negation mode '$other'")
+    }
     Seq.empty
   }
 }

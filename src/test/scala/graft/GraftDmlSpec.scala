@@ -245,7 +245,7 @@ class GraftDmlSpec extends SparkSpec {
     assert(Versioned.read(sql, dir).count() == 100)
   }
 
-  test("IN-subquery DML refusals: correlated, NOT IN, multiple subquery conjuncts, cast operands") {
+  test("subquery DML refusals: multiple conjuncts, multi-col NOT IN, uncorrelated EXISTS") {
     val dir = seeded()
     locally {
       val ss = sql; import ss.implicits._
@@ -256,16 +256,69 @@ class GraftDmlSpec extends SparkSpec {
       assert(e.getMessage != null && (e.getMessage.contains(want) ||
         e.getMessage.contains("subquer")), s"$stmt -> ${e.getMessage}")
     }
-    refuse(s"DELETE FROM graft.`$dir` WHERE id NOT IN (SELECT k FROM dml_sq_k2)",
-      "IN-subquery")
     refuse(s"""DELETE FROM graft.`$dir` WHERE id IN (SELECT k FROM dml_sq_k2)
               |AND w IN (SELECT k FROM dml_sq_k2)""".stripMargin,
       "subquery conjuncts")
     refuse(s"""DELETE FROM graft.`$dir`
-              |WHERE EXISTS (SELECT 1 FROM dml_sq_k2 WHERE k = id)""".stripMargin,
-      "IN-subquery")
+              |WHERE (id, w) NOT IN (SELECT k, k FROM dml_sq_k2)""".stripMargin,
+      "multi-column NOT IN")
+    refuse(s"""DELETE FROM graft.`$dir`
+              |WHERE EXISTS (SELECT 1 FROM dml_sq_k2)""".stripMargin,
+      "uncorrelated EXISTS")
     // and nothing above mutated the table
     assert(Versioned.read(sql, dir).count() == 200)
+  }
+
+  test("EXISTS / NOT EXISTS DML: correlated key extraction rides the key-set COW") {
+    val dir = seeded() // ids 0..199, two groups split at 100
+    locally {
+      val ss = sql; import ss.implicits._
+      Seq(3L, 5L, 150L, 9999L).toDF("k").createOrReplaceTempView("dml_ex_keys")
+    }
+    // EXISTS with a local conjunct: only k < 100 rows of the key set fire
+    sql.sql(s"""DELETE FROM graft.`$dir`
+               |WHERE EXISTS (SELECT 1 FROM dml_ex_keys e
+               |  WHERE e.k = id AND e.k < 100)""".stripMargin)
+    val got = Versioned.read(sql, dir)
+    assert(got.count() == 198, "ids 3 and 5 deleted; 150 kept (local filter)")
+    assert(got.filter($"id".isin(3L, 5L)).count() == 0)
+    assert(got.filter($"id" === 150L).count() == 1)
+    // NOT EXISTS claims rows matching NO key — with a residual conjunct
+    sql.sql(s"""UPDATE graft.`$dir` SET v = 'orphan'
+               |WHERE NOT EXISTS (SELECT 1 FROM dml_ex_keys e WHERE e.k = id)
+               |  AND w >= 1900""".stripMargin)
+    val got2 = Versioned.read(sql, dir)
+    assert(got2.filter($"v" === "orphan").count() == 10,
+      "ids 190..199 have no key match and w >= 1900")
+    assert(got2.filter($"id" === 150L && $"v" === "orphan").count() == 0,
+      "id 150 matches a key: NOT EXISTS false")
+  }
+
+  test("NOT IN DML: ANSI NULL semantics pinned — NULL in set = no-op; " +
+      "empty set = all rows; NULL key kept against a non-empty set") {
+    val dir = tbl()
+    locally {
+      val ss = sql; import ss.implicits._
+      Versioned.commit(Seq(
+        (java.lang.Long.valueOf(1L), "a"),
+        (java.lang.Long.valueOf(2L), "b"),
+        (null.asInstanceOf[java.lang.Long], "c")).toDF("id", "v"), dir)
+      Seq(java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long])
+        .toDF("k").createOrReplaceTempView("dml_ni_withnull")
+      Seq(1L).toDF("k").createOrReplaceTempView("dml_ni_one")
+      Seq.empty[Long].toDF("k").createOrReplaceTempView("dml_ni_empty")
+    }
+    // S contains NULL: `id NOT IN S` is never TRUE — global no-op
+    sql.sql(s"DELETE FROM graft.`$dir` WHERE id NOT IN (SELECT k FROM dml_ni_withnull)")
+    assert(Versioned.read(sql, dir).count() == 3, "NULL in S: nothing deleted")
+    assert(Versioned.latestVersion(sql, dir) == 0L, "no-op publishes no version")
+    // S = {1}: id=2 deleted; id=1 kept (IN); id=NULL kept (NULL NOT IN S = NULL)
+    sql.sql(s"DELETE FROM graft.`$dir` WHERE id NOT IN (SELECT k FROM dml_ni_one)")
+    assertRows(Versioned.read(sql, dir).select("v"), Seq("v"),
+      Set(Seq("a"), Seq("c")))
+    // S empty: NOT IN is TRUE for every row, the NULL key included
+    sql.sql(s"DELETE FROM graft.`$dir` WHERE id NOT IN (SELECT k FROM dml_ni_empty)")
+    assert(Versioned.read(sql, dir).count() == 0, "empty S deletes everything")
   }
 
   test("MERGE ON with differently-named keys: t.id = s.src_id rides the key path") {
