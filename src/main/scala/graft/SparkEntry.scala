@@ -774,6 +774,33 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 20 === 0),
         "text", rounds = 50)),
 
+    // BPE ENCODE/APPLY + packing on REAL token counts — the missing
+    // half of train→encode→pack: 15 trained merges applied back to the
+    // training slice (vocabulary-grain: distinct words encode once, one
+    // join reassembles documents), per-doc token streams pinned by md5
+    // against the oracle's unrolled merge chain (AS MATERIALIZED — the
+    // chain keeps the word column so the final round IS the encoded
+    // vocabulary), then packSequences consumes the ENCODED counts
+    // instead of the fixture column — pack ids and offsets must agree
+    // with the oracle's window arithmetic over its own encoded counts.
+    "bpe_encode_pack" -> ((s, dir) => {
+      val slice = t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+      val trained = TextAnalysis.bpeMerges(slice, "text", rounds = 15)
+        .orderBy("merge_round").collect()
+        .map { r =>
+          val Array(a, b) = r.getString(1).split(" ", 2); (a, b)
+        }.toSeq
+      val enc = TextAnalysis.bpeEncode(slice, "text", "doc_id", trained)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          md5(col("tok_stream")).as("stream_md5"))
+      Packing.packSequences(enc, "doc_id", "n_bpe_tokens",
+          budget = 256, shards = 4)
+        .select(col("doc_id"), col("n_bpe_tokens"), col("stream_md5"),
+          col("shard").cast("long").as("shard"), col("pack_id"),
+          col("pack_offset"))
+        .orderBy("doc_id")
+    }),
+
     // The STREAMING twin: the token stream drains as two checkpointed
     // micro-batches through per-shard Misra–Gries state (bounded at
     // 2·sketch counters per shard, independent of vocabulary size),
@@ -3502,8 +3529,63 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled BPE train+ENCODE chain: like [[bpeDeepOracleSql]] but the
+    * representation chain KEEPS the word column and applies the final
+    * round's rewrite too, so `r<rounds>` IS the encoded vocabulary;
+    * documents reassemble via position join + ordered string_agg, and
+    * the packing window arithmetic runs over the encoded counts. */
+  private def bpeEncodePackOracleSql(
+      rounds: Int, where: String, budget: Int, shards: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH docs0 AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS a
+      |  FROM documents
+      |  WHERE ($where)
+      |    AND trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''),
+      |wv AS MATERIALIZED (
+      |  SELECT w, count(*) AS cnt FROM (SELECT unnest(a) AS w FROM docs0) GROUP BY 1),
+      |r0 AS MATERIALIZED (
+      |  SELECT w, cnt, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS r FROM wv)""".stripMargin
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+        |x$i AS (SELECT cnt, string_split(r, ' ') AS sa FROM r${i - 1}),
+        |e$i AS (SELECT cnt, sa, unnest(generate_series(1, len(sa) - 1)) AS i FROM x$i WHERE len(sa) >= 2),
+        |p$i AS (SELECT sa[i] || ' ' || sa[i + 1] AS p, CAST(sum(cnt) AS BIGINT) AS n FROM e$i GROUP BY 1),
+        |b$i AS MATERIALIZED (SELECT p, n FROM p$i ORDER BY n DESC, p ASC LIMIT 1),
+        |r$i AS MATERIALIZED (SELECT w, cnt, trim(regexp_replace(
+        |         replace(' ' || replace(r, ' ', '  ') || ' ',
+        |                 (SELECT ' ' || replace(p, ' ', '  ') || ' ' FROM b$i),
+        |                 (SELECT ' ' || replace(p, ' ', '') || ' ' FROM b$i)),
+        |         ' +', ' ', 'g')) AS r FROM r${i - 1})""".stripMargin
+    }
+    sb ++= s""",
+      |enc AS MATERIALIZED (
+      |  SELECT w, r AS repr,
+      |    CAST(len(string_split(r, ' ')) AS BIGINT) AS ntok FROM r$rounds),
+      |wordseq AS (
+      |  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM docs0),
+      |assembled AS (
+      |  SELECT q.doc_id, CAST(sum(e.ntok) AS BIGINT) AS n_bpe_tokens,
+      |    md5(string_agg(e.repr, ' ' ORDER BY q.i)) AS stream_md5
+      |  FROM (SELECT doc_id, i, a[i] AS w FROM wordseq) q
+      |  JOIN enc e USING (w) GROUP BY q.doc_id),
+      |cum AS (
+      |  SELECT *, doc_id % $shards AS shard,
+      |    sum(n_bpe_tokens) OVER (PARTITION BY doc_id % $shards ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_bpe_tokens AS cb
+      |  FROM assembled)
+      |SELECT doc_id, n_bpe_tokens, stream_md5, CAST(shard AS BIGINT) AS shard,
+      |  CAST(cb // $budget AS BIGINT) AS pack_id,
+      |  CAST(cb % $budget AS BIGINT) AS pack_offset
+      |FROM cum ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "bpe_merges_deep" -> bpeDeepOracleSql(50, "doc_id % 20 = 0"),
+    "bpe_encode_pack" ->
+      bpeEncodePackOracleSql(15, "doc_id % 20 = 0", budget = 256, shards = 4),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -631,6 +631,113 @@ object TextAnalysis {
     out.toArray
   }
 
+  /** BPE ENCODE — apply a TRAINED merge list to tokenize a corpus, the
+    * missing half of train→encode→pack: [[bpeMerges]] learns the
+    * merges, this materializes per-document token streams and REAL
+    * token counts (so packing/chunking can stop leaning on a fixture
+    * column). Output: one row per document with ≥1 normalized word —
+    * `(idCol, n_bpe_tokens, tok_stream)` where `tok_stream` is the
+    * document's final symbols space-joined in word order (each word's
+    * symbols are its final BPE representation; md5 it for a compact
+    * equality pin).
+    *
+    * Scale shape — encoding is VOCABULARY-grain, never corpus-grain:
+    * the distinct normalized words are encoded ONCE (driver-local under
+    * `spark.graft.bpe.localVocabLimit`, the same contract as the
+    * trainer; a `mapPartitions` over the distinct-word frame with the
+    * broadcast-size merge ranks above it — the per-word merge loop is
+    * genuinely imperative, and the vocabulary is the small side), then
+    * ONE join hands each word occurrence its token count and final
+    * representation (AQE broadcasts the vocabulary when it is small —
+    * at web scale the join is vocab-keyed, cost ∝ corpus words). The
+    * per-document reassembly is one `collect_list(struct(pos, repr))` +
+    * `array_sort` aggregate — order restored deterministically without
+    * a window sort.
+    *
+    * The per-word loop repeatedly merges ALL occurrences of the
+    * LOWEST-RANK adjacent pair present — provably identical to applying
+    * the merge list in rank order (a merge can only create pairs of
+    * HIGHER rank: new pairs contain the new symbol, which training
+    * created at that rank), which is the trainer's own representation
+    * evolution and the double-space-replace chain the DuckDB oracle
+    * unrolls. BpeSpec pins encode ≡ the trainer's final representation
+    * on the training corpus. */
+  def bpeEncode(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rank: Map[String, Int] =
+      merges.zipWithIndex.map { case ((a, b), i) => (a + " " + b) -> i }.toMap
+    val words = withNormToks(df, textCol)
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__w")))
+    val vocab = words.select(col("__w")).distinct()
+    val localLimit = spark.conf
+      .getOption("spark.graft.bpe.localVocabLimit").map(_.toLong)
+      .getOrElse(2000000L)
+    val encoded: DataFrame =
+      if (vocab.count() <= localLimit) {
+        val enc = vocab.as[String].collect().map { w =>
+          val r = bpeEncodeWord(w, rank)
+          (w, r.mkString(" "), r.length.toLong)
+        }
+        enc.toSeq.toDF("__w", "__repr", "__ntok")
+      } else {
+        val rankB = spark.sparkContext.broadcast(rank)
+        vocab.as[String].mapPartitions { it =>
+          val rk = rankB.value
+          it.map { w =>
+            val r = bpeEncodeWord(w, rk)
+            (w, r.mkString(" "), r.length.toLong)
+          }
+        }.toDF("__w", "__repr", "__ntok")
+      }
+    words.join(encoded, "__w")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__ntok")).as("n_bpe_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__repr")))),
+            x => x.getField("__repr")),
+          " ").as("tok_stream"))
+  }
+
+  /** One word through the merge ranks: repeatedly merge ALL
+    * left-to-right non-overlapping occurrences of the lowest-rank
+    * adjacent pair present (see [[bpeEncode]] for the equivalence
+    * argument). O(rounds·|word|) worst case, vocabulary-grain. */
+  private[graft] def bpeEncodeWord(
+      word: String, rank: Map[String, Int]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse(syms(i) + " " + syms(i + 1), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length &&
+              rank.getOrElse(syms(j) + " " + syms(j + 1), Int.MaxValue) == bestRank) {
+            out += (syms(j) + syms(j + 1)); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
   /** Boundary-correct corpus-weighted pair counts of a `(cnt, r)`
     * symbol-representation frame — the seed count and (negated) delta
     * building block of [[bpeMerges]]. */

@@ -134,4 +134,82 @@ class BpeSpec extends SparkSpec {
     // And a vocab that exhausts after one merge stops there.
     assert(merges(Seq("ab", "ab"), 5).size == 1)
   }
+
+  /** Naive encode: apply the merge list IN RANK ORDER to one word —
+    * the trainer's own representation evolution, independently coded. */
+  private def naiveEncode(word: String, ms: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString)
+    ms.foreach { case (a, b) =>
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.size) {
+        if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+
+  test("bpeEncode ≡ applying the merge list in rank order; counts and streams agree") {
+    val texts = Seq(
+      "the cat sat on the mat", "the bat and the cat", "a mat a bat a rat",
+      "banana bandana ban", "rats eat oats", "the the the")
+    val trained = merges(texts, 12).map { case (_, p, _, _) =>
+      val Array(a, b) = p.split(" ", 2); (a, b)
+    }
+    assert(trained.nonEmpty)
+    val enc = TextAnalysis.bpeEncode(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      "text", "doc_id", trained)
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect()
+    assert(enc.length == texts.length)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val words = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val expected = words.flatMap(w => naiveEncode(w, trained))
+      val (_, n, stream) = enc(i)
+      assert(stream == expected.mkString(" "),
+        s"doc $i: got '$stream' want '${expected.mkString(" ")}'")
+      assert(n == expected.length.toLong)
+    }
+  }
+
+  test("bpeEncode: the training corpus re-encodes to the trainer's final representation") {
+    // Train to exhaustion-ish depth on a small corpus, then encode the
+    // SAME corpus: every word's encoding must equal what the trainer's
+    // own representation evolved to (checked via the naive evolution,
+    // which test 2 above pinned against bpeMergesLocal already).
+    val texts = Seq("aa ab aa ab", "ab aa b a", "aa aa ab")
+    val trained = merges(texts, 6).map { case (_, p, _, _) =>
+      val Array(a, b) = p.split(" ", 2); (a, b)
+    }
+    val enc = TextAnalysis.bpeEncode(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      "text", "doc_id", trained).orderBy("doc_id")
+      .as[(Long, Long, String)].collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val expected = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => naiveEncode(w, trained)).mkString(" ")
+      assert(enc(i)._3 == expected)
+    }
+  }
+
+  test("bpeEncode: driver-local and distributed vocabulary paths are BIT-IDENTICAL") {
+    val texts = Seq("the cat sat", "a bat a cat", "rats eat oats and hats")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val trained = merges(texts, 8).map { case (_, p, _, _) =>
+      val Array(a, b) = p.split(" ", 2); (a, b)
+    }
+    val local = TextAnalysis.bpeEncode(df, "text", "doc_id", trained)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    spark.conf.set("spark.graft.bpe.localVocabLimit", "0")
+    try {
+      val dist = TextAnalysis.bpeEncode(df, "text", "doc_id", trained)
+        .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+      assert(local == dist)
+    } finally spark.conf.unset("spark.graft.bpe.localVocabLimit")
+  }
 }
