@@ -873,10 +873,90 @@ object Versioned {
     snapshotExpecting(action(read(spark, tableDir, v)), tableDir, v)
   }
 
+  /** REBASE publication for MAINTENANCE rewrites ([[compact]],
+    * [[cluster]]) — Delta's OPTIMIZE conflict resolution: a compaction
+    * of version P losing the publish race to PURE APPENDS must not
+    * throw away its full rewrite (at 100 TB that is the whole table's
+    * bytes) — the compacted groups plus the winners' APPENDED groups
+    * are, together, exactly the latest version's content, so the
+    * commit republishes that union at the new head. Rebase is sound
+    * ONLY because compaction is row-invariant over its input: the
+    * final table equals compacted(P) ∪ appends = latest. Anything
+    * else among the winners — DML/snapshot (rows changed under us),
+    * constraint DDL (the rewrite was never validated against it),
+    * column DDL, or a column-mapped table (winner groups store
+    * physical names this manifest's empty mapping would misread) —
+    * deletes the written groups and raises
+    * [[java.util.ConcurrentModificationException]], the pre-rebase
+    * contract. Winner appends may EVOLVE the schema: the rebased
+    * manifest adopts the latest schema and the compacted groups
+    * null-fill the new columns, the same contract any old group has.
+    * Returns the published version. */
+  private[graft] def rebasePublish(
+      spark: SparkSession, tableDir: String, expectedParent: Long,
+      newGroups: Seq[String], newRows: Long,
+      schemaDdl: Option[String]): Long = {
+    val f = fs(spark, tableDir)
+    def abandon(why: String): Nothing = {
+      newGroups.foreach(g => f.delete(new Path(s"$tableDir/files/$g"), true))
+      throw new java.util.ConcurrentModificationException(
+        s"maintenance rewrite of $tableDir read version $expectedParent " +
+          s"but cannot rebase: $why — re-run against the new latest version")
+    }
+    var parent = expectedParent
+    var extraGroups = Seq.empty[String]
+    var extraRows = 0L
+    var schema = schemaDdl
+    while (true) {
+      val latest = latestVersion(spark, tableDir)
+      if (latest > parent) {
+        val metas = ((parent + 1) to latest).map { w =>
+          try parseManifest(spark, tableDir, w)
+          catch {
+            case _: java.io.FileNotFoundException =>
+              abandon(s"version $w was vacuumed while rebasing")
+          }
+        }
+        metas.zipWithIndex.foreach { case (m, i) =>
+          if (m.mode != "append")
+            abandon(s"concurrent version ${parent + 1 + i} is a " +
+              s"'${m.mode}', not an append — the rewrite no longer " +
+              "represents the table")
+          if (m.mapping.nonEmpty)
+            abandon("the table uses column mapping; a rebased snapshot " +
+              "manifest cannot carry the winners' physical names")
+        }
+        val parentFiles =
+          (try parseManifest(spark, tableDir, parent)
+          catch {
+            case _: java.io.FileNotFoundException =>
+              abandon(s"parent version $parent was vacuumed while rebasing")
+          }).files.toSet
+        val latestMeta = metas.last
+        extraGroups = latestMeta.files.filterNot(parentFiles)
+        extraRows = groupRows(spark, tableDir, extraGroups, latestMeta.schemaDdl)
+        schema = latestMeta.schemaDdl.orElse(schema)
+        parent = latest
+      }
+      val cons = constraints(spark, tableDir)
+      val target = parent + 1
+      val json = manifestJson(target, "snapshot", newGroups ++ extraGroups,
+        newRows + extraRows, None, schema, cons, Seq.empty)
+      if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, target), json))
+        return target
+      // lost again: the loop re-reads the (grown) winner set
+    }
+    -1L // unreachable
+  }
+
   /** [[commit]]'s shape for snapshots whose CONTENT derives from
-    * `expectedParent` ([[curate]], [[compact]]): publication is
+    * `expectedParent` ([[curate]]): publication is
     * optimistic — a concurrent commit raises instead of being silently
-    * overwritten by a snapshot that never saw it. */
+    * overwritten by a snapshot that never saw it. (Maintenance rewrites
+    * — compact/cluster — go through [[rebasePublish]] instead: they are
+    * row-invariant, so pure-append winners merge rather than raise.
+    * `curate`'s action is arbitrary — rebasing would silently skip
+    * applying it to the winners' rows — so it keeps the strict raise.) */
   private def snapshotExpecting(
       df: DataFrame, tableDir: String, expectedParent: Long): Long = {
     val spark = df.sparkSession
@@ -1542,8 +1622,13 @@ object Versioned {
       f.getContentSummary(new Path(s"$tableDir/files/$g")).getLength
     }.sum
     val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    snapshotExpecting(read(spark, tableDir, v).repartition(parts.toInt),
-      tableDir, v)
+    val df = read(spark, tableDir, v).repartition(parts.toInt)
+    val (group, n) = writeGroup(df, tableDir)
+    enforceConstraints(spark, tableDir, group,
+      Some(storedSchema(df)), constraints(spark, tableDir))
+    // Rebase-aware publication: racing pure APPENDS merge into the
+    // compacted commit instead of discarding the full rewrite.
+    rebasePublish(spark, tableDir, v, Seq(group), n, Some(storedSchema(df)))
   }
 
   /** OPTIMIZE ZORDER BY for versioned tables: rewrite the latest
@@ -1614,8 +1699,11 @@ object Versioned {
         GroupStats.write(f, GroupStats.sidecarPath(tableDir, g), stats)
         (g, stats.nRows)
       }.toSeq
-      publishExpecting(spark, tableDir, v, groups.map(_._1), groups.map(_._1),
-        groups.map(_._2).sum, "snapshot", Some(storedSchema(df)))
+      // Rebase-aware publication (same contract as [[compact]]): racing
+      // pure appends merge in as-is — their groups simply are not
+      // z-clustered yet, exactly as if they had landed after.
+      rebasePublish(spark, tableDir, v, groups.map(_._1),
+        groups.map(_._2).sum, Some(storedSchema(df)))
     } finally {
       f.delete(stagingPath, true)
       // rmdir the shared staging root if now empty (a concurrent
