@@ -1245,6 +1245,71 @@ object SparkEntry {
     // en group (and any lang group with no >400 doc) carries into the
     // new manifest metadata-only (VersionedMutationSpec pins the group
     // identities; here the oracle pins the row semantics).
+    // DELETION VECTORS (merge-on-read deletes): a GDPR-shaped scatter
+    // delete — one thin modulo slice of EVERY file group, the predicate
+    // stats cannot prune and copy-on-write handles worst (it would
+    // rewrite the whole table) — commits as position sidecars with the
+    // data groups UNTOUCHED. The query then proves the DV is
+    // semantically invisible: a merge re-inserts the deleted en keys
+    // (a DV'd key must neither match nor block the insert), the
+    // pre-delete version still reads every row, and the emitted audit
+    // columns pin that the DV path actually engaged (dv entries
+    // present, file set unchanged) — so a regression to silent
+    // rewriting fails the oracle, not just a perf curve.
+    "versioned_dv" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/dv_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Seq("de", "es", "fr", "zh").foreach(l =>
+        Versioned.append(docs.filter(col("lang") === l), tbl))
+      val v0 = Versioned.latestVersion(s, tbl)
+      val groupsBefore = Versioned.parseManifest(s, tbl, v0).files.toSet
+      val vDel = Versioned.delete(s, tbl)(col("doc_id") % 97L === 0L)
+      val m = Versioned.parseManifest(s, tbl, vDel)
+      val dvEngaged = m.dvs.nonEmpty && m.files.toSet == groupsBefore
+      // resurrect the deleted en keys under a sentinel lang: NOT
+      // matched (the rows are DV-gone) → all must INSERT
+      val resurrect = docs
+        .filter(col("lang") === "en" && col("doc_id") % 97L === 0L)
+        .select(col("doc_id"), lit("xx").as("lang"), col("n_chars"))
+      Versioned.merge(s, tbl, resurrect, Seq("doc_id"))
+      val preDeleteRows = Versioned.read(s, tbl, v0).count()
+      Versioned.read(s, tbl).groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .withColumn("dv_engaged", lit(dvEngaged))
+        .withColumn("pre_delete_rows", lit(preDeleteRows))
+        .orderBy("lang")
+    }),
+
+    // ROW-LEVEL CDC (Delta CDF shape) from manifests + deletion
+    // vectors, no change files ever written: en commits as the base,
+    // de appends (inserts), a scattered DV delete removes a modulo
+    // slice of BOTH (the deleted rows' full pre-image values come back
+    // from the immutable groups via the position diff), fr appends
+    // after. The oracle recomputes every (change_type, commit_version,
+    // lang) cell — an insert leaking from the base, a delete emitting
+    // the wrong rows, or a DV diff double-counting a previously
+    // deleted position all break the rollup.
+    "version_changes_feed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/cdf_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl) // v0 base
+      Versioned.append(docs.filter(col("lang") === "de"), tbl) // v1
+      Versioned.delete(s, tbl)(col("doc_id") % 97L === 0L) // v2: pure DV
+      Versioned.append(docs.filter(col("lang") === "fr"), tbl) // v3
+      Versioned.changesFeed(s, tbl, 0L)
+        .groupBy(col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("change_type", "commit_version", "lang")
+    }),
+
     "versioned_delete" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tbl = s"/tmp/graft_versioned/del_${etlSuffix(dir)}"
@@ -5243,6 +5308,40 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Survivors = every doc off the modulo slice; the deleted en keys
+    // return as lang 'xx' via the merge insert. dv_engaged = true IS
+    // the merge-on-read gate: if the delete silently rewrote (or the
+    // DV dropped rows it shouldn't), the constant — or the rollup —
+    // breaks.
+    "versioned_dv" ->
+      """WITH survivors AS (
+        |  SELECT doc_id, lang FROM documents WHERE (doc_id % 97) <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 'xx' AS lang FROM documents
+        |  WHERE lang = 'en' AND (doc_id % 97) = 0)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  true AS dv_engaged,
+        |  (SELECT count(*) FROM documents) AS pre_delete_rows
+        |FROM survivors GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // v1 inserts = de; v2 deletes = the modulo slice of en ∪ de (the
+    // table at delete time); v3 inserts = fr.
+    "version_changes_feed" ->
+      """WITH feed AS (
+        |  SELECT 'insert' AS change_type, 1 AS cv, doc_id, lang
+        |  FROM documents WHERE lang = 'de'
+        |  UNION ALL
+        |  SELECT 'delete', 2, doc_id, lang FROM documents
+        |  WHERE lang IN ('en', 'de') AND (doc_id % 97) = 0
+        |  UNION ALL
+        |  SELECT 'insert', 3, doc_id, lang
+        |  FROM documents WHERE lang = 'fr')
+        |SELECT change_type, CAST(cv AS BIGINT) AS commit_version, lang,
+        |  count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM feed GROUP BY change_type, cv, lang
+        |ORDER BY change_type, commit_version, lang""".stripMargin,
 
     // en rows predate n_chars (NULL → predicate NULL → KEPT); evolved
     // rows delete only when n_chars > 400.

@@ -111,12 +111,22 @@ object Versioned {
     * the LOGICAL schema; file groups store PHYSICAL column names, which
     * never change once assigned — that is what makes RENAME/DROP
     * metadata-only. */
+  /** `dvs` is DELETION-VECTOR state (Delta's merge-on-read deletes):
+    * one entry per file group carrying a DV — (group, artifact,
+    * deletedRows) where `artifact` is a parquet directory under
+    * `files/` holding (rel, pos) rows: `rel` is the file's path suffix
+    * after the LAST "/files/" (clone-safe — no absolute paths) and
+    * `pos` its `_metadata.row_index`. Every scan of a version
+    * anti-joins the DV'd groups against their artifacts; a rewrite of
+    * a group materializes (drops) its entry. At most one entry per
+    * group per version. */
   private[graft] final case class Manifest(
       files: Seq[String], nRows: Long, mode: String, committedAt: String,
       txn: Option[(String, Long)] = None,
       schemaDdl: Option[String] = None,
       constraints: Seq[(String, String)] = Seq.empty,
-      mapping: Seq[(String, String)] = Seq.empty)
+      mapping: Seq[(String, String)] = Seq.empty,
+      dvs: Seq[(String, String, Long)] = Seq.empty)
 
   private def jsonEscape(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -165,7 +175,17 @@ object Versioned {
             .map(q => jsonUnescape(q.group(1))).toSeq
             .grouped(2).collect { case Seq(l, p) => (l, p) }.toSeq
         }.getOrElse(Seq.empty)
-    Manifest(files, nRows, mode, at, txn, schemaDdl, constraints, mapping)
+    // deletion vectors: flat [group, artifact, count, ...] triples
+    // (count serialized as a quoted string so the array body stays a
+    // run of quoted strings like constraints/mapping).
+    val dvs =
+      "\"dvs\":\\[((?:\\s*\"(?:[^\"\\\\]|\\\\.)*\"\\s*,?)*)\\]".r
+        .findFirstMatchIn(raw).map { m =>
+          "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
+            .map(q => jsonUnescape(q.group(1))).toSeq
+            .grouped(3).collect { case Seq(g, a, c) => (g, a, c.toLong) }.toSeq
+        }.getOrElse(Seq.empty)
+    Manifest(files, nRows, mode, at, txn, schemaDdl, constraints, mapping, dvs)
   }
 
   private def readManifest(
@@ -182,7 +202,8 @@ object Versioned {
       v: Long, mode: String, groups: Seq[String], nRows: Long,
       txn: Option[(String, Long)], schemaDdl: Option[String],
       constraints: Seq[(String, String)] = Seq.empty,
-      mapping: Seq[(String, String)] = Seq.empty): String = {
+      mapping: Seq[(String, String)] = Seq.empty,
+      dvs: Seq[(String, String, Long)] = Seq.empty): String = {
     val txnJson = txn.map { case (app, b) =>
       s""","txn_app":"$app","txn_batch":$b"""
     }.getOrElse("")
@@ -195,8 +216,12 @@ object Versioned {
       if (mapping.isEmpty) ""
       else mapping.flatMap { case (l, p) => Seq(l, p) }
         .map(s => "\"" + jsonEscape(s) + "\"").mkString(""","mapping":[""", ",", "]")
+    val dvJson =
+      if (dvs.isEmpty) ""
+      else dvs.flatMap { case (g, a, c) => Seq(g, a, c.toString) }
+        .map(s => "\"" + jsonEscape(s) + "\"").mkString(""","dvs":[""", ",", "]")
     s"""{"version":$v,"mode":"$mode","files":[${groups.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"$txnJson$schemaJson$consJson$mapJson}"""
+      s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"$txnJson$schemaJson$consJson$mapJson$dvJson}"""
   }
 
   /** The live constraint set: the latest version's, or empty. */
@@ -211,7 +236,8 @@ object Versioned {
       spark: SparkSession, tableDir: String, groups: Seq[String],
       nRows: Long, mode: String, schemaDdl: Option[String],
       constraintsOverride: Option[Seq[(String, String)]] = None,
-      mapping: Seq[(String, String)] = Seq.empty): Long = {
+      mapping: Seq[(String, String)] = Seq.empty,
+      dvs: Seq[(String, String, Long)] = Seq.empty): Long = {
     val f = fs(spark, tableDir)
     // Constraints are table-level metadata: every commit carries the
     // live set forward unless explicitly changed (add/dropConstraint).
@@ -221,7 +247,7 @@ object Versioned {
       // FsAtomic: Hadoop's local create(overwrite=false) is check-then-
       // act; a non-atomic create here could publish the SAME version
       // number twice under concurrent committers.
-      val json = manifestJson(v, mode, groups, nRows, None, schemaDdl, cons, mapping)
+      val json = manifestJson(v, mode, groups, nRows, None, schemaDdl, cons, mapping, dvs)
       if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
         return v
       v += 1 // lost the race: next number
@@ -245,11 +271,12 @@ object Versioned {
       groups: Seq[String], newGroups: Seq[String], nRows: Long, mode: String,
       schemaDdl: Option[String],
       constraintsOverride: Option[Seq[(String, String)]] = None,
-      mapping: Seq[(String, String)] = Seq.empty): Long = {
+      mapping: Seq[(String, String)] = Seq.empty,
+      dvs: Seq[(String, String, Long)] = Seq.empty): Long = {
     val f = fs(spark, tableDir)
     val cons = constraintsOverride.getOrElse(constraints(spark, tableDir))
     val target = expectedParent + 1
-    val json = manifestJson(target, mode, groups, nRows, None, schemaDdl, cons, mapping)
+    val json = manifestJson(target, mode, groups, nRows, None, schemaDdl, cons, mapping, dvs)
     if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, target), json))
       target
     else {
@@ -298,6 +325,91 @@ object Versioned {
           .parquet(paths: _*)
       case (None, _) => spark.read.parquet(paths: _*)
     }
+  }
+
+  /** DV row identity: the scanned file's path suffix after the LAST
+    * "/files/" (matching the artifact's `rel` column — clone-safe, and
+    * immune to a table path that itself contains "/files/"). */
+  private def dvRelCol: Column =
+    org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.split(
+        col("_metadata.file_path"), java.util.regex.Pattern.quote("/files/")),
+      -1)
+
+  /** [[scanGroups]] with each group's row identity retained: adds
+    * `__dv_rel` (file path suffix) and `__dv_pos` (`_metadata.row_index`)
+    * BEFORE any mapping projection, so callers can anti-join deletion
+    * vectors or tag rows with their group without `input_file_name()`
+    * (which goes blank after a join). */
+  private def scanGroupsTagged(
+      spark: SparkSession, tableDir: String,
+      groups: Seq[String], schemaDdl: Option[String],
+      mapping: Seq[(String, String)]): DataFrame = {
+    val paths = groups.map(g => s"$tableDir/files/$g")
+    val helpers = Seq(
+      dvRelCol.as("__dv_rel"),
+      col("_metadata.row_index").as("__dv_pos"))
+    (schemaDdl, activeMapping(mapping)) match {
+      case (Some(d), am) if am.nonEmpty =>
+        val logical = org.apache.spark.sql.types.StructType.fromDDL(d)
+        val physical = org.apache.spark.sql.types.StructType(
+          logical.fields.map(f => f.copy(name = physicalName(am, f.name))))
+        spark.read.schema(physical).parquet(paths: _*)
+          .select(logical.fields.toSeq.map(f =>
+            col(physicalName(am, f.name)).as(f.name)) ++ helpers: _*)
+      case (Some(d), _) =>
+        val logical = org.apache.spark.sql.types.StructType.fromDDL(d)
+        spark.read.schema(logical).parquet(paths: _*)
+          .select(logical.fields.toSeq.map(f => col(f.name)) ++ helpers: _*)
+      case (None, _) =>
+        val base = spark.read.parquet(paths: _*)
+        base.select(base.columns.toSeq.map(col) ++ helpers: _*)
+    }
+  }
+
+  /** The deletion-vector rows masking `groups` (empty frame if none):
+    * (__dv_rel, __dv_pos) pairs read from the version's DV artifacts,
+    * broadcast when the manifest-recorded total is small. */
+  private def dvMaskRows(
+      spark: SparkSession, tableDir: String,
+      dvFor: Seq[(String, String, Long)]): DataFrame = {
+    val artifacts = dvFor.map(_._2).distinct
+    val groupSet = dvFor.map(_._1).toSet
+    val raw = spark.read.parquet(artifacts.map(a => s"$tableDir/files/$a"): _*)
+      // a shared artifact may carry rows for groups whose DV entry has
+      // since been dropped (rewritten groups): mask only live entries
+      .filter(org.apache.spark.sql.functions
+        .substring_index(col("rel"), "/", 1).isin(groupSet.toSeq: _*))
+      .select(col("rel").as("__dv_rel"), col("pos").as("__dv_pos"))
+    val total = dvFor.map(_._3).sum
+    val cap = spark.conf.getOption("spark.graft.dv.broadcastRows")
+      .map(_.toLong).getOrElse(4000000L)
+    if (total <= cap) org.apache.spark.sql.functions.broadcast(raw) else raw
+  }
+
+  /** A version's data: [[scanGroups]] with that version's deletion
+    * vectors applied. Groups without a DV scan plain (full pushdown,
+    * no join); DV'd groups anti-join their artifacts on (rel, pos).
+    * This is THE read every consumer of live rows must use — a plain
+    * [[scanGroups]] of a DV'd group resurrects deleted rows. */
+  private[graft] def scanVersionGroups(
+      spark: SparkSession, tableDir: String,
+      groups: Seq[String], schemaDdl: Option[String],
+      mapping: Seq[(String, String)] = Seq.empty,
+      dvs: Seq[(String, String, Long)] = Seq.empty): DataFrame = {
+    val dvFor = dvs.filter(d => groups.contains(d._1))
+    if (dvFor.isEmpty)
+      return scanGroups(spark, tableDir, groups, schemaDdl, mapping)
+    val dvGroups = dvFor.map(_._1).toSet
+    val plain = groups.filterNot(dvGroups)
+    val masked = scanGroupsTagged(
+      spark, tableDir, groups.filter(dvGroups), schemaDdl, mapping)
+      .join(dvMaskRows(spark, tableDir, dvFor),
+        Seq("__dv_rel", "__dv_pos"), "left_anti")
+      .drop("__dv_rel", "__dv_pos")
+    if (plain.isEmpty) masked
+    else scanGroups(spark, tableDir, plain, schemaDdl, mapping)
+      .unionByName(masked)
   }
 
   /** The non-tombstone entries of a mapping; empty for identity. */
@@ -464,7 +576,8 @@ object Versioned {
     require(!existing.exists(_._1.equalsIgnoreCase(name)),
       s"constraint '$name' already exists")
     val m = parseManifest(spark, tableDir, v)
-    val violations = scanGroups(spark, tableDir, m.files, m.schemaDdl, m.mapping)
+    val violations = scanVersionGroups(
+      spark, tableDir, m.files, m.schemaDdl, m.mapping, m.dvs)
       .filter(!coalesce(org.apache.spark.sql.functions.expr(exprSql), lit(true)))
       .count()
     require(violations == 0L,
@@ -472,7 +585,7 @@ object Versioned {
         s"$violations existing row(s) violate it")
     publishExpecting(spark, tableDir, v, m.files, Seq.empty,
       m.nRows, "add_constraint", m.schemaDdl,
-      Some(existing :+ (name -> exprSql)), m.mapping)
+      Some(existing :+ (name -> exprSql)), m.mapping, dvs = m.dvs)
   }
 
   /** ALTER TABLE DROP CONSTRAINT (metadata-only). */
@@ -486,7 +599,8 @@ object Versioned {
     val m = parseManifest(spark, tableDir, v)
     publishExpecting(spark, tableDir, v, m.files, Seq.empty,
       m.nRows, "drop_constraint", m.schemaDdl,
-      Some(existing.filterNot(_._1.equalsIgnoreCase(name))), m.mapping)
+      Some(existing.filterNot(_._1.equalsIgnoreCase(name))), m.mapping,
+      dvs = m.dvs)
   }
 
   /** The identifier-boundary test "does this constraint expression
@@ -544,7 +658,7 @@ object Versioned {
       if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
     publishExpecting(spark, tableDir, v, m.files, Seq.empty,
       m.nRows, "rename_column", Some(newSchema.toDDL),
-      Some(m.constraints), mapping)
+      Some(m.constraints), mapping, dvs = m.dvs)
   }
 
   /** ALTER TABLE DROP COLUMN — METADATA-ONLY (Delta column mapping):
@@ -583,7 +697,7 @@ object Versioned {
       schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
     publishExpecting(spark, tableDir, v, m.files, Seq.empty,
       m.nRows, "drop_column", Some(newSchema.toDDL),
-      Some(m.constraints), mapping)
+      Some(m.constraints), mapping, dvs = m.dvs)
   }
 
   /** Commit `df` as a FULL-SNAPSHOT version; returns the version number.
@@ -641,13 +755,14 @@ object Versioned {
     var enforcedFor: Option[Seq[(String, String)]] = None
     while (true) {
       val parent = latestVersion(spark, tableDir)
-      val (parentGroups, parentRows, parentSchema, parentCons, parentMap) =
+      val (parentGroups, parentRows, parentSchema, parentCons, parentMap, parentDvs) =
         if (parent < 0)
           (Seq.empty[String], 0L, None: Option[String],
-            Seq.empty[(String, String)], Seq.empty[(String, String)])
+            Seq.empty[(String, String)], Seq.empty[(String, String)],
+            Seq.empty[(String, String, Long)])
         else {
           val m = parseManifest(spark, tableDir, parent)
-          (m.files, m.nRows, m.schemaDdl, m.constraints, m.mapping)
+          (m.files, m.nRows, m.schemaDdl, m.constraints, m.mapping, m.dvs)
         }
       if (parentMap != mappingAtWrite) {
         fs(spark, tableDir).delete(new Path(s"$tableDir/files/$group"), true)
@@ -673,7 +788,7 @@ object Versioned {
       }
       try return publishExpecting(spark, tableDir, parent,
         parentGroups :+ group, Seq.empty, parentRows + n, "append", schema,
-        Some(parentCons), mapping)
+        Some(parentCons), mapping, dvs = parentDvs)
       catch { case _: java.util.ConcurrentModificationException
           if latestVersion(spark, tableDir) != parent => () }
     }
@@ -788,13 +903,14 @@ object Versioned {
         return None
       }
       val parent = latestVersion(spark, tableDir)
-      val (parentGroups, parentRows, parentSchema, parentCons, parentMap) =
+      val (parentGroups, parentRows, parentSchema, parentCons, parentMap, parentDvs) =
         if (parent < 0)
           (Seq.empty[String], 0L, None: Option[String],
-            Seq.empty[(String, String)], Seq.empty[(String, String)])
+            Seq.empty[(String, String)], Seq.empty[(String, String)],
+            Seq.empty[(String, String, Long)])
         else {
           val m = parseManifest(spark, tableDir, parent)
-          (m.files, m.nRows, m.schemaDdl, m.constraints, m.mapping)
+          (m.files, m.nRows, m.schemaDdl, m.constraints, m.mapping, m.dvs)
         }
       if (parentMap != mappingAtWrite) {
         f.delete(new Path(s"$tableDir/files/$group"), true)
@@ -818,7 +934,7 @@ object Versioned {
       val v = parent + 1
       val json = manifestJson(
         v, "append", parentGroups :+ group, parentRows + n,
-        Some(appId -> batchId), schema, parentCons, parentMap)
+        Some(appId -> batchId), schema, parentCons, parentMap, parentDvs)
       if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
         return Some(v)
       // lost the race: loop re-reads the new latest AND the watermark
@@ -976,7 +1092,7 @@ object Versioned {
     require(v >= 0, s"no versions committed under $tableDir")
     val m = parseManifest(spark, tableDir, v)
     require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
-    scanGroups(spark, tableDir, m.files, m.schemaDdl, m.mapping)
+    scanVersionGroups(spark, tableDir, m.files, m.schemaDdl, m.mapping, m.dvs)
   }
 
   /** TIMESTAMP AS OF: the largest version whose manifest `committed_at`
@@ -1035,9 +1151,10 @@ object Versioned {
     val cond = preds.reduce(_ && _)
     val (kept, _) = pruneGroups(spark, tableDir, groups, m.schemaDdl, cond, m.mapping)
     if (kept.isEmpty)
-      scanGroups(spark, tableDir, groups, m.schemaDdl, m.mapping)
+      scanVersionGroups(spark, tableDir, groups, m.schemaDdl, m.mapping, m.dvs)
         .filter(cond).limit(0)
-    else scanGroups(spark, tableDir, kept, m.schemaDdl, m.mapping).filter(cond)
+    else scanVersionGroups(spark, tableDir, kept, m.schemaDdl, m.mapping, m.dvs)
+      .filter(cond)
   }
 
   /** Partition `groups` into (mayMatch, provablyNoMatch) under `cond`
@@ -1096,13 +1213,39 @@ object Versioned {
   private def touchedGroups(
       spark: SparkSession, tableDir: String, candidates: Seq[String],
       schemaDdl: Option[String],
-      mapping: Seq[(String, String)] = Seq.empty)(
+      mapping: Seq[(String, String)] = Seq.empty,
+      dvs: Seq[(String, String, Long)] = Seq.empty)(
       probe: DataFrame => DataFrame): Set[String] = {
     if (candidates.isEmpty) return Set.empty
-    val tagged = scanGroups(spark, tableDir, candidates, schemaDdl, mapping)
-      .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
+    // Tag with the group id from the scan's own row identity (LAST
+    // "/files/" segment — robust to a table path containing "/files/",
+    // and, unlike input_file_name(), still populated under the DV
+    // anti-join) and mask deletion vectors BEFORE probing: a DV'd row
+    // must not mark its group as touched.
+    val dvFor = dvs.filter(d => candidates.contains(d._1))
+    val tagged0 = scanGroupsTagged(spark, tableDir, candidates, schemaDdl, mapping)
+    val live =
+      if (dvFor.isEmpty) tagged0
+      else tagged0.join(dvMaskRows(spark, tableDir, dvFor),
+        Seq("__dv_rel", "__dv_pos"), "left_anti")
+    val tagged = live
+      .withColumn("__file", org.apache.spark.sql.functions
+        .substring_index(col("__dv_rel"), "/", 1))
+      .drop("__dv_rel", "__dv_pos")
     probe(tagged).select("__file").distinct().collect()
-      .map(r => r.getString(0).split("/files/")(1).split("/")(0)).toSet
+      .map(_.getString(0)).toSet
+  }
+
+  /** LIVE rows across `groups`: stats-sidecar totals minus the groups'
+    * manifest-recorded deletion-vector counts. */
+  private def liveGroupRows(
+      spark: SparkSession, tableDir: String, groups: Seq[String],
+      schemaDdl: Option[String],
+      mapping: Seq[(String, String)] = Seq.empty,
+      dvs: Seq[(String, String, Long)] = Seq.empty): Long = {
+    val gs = groups.toSet
+    groupRows(spark, tableDir, groups, schemaDdl, mapping) -
+      dvs.filter(d => gs(d._1)).map(_._3).sum
   }
 
   /** Copy-on-write `DELETE FROM ... WHERE preds` — Delta's delete
@@ -1132,24 +1275,97 @@ object Versioned {
     require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
     val cond = preds.reduce(_ && _)
     val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, cond, m.mapping)
-    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)(_.filter(cond))
-    if (hit.isEmpty) return v // nothing to delete anywhere
-    val (touched, untouched) = m.files.partition(hit)
-    val survivors = scanGroups(spark, tableDir, touched, m.schemaDdl, m.mapping)
-      .filter(!coalesce(cond, lit(false)))
-    val (group, kept) = writeGroup(survivors, tableDir, m.mapping)
-    enforceConstraints(spark, tableDir, group, m.schemaDdl, m.constraints, m.mapping)
+    if (cand.isEmpty) return v
+    // One pass over the (DV-masked) candidates yields the touched
+    // groups AND each group's matched-row count — the DV decision
+    // needs the fraction, so fold it into the probe instead of a
+    // second scan.
+    val dvForCand = m.dvs.filter(d => cand.contains(d._1))
+    val tagged0 = scanGroupsTagged(spark, tableDir, cand, m.schemaDdl, m.mapping)
+    val liveScan =
+      if (dvForCand.isEmpty) tagged0
+      else tagged0.join(dvMaskRows(spark, tableDir, dvForCand),
+        Seq("__dv_rel", "__dv_pos"), "left_anti")
+    val matchRows = liveScan.filter(coalesce(cond, lit(false)))
+      .withColumn("__grp", org.apache.spark.sql.functions
+        .substring_index(col("__dv_rel"), "/", 1))
+    val perGroup: Map[String, Long] = matchRows.groupBy("__grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perGroup.isEmpty) return v // nothing to delete anywhere
+    val dvByGroup = m.dvs.map(d => d._1 -> d).toMap
+    // DELETION-VECTOR path (merge-on-read): a touched group whose
+    // matched fraction of LIVE rows is at or below the threshold gets
+    // its deleted positions recorded in a bitmap-sidecar artifact
+    // instead of a rewrite — a GDPR-style 1-row-in-each-of-10k-groups
+    // delete writes KBs of positions, not 10k groups' bytes. Scans
+    // apply the DV; [[compact]]/[[cluster]] materialize it away.
+    val maxFrac = spark.conf.getOption("spark.graft.dv.maxDeleteFraction")
+      .map(_.toDouble).getOrElse(0.1)
     val f = fs(spark, tableDir)
-    val groups =
-      if (kept == 0L && untouched.nonEmpty) {
-        // every touched row deleted: drop the empty rewrite group
-        f.delete(new Path(s"$tableDir/files/$group"), true)
-        untouched
-      } else untouched :+ group
-    val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl, m.mapping)
-    publishExpecting(spark, tableDir, v, groups,
-      groups.filterNot(untouched.contains), untouchedRows + kept, "delete",
-      m.schemaDdl, mapping = m.mapping)
+    val (dvGroups, rewriteGroups) = perGroup.keys.toSeq.sorted.partition { g =>
+      maxFrac > 0.0 && {
+        val live = GroupStats.read(f, GroupStats.sidecarPath(tableDir, g))
+          .map(_.nRows).getOrElse(-1L) -
+          dvByGroup.get(g).map(_._3).getOrElse(0L)
+        live > 0 && perGroup(g).toDouble / live <= maxFrac
+      }
+    }
+    val hit = rewriteGroups.toSet
+    val (touched, untouched) = m.files.partition(hit)
+    // New DV artifact: this delete's positions in the DV groups, plus
+    // the prior DV rows of those groups (one artifact per group set —
+    // at most one live DV entry per group).
+    val dvAdditions: Seq[(String, String, Long)] =
+      if (dvGroups.isEmpty) Seq.empty
+      else {
+        val fresh = matchRows.filter(col("__grp").isin(dvGroups: _*))
+          .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"))
+        val prior = dvGroups.flatMap(dvByGroup.get)
+        val merged =
+          if (prior.isEmpty) fresh
+          else fresh.unionByName(
+            spark.read.parquet(prior.map(_._2).distinct
+              .map(a => s"$tableDir/files/$a"): _*)
+              .filter(org.apache.spark.sql.functions
+                .substring_index(col("rel"), "/", 1).isin(dvGroups: _*))
+              .select(col("rel"), col("pos")))
+        val artifact = s"dv-${java.util.UUID.randomUUID()}"
+        merged.write.parquet(s"$tableDir/files/$artifact")
+        dvGroups.map(g => (g, artifact,
+          perGroup(g) + dvByGroup.get(g).map(_._3).getOrElse(0L)))
+      }
+    val dvArtifact = dvAdditions.headOption.map(_._2)
+    // Rewrite path for the heavily-hit groups (classic COW).
+    val (rewriteGroup, kept) =
+      if (touched.isEmpty) (None, 0L)
+      else {
+        val survivors = scanVersionGroups(
+          spark, tableDir, touched, m.schemaDdl, m.mapping, m.dvs)
+          .filter(!coalesce(cond, lit(false)))
+        val (group, n) = writeGroup(survivors, tableDir, m.mapping)
+        enforceConstraints(spark, tableDir, group, m.schemaDdl, m.constraints, m.mapping)
+        if (n == 0L && (untouched.nonEmpty || dvAdditions.nonEmpty)) {
+          // every touched row deleted: drop the empty rewrite group
+          f.delete(new Path(s"$tableDir/files/$group"), true)
+          (None, 0L)
+        } else (Some(group), n)
+      }
+    val groups = untouched ++ rewriteGroup.toSeq
+    // DV entries: prior entries for groups still present and not
+    // re-DV'd this round, plus this round's (merged) additions.
+    val dvs = m.dvs.filter(d =>
+      untouched.contains(d._1) && !dvGroups.contains(d._1)) ++ dvAdditions
+    val untouchedLive = liveGroupRows(
+      spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
+    val deletedInDv = dvGroups.map(perGroup).sum
+    try publishExpecting(spark, tableDir, v, groups,
+      rewriteGroup.toSeq, untouchedLive - deletedInDv + kept, "delete",
+      m.schemaDdl, mapping = m.mapping, dvs = dvs)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        dvArtifact.foreach(a => f.delete(new Path(s"$tableDir/files/$a"), true))
+        throw e
+    }
   }
 
   /** Copy-on-write `UPDATE ... SET assignments WHERE cond` — the third
@@ -1172,10 +1388,11 @@ object Versioned {
     val m = parseManifest(spark, tableDir, v)
     require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
     val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, cond, m.mapping)
-    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)(_.filter(cond))
+    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping, m.dvs)(
+      _.filter(cond))
     if (hit.isEmpty) return v
     val (touched, untouched) = m.files.partition(hit)
-    val scan = scanGroups(spark, tableDir, touched, m.schemaDdl, m.mapping)
+    val scan = scanVersionGroups(spark, tableDir, touched, m.schemaDdl, m.mapping, m.dvs)
     val resolver = org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
     assignments.foreach { case (c, _) =>
       require(scan.columns.exists(resolver(_, c)),
@@ -1195,9 +1412,11 @@ object Versioned {
     }
     val (group, n) = writeGroup(rewritten, tableDir, m.mapping)
     enforceConstraints(spark, tableDir, group, m.schemaDdl, m.constraints, m.mapping)
-    val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl, m.mapping)
+    val untouchedRows = liveGroupRows(
+      spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
     publishExpecting(spark, tableDir, v, untouched :+ group, Seq(group),
-      untouchedRows + n, "update", m.schemaDdl, mapping = m.mapping)
+      untouchedRows + n, "update", m.schemaDdl, mapping = m.mapping,
+      dvs = m.dvs.filter(d => untouched.contains(d._1)))
   }
 
   /** Copy-on-write MERGE (upsert-by-replacement) into a versioned table:
@@ -1253,7 +1472,7 @@ object Versioned {
     }.reduce(_ && _)
     val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, rangePred, m.mapping)
     val srcKeys = src.select(keyCols.map(col): _*)
-    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)(
+    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping, m.dvs)(
       _.join(srcKeys, keyCols, "left_semi"))
     val (touched, untouched) = m.files.partition(hit)
     // Align the source to the table's column order (names already
@@ -1262,14 +1481,16 @@ object Versioned {
     val srcAligned = src.select(tableCols.map(col): _*)
     val newData =
       if (touched.isEmpty) srcAligned
-      else scanGroups(spark, tableDir, touched, m.schemaDdl, m.mapping)
+      else scanVersionGroups(spark, tableDir, touched, m.schemaDdl, m.mapping, m.dvs)
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(srcAligned)
     val (group, n) = writeGroup(newData, tableDir, m.mapping)
     enforceConstraints(spark, tableDir, group, schemaDdl, m.constraints, m.mapping)
-    val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl, m.mapping)
+    val untouchedRows = liveGroupRows(
+      spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
     publishExpecting(spark, tableDir, v, untouched :+ group, Seq(group),
-      untouchedRows + n, "merge", schemaDdl, mapping = m.mapping)
+      untouchedRows + n, "merge", schemaDdl, mapping = m.mapping,
+      dvs = m.dvs.filter(d => untouched.contains(d._1)))
   }
 
   /** One clause of a general [[mergeClauses]] MERGE. Conditions and
@@ -1409,12 +1630,12 @@ object Versioned {
     val hitMatch: Set[String] =
       if (matched.isEmpty || srcEmpty) Set.empty
       else if (onResidual.isEmpty)
-        touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)(
+        touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping, m.dvs)(
           _.join(srcKeys, keyCols, "left_semi"))
       else
         // the residual narrows the probe too: a group whose key-equal
         // pairs all fail the residual holds no matched row
-        touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)(
+        touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping, m.dvs)(
           _.alias("TGT").join(src.alias("SRC"), matchCond, "left_semi"))
     // By-source clauses touch groups that may HOLD a claimable row:
     // prune by the (approximate) union of their conditions, then the
@@ -1433,7 +1654,7 @@ object Versioned {
           }.reduce(_ || _))
         val (bsCand, _) =
           pruneGroups(spark, tableDir, m.files, m.schemaDdl, bsCond, m.mapping)
-        touchedGroups(spark, tableDir, bsCand, m.schemaDdl, m.mapping)(
+        touchedGroups(spark, tableDir, bsCand, m.schemaDdl, m.mapping, m.dvs)(
           _.filter(bsCond))
       }
     val hit = hitMatch ++ hitBySource
@@ -1462,7 +1683,8 @@ object Versioned {
     val rewritten: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
-        val t = scanGroups(spark, tableDir, touched, m.schemaDdl, m.mapping)
+        val t = scanVersionGroups(
+          spark, tableDir, touched, m.schemaDdl, m.mapping, m.dvs)
           .alias("TGT")
         // With no MATCHED clause AND no residual the join exists only to
         // FLAG matched-ness (by-source branches test !isM; no branch
@@ -1547,18 +1769,20 @@ object Versioned {
         // residual still inserts — the classic ANSI MERGE trap); the
         // keys-only anti-join stays for the residual-free path (cheaper:
         // the right side is just the key columns).
+        // DV-aware: a deletion-vector'd target row no longer exists,
+        // so its key must NOT block the matching source row's insert.
         val notMatchedSrc: DataFrame = onResidual match {
           case None =>
             val candKeys =
               if (cand.isEmpty) srcKeys.limit(0)
-              else scanGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)
-                .select(keyCols.map(col): _*)
+              else scanVersionGroups(spark, tableDir, cand, m.schemaDdl,
+                m.mapping, m.dvs).select(keyCols.map(col): _*)
             src.alias("SRC").join(candKeys, keyCols, "left_anti")
           case Some(_) if cand.isEmpty => src.alias("SRC")
           case Some(_) =>
             src.alias("SRC").join(
-              scanGroups(spark, tableDir, cand, m.schemaDdl, m.mapping)
-                .alias("TGT"),
+              scanVersionGroups(spark, tableDir, cand, m.schemaDdl,
+                m.mapping, m.dvs).alias("TGT"),
               matchCond, "left_anti")
         }
         val claimed = notMatchedSrc
@@ -1591,10 +1815,12 @@ object Versioned {
         f.delete(new Path(s"$tableDir/files/$group"), true)
         untouched
       } else untouched :+ group
-    val untouchedRows = groupRows(spark, tableDir, untouched, m.schemaDdl, m.mapping)
+    val untouchedRows = liveGroupRows(
+      spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
     publishExpecting(spark, tableDir, v, groups,
       groups.filterNot(untouched.contains), untouchedRows + n, "merge",
-      schemaDdl, mapping = m.mapping)
+      schemaDdl, mapping = m.mapping,
+      dvs = m.dvs.filter(d => untouched.contains(d._1)))
   }
 
   /** OPTIMIZE-style compaction: rewrite the latest version's data as a
@@ -1758,6 +1984,78 @@ object Versioned {
     else scanGroups(spark, tableDir, added, toManifest.schemaDdl, toManifest.mapping)
   }
 
+  /** ROW-LEVEL CDC feed — Delta's Change Data Feed shape, derived
+    * entirely from the manifest log plus deletion vectors (no extra
+    * change files are ever written): every row added or removed in
+    * `(fromVersion, toVersion]`, tagged with `_change_type`
+    * ('insert' | 'delete') and `_commit_version`.
+    *
+    *  - APPEND-safe versions emit their introduced file groups as
+    *    inserts — the same metadata-only planning as [[changes]];
+    *  - a PURE-DV delete (file set unchanged, deletion vectors grew)
+    *    emits exactly the rows its position-diff removed: the groups
+    *    are immutable, so the deleted rows' full pre-image values are
+    *    still on disk, and one semi-join of the touched groups against
+    *    the (rel, pos) diff recovers them — cost tracks the CHURN,
+    *    never the table;
+    *  - a REWRITE (snapshot/compact/COW delete/update/merge) still
+    *    raises: a file-group difference cannot attribute row identity
+    *    across a rewrite (use [[diffVersions]] there).
+    *
+    * This is what a downstream sync (search index, cache, replica)
+    * consumes to stay exact under the append + GDPR-delete lifecycle
+    * without ever rescanning the table. */
+  def changesFeed(
+      spark: SparkSession,
+      tableDir: String,
+      fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{lit => flit}
+    val to = if (toVersion >= 0) toVersion else latestVersion(spark, tableDir)
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"invalid version range ($fromVersion, $to]")
+    val toManifest = parseManifest(spark, tableDir, to)
+    val pieces = ((fromVersion + 1) to to).flatMap { v =>
+      val prev = parseManifest(spark, tableDir, v - 1)
+      val cur = parseManifest(spark, tableDir, v)
+      if (appendSafeModes(cur.mode)) {
+        val added = cur.files.filterNot(prev.files.toSet)
+        if (added.isEmpty) None
+        else Some(scanGroups(spark, tableDir, added, toManifest.schemaDdl,
+          toManifest.mapping)
+          .withColumn("_change_type", flit("insert"))
+          .withColumn("_commit_version", flit(v)))
+      } else if (cur.mode == "delete" && cur.files.toSet == prev.files.toSet) {
+        // pure-DV delete: removed rows = the per-group position growth
+        val prevBy = prev.dvs.map(d => d._1 -> d).toMap
+        val grown = cur.dvs.filter(d =>
+          d._3 > prevBy.get(d._1).map(_._3).getOrElse(0L))
+        val curRows = dvMaskRows(spark, tableDir, grown)
+        val prevFor = grown.flatMap(d => prevBy.get(d._1))
+        val diff =
+          if (prevFor.isEmpty) curRows
+          else curRows.join(dvMaskRows(spark, tableDir, prevFor),
+            Seq("__dv_rel", "__dv_pos"), "left_anti")
+        Some(scanGroupsTagged(spark, tableDir, grown.map(_._1),
+          toManifest.schemaDdl, toManifest.mapping)
+          .join(diff, Seq("__dv_rel", "__dv_pos"), "left_semi")
+          .drop("__dv_rel", "__dv_pos")
+          .withColumn("_change_type", flit("delete"))
+          .withColumn("_commit_version", flit(v)))
+      } else {
+        throw new IllegalArgumentException(
+          s"changesFeed($fromVersion, $to] crosses rewrite version $v " +
+            s"(mode=${cur.mode}); row-level change attribution across a " +
+            "rewrite is impossible from file groups — use diffVersions")
+      }
+    }
+    if (pieces.isEmpty)
+      read(spark, tableDir, to).limit(0)
+        .withColumn("_change_type", flit("insert"))
+        .withColumn("_commit_version", flit(-1L))
+    else pieces.reduce(_ unionByName _)
+  }
+
   /** Version history: (version, mode, n_rows), ascending. */
   def versions(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
@@ -1801,8 +2099,11 @@ object Versioned {
     val latest = latestVersion(spark, tableDir)
     require(keepFrom >= 0 && keepFrom <= latest,
       s"keepFrom must be within [0, $latest]: $keepFrom")
+    // Deletion-vector artifacts live under files/ too and follow the
+    // same reference-counted lifecycle as data groups.
     val all = (0L to latest).flatMap { v =>
-      scala.util.Try(readManifest(spark, tableDir, v)).toOption.map(m => v -> m._1)
+      scala.util.Try(parseManifest(spark, tableDir, v)).toOption
+        .map(m => v -> (m.files ++ m.dvs.map(_._2).distinct))
     }
     val keptGroups = all.collect { case (v, gs) if v >= keepFrom => gs }.flatten.toSet
     val dropGroups = all.collect { case (v, gs) if v < keepFrom => gs }.flatten.toSet
@@ -2113,10 +2414,16 @@ object Versioned {
     // version's): restoring to pre-constraint data must not launder a
     // violation in, so when constraints exist the restored rows are
     // validated first — the one case where restore pays a scan.
+    val missingDv = m.dvs.map(_._2).distinct
+      .filterNot(a => f.exists(new Path(s"$tableDir/files/$a")))
+    require(missingDv.isEmpty,
+      s"version $version is no longer restorable: vacuum dropped " +
+        s"deletion-vector artifact(s) ${missingDv.mkString(", ")}")
     val liveCons = constraints(spark, tableDir)
     if (liveCons.nonEmpty) {
       val conds = liveCons.map { case (n, e) =>
-        (n, e, scanGroups(spark, tableDir, m.files, m.schemaDdl, m.mapping)
+        (n, e, scanVersionGroups(
+          spark, tableDir, m.files, m.schemaDdl, m.mapping, m.dvs)
           .filter(!coalesce(org.apache.spark.sql.functions.expr(e), lit(true)))
           .count())
       }.filter(_._3 > 0)
@@ -2126,7 +2433,7 @@ object Versioned {
           " — drop the constraint first or restore a later version")
     }
     publishExpecting(spark, tableDir, latest, m.files, Seq.empty,
-      m.nRows, "snapshot", m.schemaDdl, mapping = m.mapping)
+      m.nRows, "snapshot", m.schemaDdl, mapping = m.mapping, dvs = m.dvs)
   }
 
   /** CREATE TABLE CLONE (deep): materialize `version` (default latest)

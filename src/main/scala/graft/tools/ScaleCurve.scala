@@ -31,6 +31,7 @@ object ScaleCurve {
     if (family == "incremental") { incrementalCurve(dir, multipliers); return }
     if (family == "bpe") { bpeCurve(dir, multipliers); return }
     if (family == "merge") { mergeCurve(dir, multipliers); return }
+    if (family == "dv") { dvCurve(dir, multipliers); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -178,6 +179,68 @@ object ScaleCurve {
       val touchedBs = (after -- afterBs).size
       val rewriteBytesBs = bytesOf(tbl, afterBs -- after)
       println(f"""[scale-merge] {"multiplier":$m,"table_rows":$nRows,"table_groups":${before.size},"touched_groups":$touched,"rewrite_bytes":$rewriteBytes,"merge_seconds":$sec%.1f,"bysource_touched_groups":$touchedBs,"bysource_rewrite_bytes":$rewriteBytesBs,"bysource_seconds":$secBs%.1f}""")
+    }
+    spark.stop()
+  }
+
+  /** Deletion-vector curve: the scatter-delete claim, MEASURED. Table
+    * at multiplier m (m salted copies, one file group per copy), then
+    * a GDPR-shaped delete that removes EXACTLY ONE row from EVERY
+    * group (a modulo predicate stats cannot prune — the worst case for
+    * copy-on-write). Run twice per m on identical tables: DV path
+    * (default threshold) vs forced COW (`maxDeleteFraction = 0`).
+    * The claim under test: COW rewrite bytes grow ∝ m (every group
+    * rewritten) while the DV commit's new bytes stay ~flat (a KB-scale
+    * position artifact), with identical surviving rows. */
+  private def dvCurve(dir: String, multipliers: Seq[Int]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Versioned
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    def copyAt(c: Int): DataFrame = base.select(
+      (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+      col("lang"), col("n_chars"))
+    val probeId = base.agg(org.apache.spark.sql.functions.min("doc_id"))
+      .collect()(0).getLong(0)
+    def filesBytes(tbl: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$tbl/files")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    multipliers.foreach { m =>
+      def build(tag: String): String = {
+        val tbl = java.nio.file.Files
+          .createTempDirectory(s"graft-dv-$tag$m").toString + "/t"
+        Versioned.commit(copyAt(0), tbl)
+        (1 until m).foreach(c => Versioned.append(copyAt(c), tbl))
+        tbl
+      }
+      // one row per group; % defeats stats pruning by design
+      val cond = (col("doc_id") % 10000000L) === probeId
+      def run(tbl: String, frac: Double): (Long, Long, Double, Long) = {
+        spark.conf.set("spark.graft.dv.maxDeleteFraction", frac.toString)
+        val before = filesBytes(tbl)
+        val vPre = Versioned.latestVersion(spark, tbl)
+        val t0 = System.nanoTime()
+        val v = Versioned.delete(spark, tbl)(cond)
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(v == vPre + 1, "delete must commit")
+        val mm = Versioned.parseManifest(spark, tbl, v)
+        val rows = Versioned.read(spark, tbl).count()
+        (filesBytes(tbl) - before, mm.dvs.size.toLong, sec, rows)
+      }
+      val (dvBytes, dvEntries, dvSec, dvRows) = run(build("dv"), 0.1)
+      val (cowBytes, _, cowSec, cowRows) = run(build("cow"), 0.0)
+      require(dvRows == cowRows, s"DV and COW must agree: $dvRows vs $cowRows")
+      spark.conf.unset("spark.graft.dv.maxDeleteFraction")
+      println(f"""[scale-dv] {"multiplier":$m,"groups":$m,"deleted_rows":$m,"surviving_rows":$dvRows,"dv_new_bytes":$dvBytes,"dv_entries":$dvEntries,"dv_seconds":$dvSec%.1f,"cow_new_bytes":$cowBytes,"cow_seconds":$cowSec%.1f}""")
     }
     spark.stop()
   }

@@ -1,0 +1,281 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Versioned
+
+/** Deletion vectors (merge-on-read deletes): a delete whose matched
+  * fraction of a group's live rows is at or below
+  * `spark.graft.dv.maxDeleteFraction` records the deleted positions in
+  * a parquet sidecar artifact instead of rewriting the group. Pins:
+  * the scattered-delete fast path (file groups untouched), semantic
+  * transparency across every read and mutation surface (a DV'd row is
+  * GONE — it cannot re-match, block an insert, violate a constraint,
+  * or resurrect under a rewrite), materialization by compact, vacuum's
+  * artifact lifecycle, and time travel across DV commits. */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl() = Files.createTempDirectory("graft-dv").toString + "/t"
+
+  private def dataGroups(dir: String): Set[String] =
+    new java.io.File(s"$dir/files").listFiles().map(_.getName)
+      .filterNot(_.startsWith("dv-")).toSet
+
+  private def withDvFraction[A](frac: Double)(body: => A): A = {
+    val key = "spark.graft.dv.maxDeleteFraction"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, frac.toString)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("scattered delete writes a deletion vector, not a rewrite") {
+    val dir = tbl()
+    // 4 append groups of 100 rows each
+    Versioned.commit((0L until 100L).toDF("id"), dir)
+    (1 to 3).foreach(i =>
+      Versioned.append((i * 100L until (i + 1) * 100L).toDF("id"), dir))
+    val before = dataGroups(dir)
+    // one row per group: 1% of each group's live rows — DV territory
+    val v = Versioned.delete(spark, dir)(col("id") % 100 === 0)
+    assert(v == 4L)
+    assert(dataGroups(dir) == before,
+      "a DV delete must not add or rewrite any data group")
+    val m = Versioned.parseManifest(spark, dir, v)
+    assert(m.mode == "delete" && m.files.toSet == before)
+    assert(m.dvs.map(_._1).toSet == before, "every group carries a DV entry")
+    assert(m.dvs.map(_._3).sum == 4L)
+    assert(m.nRows == 396L)
+    val ids = Versioned.read(spark, dir).select("id").as[Long].collect().toSet
+    assert(ids == (0L until 400L).toSet -- Set(0L, 100L, 200L, 300L))
+    // time travel: the parent still reads every row
+    assert(Versioned.read(spark, dir, 3).count() == 400L)
+    // readWhere through the DV: a deleted row never surfaces
+    assert(Versioned.readWhere(spark, dir)(col("id") < 10).count() == 9L)
+    assert(Versioned.readWhere(spark, dir)(col("id") === 200L).count() == 0L)
+  }
+
+  test("a heavy delete still rewrites (fraction above the threshold)") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).toDF("id"), dir)
+    val before = dataGroups(dir)
+    val v = Versioned.delete(spark, dir)(col("id") < 50)
+    val m = Versioned.parseManifest(spark, dir, v)
+    assert(m.dvs.isEmpty, "50% delete must take the rewrite path")
+    assert(dataGroups(dir) != before)
+    assert(Versioned.read(spark, dir).count() == 50L)
+  }
+
+  test("spark.graft.dv.maxDeleteFraction = 0 disables DVs entirely") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).toDF("id"), dir)
+    withDvFraction(0.0) {
+      val v = Versioned.delete(spark, dir)(col("id") === 7L)
+      assert(Versioned.parseManifest(spark, dir, v).dvs.isEmpty)
+    }
+    assert(Versioned.read(spark, dir).count() == 99L)
+  }
+
+  test("second DV delete on the same groups merges position sets") {
+    val dir = tbl()
+    Versioned.commit((0L until 200L).toDF("id"), dir)
+    withDvFraction(0.5) {
+      Versioned.delete(spark, dir)(col("id") === 10L)
+      val v2 = Versioned.delete(spark, dir)(col("id") === 20L)
+      val m = Versioned.parseManifest(spark, dir, v2)
+      assert(m.dvs.map(_._3).sum == 2L, "merged DV carries both deletes")
+      assert(m.nRows == 198L)
+      val ids = Versioned.read(spark, dir).select("id").as[Long].collect().toSet
+      assert(!ids(10L) && !ids(20L) && ids.size == 198)
+    }
+  }
+
+  test("a rewrite of a DV'd group materializes the DV (update path)") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).map(i => (i, 0L)).toDF("id", "v"), dir)
+    withDvFraction(0.5) {
+      Versioned.delete(spark, dir)(col("id") === 5L)
+    }
+    val v = Versioned.update(spark, dir, col("id") === 6L, "v" -> lit(9L))
+    val m = Versioned.parseManifest(spark, dir, v)
+    assert(m.dvs.isEmpty, "the rewrite must drop the group's DV entry")
+    val rows = Versioned.read(spark, dir)
+    assert(rows.count() == 99L, "the DV'd row must not resurrect under the rewrite")
+    assert(rows.filter(col("id") === 5L).count() == 0L)
+    assert(rows.filter(col("id") === 6L && col("v") === 9L).count() == 1L)
+  }
+
+  test("a DV-deleted key no longer matches and no longer blocks an insert") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).map(i => (i, s"old$i")).toDF("id", "v"), dir)
+    withDvFraction(0.5) {
+      Versioned.delete(spark, dir)(col("id") === 3L)
+    }
+    // merge with key 3: NOT matched (the row is deleted) → inserts fresh
+    Versioned.merge(spark, dir, Seq((3L, "fresh")).toDF("id", "v"), Seq("id"))
+    val out = Versioned.read(spark, dir).filter(col("id") === 3L)
+      .select("v").as[String].collect().toSeq
+    assert(out == Seq("fresh"),
+      s"a DV'd key must insert (not update) on merge; got $out")
+    assert(Versioned.read(spark, dir).count() == 100L)
+  }
+
+  test("mergeClauses by-source clause cannot claim a DV-deleted row") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).map(i => (i, 0L)).toDF("id", "n"), dir)
+    withDvFraction(0.5) {
+      Versioned.delete(spark, dir)(col("id") === 1L)
+    }
+    import Versioned.MergeClause._
+    // unconditional by-source update: every LIVE unmatched row gets n=7
+    Versioned.mergeClauses(spark, dir,
+      Seq((0L, 5L)).toDF("id", "n"), Seq("id"),
+      Seq(MatchedUpdate(Seq("n" -> col("SRC.n"))),
+        NotMatchedBySourceUpdate(Seq("n" -> lit(7L)))))
+    val rows = Versioned.read(spark, dir)
+    assert(rows.count() == 99L, "the DV'd row stays deleted through the merge")
+    assert(rows.filter(col("id") === 1L).count() == 0L)
+    assert(rows.filter(col("id") === 0L && col("n") === 5L).count() == 1L)
+    assert(rows.filter(col("n") === 7L).count() == 98L)
+  }
+
+  test("compact materializes DVs away; vacuum reclaims the artifact") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).toDF("id"), dir)
+    withDvFraction(0.5) {
+      Versioned.delete(spark, dir)(col("id") === 42L)
+    }
+    val dvArtifacts = new java.io.File(s"$dir/files").listFiles()
+      .map(_.getName).filter(_.startsWith("dv-")).toSet
+    assert(dvArtifacts.size == 1)
+    val vc = Versioned.compact(spark, dir)
+    val m = Versioned.parseManifest(spark, dir, vc)
+    assert(m.dvs.isEmpty && m.nRows == 99L)
+    assert(Versioned.read(spark, dir).count() == 99L)
+    // DV version still referenced → artifact survives a keepFrom=1 vacuum
+    Versioned.vacuum(spark, dir, 1L)
+    assert(new java.io.File(s"$dir/files").listFiles().map(_.getName)
+      .filter(_.startsWith("dv-")).toSet == dvArtifacts)
+    // dropping the DV version reclaims its artifact
+    Versioned.vacuum(spark, dir, vc)
+    assert(!new java.io.File(s"$dir/files").listFiles().map(_.getName)
+      .exists(_.startsWith("dv-")))
+    assert(Versioned.read(spark, dir).count() == 99L)
+  }
+
+  test("restore to a DV version carries its deletion vectors") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).toDF("id"), dir)
+    val vd = withDvFraction(0.5) {
+      Versioned.delete(spark, dir)(col("id") === 9L)
+    }
+    Versioned.append(Seq(500L).toDF("id"), dir)
+    val vr = Versioned.restore(spark, dir, vd)
+    val m = Versioned.parseManifest(spark, dir, vr)
+    assert(m.dvs.nonEmpty && m.nRows == 99L)
+    val ids = Versioned.read(spark, dir).select("id").as[Long].collect().toSet
+    assert(!ids(9L) && !ids(500L) && ids.size == 99)
+  }
+
+  test("append after a DV delete carries the DV entries forward") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).toDF("id"), dir)
+    withDvFraction(0.5) {
+      Versioned.delete(spark, dir)(col("id") === 0L)
+    }
+    val va = Versioned.append(Seq(1000L).toDF("id"), dir)
+    val m = Versioned.parseManifest(spark, dir, va)
+    assert(m.dvs.nonEmpty && m.nRows == 100L)
+    val ids = Versioned.read(spark, dir).select("id").as[Long].collect().toSet
+    assert(!ids(0L) && ids(1000L) && ids.size == 100)
+  }
+
+  test("CDC treats a DV commit as a delete boundary") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).toDF("id"), dir)
+    Versioned.append(Seq(100L).toDF("id"), dir)
+    withDvFraction(0.5) {
+      Versioned.delete(spark, dir)(col("id") === 100L)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Versioned.changes(spark, dir, 0L)
+    }
+    assert(e.getMessage.contains("rewrite version"))
+    val (_, cur, resync) = Versioned.pollChanges(spark, dir, 1L)
+    assert(resync && cur == 2L)
+  }
+
+  test("addConstraint validates LIVE rows only (DV'd violations are gone)") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).map(i => i - 1L).toDF("id"), dir) // has -1
+    withDvFraction(0.5) {
+      Versioned.delete(spark, dir)(col("id") < 0L)
+    }
+    // the only violating row is DV-deleted → the constraint must add
+    Versioned.addConstraint(spark, dir, "nonneg", "id >= 0")
+    val e = intercept[Exception] {
+      Versioned.append(Seq(-5L).toDF("id"), dir)
+    }
+    assert(e.getMessage.contains("nonneg"))
+  }
+
+  test("changesFeed: row-level inserts AND deletes from manifests + DVs") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).toDF("id"), dir) // v0
+    Versioned.append((100L until 200L).toDF("id"), dir) // v1: inserts
+    withDvFraction(0.5) {
+      Versioned.delete(spark, dir)(col("id").isin(7L, 150L)) // v2: DV deletes
+    }
+    Versioned.append((200L until 210L).toDF("id"), dir) // v3: inserts
+    val feed = Versioned.changesFeed(spark, dir, 0L)
+    val got = feed.select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expect =
+      (100L until 200L).map(i => (i, "insert", 1L)).toSet ++
+        Set((7L, "delete", 2L), (150L, "delete", 2L)) ++
+        (200L until 210L).map(i => (i, "insert", 3L)).toSet
+    assert(got == expect)
+    // a second DV delete on an ALREADY-DV'd group: the feed must emit
+    // only the NEW positions (the position diff, not the whole DV)
+    withDvFraction(0.5) {
+      Versioned.delete(spark, dir)(col("id") === 8L) // v4
+    }
+    val later = Versioned.changesFeed(spark, dir, 3L)
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(later == Set((8L, "delete", 4L)))
+    // rewrites still raise
+    Versioned.update(spark, dir, col("id") === 9L, "id" -> lit(900L)) // v5
+    val e = intercept[IllegalArgumentException] {
+      Versioned.changesFeed(spark, dir, 4L)
+    }
+    assert(e.getMessage.contains("rewrite version"))
+    // replaying the full feed against v0 reconstructs v4 exactly
+    val (ins, del) = Versioned.changesFeed(spark, dir, 0L, 4L).collect()
+      .foldLeft((Set.empty[Long], Set.empty[Long])) { case ((i, d), r) =>
+        if (r.getString(r.fieldIndex("_change_type")) == "insert")
+          (i + r.getLong(0), d) else (i, d + r.getLong(0))
+      }
+    val replayed = ((0L until 100L).toSet ++ ins) -- del
+    val v4ids = Versioned.read(spark, dir, 4L).as[Long].collect().toSet
+    assert(replayed == v4ids)
+  }
+
+  test("DV delete on a column-mapped (renamed) table") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).map(i => (i, i * 2)).toDF("id", "v"), dir)
+    Versioned.renameColumn(spark, dir, "v", "val")
+    withDvFraction(0.5) {
+      Versioned.delete(spark, dir)(col("val") === 10L)
+    }
+    val rows = Versioned.read(spark, dir)
+    assert(rows.count() == 99L)
+    assert(rows.filter(col("val") === 10L).count() == 0L)
+    assert(Versioned.read(spark, dir, 1).count() == 100L)
+  }
+}

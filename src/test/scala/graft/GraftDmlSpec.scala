@@ -40,13 +40,28 @@ class GraftDmlSpec extends SparkSpec {
     val dir = seeded()
     val before = groupsOf(dir)
     assert(before.size == 2)
-    sql.sql(s"DELETE FROM graft.`$dir` WHERE id < 10")
+    // force classic COW (the DV fast path is pinned separately below
+    // and in DeletionVectorSpec) — this test pins the REWRITE economics
+    sql.conf.set("spark.graft.dv.maxDeleteFraction", "0")
+    try sql.sql(s"DELETE FROM graft.`$dir` WHERE id < 10")
+    finally sql.conf.unset("spark.graft.dv.maxDeleteFraction")
     val after = groupsOf(dir)
     assert(Versioned.read(sql, dir).count() == 190)
     assert(after.intersect(before).size == 1,
       s"high-range group must carry over untouched: $before -> $after")
     // and the whole-table read agrees row-for-row with the library path
     assert(Versioned.read(sql, dir).filter($"id" < 10).count() == 0)
+  }
+
+  test("SQL DELETE under the DV threshold writes a deletion vector — no group rewrites") {
+    val dir = seeded()
+    val before = groupsOf(dir)
+    sql.sql(s"DELETE FROM graft.`$dir` WHERE id = 7") // 1% of one group
+    val m = Versioned.parseManifest(sql, dir, Versioned.latestVersion(sql, dir))
+    assert(m.files.toSet == before, s"DV delete must keep the data groups: $before -> ${m.files}")
+    assert(m.dvs.map(_._3).sum == 1L)
+    assert(Versioned.read(sql, dir).count() == 199)
+    assert(Versioned.read(sql, dir).filter($"id" === 7L).count() == 0)
   }
 
   test("SQL UPDATE: only the matching group rewrites; values ANSI-cast to column type") {
