@@ -152,40 +152,78 @@ object Versioned {
       app <- "\"txn_app\":\"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1))
       b <- "\"txn_batch\":(-?\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong)
     } yield (app, b)
-    // schema is a JSON-escaped DDL string; the lazy-quantified regex
-    // handles escaped quotes inside it.
-    val schemaDdl = "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      .findFirstMatchIn(raw).map(m => jsonUnescape(m.group(1)))
+    // schema is a JSON-escaped DDL string; scanned linearly (see
+    // [[quotedArrayAt]]'s rationale — a regex alternation per char
+    // overflows the stack on a wide table's 100KB DDL).
+    val schemaDdl = scanQuoted(raw, "\"schema\":\"").map(jsonUnescape)
     // constraints: a flat JSON array of escaped strings alternating
-    // [name, expr, name, expr, ...]; exprs may contain brackets/quotes,
-    // so the array body is matched as a run of quoted strings.
-    val constraints =
-      "\"constraints\":\\[((?:\\s*\"(?:[^\"\\\\]|\\\\.)*\"\\s*,?)*)\\]".r
-        .findFirstMatchIn(raw).map { m =>
-          "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
-            .map(q => jsonUnescape(q.group(1))).toSeq
-            .grouped(2).collect { case Seq(n, e) => (n, e) }.toSeq
-        }.getOrElse(Seq.empty)
+    // [name, expr, name, expr, ...].
+    val constraints = quotedArray(raw, "constraints")
+      .map(_.grouped(2).collect { case Seq(n, e) => (n, e) }.toSeq)
+      .getOrElse(Seq.empty)
     // column mapping: flat [logical, physical, ...] pairs, same shape
     // as constraints; "" logical marks a dropped column's tombstone.
-    val mapping =
-      "\"mapping\":\\[((?:\\s*\"(?:[^\"\\\\]|\\\\.)*\"\\s*,?)*)\\]".r
-        .findFirstMatchIn(raw).map { m =>
-          "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
-            .map(q => jsonUnescape(q.group(1))).toSeq
-            .grouped(2).collect { case Seq(l, p) => (l, p) }.toSeq
-        }.getOrElse(Seq.empty)
+    val mapping = quotedArray(raw, "mapping")
+      .map(_.grouped(2).collect { case Seq(l, p) => (l, p) }.toSeq)
+      .getOrElse(Seq.empty)
     // deletion vectors: flat [group, artifact, count, ...] triples
     // (count serialized as a quoted string so the array body stays a
     // run of quoted strings like constraints/mapping).
-    val dvs =
-      "\"dvs\":\\[((?:\\s*\"(?:[^\"\\\\]|\\\\.)*\"\\s*,?)*)\\]".r
-        .findFirstMatchIn(raw).map { m =>
-          "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
-            .map(q => jsonUnescape(q.group(1))).toSeq
-            .grouped(3).collect { case Seq(g, a, c) => (g, a, c.toLong) }.toSeq
-        }.getOrElse(Seq.empty)
+    val dvs = quotedArray(raw, "dvs")
+      .map(_.grouped(3).collect { case Seq(g, a, c) => (g, a, c.toLong) }.toSeq)
+      .getOrElse(Seq.empty)
     Manifest(files, nRows, mode, at, txn, schemaDdl, constraints, mapping, dvs)
+  }
+
+  /** The JSON-escaped string starting right after `marker`, scanned
+    * LINEARLY with escape awareness (returned still escaped). */
+  private def scanQuoted(raw: String, marker: String): Option[String] = {
+    val start = raw.indexOf(marker)
+    if (start < 0) return None
+    var i = start + marker.length
+    val sb = new StringBuilder
+    var escaped = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (escaped) { sb.append(c); escaped = false }
+      else if (c == '\\') { sb.append(c); escaped = true }
+      else if (c == '"') return Some(sb.toString)
+      else sb.append(c)
+      i += 1
+    }
+    None // unterminated: treat as absent
+  }
+
+  /** The flat array of quoted strings stored under `key`, each entry
+    * unescaped — a LINEAR scan. The natural regex for "a run of quoted
+    * strings" costs one interpreter stack frame per element in Java's
+    * engine and overflows on manifests with thousands of entries (a
+    * 10k-group scatter delete's dvs array, a many-column mapping), so
+    * array bodies must never be regex-matched. */
+  private def quotedArray(raw: String, key: String): Option[Seq[String]] = {
+    val marker = "\"" + key + "\":["
+    val start = raw.indexOf(marker)
+    if (start < 0) return None
+    var i = start + marker.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var escaped = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (inStr) {
+        if (escaped) { sb.append(c); escaped = false }
+        else if (c == '\\') { sb.append(c); escaped = true }
+        else if (c == '"') { out += jsonUnescape(sb.toString); sb.clear(); inStr = false }
+        else sb.append(c)
+      } else c match {
+        case '"' => inStr = true
+        case ']' => return Some(out.toSeq)
+        case _ => () // comma / whitespace
+      }
+      i += 1
+    }
+    Some(out.toSeq) // unterminated: best-effort prefix
   }
 
   private def readManifest(
@@ -1330,7 +1368,15 @@ object Versioned {
                 .substring_index(col("rel"), "/", 1).isin(dvGroups: _*))
               .select(col("rel"), col("pos")))
         val artifact = s"dv-${java.util.UUID.randomUUID()}"
-        merged.write.parquet(s"$tableDir/files/$artifact")
+        // Position artifacts are tiny relative to data (bounded by the
+        // threshold fraction of the touched groups); write them as FEW
+        // files — inheriting the scan's partitioning would emit one
+        // near-empty part file per scan task (a 10k-group scatter
+        // delete = 10k files of overhead for KBs of positions). ~4M
+        // (rel, pos) rows per output file keeps big DVs under control.
+        val parts = math.max(1L, (dvGroups.map(perGroup).sum +
+          dvGroups.flatMap(dvByGroup.get).map(_._3).sum) / 4000000L).toInt
+        merged.coalesce(parts).write.parquet(s"$tableDir/files/$artifact")
         dvGroups.map(g => (g, artifact,
           perGroup(g) + dvByGroup.get(g).map(_._3).getOrElse(0L)))
       }
