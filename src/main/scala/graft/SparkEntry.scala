@@ -1284,6 +1284,47 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // MERGE-ON-READ UPDATE: a scattered update (one thin modulo slice
+    // of every group) writes ONLY the updated copies plus a position
+    // sidecar — no group rewrites — and changesFeed serves the change
+    // as Delta CDF's update_preimage/update_postimage pair derived
+    // from the manifest + DV diff alone. Audit columns pin that the
+    // DV path engaged (every original group kept + exactly one copies
+    // group added) AND that the feed's pre/post images agree with the
+    // slice; the rollup pins the final table row-for-row.
+    "versioned_dv_update" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/dvu_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Seq("de", "es", "fr", "zh").foreach(l =>
+        Versioned.append(docs.filter(col("lang") === l), tbl))
+      val v0 = Versioned.latestVersion(s, tbl)
+      val groupsBefore = Versioned.parseManifest(s, tbl, v0).files.toSet
+      val vUpd = Versioned.update(s, tbl,
+        col("doc_id") % 101L === 0L, "lang" -> lit("xx"))
+      val m = Versioned.parseManifest(s, tbl, vUpd)
+      val feed = Versioned.changesFeed(s, tbl, v0).capLineage()
+      val pre = feed.filter(col("_change_type") === "update_preimage")
+      val post = feed.filter(col("_change_type") === "update_postimage")
+      val nPre = pre.count()
+      val preSum = pre.agg(coalesce(sum("doc_id"), lit(0L))).head.getLong(0)
+      val postSum = post.agg(coalesce(sum("doc_id"), lit(0L))).head.getLong(0)
+      val dvEngaged = m.dvs.nonEmpty &&
+        groupsBefore.subsetOf(m.files.toSet) &&
+        m.files.size == groupsBefore.size + 1 &&
+        nPre == post.count() && preSum == postSum &&
+        post.filter(col("lang") =!= "xx").isEmpty
+      Versioned.read(s, tbl).groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .withColumn("dv_engaged", lit(dvEngaged))
+        .withColumn("n_changed", lit(nPre))
+        .withColumn("changed_id_sum", lit(preSum))
+        .orderBy("lang")
+    }),
+
     // ROW-LEVEL CDC (Delta CDF shape) from manifests + deletion
     // vectors, no change files ever written: en commits as the base,
     // de appends (inserts), a scattered DV delete removes a modulo
@@ -5325,6 +5366,23 @@ object SparkEntry {
         |  true AS dv_engaged,
         |  (SELECT count(*) FROM documents) AS pre_delete_rows
         |FROM survivors GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Final table = every doc with the modulo slice re-langed 'xx';
+    // the feed's pre-image slice (count + id checksum) recomputed
+    // directly; dv_engaged = true IS the merge-on-read gate.
+    "versioned_dv_update" ->
+      """WITH upd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id % 101) = 0 THEN 'xx' ELSE lang END AS lang
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  true AS dv_engaged,
+        |  (SELECT count(*) FROM documents WHERE (doc_id % 101) = 0)
+        |    AS n_changed,
+        |  (SELECT CAST(COALESCE(sum(doc_id), 0) AS BIGINT)
+        |   FROM documents WHERE (doc_id % 101) = 0) AS changed_id_sum
+        |FROM upd GROUP BY lang ORDER BY lang""".stripMargin,
 
     // v1 inserts = de; v2 deletes = the modulo slice of en ∪ de (the
     // table at delete time); v3 inserts = fr.

@@ -1305,6 +1305,84 @@ object Versioned {
     * CDC consumers see a rewrite boundary ([[changes]] raises across it,
     * [[pollChanges]] resyncs), since a file-group difference cannot
     * represent removed rows. Returns the new (or unchanged) version. */
+  /** DV-masked tagged scan of `cand` filtered to `applied`, tagged with
+    * the owning group id (`__grp`), plus the per-group matched counts —
+    * the shared probe behind the DV-capable mutations ([[delete]],
+    * [[update]]). One scan serves both the touched-group set and the
+    * fraction the DV decision needs. */
+  private def probeMatches(
+      spark: SparkSession, tableDir: String, cand: Seq[String],
+      m: Manifest, applied: Column): (DataFrame, Map[String, Long]) = {
+    val dvForCand = m.dvs.filter(d => cand.contains(d._1))
+    val tagged0 = scanGroupsTagged(spark, tableDir, cand, m.schemaDdl, m.mapping)
+    val liveScan =
+      if (dvForCand.isEmpty) tagged0
+      else tagged0.join(dvMaskRows(spark, tableDir, dvForCand),
+        Seq("__dv_rel", "__dv_pos"), "left_anti")
+    val matchRows = liveScan.filter(applied)
+      .withColumn("__grp", org.apache.spark.sql.functions
+        .substring_index(col("__dv_rel"), "/", 1))
+    val perGroup: Map[String, Long] = matchRows.groupBy("__grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (matchRows, perGroup)
+  }
+
+  /** Partition the matched groups into (dvGroups, rewriteGroups): a
+    * group goes merge-on-read when its matched fraction of LIVE rows
+    * is at or below `spark.graft.dv.maxDeleteFraction` (default 0.1;
+    * 0 disables DVs). Pre-stats groups always rewrite. */
+  private def dvClassify(
+      spark: SparkSession, tableDir: String,
+      perGroup: Map[String, Long],
+      dvByGroup: Map[String, (String, String, Long)]): (Seq[String], Seq[String]) = {
+    val maxFrac = spark.conf.getOption("spark.graft.dv.maxDeleteFraction")
+      .map(_.toDouble).getOrElse(0.1)
+    val f = fs(spark, tableDir)
+    perGroup.keys.toSeq.sorted.partition { g =>
+      maxFrac > 0.0 && {
+        val live = GroupStats.read(f, GroupStats.sidecarPath(tableDir, g))
+          .map(_.nRows).getOrElse(-1L) -
+          dvByGroup.get(g).map(_._3).getOrElse(0L)
+        live > 0 && perGroup(g).toDouble / live <= maxFrac
+      }
+    }
+  }
+
+  /** Write ONE position artifact for `dvGroups`: this mutation's
+    * matched positions merged with the groups' prior DV rows (at most
+    * one live DV entry per group, always complete). Returns the new
+    * manifest entries; empty when no group takes the DV path. */
+  private def writeDvArtifact(
+      spark: SparkSession, tableDir: String, matchRows: DataFrame,
+      dvGroups: Seq[String],
+      dvByGroup: Map[String, (String, String, Long)],
+      perGroup: Map[String, Long]): Seq[(String, String, Long)] = {
+    if (dvGroups.isEmpty) return Seq.empty
+    val fresh = matchRows.filter(col("__grp").isin(dvGroups: _*))
+      .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"))
+    val prior = dvGroups.flatMap(dvByGroup.get)
+    val merged =
+      if (prior.isEmpty) fresh
+      else fresh.unionByName(
+        spark.read.parquet(prior.map(_._2).distinct
+          .map(a => s"$tableDir/files/$a"): _*)
+          .filter(org.apache.spark.sql.functions
+            .substring_index(col("rel"), "/", 1).isin(dvGroups: _*))
+          .select(col("rel"), col("pos")))
+    val artifact = s"dv-${java.util.UUID.randomUUID()}"
+    // Position artifacts are tiny relative to data (bounded by the
+    // threshold fraction of the touched groups); write them as FEW
+    // files — inheriting the scan's partitioning would emit one
+    // near-empty part file per scan task (a 10k-group scatter
+    // delete = 10k files of overhead for KBs of positions). ~4M
+    // (rel, pos) rows per output file keeps big DVs under control.
+    val parts = math.max(1L, (dvGroups.map(perGroup).sum +
+      dvGroups.flatMap(dvByGroup.get).map(_._3).sum) / 4000000L).toInt
+    merged.coalesce(parts).write.parquet(s"$tableDir/files/$artifact")
+    dvGroups.map(g => (g, artifact,
+      perGroup(g) + dvByGroup.get(g).map(_._3).getOrElse(0L)))
+  }
+
   def delete(spark: SparkSession, tableDir: String)(preds: Column*): Long = {
     require(preds.nonEmpty, "delete needs at least one predicate")
     val v = latestVersion(spark, tableDir)
@@ -1318,17 +1396,8 @@ object Versioned {
     // groups AND each group's matched-row count — the DV decision
     // needs the fraction, so fold it into the probe instead of a
     // second scan.
-    val dvForCand = m.dvs.filter(d => cand.contains(d._1))
-    val tagged0 = scanGroupsTagged(spark, tableDir, cand, m.schemaDdl, m.mapping)
-    val liveScan =
-      if (dvForCand.isEmpty) tagged0
-      else tagged0.join(dvMaskRows(spark, tableDir, dvForCand),
-        Seq("__dv_rel", "__dv_pos"), "left_anti")
-    val matchRows = liveScan.filter(coalesce(cond, lit(false)))
-      .withColumn("__grp", org.apache.spark.sql.functions
-        .substring_index(col("__dv_rel"), "/", 1))
-    val perGroup: Map[String, Long] = matchRows.groupBy("__grp").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (matchRows, perGroup) =
+      probeMatches(spark, tableDir, cand, m, coalesce(cond, lit(false)))
     if (perGroup.isEmpty) return v // nothing to delete anywhere
     val dvByGroup = m.dvs.map(d => d._1 -> d).toMap
     // DELETION-VECTOR path (merge-on-read): a touched group whose
@@ -1337,49 +1406,13 @@ object Versioned {
     // instead of a rewrite — a GDPR-style 1-row-in-each-of-10k-groups
     // delete writes KBs of positions, not 10k groups' bytes. Scans
     // apply the DV; [[compact]]/[[cluster]] materialize it away.
-    val maxFrac = spark.conf.getOption("spark.graft.dv.maxDeleteFraction")
-      .map(_.toDouble).getOrElse(0.1)
+    val (dvGroups, rewriteGroups) =
+      dvClassify(spark, tableDir, perGroup, dvByGroup)
     val f = fs(spark, tableDir)
-    val (dvGroups, rewriteGroups) = perGroup.keys.toSeq.sorted.partition { g =>
-      maxFrac > 0.0 && {
-        val live = GroupStats.read(f, GroupStats.sidecarPath(tableDir, g))
-          .map(_.nRows).getOrElse(-1L) -
-          dvByGroup.get(g).map(_._3).getOrElse(0L)
-        live > 0 && perGroup(g).toDouble / live <= maxFrac
-      }
-    }
     val hit = rewriteGroups.toSet
     val (touched, untouched) = m.files.partition(hit)
-    // New DV artifact: this delete's positions in the DV groups, plus
-    // the prior DV rows of those groups (one artifact per group set —
-    // at most one live DV entry per group).
-    val dvAdditions: Seq[(String, String, Long)] =
-      if (dvGroups.isEmpty) Seq.empty
-      else {
-        val fresh = matchRows.filter(col("__grp").isin(dvGroups: _*))
-          .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"))
-        val prior = dvGroups.flatMap(dvByGroup.get)
-        val merged =
-          if (prior.isEmpty) fresh
-          else fresh.unionByName(
-            spark.read.parquet(prior.map(_._2).distinct
-              .map(a => s"$tableDir/files/$a"): _*)
-              .filter(org.apache.spark.sql.functions
-                .substring_index(col("rel"), "/", 1).isin(dvGroups: _*))
-              .select(col("rel"), col("pos")))
-        val artifact = s"dv-${java.util.UUID.randomUUID()}"
-        // Position artifacts are tiny relative to data (bounded by the
-        // threshold fraction of the touched groups); write them as FEW
-        // files — inheriting the scan's partitioning would emit one
-        // near-empty part file per scan task (a 10k-group scatter
-        // delete = 10k files of overhead for KBs of positions). ~4M
-        // (rel, pos) rows per output file keeps big DVs under control.
-        val parts = math.max(1L, (dvGroups.map(perGroup).sum +
-          dvGroups.flatMap(dvByGroup.get).map(_._3).sum) / 4000000L).toInt
-        merged.coalesce(parts).write.parquet(s"$tableDir/files/$artifact")
-        dvGroups.map(g => (g, artifact,
-          perGroup(g) + dvByGroup.get(g).map(_._3).getOrElse(0L)))
-      }
+    val dvAdditions =
+      writeDvArtifact(spark, tableDir, matchRows, dvGroups, dvByGroup, perGroup)
     val dvArtifact = dvAdditions.headOption.map(_._2)
     // Rewrite path for the heavily-hit groups (classic COW).
     val (rewriteGroup, kept) =
@@ -1424,7 +1457,16 @@ object Versioned {
     * rewrite may not reshape the table: an assignment that would change
     * a column's type raises before any write. A no-match update returns
     * the current version unchanged. CDC: rewrite boundary, like the
-    * other mutations. */
+    * other mutations.
+    *
+    * MERGE-ON-READ updates: a touched group whose matched fraction of
+    * live rows is at or below `spark.graft.dv.maxDeleteFraction` is
+    * NOT rewritten — the updated copies of its matched rows land in
+    * one new file group and the ORIGINAL positions join the group's
+    * deletion vector (Delta's DV-update shape). A scattered update
+    * (one row in each of 10k groups) writes the changed rows plus KBs
+    * of positions instead of 10k groups' bytes; [[changesFeed]] reads
+    * such a version as update_preimage/update_postimage rows. */
   def update(
       spark: SparkSession, tableDir: String, cond: Column,
       assignments: (String, Column)*): Long = {
@@ -1434,35 +1476,78 @@ object Versioned {
     val m = parseManifest(spark, tableDir, v)
     require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
     val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, cond, m.mapping)
-    val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping, m.dvs)(
-      _.filter(cond))
-    if (hit.isEmpty) return v
-    val (touched, untouched) = m.files.partition(hit)
-    val scan = scanVersionGroups(spark, tableDir, touched, m.schemaDdl, m.mapping, m.dvs)
-    val resolver = org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
-    assignments.foreach { case (c, _) =>
-      require(scan.columns.exists(resolver(_, c)),
-        s"update assignment targets unknown column '$c' " +
-          s"(table has ${scan.columns.mkString(", ")})")
-    }
+    if (cand.isEmpty) return v
     val applied = cond.isNotNull && cond // NULL predicate → row untouched
-    val rewritten = assignments.foldLeft(scan) { case (df, (c, expr)) =>
-      df.withColumn(c, org.apache.spark.sql.functions.when(applied, expr)
-        .otherwise(col(c)))
+    val (matchRows, perGroup) =
+      probeMatches(spark, tableDir, cand, m, applied)
+    if (perGroup.isEmpty) return v
+    val resolver = org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
+    val tableCols = matchRows.columns.filterNot(_.startsWith("__"))
+    assignments.foreach { case (c, _) =>
+      require(tableCols.exists(resolver(_, c)),
+        s"update assignment targets unknown column '$c' " +
+          s"(table has ${tableCols.mkString(", ")})")
     }
-    scan.schema.fields.zip(rewritten.schema.fields).foreach { case (a, b) =>
-      require(a.dataType == b.dataType,
-        s"update may not change column types: ${a.name} " +
-          s"${a.dataType.simpleString} -> ${b.dataType.simpleString} " +
-          "(cast the assignment expression to the column's type)")
+    val dvByGroup = m.dvs.map(d => d._1 -> d).toMap
+    val (dvGroups, rewriteGroups) =
+      dvClassify(spark, tableDir, perGroup, dvByGroup)
+    val hit = rewriteGroups.toSet
+    val (touched, untouched) = m.files.partition(hit)
+    def applyAssignments(df: DataFrame, under: Column): DataFrame = {
+      val out = assignments.foldLeft(df) { case (d, (c, expr)) =>
+        d.withColumn(c, org.apache.spark.sql.functions.when(under, expr)
+          .otherwise(col(c)))
+      }
+      df.schema.fields.zip(out.schema.fields).foreach { case (a, b) =>
+        require(a.dataType == b.dataType,
+          s"update may not change column types: ${a.name} " +
+            s"${a.dataType.simpleString} -> ${b.dataType.simpleString} " +
+            "(cast the assignment expression to the column's type)")
+      }
+      out
     }
-    val (group, n) = writeGroup(rewritten, tableDir, m.mapping)
-    enforceConstraints(spark, tableDir, group, m.schemaDdl, m.constraints, m.mapping)
-    val untouchedRows = liveGroupRows(
+    val f = fs(spark, tableDir)
+    // DV path: updated COPIES of the matched rows → one new group;
+    // their original positions → the groups' deletion vectors.
+    val dvAdditions =
+      writeDvArtifact(spark, tableDir, matchRows, dvGroups, dvByGroup, perGroup)
+    val dvArtifact = dvAdditions.headOption.map(_._2)
+    val (copiesGroup, nCopies) =
+      if (dvGroups.isEmpty) (None, 0L)
+      else {
+        val copies = applyAssignments(
+          matchRows.filter(col("__grp").isin(dvGroups: _*))
+            .drop("__dv_rel", "__dv_pos", "__grp"), lit(true))
+        val (g, n) = writeGroup(copies, tableDir, m.mapping)
+        enforceConstraints(spark, tableDir, g, m.schemaDdl, m.constraints, m.mapping)
+        (Some(g), n)
+      }
+    // Rewrite path for the heavily-hit groups (classic COW).
+    val (rewriteGroup, nRewrite) =
+      if (touched.isEmpty) (None, 0L)
+      else {
+        val scan = scanVersionGroups(
+          spark, tableDir, touched, m.schemaDdl, m.mapping, m.dvs)
+        val (g, n) = writeGroup(applyAssignments(scan, applied), tableDir, m.mapping)
+        enforceConstraints(spark, tableDir, g, m.schemaDdl, m.constraints, m.mapping)
+        (Some(g), n)
+      }
+    val groups = untouched ++ rewriteGroup.toSeq ++ copiesGroup.toSeq
+    val dvs = m.dvs.filter(d =>
+      untouched.contains(d._1) && !dvGroups.contains(d._1)) ++ dvAdditions
+    val untouchedLive = liveGroupRows(
       spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
-    publishExpecting(spark, tableDir, v, untouched :+ group, Seq(group),
-      untouchedRows + n, "update", m.schemaDdl, mapping = m.mapping,
-      dvs = m.dvs.filter(d => untouched.contains(d._1)))
+    // total live rows are unchanged by an update: the DV'd positions
+    // are exactly offset by their updated copies
+    val nRows = untouchedLive - dvGroups.map(perGroup).sum + nCopies + nRewrite
+    try publishExpecting(spark, tableDir, v, groups,
+      rewriteGroup.toSeq ++ copiesGroup.toSeq, nRows, "update",
+      m.schemaDdl, mapping = m.mapping, dvs = dvs)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        dvArtifact.foreach(a => f.delete(new Path(s"$tableDir/files/$a"), true))
+        throw e
+    }
   }
 
   /** Copy-on-write MERGE (upsert-by-replacement) into a versioned table:
@@ -2044,9 +2129,15 @@ object Versioned {
     *    still on disk, and one semi-join of the touched groups against
     *    the (rel, pos) diff recovers them — cost tracks the CHURN,
     *    never the table;
-    *  - a REWRITE (snapshot/compact/COW delete/update/merge) still
-    *    raises: a file-group difference cannot attribute row identity
-    *    across a rewrite (use [[diffVersions]] there).
+    *  - a MERGE-ON-READ update (no group removed; DVs grew and the
+    *    updated copies landed as added groups) emits the DV growth as
+    *    `update_preimage` and the added groups as `update_postimage`
+    *    — Delta CDF's update pair, derived with zero write-time cost;
+    *  - a REWRITE (snapshot/compact/COW delete/update/merge — any
+    *    version that REMOVES a file group, including a mixed
+    *    DV+rewrite mutation) still raises: a file-group difference
+    *    cannot attribute row identity across a rewrite (use
+    *    [[diffVersions]] there).
     *
     * This is what a downstream sync (search index, cache, replica)
     * consumes to stay exact under the append + GDPR-delete lifecycle
@@ -2073,21 +2164,24 @@ object Versioned {
           .withColumn("_commit_version", flit(v)))
       } else if (cur.mode == "delete" && cur.files.toSet == prev.files.toSet) {
         // pure-DV delete: removed rows = the per-group position growth
-        val prevBy = prev.dvs.map(d => d._1 -> d).toMap
-        val grown = cur.dvs.filter(d =>
-          d._3 > prevBy.get(d._1).map(_._3).getOrElse(0L))
-        val curRows = dvMaskRows(spark, tableDir, grown)
-        val prevFor = grown.flatMap(d => prevBy.get(d._1))
-        val diff =
-          if (prevFor.isEmpty) curRows
-          else curRows.join(dvMaskRows(spark, tableDir, prevFor),
-            Seq("__dv_rel", "__dv_pos"), "left_anti")
-        Some(scanGroupsTagged(spark, tableDir, grown.map(_._1),
-          toManifest.schemaDdl, toManifest.mapping)
-          .join(diff, Seq("__dv_rel", "__dv_pos"), "left_semi")
-          .drop("__dv_rel", "__dv_pos")
+        Some(dvGrowthRows(spark, tableDir, prev, cur, toManifest)
           .withColumn("_change_type", flit("delete"))
           .withColumn("_commit_version", flit(v)))
+      } else if (cur.mode == "update" &&
+          prev.files.forall(cur.files.contains)) {
+        // merge-on-read UPDATE: the pre-images are the DV position
+        // growth (same machinery as the delete branch), the
+        // post-images are the version's ADDED groups — the updated
+        // copies. Delta CDF's update_preimage/update_postimage pair.
+        val pre = dvGrowthRows(spark, tableDir, prev, cur, toManifest)
+          .withColumn("_change_type", flit("update_preimage"))
+          .withColumn("_commit_version", flit(v))
+        val added = cur.files.filterNot(prev.files.toSet)
+        val post = scanGroups(spark, tableDir, added,
+          toManifest.schemaDdl, toManifest.mapping)
+          .withColumn("_change_type", flit("update_postimage"))
+          .withColumn("_commit_version", flit(v))
+        Some(pre.unionByName(post))
       } else {
         throw new IllegalArgumentException(
           s"changesFeed($fromVersion, $to] crosses rewrite version $v " +
@@ -2100,6 +2194,28 @@ object Versioned {
         .withColumn("_change_type", flit("insert"))
         .withColumn("_commit_version", flit(-1L))
     else pieces.reduce(_ unionByName _)
+  }
+
+  /** The rows whose positions JOINED the deletion vectors between
+    * `prev` and `cur` (full pre-image values, read back from the
+    * immutable groups) — [[changesFeed]]'s delete / update_preimage
+    * machinery. */
+  private def dvGrowthRows(
+      spark: SparkSession, tableDir: String,
+      prev: Manifest, cur: Manifest, toManifest: Manifest): DataFrame = {
+    val prevBy = prev.dvs.map(d => d._1 -> d).toMap
+    val grown = cur.dvs.filter(d =>
+      d._3 > prevBy.get(d._1).map(_._3).getOrElse(0L))
+    val curRows = dvMaskRows(spark, tableDir, grown)
+    val prevFor = grown.flatMap(d => prevBy.get(d._1))
+    val diff =
+      if (prevFor.isEmpty) curRows
+      else curRows.join(dvMaskRows(spark, tableDir, prevFor),
+        Seq("__dv_rel", "__dv_pos"), "left_anti")
+    scanGroupsTagged(spark, tableDir, grown.map(_._1),
+      toManifest.schemaDdl, toManifest.mapping)
+      .join(diff, Seq("__dv_rel", "__dv_pos"), "left_semi")
+      .drop("__dv_rel", "__dv_pos")
   }
 
   /** Version history: (version, mode, n_rows), ascending. */

@@ -101,7 +101,12 @@ class DeletionVectorSpec extends SparkSpec {
     withDvFraction(0.5) {
       Versioned.delete(spark, dir)(col("id") === 5L)
     }
-    val v = Versioned.update(spark, dir, col("id") === 6L, "v" -> lit(9L))
+    // force the classic COW update (the merge-on-read flavor is pinned
+    // in its own test below) — this test pins that a REWRITE of a
+    // DV'd group materializes the DV
+    val v = withDvFraction(0.0) {
+      Versioned.update(spark, dir, col("id") === 6L, "v" -> lit(9L))
+    }
     val m = Versioned.parseManifest(spark, dir, v)
     assert(m.dvs.isEmpty, "the rewrite must drop the group's DV entry")
     val rows = Versioned.read(spark, dir)
@@ -249,8 +254,11 @@ class DeletionVectorSpec extends SparkSpec {
       .select("id", "_change_type", "_commit_version")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(later == Set((8L, "delete", 4L)))
-    // rewrites still raise
-    Versioned.update(spark, dir, col("id") === 9L, "id" -> lit(900L)) // v5
+    // REWRITE updates still raise (DV updates are served — see the
+    // merge-on-read UPDATE test)
+    withDvFraction(0.0) {
+      Versioned.update(spark, dir, col("id") === 9L, "id" -> lit(900L)) // v5
+    }
     val e = intercept[IllegalArgumentException] {
       Versioned.changesFeed(spark, dir, 4L)
     }
@@ -264,6 +272,48 @@ class DeletionVectorSpec extends SparkSpec {
     val replayed = ((0L until 100L).toSet ++ ins) -- del
     val v4ids = Versioned.read(spark, dir, 4L).as[Long].collect().toSet
     assert(replayed == v4ids)
+  }
+
+  test("merge-on-read UPDATE: updated copies + DV, no group rewrite") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).map(i => (i, 0L)).toDF("id", "n"), dir)
+    Versioned.append((100L until 200L).map(i => (i, 0L)).toDF("id", "n"), dir)
+    val before = dataGroups(dir)
+    // one row per group — DV-update territory at the default threshold
+    val v = Versioned.update(spark, dir,
+      col("id").isin(7L, 150L), "n" -> lit(9L))
+    val m = Versioned.parseManifest(spark, dir, v)
+    assert(before.subsetOf(m.files.toSet) && m.files.size == before.size + 1,
+      "DV update must keep every original group and add ONE copies group")
+    assert(m.dvs.map(_._3).sum == 2L && m.mode == "update")
+    val rows = Versioned.read(spark, dir)
+    assert(rows.count() == 200L, "update must not change the row count")
+    assert(rows.filter(col("n") === 9L).select("id").as[Long]
+      .collect().toSet == Set(7L, 150L))
+    assert(rows.filter(col("id") === 7L).count() == 1L, "no duplicate post-image")
+    // pre-update version unaffected
+    assert(Versioned.read(spark, dir, 1).filter(col("n") === 9L).count() == 0L)
+    // the feed reads it as an update pair
+    val feed = Versioned.changesFeed(spark, dir, 1L)
+      .select("id", "n", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == Set(
+      (7L, 0L, "update_preimage"), (150L, 0L, "update_preimage"),
+      (7L, 9L, "update_postimage"), (150L, 9L, "update_postimage")))
+    // a second DV update touching one of the same rows: feed emits only
+    // the NEW position growth; the copies group row updates via rewrite
+    // or DV of the copies group — either way values stay exact
+    val v2 = Versioned.update(spark, dir, col("id") === 7L, "n" -> lit(11L))
+    val rows2 = Versioned.read(spark, dir, v2)
+    assert(rows2.count() == 200L)
+    assert(rows2.filter(col("id") === 7L).select("n").as[Long]
+      .collect().toSeq == Seq(11L))
+    // a heavy update still rewrites (no DV entries for its groups)
+    val v3 = Versioned.update(spark, dir, col("id") < 90L, "n" -> lit(1L))
+    val m3 = Versioned.parseManifest(spark, dir, v3)
+    assert(Versioned.read(spark, dir, v3).filter(col("n") === 1L).count() == 90L)
+    assert(!m3.dvs.exists(d => !m3.files.contains(d._1)),
+      "no dangling DV entries after the rewrite")
   }
 
   test("DV delete on a column-mapped (renamed) table") {
