@@ -1351,6 +1351,50 @@ object SparkEntry {
         .orderBy("change_type", "commit_version", "lang")
     }),
 
+    // STREAMING CDF: the change feed drained through
+    // spark.readStream.format("graft").option("readChangeFeed") — the
+    // full append + DV-delete + DV-update lifecycle arrives as typed
+    // change rows (insert / delete / update_preimage / update_postimage
+    // with _commit_version), planned per micro-batch from manifest
+    // ranges with the DV artifacts as the STATIC join side. The oracle
+    // recomputes every (change_type, commit_version, lang) cell incl.
+    // the genesis inserts; a checkpointed second drain after the
+    // update proves version-range exactly-once (any re-emission
+    // doubles a cell).
+    "version_changes_feed_streaming" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/cdfs_${etlSuffix(dir)}"
+      val io = s"/tmp/graft_versioned/cdfs_io_${etlSuffix(dir)}"
+      Seq(tbl, io).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl) // v0
+      Versioned.append(docs.filter(col("lang") === "de"), tbl) // v1
+      Versioned.delete(s, tbl)(col("doc_id") % 97L === 0L) // v2: DV
+      Versioned.append(docs.filter(col("lang") === "fr"), tbl) // v3
+      def drain(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("readChangeFeed", "true").load(tbl)
+          .writeStream.format("parquet")
+          .option("path", s"$io/sink")
+          .option("checkpointLocation", s"$io/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // genesis through v3
+      Versioned.update(s, tbl,
+        col("doc_id") % 89L === 0L, "lang" -> lit("yy")) // v4: DV update
+      drain() // exactly-once: ONLY v4's pair arrives
+      s.read.parquet(s"$io/sink")
+        .groupBy(col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("change_type", "commit_version", "lang")
+    }),
+
     "versioned_delete" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tbl = s"/tmp/graft_versioned/del_${etlSuffix(dir)}"
@@ -5383,6 +5427,36 @@ object SparkEntry {
         |  (SELECT CAST(COALESCE(sum(doc_id), 0) AS BIGINT)
         |   FROM documents WHERE (doc_id % 101) = 0) AS changed_id_sum
         |FROM upd GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Genesis inserts = en at cv0; the v4 update's pre/post slice is
+    // %89 of the rows LIVE at v3 (en ∪ de minus the deleted %97
+    // slice, plus fr).
+    "version_changes_feed_streaming" ->
+      """WITH live AS (
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE lang IN ('en', 'de') AND (doc_id % 97) <> 0
+        |  UNION ALL
+        |  SELECT doc_id, lang FROM documents WHERE lang = 'fr'),
+        |feed AS (
+        |  SELECT 'insert' AS ct, 0 AS cv, doc_id, lang
+        |  FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT 'insert', 1, doc_id, lang FROM documents WHERE lang = 'de'
+        |  UNION ALL
+        |  SELECT 'delete', 2, doc_id, lang FROM documents
+        |  WHERE lang IN ('en', 'de') AND (doc_id % 97) = 0
+        |  UNION ALL
+        |  SELECT 'insert', 3, doc_id, lang FROM documents WHERE lang = 'fr'
+        |  UNION ALL
+        |  SELECT 'update_preimage', 4, doc_id, lang FROM live
+        |  WHERE (doc_id % 89) = 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', 4, doc_id, 'yy' FROM live
+        |  WHERE (doc_id % 89) = 0)
+        |SELECT ct AS change_type, CAST(cv AS BIGINT) AS commit_version,
+        |  lang, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM feed GROUP BY ct, cv, lang
+        |ORDER BY change_type, commit_version, lang""".stripMargin,
 
     // v1 inserts = de; v2 deletes = the modulo slice of en ∪ de (the
     // table at delete time); v3 inserts = fr.

@@ -2151,11 +2151,38 @@ object Versioned {
     val to = if (toVersion >= 0) toVersion else latestVersion(spark, tableDir)
     require(fromVersion >= 0 && fromVersion <= to,
       s"invalid version range ($fromVersion, $to]")
+    val pieces = changesFeedPieces(spark, tableDir, fromVersion, to)
+    if (pieces.isEmpty)
+      read(spark, tableDir, to).limit(0)
+        .withColumn("_change_type", flit("insert"))
+        .withColumn("_commit_version", flit(-1L))
+    else pieces.reduce(_ unionByName _)
+  }
+
+  /** [[changesFeed]]'s per-version frames (already `_change_type` /
+    * `_commit_version`-tagged), one or two per changed version —
+    * exposed so the streaming CDF source can union and re-flag them
+    * without inheriting the batch wrapper's empty-range `limit(0)`
+    * (a Limit is illegal in a streaming plan). */
+  private[graft] def changesFeedPieces(
+      spark: SparkSession,
+      tableDir: String,
+      fromVersion: Long,
+      to: Long): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.{lit => flit}
     val toManifest = parseManifest(spark, tableDir, to)
-    val pieces = ((fromVersion + 1) to to).flatMap { v =>
+    ((fromVersion + 1) to to).flatMap { v =>
       val prev = parseManifest(spark, tableDir, v - 1)
       val cur = parseManifest(spark, tableDir, v)
-      if (appendSafeModes(cur.mode)) {
+      // INSERT-ONLY MERGE detection: a merge that rewrote nothing and
+      // touched no deletion vector only ADDED rows (the no-match
+      // upsert case) — its new groups are pure inserts, same as an
+      // append. Any merge that rewrote a group fails the file-subset
+      // test; one that re-DV'd fails the dvs-equality test.
+      val insertOnly = appendSafeModes(cur.mode) ||
+        (cur.mode == "merge" && prev.files.forall(cur.files.contains) &&
+          cur.dvs == prev.dvs)
+      if (insertOnly) {
         val added = cur.files.filterNot(prev.files.toSet)
         if (added.isEmpty) None
         else Some(scanGroups(spark, tableDir, added, toManifest.schemaDdl,
@@ -2189,11 +2216,6 @@ object Versioned {
             "rewrite is impossible from file groups — use diffVersions")
       }
     }
-    if (pieces.isEmpty)
-      read(spark, tableDir, to).limit(0)
-        .withColumn("_change_type", flit("insert"))
-        .withColumn("_commit_version", flit(-1L))
-    else pieces.reduce(_ unionByName _)
   }
 
   /** The rows whose positions JOINED the deletion vectors between

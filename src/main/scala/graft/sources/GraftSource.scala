@@ -61,8 +61,9 @@ class GraftSource
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val s = GraftStreamSource.tableSchema(
-      sqlContext.sparkSession, pathOf(parameters))
+    val cdf = parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+    val s = GraftStreamSource.sourceSchema(
+      sqlContext.sparkSession, pathOf(parameters), cdf)
     schema.foreach(u => require(u == s,
       s"graft streaming source: the manifest already carries the table " +
         s"schema (${s.toDDL}); drop the .schema(...) call or pass the " +

@@ -105,7 +105,19 @@ final class GraftStreamSource(
       m
     }
 
-  override val schema: StructType = GraftStreamSource.tableSchema(spark, tableDir)
+  /** CHANGE-DATA-FEED mode (`option("readChangeFeed", "true")` —
+    * Delta's CDF streaming read): instead of the table's appended
+    * rows, each micro-batch serves the ROW-LEVEL CHANGES of its
+    * version range via [[Versioned.changesFeedPieces]] — inserts from
+    * appends, deletes and update_preimage/update_postimage pairs from
+    * deletion-vector mutations — so pure-DV DELETE/UPDATE versions
+    * STREAM instead of failing the append-only contract. Derived
+    * entirely from manifests + DVs; rewrites still fail loudly. */
+  private val readChangeFeed: Boolean =
+    options.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+
+  override val schema: StructType =
+    GraftStreamSource.sourceSchema(spark, tableDir, readChangeFeed)
 
   /** Highest version this instance has offered or served — admission
     * control state only; correctness lives in the engine's checkpoint. */
@@ -135,6 +147,7 @@ final class GraftStreamSource(
       offeredOnce = true
     }
     if (endV <= fromV) return emptyBatch()
+    if (readChangeFeed) return changeFeedBatch(fromV, endV)
     // Append-only enforcement at PLAN time: every version in the range
     // must be an append or metadata-only constraint DDL. v0 is exempt
     // (any mode — it is the initial state, same as changesStream's
@@ -199,6 +212,61 @@ final class GraftStreamSource(
       spark, LocalRelation(attrs, Nil, isStreaming = true))
   }
 
+  /** One CDF micro-batch: the row-level changes of `(fromV, endV]` —
+    * plus, when the stream begins at genesis (fromV < 0), version
+    * `max(startingVersion, 0)`'s own content as the initial inserts
+    * (Delta CDF's `startingVersion` reads that version's writes too).
+    * The resulting plan mixes the change scans (streaming side) with
+    * the DV position artifacts (static side): only the DATA leaves are
+    * flipped to streaming, so the DV anti/semi-joins plan as supported
+    * STREAM-STATIC joins, re-read fresh at every micro-batch. */
+  private def changeFeedBatch(fromV: Long, endV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val initial: Seq[DataFrame] =
+      if (fromV >= 0) Seq.empty
+      else {
+        val v0 = math.max(startingVersion, 0L)
+        val m0 =
+          try Versioned.parseManifest(spark, tableDir, v0)
+          catch {
+            case _: java.io.FileNotFoundException =>
+              throw new IllegalStateException(
+                s"graft CDF stream on $tableDir: starting version $v0 is " +
+                  "no longer retained (vacuumed) — pick a retained " +
+                  "startingVersion")
+          }
+        val endMeta = Versioned.parseManifest(spark, tableDir, endV)
+        Seq(Versioned.scanVersionGroups(spark, tableDir, m0.files,
+          endMeta.schemaDdl, endMeta.mapping, m0.dvs)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v0)))
+      }
+    val pieces = initial ++ (
+      try Versioned.changesFeedPieces(
+        spark, tableDir, math.max(fromV, 0L), endV)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"graft CDF stream on $tableDir: a version in " +
+              s"($fromV, $endV] was vacuumed away before this stream " +
+              "consumed it — restart from a retained version or widen " +
+              "retention past the consumer lag")
+      })
+    if (pieces.isEmpty) return emptyBatch()
+    val batch = pieces.reduce(_ unionByName _)
+    if (batch.schema != schema)
+      throw new IllegalStateException(
+        s"graft CDF stream on $tableDir: the table's schema evolved " +
+          s"since this stream started (stream: ${schema.toDDL}; range " +
+          s"($fromV, $endV]: ${batch.schema.toDDL}) — restart the stream " +
+          "to adopt the new schema (Delta's streaming contract)")
+    val plan = batch.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !GraftStreamSource.isDvArtifactScan(lr) =>
+        lr.copy(isStreaming = true)
+    }
+    org.apache.spark.sql.graftshim.GraftSqlBridge.ofRows(spark, plan)
+  }
+
   override def commit(end: OffsetV1): Unit = ()
 
   override def stop(): Unit = ()
@@ -217,6 +285,28 @@ private[graft] object GraftStreamSource {
       s"graft streaming source: no versions committed under $tableDir — " +
         "create the table before streaming from it")
     Versioned.read(spark, tableDir).schema
+  }
+
+  /** [[tableSchema]], extended with the CDF columns when the stream
+    * reads the change feed. */
+  def sourceSchema(
+      spark: SparkSession, tableDir: String, cdf: Boolean): StructType = {
+    val base = tableSchema(spark, tableDir)
+    if (!cdf) base
+    else StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
+  /** Is this relation a deletion-vector POSITION artifact scan (must
+    * stay on the STATIC side of the CDF batch's joins)? Artifacts are
+    * the `dv-*` directories under `files/`. */
+  def isDvArtifactScan(lr: LogicalRelation): Boolean = lr.relation match {
+    case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+      h.location.rootPaths.exists(_.getName.startsWith("dv-"))
+    case _ => false
   }
 
   /** Version number of any offset shape the engine hands back —

@@ -254,6 +254,13 @@ class DeletionVectorSpec extends SparkSpec {
       .select("id", "_change_type", "_commit_version")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(later == Set((8L, "delete", 4L)))
+    // an INSERT-ONLY merge (no rewrite, no DV change) serves as inserts
+    Versioned.merge(spark, dir,
+      Seq(500L).toDF("id"), Seq("id")) // no key matches → pure insert
+    val mergeFeed = Versioned.changesFeed(spark, dir, 4L)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mergeFeed == Set((500L, "insert")))
     // REWRITE updates still raise (DV updates are served — see the
     // merge-on-read UPDATE test)
     withDvFraction(0.0) {

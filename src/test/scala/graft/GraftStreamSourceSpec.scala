@@ -172,6 +172,78 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(sinkIds(sink) == (0L until 5L))
   }
 
+  test("readChangeFeed: inserts, DV deletes and DV update pairs stream; exactly-once") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).map(i => (i, 0L)).toDF("id", "n"), dir) // v0
+    Versioned.append((100L until 200L).map(i => (i, 0L)).toDF("id", "n"), dir) // v1
+    Versioned.delete(spark, dir)(col("id").isin(7L, 150L)) // v2: pure DV
+    Versioned.update(spark, dir, col("id") === 8L, "n" -> lit(5L)) // v3: DV update
+    val (sink, ckpt) = scratch()
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainCdf()
+    def rows(): Set[(Long, Long, String, Long)] =
+      spark.read.parquet(sink)
+        .select("id", "n", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2), r.getLong(3))).toSet
+    val expected: Set[(Long, Long, String, Long)] =
+      (0L until 100L).map(i => (i, 0L, "insert", 0L)).toSet ++
+        (100L until 200L).map(i => (i, 0L, "insert", 1L)).toSet ++
+        Set((7L, 0L, "delete", 2L), (150L, 0L, "delete", 2L),
+          (8L, 0L, "update_preimage", 3L), (8L, 5L, "update_postimage", 3L))
+    assert(rows() == expected)
+    // exactly-once across a re-drain; a later DV delete arrives alone
+    drainCdf()
+    assert(rows() == expected, "re-drain must emit nothing")
+    Versioned.delete(spark, dir)(col("id") === 9L) // v4
+    drainCdf()
+    assert(rows() == expected + ((9L, 0L, "delete", 4L)))
+    // a REWRITE still fails the CDF stream loudly
+    spark.conf.set("spark.graft.dv.maxDeleteFraction", "0")
+    try Versioned.delete(spark, dir)(col("id") < 50L) // v5: COW rewrite
+    finally spark.conf.unset("spark.graft.dv.maxDeleteFraction")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("rewrite") || e.getCause.getMessage.contains("rewrite"))
+  }
+
+  test("readChangeFeed: startingVersion skips history; CDF schema adds the two columns") {
+    val dir = tbl()
+    Versioned.commit((0L until 10L).map(i => (i, 0L)).toDF("id", "n"), dir) // v0
+    Versioned.append((10L until 20L).map(i => (i, 0L)).toDF("id", "n"), dir) // v1
+    Versioned.delete(spark, dir)(col("id") === 3L) // v2 (DV)
+    val df = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(dir)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("id", "n", "_change_type", "_commit_version"))
+    val (sink, ckpt) = scratch()
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(sink)
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // startingVersion=2 reads version 2's OWN changes (the delete)
+    assert(got == Set((3L, "delete", 2L)))
+  }
+
   test("a vacuumed range fails loudly instead of silently skipping rows") {
     val dir = tbl()
     Versioned.commit(Seq((1L, "a")).toDF("id", "v"), dir)  // v0
