@@ -153,7 +153,7 @@ object Versioned {
       b <- "\"txn_batch\":(-?\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong)
     } yield (app, b)
     // schema is a JSON-escaped DDL string; scanned linearly (see
-    // [[quotedArrayAt]]'s rationale — a regex alternation per char
+    // [[quotedArray]]'s rationale — a regex alternation per char
     // overflows the stack on a wide table's 100KB DDL).
     val schemaDdl = scanQuoted(raw, "\"schema\":\"").map(jsonUnescape)
     // constraints: a flat JSON array of escaped strings alternating
@@ -342,7 +342,8 @@ object Versioned {
   private[graft] def scanGroups(
       spark: SparkSession, tableDir: String,
       groups: Seq[String], schemaDdl: Option[String],
-      mapping: Seq[(String, String)] = Seq.empty): DataFrame = {
+      mapping: Seq[(String, String)] = Seq.empty,
+      helpers: Seq[Column] = Seq.empty): DataFrame = {
     val paths = groups.map(g => s"$tableDir/files/$g")
     (schemaDdl, activeMapping(mapping)) match {
       case (Some(d), am) if am.nonEmpty =>
@@ -356,12 +357,17 @@ object Versioned {
         val physical = org.apache.spark.sql.types.StructType(
           logical.fields.map(f => f.copy(name = physicalName(am, f.name))))
         spark.read.schema(physical).parquet(paths: _*)
-          .select(logical.fields.map(f =>
-            col(physicalName(am, f.name)).as(f.name)).toSeq: _*)
+          .select(logical.fields.toSeq.map(f =>
+            col(physicalName(am, f.name)).as(f.name)) ++ helpers: _*)
       case (Some(d), _) =>
-        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(d))
-          .parquet(paths: _*)
-      case (None, _) => spark.read.parquet(paths: _*)
+        val logical = org.apache.spark.sql.types.StructType.fromDDL(d)
+        val base = spark.read.schema(logical).parquet(paths: _*)
+        if (helpers.isEmpty) base
+        else base.select(logical.fields.toSeq.map(f => col(f.name)) ++ helpers: _*)
+      case (None, _) =>
+        val base = spark.read.parquet(paths: _*)
+        if (helpers.isEmpty) base
+        else base.select(base.columns.toSeq.map(col) ++ helpers: _*)
     }
   }
 
@@ -374,6 +380,13 @@ object Versioned {
         col("_metadata.file_path"), java.util.regex.Pattern.quote("/files/")),
       -1)
 
+  /** Column names reserved for internal row identity ([[scanGroupsTagged]]'s
+    * helpers and the probe's group tag) — refused at [[writeGroup]] so
+    * a user column can never collide with (and silently break) the
+    * DV anti-joins. */
+  private val reservedCols =
+    Set("__dv_rel", "__dv_pos", "__grp", "__file", "__cv")
+
   /** [[scanGroups]] with each group's row identity retained: adds
     * `__dv_rel` (file path suffix) and `__dv_pos` (`_metadata.row_index`)
     * BEFORE any mapping projection, so callers can anti-join deletion
@@ -382,28 +395,10 @@ object Versioned {
   private def scanGroupsTagged(
       spark: SparkSession, tableDir: String,
       groups: Seq[String], schemaDdl: Option[String],
-      mapping: Seq[(String, String)]): DataFrame = {
-    val paths = groups.map(g => s"$tableDir/files/$g")
-    val helpers = Seq(
+      mapping: Seq[(String, String)]): DataFrame =
+    scanGroups(spark, tableDir, groups, schemaDdl, mapping, helpers = Seq(
       dvRelCol.as("__dv_rel"),
-      col("_metadata.row_index").as("__dv_pos"))
-    (schemaDdl, activeMapping(mapping)) match {
-      case (Some(d), am) if am.nonEmpty =>
-        val logical = org.apache.spark.sql.types.StructType.fromDDL(d)
-        val physical = org.apache.spark.sql.types.StructType(
-          logical.fields.map(f => f.copy(name = physicalName(am, f.name))))
-        spark.read.schema(physical).parquet(paths: _*)
-          .select(logical.fields.toSeq.map(f =>
-            col(physicalName(am, f.name)).as(f.name)) ++ helpers: _*)
-      case (Some(d), _) =>
-        val logical = org.apache.spark.sql.types.StructType.fromDDL(d)
-        spark.read.schema(logical).parquet(paths: _*)
-          .select(logical.fields.toSeq.map(f => col(f.name)) ++ helpers: _*)
-      case (None, _) =>
-        val base = spark.read.parquet(paths: _*)
-        base.select(base.columns.toSeq.map(col) ++ helpers: _*)
-    }
-  }
+      col("_metadata.row_index").as("__dv_pos")))
 
   /** The deletion-vector rows masking `groups` (empty frame if none):
     * (__dv_rel, __dv_pos) pairs read from the version's DV artifacts,
@@ -435,7 +430,8 @@ object Versioned {
       groups: Seq[String], schemaDdl: Option[String],
       mapping: Seq[(String, String)] = Seq.empty,
       dvs: Seq[(String, String, Long)] = Seq.empty): DataFrame = {
-    val dvFor = dvs.filter(d => groups.contains(d._1))
+    val groupSet = groups.toSet
+    val dvFor = dvs.filter(d => groupSet(d._1))
     if (dvFor.isEmpty)
       return scanGroups(spark, tableDir, groups, schemaDdl, mapping)
     val dvGroups = dvFor.map(_._1).toSet
@@ -514,6 +510,10 @@ object Versioned {
   private def writeGroup(
       df: DataFrame, tableDir: String,
       mapping: Seq[(String, String)] = Seq.empty): (String, Long) = {
+    val clash = df.columns.filter(c => reservedCols(c.toLowerCase))
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} are reserved for internal " +
+        "row identity (the deletion-vector machinery) — rename the column")
     val group = java.util.UUID.randomUUID().toString
     // Under column mapping, groups always store PHYSICAL names: a
     // batch arrives with logical columns and is renamed on the way in,
@@ -1260,7 +1260,8 @@ object Versioned {
     // and, unlike input_file_name(), still populated under the DV
     // anti-join) and mask deletion vectors BEFORE probing: a DV'd row
     // must not mark its group as touched.
-    val dvFor = dvs.filter(d => candidates.contains(d._1))
+    val candSet = candidates.toSet
+    val dvFor = dvs.filter(d => candSet(d._1))
     val tagged0 = scanGroupsTagged(spark, tableDir, candidates, schemaDdl, mapping)
     val live =
       if (dvFor.isEmpty) tagged0
@@ -1313,7 +1314,8 @@ object Versioned {
   private def probeMatches(
       spark: SparkSession, tableDir: String, cand: Seq[String],
       m: Manifest, applied: Column): (DataFrame, Map[String, Long]) = {
-    val dvForCand = m.dvs.filter(d => cand.contains(d._1))
+    val candSet = cand.toSet
+    val dvForCand = m.dvs.filter(d => candSet(d._1))
     val tagged0 = scanGroupsTagged(spark, tableDir, cand, m.schemaDdl, m.mapping)
     val liveScan =
       if (dvForCand.isEmpty) tagged0
@@ -1432,8 +1434,11 @@ object Versioned {
     val groups = untouched ++ rewriteGroup.toSeq
     // DV entries: prior entries for groups still present and not
     // re-DV'd this round, plus this round's (merged) additions.
-    val dvs = m.dvs.filter(d =>
-      untouched.contains(d._1) && !dvGroups.contains(d._1)) ++ dvAdditions
+    val dvs = {
+      val unSet = untouched.toSet
+      val dvSet = dvGroups.toSet
+      m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
+    } ++ dvAdditions
     val untouchedLive = liveGroupRows(
       spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
     val deletedInDv = dvGroups.map(perGroup).sum
@@ -1482,7 +1487,7 @@ object Versioned {
       probeMatches(spark, tableDir, cand, m, applied)
     if (perGroup.isEmpty) return v
     val resolver = org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
-    val tableCols = matchRows.columns.filterNot(_.startsWith("__"))
+    val tableCols = matchRows.columns.filterNot(reservedCols)
     assignments.foreach { case (c, _) =>
       require(tableCols.exists(resolver(_, c)),
         s"update assignment targets unknown column '$c' " +
@@ -1533,8 +1538,11 @@ object Versioned {
         (Some(g), n)
       }
     val groups = untouched ++ rewriteGroup.toSeq ++ copiesGroup.toSeq
-    val dvs = m.dvs.filter(d =>
-      untouched.contains(d._1) && !dvGroups.contains(d._1)) ++ dvAdditions
+    val dvs = {
+      val unSet = untouched.toSet
+      val dvSet = dvGroups.toSet
+      m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
+    } ++ dvAdditions
     val untouchedLive = liveGroupRows(
       spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
     // total live rows are unchanged by an update: the DV'd positions
@@ -1621,7 +1629,8 @@ object Versioned {
       spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
     publishExpecting(spark, tableDir, v, untouched :+ group, Seq(group),
       untouchedRows + n, "merge", schemaDdl, mapping = m.mapping,
-      dvs = m.dvs.filter(d => untouched.contains(d._1)))
+      dvs = { val unSet = untouched.toSet
+        m.dvs.filter(d => unSet(d._1)) })
   }
 
   /** One clause of a general [[mergeClauses]] MERGE. Conditions and
@@ -1951,7 +1960,8 @@ object Versioned {
     publishExpecting(spark, tableDir, v, groups,
       groups.filterNot(untouched.contains), untouchedRows + n, "merge",
       schemaDdl, mapping = m.mapping,
-      dvs = m.dvs.filter(d => untouched.contains(d._1)))
+      dvs = { val unSet = untouched.toSet
+        m.dvs.filter(d => unSet(d._1)) })
   }
 
   /** OPTIMIZE-style compaction: rewrite the latest version's data as a
@@ -2159,11 +2169,19 @@ object Versioned {
     else pieces.reduce(_ unionByName _)
   }
 
-  /** [[changesFeed]]'s per-version frames (already `_change_type` /
-    * `_commit_version`-tagged), one or two per changed version —
-    * exposed so the streaming CDF source can union and re-flag them
-    * without inheriting the batch wrapper's empty-range `limit(0)`
-    * (a Limit is illegal in a streaming plan). */
+  /** [[changesFeed]]'s frames (already `_change_type` /
+    * `_commit_version`-tagged) — exposed so the streaming CDF source
+    * can union and re-flag them without inheriting the batch wrapper's
+    * empty-range `limit(0)` (a Limit is illegal in a streaming plan).
+    *
+    * PLAN-SIZE bound: consecutive insert-only versions COLLAPSE into
+    * ONE scan over all their groups plus a broadcast-tiny
+    * (group → version) map join — a year of daily appends replays as
+    * one scan, not 365, so a from-genesis CDF stream's first
+    * micro-batch (which the engine never caps) cannot blow the
+    * analyzer up with per-version plan nodes. DV mutations keep one
+    * frame each (each needs its own position diff); the plan grows
+    * with the CHANGE versions, not the append history. */
   private[graft] def changesFeedPieces(
       spark: SparkSession,
       tableDir: String,
@@ -2171,31 +2189,33 @@ object Versioned {
       to: Long): Seq[DataFrame] = {
     import org.apache.spark.sql.functions.{lit => flit}
     val toManifest = parseManifest(spark, tableDir, to)
-    ((fromVersion + 1) to to).flatMap { v =>
-      val prev = parseManifest(spark, tableDir, v - 1)
+    // classification pass: metadata-only
+    sealed trait Ev
+    final case class Ins(v: Long, added: Seq[String]) extends Ev
+    final case class DvPiece(df: DataFrame) extends Ev
+    var prev = parseManifest(spark, tableDir, fromVersion)
+    val events = scala.collection.mutable.ArrayBuffer.empty[Ev]
+    ((fromVersion + 1) to to).foreach { v =>
       val cur = parseManifest(spark, tableDir, v)
+      val prevSet = prev.files.toSet
+      val curSet = cur.files.toSet
       // INSERT-ONLY MERGE detection: a merge that rewrote nothing and
       // touched no deletion vector only ADDED rows (the no-match
       // upsert case) — its new groups are pure inserts, same as an
       // append. Any merge that rewrote a group fails the file-subset
       // test; one that re-DV'd fails the dvs-equality test.
       val insertOnly = appendSafeModes(cur.mode) ||
-        (cur.mode == "merge" && prev.files.forall(cur.files.contains) &&
+        (cur.mode == "merge" && prev.files.forall(curSet) &&
           cur.dvs == prev.dvs)
       if (insertOnly) {
-        val added = cur.files.filterNot(prev.files.toSet)
-        if (added.isEmpty) None
-        else Some(scanGroups(spark, tableDir, added, toManifest.schemaDdl,
-          toManifest.mapping)
-          .withColumn("_change_type", flit("insert"))
-          .withColumn("_commit_version", flit(v)))
-      } else if (cur.mode == "delete" && cur.files.toSet == prev.files.toSet) {
+        val added = cur.files.filterNot(prevSet)
+        if (added.nonEmpty) events += Ins(v, added)
+      } else if (cur.mode == "delete" && curSet == prevSet) {
         // pure-DV delete: removed rows = the per-group position growth
-        Some(dvGrowthRows(spark, tableDir, prev, cur, toManifest)
+        events += DvPiece(dvGrowthRows(spark, tableDir, prev, cur, toManifest)
           .withColumn("_change_type", flit("delete"))
           .withColumn("_commit_version", flit(v)))
-      } else if (cur.mode == "update" &&
-          prev.files.forall(cur.files.contains)) {
+      } else if (cur.mode == "update" && prev.files.forall(curSet)) {
         // merge-on-read UPDATE: the pre-images are the DV position
         // growth (same machinery as the delete branch), the
         // post-images are the version's ADDED groups — the updated
@@ -2203,19 +2223,49 @@ object Versioned {
         val pre = dvGrowthRows(spark, tableDir, prev, cur, toManifest)
           .withColumn("_change_type", flit("update_preimage"))
           .withColumn("_commit_version", flit(v))
-        val added = cur.files.filterNot(prev.files.toSet)
-        val post = scanGroups(spark, tableDir, added,
+        val post = scanGroups(spark, tableDir, cur.files.filterNot(prevSet),
           toManifest.schemaDdl, toManifest.mapping)
           .withColumn("_change_type", flit("update_postimage"))
           .withColumn("_commit_version", flit(v))
-        Some(pre.unionByName(post))
+        events += DvPiece(pre.unionByName(post))
       } else {
         throw new IllegalArgumentException(
           s"changesFeed($fromVersion, $to] crosses rewrite version $v " +
             s"(mode=${cur.mode}); row-level change attribution across a " +
             "rewrite is impossible from file groups — use diffVersions")
       }
+      prev = cur
     }
+    // collapse consecutive insert versions into one scan + version map
+    def insertPiece(run: Seq[Ins]): DataFrame =
+      if (run.size == 1)
+        scanGroups(spark, tableDir, run.head.added, toManifest.schemaDdl,
+          toManifest.mapping)
+          .withColumn("_change_type", flit("insert"))
+          .withColumn("_commit_version", flit(run.head.v))
+      else {
+        import spark.implicits._
+        val vmap = org.apache.spark.sql.functions.broadcast(
+          run.flatMap(i => i.added.map(g => (g, i.v))).toDF("__grp", "__cv"))
+        scanGroupsTagged(spark, tableDir, run.flatMap(_.added),
+          toManifest.schemaDdl, toManifest.mapping)
+          .withColumn("__grp", org.apache.spark.sql.functions
+            .substring_index(col("__dv_rel"), "/", 1))
+          .join(vmap, Seq("__grp"))
+          .withColumn("_change_type", flit("insert"))
+          .withColumn("_commit_version", col("__cv"))
+          .drop("__grp", "__cv", "__dv_rel", "__dv_pos")
+      }
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val run = scala.collection.mutable.ArrayBuffer.empty[Ins]
+    def flushRun(): Unit =
+      if (run.nonEmpty) { pieces += insertPiece(run.toSeq); run.clear() }
+    events.foreach {
+      case i: Ins => run += i
+      case DvPiece(df) => flushRun(); pieces += df
+    }
+    flushRun()
+    pieces.toSeq
   }
 
   /** The rows whose positions JOINED the deletion vectors between
@@ -2506,7 +2556,12 @@ object Versioned {
         m match {
           case Some(mf) =>
             if (!streamSafeModes(mf.mode))
-              unsafe = unsafe ++ mf.files.filterNot(prev)
+              unsafe = unsafe ++ mf.files.filterNot(prev) ++
+                // DV position artifacts live under files/ too: the
+                // schema-pinned file stream would otherwise ingest a
+                // dv-* parquet as all-NULL table rows in the window
+                // before the guard sees the delete manifest
+                mf.dvs.map(_._2)
             prev = mf.files.toSet
           case None => () // vacuumed manifest: its dropped groups are gone
         }
@@ -2556,6 +2611,14 @@ object Versioned {
         "CONVERT adopts flat parquet layouts only; rewrite partitioned " +
         "data via commit() to adopt it")
     require(dataFiles.nonEmpty, s"no parquet files to adopt under $dir")
+    // reserved-name check BEFORE any file moves (writeGroup's gate,
+    // applied to adopted files)
+    val previewClash = spark.read.parquet(dir).columns
+      .filter(c => reservedCols(c.toLowerCase))
+    require(previewClash.isEmpty,
+      s"column name(s) ${previewClash.mkString(", ")} are reserved for " +
+        "internal row identity (the deletion-vector machinery) — rename " +
+        "before converting")
     val group = java.util.UUID.randomUUID().toString
     val gdir = new Path(s"$dir/files/$group")
     require(f.mkdirs(gdir), s"cannot create $gdir")

@@ -323,6 +323,47 @@ class DeletionVectorSpec extends SparkSpec {
       "no dangling DV entries after the rewrite")
   }
 
+  test("changesFeed collapses consecutive appends into ONE scan; tags stay per-version") {
+    val dir = tbl()
+    Versioned.commit(Seq(0L).toDF("id"), dir) // v0
+    (1 to 5).foreach(v => Versioned.append(Seq(v * 10L).toDF("id"), dir))
+    val feed = Versioned.changesFeed(spark, dir, 0L)
+    val got = feed.select("id", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1 to 5).map(v => (v * 10L, v.toLong)).toSet)
+    // plan-size bound: the 5-append run plans as ONE parquet scan (plus
+    // the broadcast-local version map) — a from-genesis CDF replay of a
+    // long append history must not build per-version plan nodes
+    val scans = feed.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(scans.size == 1, s"expected one collapsed scan, got ${scans.size}")
+  }
+
+  test("changesStream's exclusion set covers DV position artifacts") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).toDF("id"), dir)
+    withDvFraction(0.5) {
+      Versioned.delete(spark, dir)(col("id") === 1L)
+    }
+    val unsafe = graft.operators.StreamUnsafeGroupsRelation(spark, dir)
+      .buildScan().collect().map(_.getString(0)).toSet
+    val artifact = new java.io.File(s"$dir/files").listFiles()
+      .map(_.getName).filter(_.startsWith("dv-")).toSet
+    assert(artifact.size == 1)
+    assert(artifact.subsetOf(unsafe),
+      s"the dv artifact must be excluded from a schema-pinned file " +
+        s"stream (unsafe=$unsafe)")
+  }
+
+  test("reserved internal column names are refused at write time") {
+    val dir = tbl()
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((1L, 2L)).toDF("id", "__dv_rel"), dir)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("DV delete on a column-mapped (renamed) table") {
     val dir = tbl()
     Versioned.commit((0L until 100L).map(i => (i, i * 2)).toDF("id", "v"), dir)
