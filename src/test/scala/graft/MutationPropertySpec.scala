@@ -17,7 +17,22 @@ class MutationPropertySpec extends SparkSpec {
   private def tbl() = Files.createTempDirectory("graft-mutprop").toString + "/t"
 
   test("random delete/update/merge interleavings match the reference model") {
-    for (seed <- Seq(1, 7, 23)) {
+    // Three deletion-vector regimes over the SAME interleavings:
+    // 0.0 = pure copy-on-write, 1.0 = every delete/update goes
+    // merge-on-read (position sidecars + updated-copies groups), 0.5 =
+    // per-group mixed. The model must be reached identically in all
+    // three — a DV'd row that re-matched, blocked an insert, or
+    // resurrected under a later rewrite diverges the content; a wrong
+    // DV count diverges the manifest n_rows check.
+    for (dvFrac <- Seq("0.0", "0.5", "1.0"); seed <- Seq(1, 7, 23)) {
+      spark.conf.set("spark.graft.dv.maxDeleteFraction", dvFrac)
+      try mutationSoak(seed, dvFrac)
+      finally spark.conf.unset("spark.graft.dv.maxDeleteFraction")
+    }
+  }
+
+  private def mutationSoak(seed: Int, dvFrac: String): Unit = {
+    {
       val rnd = new scala.util.Random(seed)
       val dir = tbl()
       // Reference model: id -> (v, score)
@@ -67,13 +82,14 @@ class MutationPropertySpec extends SparkSpec {
           .select("id", "v", "score").as[(Long, String, Long)]
           .collect().sorted.toSeq
         val want = model.toSeq.map { case (i, (v, sc)) => (i, v, sc) }.sorted
-        assert(got == want, s"seed=$seed step=$step: content diverged " +
-          s"(got ${got.size} rows, want ${want.size})")
+        assert(got == want, s"seed=$seed dvFrac=$dvFrac step=$step: " +
+          s"content diverged (got ${got.size} rows, want ${want.size})")
         val latest = Versioned.latestVersion(spark, dir)
         val manifestRows = Versioned.versions(spark, dir)
           .filter(col("version") === latest).select("n_rows").as[Long].head()
         assert(manifestRows == want.size.toLong,
-          s"seed=$seed step=$step: manifest n_rows $manifestRows != ${want.size}")
+          s"seed=$seed dvFrac=$dvFrac step=$step: " +
+            s"manifest n_rows $manifestRows != ${want.size}")
         assert(Versioned.read(spark, dir, 0L).count() == 200L,
           "genesis version must stay readable")
       }
