@@ -136,15 +136,40 @@ object Versioned {
   private[graft] def parseManifest(
       spark: SparkSession, tableDir: String, v: Long): Manifest = {
     val f = fs(spark, tableDir)
-    val in = f.open(manifestPath(tableDir, v))
-    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val path = manifestPath(tableDir, v)
+    // FAIL CLOSED on torn reads: on the local scheme manifest content
+    // is atomic (FsAtomic links a fully-written temp file into place),
+    // but other filesystems publish via create(overwrite=false), whose
+    // content a racing reader can observe INCOMPLETE — and a truncated
+    // manifest parsed best-effort silently drops whatever fields the
+    // truncation cut (the dvs array is last: dropped deletion vectors
+    // resurrect deleted rows). A manifest must parse as a complete
+    // JSON object or raise; in-flight writes settle within the retry
+    // window, real corruption stays loud.
+    var raw = ""
+    var attempt = 0
+    while ({
+      val in = f.open(path)
+      raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val t = raw.trim
+      val complete = t.startsWith("{") && t.endsWith("}")
+      if (!complete) {
+        attempt += 1
+        if (attempt >= 5)
+          throw new java.io.IOException(
+            s"manifest $path is incomplete after $attempt reads (torn " +
+              s"write or corruption) — failing closed: ${t.take(120)}")
+        Thread.sleep(10L << attempt)
+      }
+      !complete
+    }) ()
     // Minimal JSON of our own writing:
     // {"version":n,"mode":"...","files":["g1",...],"n_rows":n,"committed_at":"...",
     //  "txn_app":"...","txn_batch":n}  (txn fields only on appendOnce commits)
-    val files = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(raw)
-      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
+    // files: the same linear fail-closed array scan as the other
+    // arrays (the old regex parse failed OPEN — an unterminated array
+    // read as "no files", an empty table).
+    val files = quotedArray(raw, "files").getOrElse(Seq.empty)
     val nRows = "\"n_rows\":(\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong).getOrElse(0L)
     val mode = "\"mode\":\"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
     val at = "\"committed_at\":\"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
@@ -191,7 +216,11 @@ object Versioned {
       else sb.append(c)
       i += 1
     }
-    None // unterminated: treat as absent
+    // marker present but the string never closes: the manifest is
+    // corrupt (the complete-object guard in parseManifest already
+    // excludes torn reads) — fail closed, never "field absent".
+    throw new IllegalStateException(
+      s"unterminated JSON string after $marker — corrupt manifest")
   }
 
   /** The flat array of quoted strings stored under `key`, each entry
@@ -223,7 +252,12 @@ object Versioned {
       }
       i += 1
     }
-    Some(out.toSeq) // unterminated: best-effort prefix
+    // Unterminated array = corrupt manifest. A best-effort PREFIX here
+    // would fail OPEN: dvs is the last key, so a truncated manifest
+    // would silently drop deletion-vector entries and resurrect
+    // deleted rows for whoever read it.
+    throw new IllegalStateException(
+      s"unterminated JSON array '$key' — corrupt manifest")
   }
 
   private def readManifest(
@@ -1415,39 +1449,51 @@ object Versioned {
     val (touched, untouched) = m.files.partition(hit)
     val dvAdditions =
       writeDvArtifact(spark, tableDir, matchRows, dvGroups, dvByGroup, perGroup)
-    val dvArtifact = dvAdditions.headOption.map(_._2)
-    // Rewrite path for the heavily-hit groups (classic COW).
-    val (rewriteGroup, kept) =
-      if (touched.isEmpty) (None, 0L)
-      else {
-        val survivors = scanVersionGroups(
-          spark, tableDir, touched, m.schemaDdl, m.mapping, m.dvs)
-          .filter(!coalesce(cond, lit(false)))
-        val (group, n) = writeGroup(survivors, tableDir, m.mapping)
-        enforceConstraints(spark, tableDir, group, m.schemaDdl, m.constraints, m.mapping)
-        if (n == 0L && (untouched.nonEmpty || dvAdditions.nonEmpty)) {
-          // every touched row deleted: drop the empty rewrite group
-          f.delete(new Path(s"$tableDir/files/$group"), true)
-          (None, 0L)
-        } else (Some(group), n)
-      }
-    val groups = untouched ++ rewriteGroup.toSeq
-    // DV entries: prior entries for groups still present and not
-    // re-DV'd this round, plus this round's (merged) additions.
-    val dvs = {
-      val unSet = untouched.toSet
-      val dvSet = dvGroups.toSet
-      m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
-    } ++ dvAdditions
-    val untouchedLive = liveGroupRows(
-      spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
-    val deletedInDv = dvGroups.map(perGroup).sum
-    try publishExpecting(spark, tableDir, v, groups,
-      rewriteGroup.toSeq, untouchedLive - deletedInDv + kept, "delete",
-      m.schemaDdl, mapping = m.mapping, dvs = dvs)
-    catch {
-      case e: java.util.ConcurrentModificationException =>
-        dvArtifact.foreach(a => f.delete(new Path(s"$tableDir/files/$a"), true))
+    // EVERY unpublished artifact/group this mutation wrote must be
+    // reclaimed on ANY failure past this point, not only on a lost
+    // publish race: vacuum reclaims only manifest-referenced dirs, so
+    // an orphan is permanent — and an orphaned dv-* artifact is worse
+    // than dead bytes (a schema-pinned file stream could ingest it as
+    // all-NULL table rows). Double deletes (enforceConstraints and
+    // publishExpecting clean their own group on their own failures)
+    // are harmless no-ops.
+    val cleanupOnFailure =
+      scala.collection.mutable.ArrayBuffer[String](dvAdditions.map(_._2).distinct: _*)
+    try {
+      // Rewrite path for the heavily-hit groups (classic COW).
+      val (rewriteGroup, kept) =
+        if (touched.isEmpty) (None, 0L)
+        else {
+          val survivors = scanVersionGroups(
+            spark, tableDir, touched, m.schemaDdl, m.mapping, m.dvs)
+            .filter(!coalesce(cond, lit(false)))
+          val (group, n) = writeGroup(survivors, tableDir, m.mapping)
+          cleanupOnFailure += group
+          enforceConstraints(spark, tableDir, group, m.schemaDdl, m.constraints, m.mapping)
+          if (n == 0L && (untouched.nonEmpty || dvAdditions.nonEmpty)) {
+            // every touched row deleted: drop the empty rewrite group
+            f.delete(new Path(s"$tableDir/files/$group"), true)
+            (None, 0L)
+          } else (Some(group), n)
+        }
+      val groups = untouched ++ rewriteGroup.toSeq
+      // DV entries: prior entries for groups still present and not
+      // re-DV'd this round, plus this round's (merged) additions.
+      val dvs = {
+        val unSet = untouched.toSet
+        val dvSet = dvGroups.toSet
+        m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
+      } ++ dvAdditions
+      val untouchedLive = liveGroupRows(
+        spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
+      val deletedInDv = dvGroups.map(perGroup).sum
+      publishExpecting(spark, tableDir, v, groups,
+        rewriteGroup.toSeq, untouchedLive - deletedInDv + kept, "delete",
+        m.schemaDdl, mapping = m.mapping, dvs = dvs)
+    } catch {
+      case e: Throwable =>
+        cleanupOnFailure.foreach(g =>
+          f.delete(new Path(s"$tableDir/files/$g"), true))
         throw e
     }
   }
@@ -1516,44 +1562,54 @@ object Versioned {
     // their original positions → the groups' deletion vectors.
     val dvAdditions =
       writeDvArtifact(spark, tableDir, matchRows, dvGroups, dvByGroup, perGroup)
-    val dvArtifact = dvAdditions.headOption.map(_._2)
-    val (copiesGroup, nCopies) =
-      if (dvGroups.isEmpty) (None, 0L)
-      else {
-        val copies = applyAssignments(
-          matchRows.filter(col("__grp").isin(dvGroups: _*))
-            .drop("__dv_rel", "__dv_pos", "__grp"), lit(true))
-        val (g, n) = writeGroup(copies, tableDir, m.mapping)
-        enforceConstraints(spark, tableDir, g, m.schemaDdl, m.constraints, m.mapping)
-        (Some(g), n)
-      }
-    // Rewrite path for the heavily-hit groups (classic COW).
-    val (rewriteGroup, nRewrite) =
-      if (touched.isEmpty) (None, 0L)
-      else {
-        val scan = scanVersionGroups(
-          spark, tableDir, touched, m.schemaDdl, m.mapping, m.dvs)
-        val (g, n) = writeGroup(applyAssignments(scan, applied), tableDir, m.mapping)
-        enforceConstraints(spark, tableDir, g, m.schemaDdl, m.constraints, m.mapping)
-        (Some(g), n)
-      }
-    val groups = untouched ++ rewriteGroup.toSeq ++ copiesGroup.toSeq
-    val dvs = {
-      val unSet = untouched.toSet
-      val dvSet = dvGroups.toSet
-      m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
-    } ++ dvAdditions
-    val untouchedLive = liveGroupRows(
-      spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
-    // total live rows are unchanged by an update: the DV'd positions
-    // are exactly offset by their updated copies
-    val nRows = untouchedLive - dvGroups.map(perGroup).sum + nCopies + nRewrite
-    try publishExpecting(spark, tableDir, v, groups,
-      rewriteGroup.toSeq ++ copiesGroup.toSeq, nRows, "update",
-      m.schemaDdl, mapping = m.mapping, dvs = dvs)
-    catch {
-      case e: java.util.ConcurrentModificationException =>
-        dvArtifact.foreach(a => f.delete(new Path(s"$tableDir/files/$a"), true))
+    // Same orphan discipline as [[delete]]: any failure past the
+    // artifact write (a constraint-violating assignment is the common
+    // one) must reclaim the artifact and every group written so far —
+    // vacuum cannot, and a stray dv-* artifact is poison to
+    // schema-pinned file streams. Double deletes are no-ops.
+    val cleanupOnFailure =
+      scala.collection.mutable.ArrayBuffer[String](dvAdditions.map(_._2).distinct: _*)
+    try {
+      val (copiesGroup, nCopies) =
+        if (dvGroups.isEmpty) (None, 0L)
+        else {
+          val copies = applyAssignments(
+            matchRows.filter(col("__grp").isin(dvGroups: _*))
+              .drop("__dv_rel", "__dv_pos", "__grp"), lit(true))
+          val (g, n) = writeGroup(copies, tableDir, m.mapping)
+          cleanupOnFailure += g
+          enforceConstraints(spark, tableDir, g, m.schemaDdl, m.constraints, m.mapping)
+          (Some(g), n)
+        }
+      // Rewrite path for the heavily-hit groups (classic COW).
+      val (rewriteGroup, nRewrite) =
+        if (touched.isEmpty) (None, 0L)
+        else {
+          val scan = scanVersionGroups(
+            spark, tableDir, touched, m.schemaDdl, m.mapping, m.dvs)
+          val (g, n) = writeGroup(applyAssignments(scan, applied), tableDir, m.mapping)
+          cleanupOnFailure += g
+          enforceConstraints(spark, tableDir, g, m.schemaDdl, m.constraints, m.mapping)
+          (Some(g), n)
+        }
+      val groups = untouched ++ rewriteGroup.toSeq ++ copiesGroup.toSeq
+      val dvs = {
+        val unSet = untouched.toSet
+        val dvSet = dvGroups.toSet
+        m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
+      } ++ dvAdditions
+      val untouchedLive = liveGroupRows(
+        spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
+      // total live rows are unchanged by an update: the DV'd positions
+      // are exactly offset by their updated copies
+      val nRows = untouchedLive - dvGroups.map(perGroup).sum + nCopies + nRewrite
+      publishExpecting(spark, tableDir, v, groups,
+        rewriteGroup.toSeq ++ copiesGroup.toSeq, nRows, "update",
+        m.schemaDdl, mapping = m.mapping, dvs = dvs)
+    } catch {
+      case e: Throwable =>
+        cleanupOnFailure.foreach(g =>
+          f.delete(new Path(s"$tableDir/files/$g"), true))
         throw e
     }
   }
@@ -2278,6 +2334,14 @@ object Versioned {
     val prevBy = prev.dvs.map(d => d._1 -> d).toMap
     val grown = cur.dvs.filter(d =>
       d._3 > prevBy.get(d._1).map(_._3).getOrElse(0L))
+    // A published DV delete/update always grows at least one vector, so
+    // this cannot fire today — but dvMaskRows on an EMPTY artifact list
+    // would die in spark.read.parquet() with an opaque zero-path
+    // AnalysisException; pin the invariant with a clear message so a
+    // future mode-classification drift fails diagnosably.
+    require(grown.nonEmpty,
+      s"changesFeed: version classified as a DV mutation of $tableDir " +
+        "grew no deletion vector — manifest mode/dv state is inconsistent")
     val curRows = dvMaskRows(spark, tableDir, grown)
     val prevFor = grown.flatMap(d => prevBy.get(d._1))
     val diff =

@@ -18,20 +18,36 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 private[graft] object FsAtomic {
 
   /** Atomically create `path` with `content`; false if it already
-    * exists (or the race was lost). */
+    * exists (or the race was lost).
+    *
+    * CONTENT is atomic too on the `file` scheme: the bytes are written
+    * to a same-directory temp file first and `link(2)`'d into place —
+    * EEXIST arbitrates the race exactly like O_EXCL, and a reader can
+    * never observe the file existing with partial content (a
+    * create-then-write sequence has a window where a racing
+    * `parseManifest` would read a TORN manifest and, e.g., silently
+    * drop deletion-vector entries). Non-local schemes keep
+    * `fs.create(overwrite = false)` — content there is not atomic, so
+    * manifest READERS must fail closed on incomplete JSON (they do:
+    * [[graft.operators.Versioned.parseManifest]]). */
   def createExclusive(fs: FileSystem, path: Path, content: String): Boolean = {
     val scheme = Option(path.toUri.getScheme)
       .getOrElse(fs.getUri.getScheme)
     if (scheme == null || scheme == "file") {
+      val p = java.nio.file.Paths.get(path.toUri.getPath)
+      var tmp: java.nio.file.Path = null
       try {
-        val p = java.nio.file.Paths.get(path.toUri.getPath)
         if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-        java.nio.file.Files.createFile(p) // POSIX O_EXCL — the atomic step
-        java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+        tmp = java.nio.file.Files.createTempFile(
+          p.getParent, "." + p.getFileName.toString + ".", ".tmp")
+        java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+        java.nio.file.Files.createLink(p, tmp) // atomic: EEXIST if present
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.io.IOException => false
+      } finally {
+        if (tmp != null) java.nio.file.Files.deleteIfExists(tmp)
       }
     } else {
       try {

@@ -28,6 +28,46 @@ class VersionedSpec extends SparkSpec {
       Set(Seq(0L, "snapshot", 2L), Seq(1L, "append", 3L), Seq(2L, "snapshot", 1L)))
   }
 
+  test("torn or truncated manifests fail closed, never parse best-effort") {
+    val dir = tbl()
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Versioned.delete(spark, dir)(col("id") === 1L) // nothing DV'd (full group over threshold) — fine either way
+    val p = java.nio.file.Paths.get(s"$dir/_versions/v1.json")
+    val full = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    // Truncate mid-object (cut the closing brace and whatever precedes
+    // it): a reader must RAISE, not silently parse a field-dropped
+    // prefix — dvs is the last key, and a waved-through prefix would
+    // resurrect deleted rows.
+    java.nio.file.Files.write(p, full.dropRight(8).getBytes("UTF-8"))
+    val e = intercept[java.io.IOException](Versioned.parseManifest(spark, dir, 1L))
+    assert(e.getMessage.contains("failing closed"))
+    // restore and confirm the parse works again
+    java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+    assert(Versioned.parseManifest(spark, dir, 1L).files.nonEmpty)
+    // an unterminated ARRAY inside a complete-looking object raises too
+    val mangled = full.lastIndexOf("]") match {
+      case -1 => full
+      case i => full.substring(0, i) + " " + full.substring(i + 1)
+    }
+    java.nio.file.Files.write(p, mangled.getBytes("UTF-8"))
+    intercept[IllegalStateException](Versioned.parseManifest(spark, dir, 1L))
+    java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+  }
+
+  test("createExclusive publishes content atomically on the local scheme") {
+    val dir = Files.createTempDirectory("graft-atomic")
+    val fs = new org.apache.hadoop.fs.Path(dir.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(dir.toString, "m.json")
+    assert(graft.sources.FsAtomic.createExclusive(fs, target, "{\"a\":1}"))
+    assert(!graft.sources.FsAtomic.createExclusive(fs, target, "{\"b\":2}"))
+    val back = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir.toString, "m.json")), "UTF-8")
+    assert(back == "{\"a\":1}") // loser never clobbers the winner
+    // no temp litter left behind
+    assert(Files.list(dir).toArray.map(_.toString).forall(_.endsWith("m.json")))
+  }
+
   test("append shares parent file groups — only the batch is written") {
     val dir = tbl()
     Versioned.commit(spark.range(100).toDF("id"), dir)
