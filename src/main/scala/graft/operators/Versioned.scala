@@ -2185,7 +2185,9 @@ object Versioned {
     * entirely from the manifest log plus deletion vectors (no extra
     * change files are ever written): every row added or removed in
     * `(fromVersion, toVersion]`, tagged with `_change_type`
-    * ('insert' | 'delete') and `_commit_version`.
+    * ('insert' | 'delete' | 'update_preimage' | 'update_postimage'),
+    * `_commit_version`, and `_commit_timestamp` (the version's manifest
+    * `committed_at` — Delta CDF's full column triple).
     *
     *  - APPEND-safe versions emit their introduced file groups as
     *    inserts — the same metadata-only planning as [[changes]];
@@ -2222,7 +2224,23 @@ object Versioned {
       read(spark, tableDir, to).limit(0)
         .withColumn("_change_type", flit("insert"))
         .withColumn("_commit_version", flit(-1L))
+        .withColumn("_commit_timestamp",
+          flit(new java.sql.Timestamp(0L)))
     else pieces.reduce(_ unionByName _)
+  }
+
+  /** A manifest's commit instant as a timestamp literal — the CDF's
+    * `_commit_timestamp` (Delta CDF's third column). Every manifest
+    * this module writes records `committed_at`; a hand-built one that
+    * does not would break the CDF's declared non-null schema, so raise
+    * with the version named. */
+  private[graft] def commitTs(m: Manifest, v: Long): java.sql.Timestamp = {
+    require(m.committedAt.nonEmpty,
+      s"manifest v$v has no committed_at — cannot derive _commit_timestamp")
+    // TimestampType stores MICROSECONDS; truncate here so the value is
+    // identical whether read back from the column or recomputed.
+    java.sql.Timestamp.from(java.time.Instant.parse(m.committedAt)
+      .truncatedTo(java.time.temporal.ChronoUnit.MICROS))
   }
 
   /** [[changesFeed]]'s frames (already `_change_type` /
@@ -2247,12 +2265,13 @@ object Versioned {
     val toManifest = parseManifest(spark, tableDir, to)
     // classification pass: metadata-only
     sealed trait Ev
-    final case class Ins(v: Long, added: Seq[String]) extends Ev
+    final case class Ins(v: Long, added: Seq[String], ts: java.sql.Timestamp) extends Ev
     final case class DvPiece(df: DataFrame) extends Ev
     var prev = parseManifest(spark, tableDir, fromVersion)
     val events = scala.collection.mutable.ArrayBuffer.empty[Ev]
     ((fromVersion + 1) to to).foreach { v =>
       val cur = parseManifest(spark, tableDir, v)
+      val ts = commitTs(cur, v)
       val prevSet = prev.files.toSet
       val curSet = cur.files.toSet
       // INSERT-ONLY MERGE detection: a merge that rewrote nothing and
@@ -2265,12 +2284,13 @@ object Versioned {
           cur.dvs == prev.dvs)
       if (insertOnly) {
         val added = cur.files.filterNot(prevSet)
-        if (added.nonEmpty) events += Ins(v, added)
+        if (added.nonEmpty) events += Ins(v, added, ts)
       } else if (cur.mode == "delete" && curSet == prevSet) {
         // pure-DV delete: removed rows = the per-group position growth
         events += DvPiece(dvGrowthRows(spark, tableDir, prev, cur, toManifest)
           .withColumn("_change_type", flit("delete"))
-          .withColumn("_commit_version", flit(v)))
+          .withColumn("_commit_version", flit(v))
+          .withColumn("_commit_timestamp", flit(ts)))
       } else if (cur.mode == "update" && prev.files.forall(curSet)) {
         // merge-on-read UPDATE: the pre-images are the DV position
         // growth (same machinery as the delete branch), the
@@ -2279,10 +2299,12 @@ object Versioned {
         val pre = dvGrowthRows(spark, tableDir, prev, cur, toManifest)
           .withColumn("_change_type", flit("update_preimage"))
           .withColumn("_commit_version", flit(v))
+          .withColumn("_commit_timestamp", flit(ts))
         val post = scanGroups(spark, tableDir, cur.files.filterNot(prevSet),
           toManifest.schemaDdl, toManifest.mapping)
           .withColumn("_change_type", flit("update_postimage"))
           .withColumn("_commit_version", flit(v))
+          .withColumn("_commit_timestamp", flit(ts))
         events += DvPiece(pre.unionByName(post))
       } else {
         throw new IllegalArgumentException(
@@ -2299,10 +2321,17 @@ object Versioned {
           toManifest.mapping)
           .withColumn("_change_type", flit("insert"))
           .withColumn("_commit_version", flit(run.head.v))
+          .withColumn("_commit_timestamp", flit(run.head.ts))
       else {
         import spark.implicits._
+        // the encoder marks the Timestamp field nullable; coalesce it
+        // back to non-nullable (never hit — every run entry carries a
+        // ts) so ALL pieces agree on the CDF columns' nullability and
+        // the streaming source's strict schema equality holds
         val vmap = org.apache.spark.sql.functions.broadcast(
-          run.flatMap(i => i.added.map(g => (g, i.v))).toDF("__grp", "__cv"))
+          run.flatMap(i => i.added.map(g => (g, i.v, i.ts)))
+            .toDF("__grp", "__cv", "__ct")
+            .withColumn("__ct", coalesce(col("__ct"), flit(run.head.ts))))
         scanGroupsTagged(spark, tableDir, run.flatMap(_.added),
           toManifest.schemaDdl, toManifest.mapping)
           .withColumn("__grp", org.apache.spark.sql.functions
@@ -2310,7 +2339,8 @@ object Versioned {
           .join(vmap, Seq("__grp"))
           .withColumn("_change_type", flit("insert"))
           .withColumn("_commit_version", col("__cv"))
-          .drop("__grp", "__cv", "__dv_rel", "__dv_pos")
+          .withColumn("_commit_timestamp", col("__ct"))
+          .drop("__grp", "__cv", "__ct", "__dv_rel", "__dv_pos")
       }
     val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val run = scala.collection.mutable.ArrayBuffer.empty[Ins]

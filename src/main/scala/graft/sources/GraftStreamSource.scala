@@ -239,7 +239,8 @@ final class GraftStreamSource(
         Seq(Versioned.scanVersionGroups(spark, tableDir, m0.files,
           endMeta.schemaDdl, endMeta.mapping, m0.dvs)
           .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(v0)))
+          .withColumn("_commit_version", lit(v0))
+          .withColumn("_commit_timestamp", lit(Versioned.commitTs(m0, v0))))
       }
     val pieces = initial ++ (
       try Versioned.changesFeedPieces(
@@ -297,7 +298,9 @@ private[graft] object GraftStreamSource {
       org.apache.spark.sql.types.StructField("_change_type",
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("_commit_version",
-        org.apache.spark.sql.types.LongType, nullable = false)))
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType, nullable = false)))
   }
 
   /** Is this relation a deletion-vector POSITION artifact scan (must

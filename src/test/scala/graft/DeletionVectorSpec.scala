@@ -338,6 +338,18 @@ class DeletionVectorSpec extends SparkSpec {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
     }
     assert(scans.size == 1, s"expected one collapsed scan, got ${scans.size}")
+    // _commit_timestamp (Delta CDF's third column) rides the same
+    // broadcast map: each collapsed row carries ITS version's manifest
+    // committed_at, not the run's first or last
+    val byVersion = (1 to 5).map { v =>
+      v.toLong -> java.sql.Timestamp.from(java.time.Instant.parse(
+        Versioned.parseManifest(spark, dir, v.toLong).committedAt)
+        .truncatedTo(java.time.temporal.ChronoUnit.MICROS))
+    }.toMap
+    feed.select("_commit_version", "_commit_timestamp").collect().foreach { r =>
+      assert(r.getTimestamp(1) == byVersion(r.getLong(0)),
+        s"version ${r.getLong(0)}: timestamp ${r.getTimestamp(1)} != manifest")
+    }
   }
 
   test("changesStream's exclusion set covers DV position artifacts") {

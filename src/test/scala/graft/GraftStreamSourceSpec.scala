@@ -220,7 +220,7 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("rewrite") || e.getCause.getMessage.contains("rewrite"))
   }
 
-  test("readChangeFeed: startingVersion skips history; CDF schema adds the two columns") {
+  test("readChangeFeed: startingVersion skips history; CDF schema adds the three columns") {
     val dir = tbl()
     Versioned.commit((0L until 10L).map(i => (i, 0L)).toDF("id", "n"), dir) // v0
     Versioned.append((10L until 20L).map(i => (i, 0L)).toDF("id", "n"), dir) // v1
@@ -228,7 +228,7 @@ class GraftStreamSourceSpec extends SparkSpec {
     val df = spark.readStream.format("graft")
       .option("readChangeFeed", "true").load(dir)
     assert(df.schema.fieldNames.toSeq ==
-      Seq("id", "n", "_change_type", "_commit_version"))
+      Seq("id", "n", "_change_type", "_commit_version", "_commit_timestamp"))
     val (sink, ckpt) = scratch()
     val q = spark.readStream.format("graft")
       .option("readChangeFeed", "true").option("startingVersion", "2")
