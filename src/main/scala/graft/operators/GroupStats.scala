@@ -208,12 +208,43 @@ object GroupStats {
     try out.write(toJson(stats).getBytes("UTF-8")) finally out.close()
   }
 
-  def read(fs: FileSystem, path: Path): Option[Stats] =
+  /** Dev observability: sidecar reads since JVM start. ScaleCurve's
+    * flat-mutation-planning probe asserts the per-mutation delta no
+    * longer tracks group count (row totals now live in the manifest;
+    * pruning stats reads are batched through [[readMany]]). */
+  val readCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def read(fs: FileSystem, path: Path): Option[Stats] = {
+    readCount.incrementAndGet()
     if (!fs.exists(path)) None
     else {
       val in = fs.open(path)
       val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       scala.util.Try(fromJson(raw)).toOption
+    }
+  }
+
+  private lazy val sidecarPool = java.util.concurrent.Executors.newFixedThreadPool(
+    16,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-sidecar-io")
+      t.setDaemon(true)
+      t
+    })
+
+  /** [[read]] over many sidecars CONCURRENTLY (bounded pool): one
+    * driver-side metadata pass must not serialize one GET per group —
+    * at 100k groups on an object store (~10-20 ms each) a serial loop
+    * is tens of minutes; 16-way it is tens of seconds, and the common
+    * callers no longer need it at all (manifest row counts). Order is
+    * preserved. */
+  def readMany(fs: FileSystem, paths: Seq[Path]): Seq[Option[Stats]] =
+    if (paths.size <= 2) paths.map(read(fs, _))
+    else {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[Option[Stats]]] =
+        paths.map(p => (() => read(fs, p)): java.util.concurrent.Callable[Option[Stats]])
+      sidecarPool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
     }
 
   // ---- Pruning ---------------------------------------------------------

@@ -120,13 +120,22 @@ object Versioned {
     * anti-joins the DV'd groups against their artifacts; a rewrite of
     * a group materializes (drops) its entry. At most one entry per
     * group per version. */
+  /** `fileRows` is the PER-GROUP row count, recorded at commit time
+    * (aligned with `files` in the JSON) — the metadata every mutation's
+    * planning needs (untouched-row totals, DV fraction classification).
+    * Without it each DML paid one serial driver-side sidecar read PER
+    * GROUP: invisible on a local FS, but at 100k groups on an object
+    * store (~10-20 ms/GET) that is tens of minutes of serial driver
+    * time per mutation. Empty for pre-upgrade manifests — readers fall
+    * back to the sidecars once, and the next publish records it. */
   private[graft] final case class Manifest(
       files: Seq[String], nRows: Long, mode: String, committedAt: String,
       txn: Option[(String, Long)] = None,
       schemaDdl: Option[String] = None,
       constraints: Seq[(String, String)] = Seq.empty,
       mapping: Seq[(String, String)] = Seq.empty,
-      dvs: Seq[(String, String, Long)] = Seq.empty)
+      dvs: Seq[(String, String, Long)] = Seq.empty,
+      fileRows: Map[String, Long] = Map.empty)
 
   private def jsonEscape(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -197,7 +206,20 @@ object Versioned {
     val dvs = quotedArray(raw, "dvs")
       .map(_.grouped(3).collect { case Seq(g, a, c) => (g, a, c.toLong) }.toSeq)
       .getOrElse(Seq.empty)
-    Manifest(files, nRows, mode, at, txn, schemaDdl, constraints, mapping, dvs)
+    // per-group row counts: quoted numbers aligned 1:1 with `files`
+    // (absent in pre-upgrade manifests; a LENGTH MISMATCH is corruption
+    // and fails closed like every other malformed field)
+    val fileRows = quotedArray(raw, "file_rows") match {
+      case None => Map.empty[String, Long]
+      case Some(rows) =>
+        if (rows.size != files.size)
+          throw new IllegalStateException(
+            s"manifest v$v: file_rows has ${rows.size} entries for " +
+              s"${files.size} files — corrupt manifest")
+        files.zip(rows.map(_.toLong)).toMap
+    }
+    Manifest(files, nRows, mode, at, txn, schemaDdl, constraints, mapping, dvs,
+      fileRows)
   }
 
   /** The JSON-escaped string starting right after `marker`, scanned
@@ -275,7 +297,13 @@ object Versioned {
       txn: Option[(String, Long)], schemaDdl: Option[String],
       constraints: Seq[(String, String)] = Seq.empty,
       mapping: Seq[(String, String)] = Seq.empty,
-      dvs: Seq[(String, String, Long)] = Seq.empty): String = {
+      dvs: Seq[(String, String, Long)] = Seq.empty,
+      fileRows: Option[Seq[Long]] = None): String = {
+    require(fileRows.forall(_.size == groups.size),
+      s"file_rows (${fileRows.map(_.size)}) must align with files (${groups.size})")
+    val rowsJson = fileRows.map(rs =>
+      rs.map("\"" + _ + "\"").mkString(""","file_rows":[""", ",", "]"))
+      .getOrElse("")
     val txnJson = txn.map { case (app, b) =>
       s""","txn_app":"$app","txn_batch":$b"""
     }.getOrElse("")
@@ -293,7 +321,22 @@ object Versioned {
       else dvs.flatMap { case (g, a, c) => Seq(g, a, c.toString) }
         .map(s => "\"" + jsonEscape(s) + "\"").mkString(""","dvs":[""", ",", "]")
     s"""{"version":$v,"mode":"$mode","files":[${groups.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"$txnJson$schemaJson$consJson$mapJson$dvJson}"""
+      s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"$rowsJson$txnJson$schemaJson$consJson$mapJson$dvJson}"""
+  }
+
+  /** Per-group row counts for a manifest about to publish: `known`
+    * entries (the parent manifest's counts plus freshly-written groups)
+    * with a ONE-TIME sidecar fallback for groups a pre-upgrade parent
+    * never recorded. Emitted only when every group resolves (a missing
+    * sidecar on a pre-stats table keeps the manifest pre-upgrade rather
+    * than recording a lie). */
+  private def resolveFileRows(
+      spark: SparkSession, tableDir: String, groups: Seq[String],
+      known: Map[String, Long]): Option[Seq[Long]] = {
+    val f = fs(spark, tableDir)
+    val per = groups.map(g => known.get(g).orElse(
+      GroupStats.read(f, GroupStats.sidecarPath(tableDir, g)).map(_.nRows)))
+    if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
   }
 
   /** The live constraint set: the latest version's, or empty. */
@@ -309,17 +352,20 @@ object Versioned {
       nRows: Long, mode: String, schemaDdl: Option[String],
       constraintsOverride: Option[Seq[(String, String)]] = None,
       mapping: Seq[(String, String)] = Seq.empty,
-      dvs: Seq[(String, String, Long)] = Seq.empty): Long = {
+      dvs: Seq[(String, String, Long)] = Seq.empty,
+      rowsByGroup: Map[String, Long] = Map.empty): Long = {
     val f = fs(spark, tableDir)
     // Constraints are table-level metadata: every commit carries the
     // live set forward unless explicitly changed (add/dropConstraint).
     val cons = constraintsOverride.getOrElse(constraints(spark, tableDir))
+    val fileRows = resolveFileRows(spark, tableDir, groups, rowsByGroup)
     var v = latestVersion(spark, tableDir) + 1
     while (true) {
       // FsAtomic: Hadoop's local create(overwrite=false) is check-then-
       // act; a non-atomic create here could publish the SAME version
       // number twice under concurrent committers.
-      val json = manifestJson(v, mode, groups, nRows, None, schemaDdl, cons, mapping, dvs)
+      val json = manifestJson(v, mode, groups, nRows, None, schemaDdl, cons,
+        mapping, dvs, fileRows)
       if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
         return v
       v += 1 // lost the race: next number
@@ -344,11 +390,13 @@ object Versioned {
       schemaDdl: Option[String],
       constraintsOverride: Option[Seq[(String, String)]] = None,
       mapping: Seq[(String, String)] = Seq.empty,
-      dvs: Seq[(String, String, Long)] = Seq.empty): Long = {
+      dvs: Seq[(String, String, Long)] = Seq.empty,
+      rowsByGroup: Map[String, Long] = Map.empty): Long = {
     val f = fs(spark, tableDir)
     val cons = constraintsOverride.getOrElse(constraints(spark, tableDir))
     val target = expectedParent + 1
-    val json = manifestJson(target, mode, groups, nRows, None, schemaDdl, cons, mapping, dvs)
+    val json = manifestJson(target, mode, groups, nRows, None, schemaDdl, cons,
+      mapping, dvs, resolveFileRows(spark, tableDir, groups, rowsByGroup))
     if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, target), json))
       target
     else {
@@ -657,7 +705,8 @@ object Versioned {
         s"$violations existing row(s) violate it")
     publishExpecting(spark, tableDir, v, m.files, Seq.empty,
       m.nRows, "add_constraint", m.schemaDdl,
-      Some(existing :+ (name -> exprSql)), m.mapping, dvs = m.dvs)
+      Some(existing :+ (name -> exprSql)), m.mapping, dvs = m.dvs,
+      rowsByGroup = m.fileRows)
   }
 
   /** ALTER TABLE DROP CONSTRAINT (metadata-only). */
@@ -672,7 +721,7 @@ object Versioned {
     publishExpecting(spark, tableDir, v, m.files, Seq.empty,
       m.nRows, "drop_constraint", m.schemaDdl,
       Some(existing.filterNot(_._1.equalsIgnoreCase(name))), m.mapping,
-      dvs = m.dvs)
+      dvs = m.dvs, rowsByGroup = m.fileRows)
   }
 
   /** The identifier-boundary test "does this constraint expression
@@ -730,7 +779,7 @@ object Versioned {
       if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
     publishExpecting(spark, tableDir, v, m.files, Seq.empty,
       m.nRows, "rename_column", Some(newSchema.toDDL),
-      Some(m.constraints), mapping, dvs = m.dvs)
+      Some(m.constraints), mapping, dvs = m.dvs, rowsByGroup = m.fileRows)
   }
 
   /** ALTER TABLE DROP COLUMN — METADATA-ONLY (Delta column mapping):
@@ -769,7 +818,7 @@ object Versioned {
       schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
     publishExpecting(spark, tableDir, v, m.files, Seq.empty,
       m.nRows, "drop_column", Some(newSchema.toDDL),
-      Some(m.constraints), mapping, dvs = m.dvs)
+      Some(m.constraints), mapping, dvs = m.dvs, rowsByGroup = m.fileRows)
   }
 
   /** Commit `df` as a FULL-SNAPSHOT version; returns the version number.
@@ -794,7 +843,8 @@ object Versioned {
         enforcedFor = Some(cons)
       }
       try return publishExpecting(spark, tableDir, parent, Seq(group),
-        Seq.empty, n, "snapshot", Some(storedSchema(df)), Some(cons))
+        Seq.empty, n, "snapshot", Some(storedSchema(df)), Some(cons),
+        rowsByGroup = Map(group -> n))
       catch { case _: java.util.ConcurrentModificationException => () }
     }
     -1L // unreachable
@@ -827,14 +877,16 @@ object Versioned {
     var enforcedFor: Option[Seq[(String, String)]] = None
     while (true) {
       val parent = latestVersion(spark, tableDir)
-      val (parentGroups, parentRows, parentSchema, parentCons, parentMap, parentDvs) =
+      val (parentGroups, parentRows, parentSchema, parentCons, parentMap,
+        parentDvs, parentFileRows) =
         if (parent < 0)
           (Seq.empty[String], 0L, None: Option[String],
             Seq.empty[(String, String)], Seq.empty[(String, String)],
-            Seq.empty[(String, String, Long)])
+            Seq.empty[(String, String, Long)], Map.empty[String, Long])
         else {
           val m = parseManifest(spark, tableDir, parent)
-          (m.files, m.nRows, m.schemaDdl, m.constraints, m.mapping, m.dvs)
+          (m.files, m.nRows, m.schemaDdl, m.constraints, m.mapping, m.dvs,
+            m.fileRows)
         }
       if (parentMap != mappingAtWrite) {
         fs(spark, tableDir).delete(new Path(s"$tableDir/files/$group"), true)
@@ -860,7 +912,8 @@ object Versioned {
       }
       try return publishExpecting(spark, tableDir, parent,
         parentGroups :+ group, Seq.empty, parentRows + n, "append", schema,
-        Some(parentCons), mapping, dvs = parentDvs)
+        Some(parentCons), mapping, dvs = parentDvs,
+        rowsByGroup = parentFileRows + (group -> n))
       catch { case _: java.util.ConcurrentModificationException
           if latestVersion(spark, tableDir) != parent => () }
     }
@@ -975,14 +1028,16 @@ object Versioned {
         return None
       }
       val parent = latestVersion(spark, tableDir)
-      val (parentGroups, parentRows, parentSchema, parentCons, parentMap, parentDvs) =
+      val (parentGroups, parentRows, parentSchema, parentCons, parentMap,
+        parentDvs, parentFileRows) =
         if (parent < 0)
           (Seq.empty[String], 0L, None: Option[String],
             Seq.empty[(String, String)], Seq.empty[(String, String)],
-            Seq.empty[(String, String, Long)])
+            Seq.empty[(String, String, Long)], Map.empty[String, Long])
         else {
           val m = parseManifest(spark, tableDir, parent)
-          (m.files, m.nRows, m.schemaDdl, m.constraints, m.mapping, m.dvs)
+          (m.files, m.nRows, m.schemaDdl, m.constraints, m.mapping, m.dvs,
+            m.fileRows)
         }
       if (parentMap != mappingAtWrite) {
         f.delete(new Path(s"$tableDir/files/$group"), true)
@@ -1006,7 +1061,9 @@ object Versioned {
       val v = parent + 1
       val json = manifestJson(
         v, "append", parentGroups :+ group, parentRows + n,
-        Some(appId -> batchId), schema, parentCons, parentMap, parentDvs)
+        Some(appId -> batchId), schema, parentCons, parentMap, parentDvs,
+        resolveFileRows(spark, tableDir, parentGroups :+ group,
+          parentFileRows + (group -> n)))
       if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
         return Some(v)
       // lost the race: loop re-reads the new latest AND the watermark
@@ -1082,11 +1139,12 @@ object Versioned {
     * Returns the published version. */
   private[graft] def rebasePublish(
       spark: SparkSession, tableDir: String, expectedParent: Long,
-      newGroups: Seq[String], newRows: Long,
+      newGroups: Seq[(String, Long)],
       schemaDdl: Option[String]): Long = {
+    val newRows = newGroups.map(_._2).sum
     val f = fs(spark, tableDir)
     def abandon(why: String): Nothing = {
-      newGroups.foreach(g => f.delete(new Path(s"$tableDir/files/$g"), true))
+      newGroups.foreach(g => f.delete(new Path(s"$tableDir/files/${g._1}"), true))
       throw new java.util.ConcurrentModificationException(
         s"maintenance rewrite of $tableDir read version $expectedParent " +
           s"but cannot rebase: $why — re-run against the new latest version")
@@ -1094,6 +1152,7 @@ object Versioned {
     var parent = expectedParent
     var extraGroups = Seq.empty[String]
     var extraRows = 0L
+    var extraKnown = Map.empty[String, Long]
     var schema = schemaDdl
     while (true) {
       val latest = latestVersion(spark, tableDir)
@@ -1122,14 +1181,19 @@ object Versioned {
           }).files.toSet
         val latestMeta = metas.last
         extraGroups = latestMeta.files.filterNot(parentFiles)
-        extraRows = groupRows(spark, tableDir, extraGroups, latestMeta.schemaDdl)
+        extraKnown = latestMeta.fileRows
+        extraRows = groupRows(spark, tableDir, extraGroups,
+          latestMeta.schemaDdl, known = extraKnown)
         schema = latestMeta.schemaDdl.orElse(schema)
         parent = latest
       }
       val cons = constraints(spark, tableDir)
       val target = parent + 1
-      val json = manifestJson(target, "snapshot", newGroups ++ extraGroups,
-        newRows + extraRows, None, schema, cons, Seq.empty)
+      val allGroups = newGroups.map(_._1) ++ extraGroups
+      val json = manifestJson(target, "snapshot", allGroups,
+        newRows + extraRows, None, schema, cons, Seq.empty,
+        fileRows = resolveFileRows(spark, tableDir, allGroups,
+          newGroups.toMap ++ extraKnown))
       if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, target), json))
         return target
       // lost again: the loop re-reads the (grown) winner set
@@ -1152,7 +1216,7 @@ object Versioned {
     enforceConstraints(spark, tableDir, group,
       Some(storedSchema(df)), constraints(spark, tableDir))
     publishExpecting(spark, tableDir, expectedParent, Seq(group), Seq(group),
-      n, "snapshot", Some(storedSchema(df)))
+      n, "snapshot", Some(storedSchema(df)), rowsByGroup = Map(group -> n))
   }
 
   /** Read a version (default: latest) — `VERSION AS OF` for parquet.
@@ -1251,26 +1315,33 @@ object Versioned {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }
     val f = fs(spark, tableDir)
-    groups.partition { g =>
-      GroupStats.read(f, GroupStats.sidecarPath(tableDir, g)) match {
-        case Some(st) => resolved.forall(e => GroupStats.mayMatch(st, e))
-        case None     => true // pre-stats group: cannot prune
-      }
+    // Batched CONCURRENT sidecar reads: pruning needs per-column
+    // min/max (too wide to live in the manifest), so this is the one
+    // per-group metadata pass a mutation still pays — 16-way parallel,
+    // never one serial GET per group.
+    val stats = GroupStats.readMany(
+      f, groups.map(g => GroupStats.sidecarPath(tableDir, g)))
+    val parts = groups.zip(stats).partition {
+      case (_, Some(st)) => resolved.forall(e => GroupStats.mayMatch(st, e))
+      case (_, None)     => true // pre-stats group: cannot prune
     }
+    (parts._1.map(_._1), parts._2.map(_._1))
   }
 
-  /** Total rows across `groups` from their stats sidecars — metadata-only
-    * when every sidecar is present (always, for groups this module
-    * wrote); one counting scan as the pre-stats-table fallback. */
+  /** Total rows across `groups`: manifest-recorded counts first (zero
+    * I/O — `known` is the version's `fileRows` map), a one-time sidecar
+    * fallback for pre-upgrade groups, one counting scan as the
+    * pre-stats-table last resort. */
   private def groupRows(
       spark: SparkSession, tableDir: String, groups: Seq[String],
       schemaDdl: Option[String],
-      mapping: Seq[(String, String)] = Seq.empty): Long =
+      mapping: Seq[(String, String)] = Seq.empty,
+      known: Map[String, Long] = Map.empty): Long =
     if (groups.isEmpty) 0L
     else {
-      val f = fs(spark, tableDir)
-      val per = groups.map(g =>
-        GroupStats.read(f, GroupStats.sidecarPath(tableDir, g)).map(_.nRows))
+      lazy val f = fs(spark, tableDir)
+      val per = groups.map(g => known.get(g).orElse(
+        GroupStats.read(f, GroupStats.sidecarPath(tableDir, g)).map(_.nRows)))
       if (per.forall(_.isDefined)) per.map(_.get).sum
       else scanGroups(spark, tableDir, groups, schemaDdl, mapping).count()
     }
@@ -1309,16 +1380,14 @@ object Versioned {
       .map(_.getString(0)).toSet
   }
 
-  /** LIVE rows across `groups`: stats-sidecar totals minus the groups'
-    * manifest-recorded deletion-vector counts. */
+  /** LIVE rows across a version's `groups`: manifest-recorded totals
+    * minus the groups' deletion-vector counts — pure metadata. */
   private def liveGroupRows(
       spark: SparkSession, tableDir: String, groups: Seq[String],
-      schemaDdl: Option[String],
-      mapping: Seq[(String, String)] = Seq.empty,
-      dvs: Seq[(String, String, Long)] = Seq.empty): Long = {
+      m: Manifest): Long = {
     val gs = groups.toSet
-    groupRows(spark, tableDir, groups, schemaDdl, mapping) -
-      dvs.filter(d => gs(d._1)).map(_._3).sum
+    groupRows(spark, tableDir, groups, m.schemaDdl, m.mapping, m.fileRows) -
+      m.dvs.filter(d => gs(d._1)).map(_._3).sum
   }
 
   /** Copy-on-write `DELETE FROM ... WHERE preds` — Delta's delete
@@ -1366,19 +1435,24 @@ object Versioned {
   /** Partition the matched groups into (dvGroups, rewriteGroups): a
     * group goes merge-on-read when its matched fraction of LIVE rows
     * is at or below `spark.graft.dv.maxDeleteFraction` (default 0.1;
-    * 0 disables DVs). Pre-stats groups always rewrite. */
+    * 0 disables DVs). Group totals come from the manifest's recorded
+    * counts (zero I/O), with a sidecar fallback only for groups a
+    * pre-upgrade manifest never recorded; groups with no count at all
+    * always rewrite. */
   private def dvClassify(
       spark: SparkSession, tableDir: String,
       perGroup: Map[String, Long],
-      dvByGroup: Map[String, (String, String, Long)]): (Seq[String], Seq[String]) = {
+      dvByGroup: Map[String, (String, String, Long)],
+      m: Manifest): (Seq[String], Seq[String]) = {
     val maxFrac = spark.conf.getOption("spark.graft.dv.maxDeleteFraction")
       .map(_.toDouble).getOrElse(0.1)
-    val f = fs(spark, tableDir)
+    lazy val f = fs(spark, tableDir)
     perGroup.keys.toSeq.sorted.partition { g =>
       maxFrac > 0.0 && {
-        val live = GroupStats.read(f, GroupStats.sidecarPath(tableDir, g))
-          .map(_.nRows).getOrElse(-1L) -
-          dvByGroup.get(g).map(_._3).getOrElse(0L)
+        val total = m.fileRows.get(g).orElse(
+          GroupStats.read(f, GroupStats.sidecarPath(tableDir, g)).map(_.nRows))
+          .getOrElse(-1L)
+        val live = total - dvByGroup.get(g).map(_._3).getOrElse(0L)
         live > 0 && perGroup(g).toDouble / live <= maxFrac
       }
     }
@@ -1443,7 +1517,7 @@ object Versioned {
     // delete writes KBs of positions, not 10k groups' bytes. Scans
     // apply the DV; [[compact]]/[[cluster]] materialize it away.
     val (dvGroups, rewriteGroups) =
-      dvClassify(spark, tableDir, perGroup, dvByGroup)
+      dvClassify(spark, tableDir, perGroup, dvByGroup, m)
     val f = fs(spark, tableDir)
     val hit = rewriteGroups.toSet
     val (touched, untouched) = m.files.partition(hit)
@@ -1484,12 +1558,12 @@ object Versioned {
         val dvSet = dvGroups.toSet
         m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
       } ++ dvAdditions
-      val untouchedLive = liveGroupRows(
-        spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
+      val untouchedLive = liveGroupRows(spark, tableDir, untouched, m)
       val deletedInDv = dvGroups.map(perGroup).sum
       publishExpecting(spark, tableDir, v, groups,
         rewriteGroup.toSeq, untouchedLive - deletedInDv + kept, "delete",
-        m.schemaDdl, mapping = m.mapping, dvs = dvs)
+        m.schemaDdl, mapping = m.mapping, dvs = dvs,
+        rowsByGroup = m.fileRows ++ rewriteGroup.map(_ -> kept))
     } catch {
       case e: Throwable =>
         cleanupOnFailure.foreach(g =>
@@ -1541,7 +1615,7 @@ object Versioned {
     }
     val dvByGroup = m.dvs.map(d => d._1 -> d).toMap
     val (dvGroups, rewriteGroups) =
-      dvClassify(spark, tableDir, perGroup, dvByGroup)
+      dvClassify(spark, tableDir, perGroup, dvByGroup, m)
     val hit = rewriteGroups.toSet
     val (touched, untouched) = m.files.partition(hit)
     def applyAssignments(df: DataFrame, under: Column): DataFrame = {
@@ -1598,14 +1672,15 @@ object Versioned {
         val dvSet = dvGroups.toSet
         m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
       } ++ dvAdditions
-      val untouchedLive = liveGroupRows(
-        spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
+      val untouchedLive = liveGroupRows(spark, tableDir, untouched, m)
       // total live rows are unchanged by an update: the DV'd positions
       // are exactly offset by their updated copies
       val nRows = untouchedLive - dvGroups.map(perGroup).sum + nCopies + nRewrite
       publishExpecting(spark, tableDir, v, groups,
         rewriteGroup.toSeq ++ copiesGroup.toSeq, nRows, "update",
-        m.schemaDdl, mapping = m.mapping, dvs = dvs)
+        m.schemaDdl, mapping = m.mapping, dvs = dvs,
+        rowsByGroup = m.fileRows ++ rewriteGroup.map(_ -> nRewrite) ++
+          copiesGroup.map(_ -> nCopies))
     } catch {
       case e: Throwable =>
         cleanupOnFailure.foreach(g =>
@@ -1681,12 +1756,12 @@ object Versioned {
         .unionByName(srcAligned)
     val (group, n) = writeGroup(newData, tableDir, m.mapping)
     enforceConstraints(spark, tableDir, group, schemaDdl, m.constraints, m.mapping)
-    val untouchedRows = liveGroupRows(
-      spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
+    val untouchedRows = liveGroupRows(spark, tableDir, untouched, m)
     publishExpecting(spark, tableDir, v, untouched :+ group, Seq(group),
       untouchedRows + n, "merge", schemaDdl, mapping = m.mapping,
       dvs = { val unSet = untouched.toSet
-        m.dvs.filter(d => unSet(d._1)) })
+        m.dvs.filter(d => unSet(d._1)) },
+      rowsByGroup = m.fileRows + (group -> n))
   }
 
   /** One clause of a general [[mergeClauses]] MERGE. Conditions and
@@ -2011,13 +2086,13 @@ object Versioned {
         f.delete(new Path(s"$tableDir/files/$group"), true)
         untouched
       } else untouched :+ group
-    val untouchedRows = liveGroupRows(
-      spark, tableDir, untouched, m.schemaDdl, m.mapping, m.dvs)
+    val untouchedRows = liveGroupRows(spark, tableDir, untouched, m)
     publishExpecting(spark, tableDir, v, groups,
       groups.filterNot(untouched.contains), untouchedRows + n, "merge",
       schemaDdl, mapping = m.mapping,
       dvs = { val unSet = untouched.toSet
-        m.dvs.filter(d => unSet(d._1)) })
+        m.dvs.filter(d => unSet(d._1)) },
+      rowsByGroup = m.fileRows + (group -> n))
   }
 
   /** OPTIMIZE-style compaction: rewrite the latest version's data as a
@@ -2051,7 +2126,7 @@ object Versioned {
       Some(storedSchema(df)), constraints(spark, tableDir))
     // Rebase-aware publication: racing pure APPENDS merge into the
     // compacted commit instead of discarding the full rewrite.
-    rebasePublish(spark, tableDir, v, Seq(group), n, Some(storedSchema(df)))
+    rebasePublish(spark, tableDir, v, Seq(group -> n), Some(storedSchema(df)))
   }
 
   /** OPTIMIZE ZORDER BY for versioned tables: rewrite the latest
@@ -2125,8 +2200,7 @@ object Versioned {
       // Rebase-aware publication (same contract as [[compact]]): racing
       // pure appends merge in as-is — their groups simply are not
       // z-clustered yet, exactly as if they had landed after.
-      rebasePublish(spark, tableDir, v, groups.map(_._1),
-        groups.map(_._2).sum, Some(storedSchema(df)))
+      rebasePublish(spark, tableDir, v, groups, Some(storedSchema(df)))
     } finally {
       f.delete(stagingPath, true)
       // rmdir the shared staging root if now empty (a concurrent
@@ -2724,7 +2798,7 @@ object Versioned {
     val stats = GroupStats.compute(back)
     GroupStats.write(f, GroupStats.sidecarPath(dir, group), stats)
     publish(spark, dir, Seq(group), stats.nRows, "convert",
-      Some(storedSchema(back)))
+      Some(storedSchema(back)), rowsByGroup = Map(group -> stats.nRows))
   }
 
   /** RESTORE: republish an earlier version's file groups as the NEW
@@ -2774,7 +2848,8 @@ object Versioned {
           " — drop the constraint first or restore a later version")
     }
     publishExpecting(spark, tableDir, latest, m.files, Seq.empty,
-      m.nRows, "snapshot", m.schemaDdl, mapping = m.mapping, dvs = m.dvs)
+      m.nRows, "snapshot", m.schemaDdl, mapping = m.mapping, dvs = m.dvs,
+      rowsByGroup = m.fileRows)
   }
 
   /** CREATE TABLE CLONE (deep): materialize `version` (default latest)
@@ -2801,7 +2876,7 @@ object Versioned {
     require(m.files.nonEmpty, s"version $v of $srcDir lists no files")
     val (group, n) = writeGroup(read(spark, srcDir, v), dstDir)
     publish(spark, dstDir, Seq(group), n, "clone", m.schemaDdl,
-      Some(m.constraints))
+      Some(m.constraints), rowsByGroup = Map(group -> n))
   }
 
   /** Row-level diff between two versions (see [[Snapshot.diff]]). */

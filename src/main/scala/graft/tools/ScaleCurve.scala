@@ -224,23 +224,29 @@ object ScaleCurve {
       }
       // one row per group; % defeats stats pruning by design
       val cond = (col("doc_id") % 10000000L) === probeId
-      def run(tbl: String, frac: Double): (Long, Long, Double, Long) = {
+      def run(tbl: String, frac: Double): (Long, Long, Double, Long, Long) = {
         spark.conf.set("spark.graft.dv.maxDeleteFraction", frac.toString)
         val before = filesBytes(tbl)
         val vPre = Versioned.latestVersion(spark, tbl)
+        val reads0 = graft.operators.GroupStats.readCount.get()
         val t0 = System.nanoTime()
         val v = Versioned.delete(spark, tbl)(cond)
         val sec = (System.nanoTime() - t0) / 1e9
+        val sidecarReads = graft.operators.GroupStats.readCount.get() - reads0
         require(v == vPre + 1, "delete must commit")
         val mm = Versioned.parseManifest(spark, tbl, v)
         val rows = Versioned.read(spark, tbl).count()
-        (filesBytes(tbl) - before, mm.dvs.size.toLong, sec, rows)
+        (filesBytes(tbl) - before, mm.dvs.size.toLong, sec, rows, sidecarReads)
       }
-      val (dvBytes, dvEntries, dvSec, dvRows) = run(build("dv"), 0.1)
-      val (cowBytes, _, cowSec, cowRows) = run(build("cow"), 0.0)
+      val (dvBytes, dvEntries, dvSec, dvRows, dvReads) = run(build("dv"), 0.1)
+      val (cowBytes, _, cowSec, cowRows, _) = run(build("cow"), 0.0)
       require(dvRows == cowRows, s"DV and COW must agree: $dvRows vs $cowRows")
       spark.conf.unset("spark.graft.dv.maxDeleteFraction")
-      println(f"""[scale-dv] {"multiplier":$m,"groups":$m,"deleted_rows":$m,"surviving_rows":$dvRows,"dv_new_bytes":$dvBytes,"dv_entries":$dvEntries,"dv_seconds":$dvSec%.1f,"cow_new_bytes":$cowBytes,"cow_seconds":$cowSec%.1f}""")
+      // sidecar_reads: the mutation's driver-side metadata GETs beyond
+      // the manifest — row totals now ride the manifest (zero reads in
+      // groupRows/dvClassify), leaving only the min/max pruning pass,
+      // which readMany runs 16-way concurrent, never serially.
+      println(f"""[scale-dv] {"multiplier":$m,"groups":$m,"deleted_rows":$m,"surviving_rows":$dvRows,"dv_new_bytes":$dvBytes,"dv_entries":$dvEntries,"dv_seconds":$dvSec%.1f,"sidecar_reads":$dvReads,"cow_new_bytes":$cowBytes,"cow_seconds":$cowSec%.1f}""")
     }
     spark.stop()
   }

@@ -113,7 +113,7 @@ class CompactRebaseSpec extends SparkSpec {
     Seq((1L, "a"), (2L, "b")).toDF("id", "v")
       .write.parquet(s"$dir/files/$manual")
     val cv = Versioned.rebasePublish(spark, dir, expectedParent = 0L,
-      newGroups = Seq(manual), newRows = 2L,
+      newGroups = Seq(manual -> 2L),
       schemaDdl = Some("id BIGINT, v STRING"))
     assert(cv == 2L)
     // the rebased version lists the rewrite AND the winner's group
@@ -128,7 +128,7 @@ class CompactRebaseSpec extends SparkSpec {
     Seq((9L, "z")).toDF("id", "v").write.parquet(s"$dir/files/$manual2")
     val e = intercept[java.util.ConcurrentModificationException] {
       Versioned.rebasePublish(spark, dir, expectedParent = 2L,
-        newGroups = Seq(manual2), newRows = 1L,
+        newGroups = Seq(manual2 -> 1L),
         schemaDdl = Some("id BIGINT, v STRING"))
     }
     assert(e.getMessage.contains("not an append"), e.getMessage)
@@ -150,7 +150,7 @@ class CompactRebaseSpec extends SparkSpec {
     Seq((1L, "a")).toDF("id", "val").write.parquet(s"$dir/files/$g")
     val e = intercept[java.util.ConcurrentModificationException] {
       Versioned.rebasePublish(spark, dir, expectedParent = 1L,
-        newGroups = Seq(g), newRows = 1L,
+        newGroups = Seq(g -> 1L),
         schemaDdl = Some("id BIGINT, val STRING"))
     }
     assert(e.getMessage.contains("column mapping"), e.getMessage)

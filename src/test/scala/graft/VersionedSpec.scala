@@ -68,6 +68,38 @@ class VersionedSpec extends SparkSpec {
     assert(Files.list(dir).toArray.map(_.toString).forall(_.endsWith("m.json")))
   }
 
+  test("manifests record per-group row counts; mutation planning reads no sidecars") {
+    val dir = tbl()
+    Versioned.commit((0L until 50L).toDF("id"), dir)
+    Versioned.append((50L until 120L).toDF("id"), dir)
+    val m = Versioned.parseManifest(spark, dir, 1L)
+    assert(m.files.size == 2 && m.fileRows.keySet == m.files.toSet)
+    assert(m.fileRows.values.sum == 120L)
+    // scattered DV delete: row totals come from the manifest, so the
+    // only sidecar reads are the min/max PRUNING pass — exactly one
+    // batched read per group, not the former prune+classify+liveRows 3×
+    val before = graft.operators.GroupStats.readCount.get()
+    val v = Versioned.delete(spark, dir)(col("id").isin(7L, 90L))
+    val reads = graft.operators.GroupStats.readCount.get() - before
+    assert(reads == 2L, s"expected 2 pruning-only sidecar reads, got $reads")
+    val m2 = Versioned.parseManifest(spark, dir, v)
+    assert(m2.fileRows.keySet == m2.files.toSet)
+    assert(Versioned.read(spark, dir).count() == 118L)
+    // PRE-UPGRADE manifests (no file_rows) still plan correctly via the
+    // sidecar fallback, and the NEXT publish records the counts
+    val p = java.nio.file.Paths.get(s"$dir/_versions/v$v.json")
+    val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val stripped = raw.replaceFirst(""","file_rows":\[[^\]]*\]""", "")
+    assert(stripped != raw, "test must actually strip the field")
+    java.nio.file.Files.write(p, stripped.getBytes("UTF-8"))
+    assert(Versioned.parseManifest(spark, dir, v).fileRows.isEmpty)
+    val v2 = Versioned.delete(spark, dir)(col("id") === 8L)
+    assert(Versioned.read(spark, dir).count() == 117L)
+    val m3 = Versioned.parseManifest(spark, dir, v2)
+    assert(m3.fileRows.keySet == m3.files.toSet, "upgrade re-records counts")
+    assert(m3.nRows == 117L)
+  }
+
   test("append shares parent file groups — only the batch is written") {
     val dir = tbl()
     Versioned.commit(spark.range(100).toDF("id"), dir)
