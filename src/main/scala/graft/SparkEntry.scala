@@ -1789,6 +1789,43 @@ object SparkEntry {
     // residual is NOT matched — its source row INSERTS (the classic
     // hand-written-MERGE trap, which the oracle recomputes relationally
     // as LEFT JOIN ON keys+residual / NOT EXISTS keys+residual).
+    // DV-BACKED SQL MERGE (Delta's merge-on-read MERGE): a matched
+    // program whose claims are a thin modulo slice of EVERY group —
+    // deletes below a length bound, updates above it — commits
+    // position sidecars + one copies group with NO group rewrite. The
+    // dv_engaged audit column FAILS the oracle if the path silently
+    // degrades to rewriting (dv entries absent or an original group
+    // replaced); the rollup pins the surviving rows exactly.
+    "datasource_merge_dv" -> ((s, dir) => {
+      val sql = graft.sources.GraftDml.enabledSession(s)
+      val docs = sql.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/mrgdv_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sql.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Seq("de", "es", "fr", "zh").foreach(l =>
+        Versioned.append(docs.filter(col("lang") === l), tbl))
+      val v0 = Versioned.latestVersion(sql, tbl)
+      val groupsBefore = Versioned.parseManifest(sql, tbl, v0).files.toSet
+      sql.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 97L === 0L).select("doc_id")
+        .createOrReplaceTempView("__mrgdv_src")
+      sql.sql(s"""MERGE INTO graft.`$tbl` t USING __mrgdv_src s
+                 |ON t.doc_id = s.doc_id
+                 |WHEN MATCHED AND t.n_chars < 250 THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET lang = 'xx'""".stripMargin)
+      val m = Versioned.parseManifest(sql, tbl, Versioned.latestVersion(sql, tbl))
+      val dvEngaged = m.dvs.nonEmpty &&
+        groupsBefore.subsetOf(m.files.toSet) &&
+        m.files.size <= groupsBefore.size + 1 // originals + one copies group
+      sql.sql(s"""SELECT lang, count(*) AS n_rows,
+                 |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                 |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+                 |FROM graft.`$tbl` GROUP BY lang ORDER BY lang""".stripMargin)
+        .withColumn("dv_engaged", lit(dvEngaged))
+    }),
+
     "datasource_merge_on_expr" -> ((s, dir) => {
       val sql = graft.sources.GraftDml.enabledSession(s)
       val docs = sql.read.parquet(s"$dir/documents.parquet")
@@ -5755,6 +5792,21 @@ object SparkEntry {
     // key-equal pair failing the residual is NOT matched, so its
     // source row INSERTS — LEFT JOIN on keys+residual for updates,
     // NOT EXISTS on keys+residual for the inserts.
+    // DV merge replay: the %97 slice deletes when short, relabels 'xx'
+    // when long; dv_engaged must be TRUE (a rewrite fallback flips it).
+    "datasource_merge_dv" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    n_chars
+        |  FROM documents
+        |  WHERE NOT (doc_id % 97 = 0 AND n_chars < 250))
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_sum,
+        |  TRUE AS dv_engaged
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
     "datasource_merge_on_expr" ->
       """WITH tgt AS (SELECT doc_id, lang, n_chars FROM documents),
         |src AS (

@@ -1815,6 +1815,19 @@ object Versioned {
     * group, exactly the cost Delta pays for it). Untouched groups
     * carry metadata-only either way.
     *
+    * MERGE-ON-READ matched actions (Delta's DV-backed MERGE): a group
+    * hit only by MATCHED clauses whose claimed fraction of live rows
+    * is at or below `spark.graft.dv.maxDeleteFraction` is NOT
+    * rewritten — delete claims join its deletion vector, update claims
+    * write updated copies into one new group ([[update]]'s shape); a
+    * scattered-key SQL MERGE writes positions + changed rows instead
+    * of every touched group. When the merge's entire effect is a pure
+    * DV delete or a pure DV update it commits under that EFFECT mode
+    * ('delete'/'update'), so [[changesFeed]] serves it row-level;
+    * mixed DV merges commit as 'merge', which the feed refuses loudly
+    * (a mixed position artifact cannot attribute delete vs
+    * update_preimage per row).
+    *
     * `onResidual` is the NON-KEY remainder of a general ON clause
     * (`MERGE ... ON t.k = s.k AND <residual>`), a row-local condition
     * over `TGT.*`/`SRC.*`: matched-ness becomes key equality AND the
@@ -1929,7 +1942,6 @@ object Versioned {
           _.filter(bsCond))
       }
     val hit = hitMatch ++ hitBySource
-    val (touched, untouched) = m.files.partition(hit)
 
     val tableSchema = scanGroups(spark, tableDir, m.files, m.schemaDdl, m.mapping)
       .schema
@@ -1947,76 +1959,153 @@ object Versioned {
       case _ => ()
     }
 
-    // Rewrite of the touched groups: one left join against the source,
-    // a first-applicable action id per row, drops filtered, updates
-    // applied column-wise (cast to the column's type — the rewrite may
-    // not reshape the table).
+    // Shared clause machinery — the aliased source, the
+    // first-applicable action id, and the per-column projection — used
+    // by BOTH the merge-on-read path (claimed copies) and the rewrite.
+    //
+    // With no MATCHED clause AND no residual the join exists only to
+    // FLAG matched-ness (by-source branches test !isM; no branch
+    // reads SRC columns), so join the DISTINCT key set: a dup-keyed
+    // source is legal for by-source-only programs (the dup check
+    // above deliberately does not run) and the full source would
+    // multiply matched target rows — every copy action-0-carried =
+    // silent duplication. A residual may read any SRC column, so it
+    // joins the full (dup-checked) source; the residual lives in the
+    // JOIN condition, so a key-equal pair failing it yields SRC
+    // nulls = not matched, exactly the ANSI reading.
+    val s =
+      (if (matched.nonEmpty || onResidual.isDefined) src
+       else srcKeys.distinct())
+        .withColumn("__src_match", lit(1)).alias("SRC")
+    val isM = col("SRC.__src_match").isNotNull
+    // ids: matched clauses 1..n, by-source clauses 101..: first
+    // matching branch of the when-chain wins = clause order.
+    val branches: Seq[(Column, Int, MergeClause)] =
+      matched.zipWithIndex.map { case (c, i) =>
+        val cond = c match {
+          case MatchedUpdate(_, cc) => cc.getOrElse(lit(true))
+          case MatchedDelete(cc) => cc.getOrElse(lit(true))
+          case _ => lit(true)
+        }
+        (isM && cond, i + 1, c)
+      } ++ bySource.zipWithIndex.map { case (c, j) =>
+        val cond = c match {
+          case NotMatchedBySourceUpdate(_, cc) => cc.getOrElse(lit(true))
+          case NotMatchedBySourceDelete(cc) => cc.getOrElse(lit(true))
+          case _ => lit(true)
+        }
+        (!isM && cond, 101 + j, c)
+      }
+    val action = branches.foldLeft(org.apache.spark.sql.functions
+      .when(lit(false), 0)) { case (acc, (cond, id, _)) =>
+        acc.when(cond, lit(id))
+      }.otherwise(lit(0))
+    val dropIds = branches.collect {
+      case (_, id, _: MatchedDelete) => id
+      case (_, id, _: NotMatchedBySourceDelete) => id
+    }
+    val out = tableSchema.fields.toSeq.map { f =>
+      val updates = branches.collect {
+        case (_, id, MatchedUpdate(as, _))
+            if as.exists(a => resolver(a._1, f.name)) =>
+          (id, as.find(a => resolver(a._1, f.name)).get._2)
+        case (_, id, NotMatchedBySourceUpdate(as, _))
+            if as.exists(a => resolver(a._1, f.name)) =>
+          (id, as.find(a => resolver(a._1, f.name)).get._2)
+      }
+      updates.foldLeft(org.apache.spark.sql.functions
+        .when(lit(false), col(s"TGT.${f.name}"))) { case (acc, (id, value)) =>
+          acc.when(col("__action") === id, value.cast(f.dataType))
+        }.otherwise(col(s"TGT.${f.name}")).as(f.name)
+    }
+
+    // MERGE-ON-READ for MATCHED actions (Delta's DV-backed MERGE): a
+    // touched group hit ONLY by matched clauses (a by-source clause may
+    // claim rows in its groups that the per-group probe cannot rule
+    // matched, so those always rewrite) whose CLAIMED fraction of live
+    // rows is at or below the DV threshold is NOT rewritten — DELETE
+    // claims join the group's deletion vector; UPDATE claims write
+    // their updated copies into one new group and their original
+    // positions join the vector (Versioned.update's shape). A
+    // scattered-key SQL MERGE thus writes positions + changed rows, not
+    // every touched group's bytes. Groups whose matched rows are all
+    // UNCLAIMED (every clause condition false) carry over untouched.
+    val maxFracOn = spark.conf.getOption("spark.graft.dv.maxDeleteFraction")
+      .map(_.toDouble).getOrElse(0.1) > 0.0
+    val dvEligible: Seq[String] =
+      if (!maxFracOn || matched.isEmpty || srcEmpty)
+        Seq.empty
+      else (hitMatch -- hitBySource).toSeq.sorted
+    val matchedIds: Seq[Int] = (1 to matched.size)
+    val matchedDeleteIds = branches.collect {
+      case (_, id, _: MatchedDelete) if id <= matched.size => id }
+    val matchedUpdateIds = branches.collect {
+      case (_, id, _: MatchedUpdate) if id <= matched.size => id }
+    val dvByGroup = m.dvs.map(d => d._1 -> d).toMap
+
+    // DV-masked tagged scan of `groups` joined with the source, action
+    // id attached — the per-row claim view the DV path works from.
+    def joinedTagged(groups: Seq[String]): DataFrame = {
+      val gset = groups.toSet
+      val dvFor = m.dvs.filter(d => gset(d._1))
+      val tagged0 = scanGroupsTagged(spark, tableDir, groups, m.schemaDdl, m.mapping)
+      val live =
+        if (dvFor.isEmpty) tagged0
+        else tagged0.join(dvMaskRows(spark, tableDir, dvFor),
+          Seq("__dv_rel", "__dv_pos"), "left_anti")
+      live.withColumn("__grp", org.apache.spark.sql.functions
+          .substring_index(col("__dv_rel"), "/", 1))
+        .alias("TGT")
+        .join(s, matchCond, "left")
+        .withColumn("__action", action)
+    }
+
+    // classification: per-group claimed counts (+ delete-claim counts,
+    // for the CDF-compatible mode label) — ONE aggregate, nothing
+    // materialized
+    val (dvGroups, claimsAll, dvDeleteClaims) =
+      if (dvEligible.isEmpty)
+        (Seq.empty[String], Map.empty[String, Long], 0L)
+      else {
+        val agg = joinedTagged(dvEligible)
+          .filter(col("__action").isin(matchedIds: _*))
+          .groupBy("__grp")
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.when(
+                if (matchedDeleteIds.isEmpty) lit(false)
+                else col("__action").isin(matchedDeleteIds: _*), 1L)
+                .otherwise(0L)).as("__d"))
+          .collect()
+        val claims = agg.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val dels = agg.map(r => r.getString(0) -> r.getLong(2)).toMap
+        val (dv, _) = dvClassify(spark, tableDir, claims, dvByGroup, m)
+        (dv, claims, dv.map(g => dels.getOrElse(g, 0L)).sum)
+      }
+    val dvGroupSet = dvGroups.toSet
+    val dvClaims = claimsAll.filter { case (g, _) => dvGroupSet(g) }
+    // matched-eligible groups whose matched rows are all unclaimed:
+    // nothing to do — carry over metadata-only instead of rewriting to
+    // identical content
+    val noopGroups: Set[String] = dvEligible.filterNot(claimsAll.contains).toSet
+    val rewriteHit = hit -- dvGroupSet -- noopGroups
+    val (touchedRw, untouchedFiles) = m.files.partition(rewriteHit)
+
+    // Rewrite of the heavily-hit / by-source groups: one left join
+    // against the source, a first-applicable action id per row, drops
+    // filtered, updates applied column-wise (cast to the column's type
+    // — the rewrite may not reshape the table).
     val rewritten: Option[DataFrame] =
-      if (touched.isEmpty) None
+      if (touchedRw.isEmpty) None
       else {
         val t = scanVersionGroups(
-          spark, tableDir, touched, m.schemaDdl, m.mapping, m.dvs)
+          spark, tableDir, touchedRw, m.schemaDdl, m.mapping, m.dvs)
           .alias("TGT")
-        // With no MATCHED clause AND no residual the join exists only to
-        // FLAG matched-ness (by-source branches test !isM; no branch
-        // reads SRC columns), so join the DISTINCT key set: a dup-keyed
-        // source is legal for by-source-only programs (the dup check
-        // above deliberately does not run) and the full source would
-        // multiply matched target rows — every copy action-0-carried =
-        // silent duplication. A residual may read any SRC column, so it
-        // joins the full (dup-checked) source; the residual lives in the
-        // JOIN condition, so a key-equal pair failing it yields SRC
-        // nulls = not matched, exactly the ANSI reading.
-        val s =
-          (if (matched.nonEmpty || onResidual.isDefined) src
-           else srcKeys.distinct())
-            .withColumn("__src_match", lit(1)).alias("SRC")
-        val joined = t.join(s, matchCond, "left")
-        val isM = col("SRC.__src_match").isNotNull
-        // ids: matched clauses 1..n, by-source clauses 101..: first
-        // matching branch of the when-chain wins = clause order.
-        val branches: Seq[(Column, Int, MergeClause)] =
-          matched.zipWithIndex.map { case (c, i) =>
-            val cond = c match {
-              case MatchedUpdate(_, cc) => cc.getOrElse(lit(true))
-              case MatchedDelete(cc) => cc.getOrElse(lit(true))
-              case _ => lit(true)
-            }
-            (isM && cond, i + 1, c)
-          } ++ bySource.zipWithIndex.map { case (c, j) =>
-            val cond = c match {
-              case NotMatchedBySourceUpdate(_, cc) => cc.getOrElse(lit(true))
-              case NotMatchedBySourceDelete(cc) => cc.getOrElse(lit(true))
-              case _ => lit(true)
-            }
-            (!isM && cond, 101 + j, c)
-          }
-        val action = branches.foldLeft(org.apache.spark.sql.functions
-          .when(lit(false), 0)) { case (acc, (cond, id, _)) =>
-            acc.when(cond, lit(id))
-          }.otherwise(lit(0))
-        val dropIds = branches.collect {
-          case (_, id, _: MatchedDelete) => id
-          case (_, id, _: NotMatchedBySourceDelete) => id
-        }
-        val withAction = joined.withColumn("__action", action)
+        val withAction = t.join(s, matchCond, "left")
+          .withColumn("__action", action)
         val kept =
           if (dropIds.isEmpty) withAction
           else withAction.filter(!col("__action").isin(dropIds: _*))
-        val out = tableSchema.fields.toSeq.map { f =>
-          val updates = branches.collect {
-            case (_, id, MatchedUpdate(as, _))
-                if as.exists(a => resolver(a._1, f.name)) =>
-              (id, as.find(a => resolver(a._1, f.name)).get._2)
-            case (_, id, NotMatchedBySourceUpdate(as, _))
-                if as.exists(a => resolver(a._1, f.name)) =>
-              (id, as.find(a => resolver(a._1, f.name)).get._2)
-          }
-          updates.foldLeft(org.apache.spark.sql.functions
-            .when(lit(false), col(s"TGT.${f.name}"))) { case (acc, (id, value)) =>
-              acc.when(col("__action") === id, value.cast(f.dataType))
-            }.otherwise(col(s"TGT.${f.name}")).as(f.name)
-        }
         Some(kept.select(out: _*))
       }
 
@@ -2075,24 +2164,91 @@ object Versioned {
         Some(claimed.select(out: _*))
       }
 
-    val pieces = rewritten.toSeq ++ inserted.toSeq
-    if (pieces.isEmpty) return v // nothing touched, nothing to insert
-    val newData = pieces.reduce(_ unionByName _)
-    val (group, n) = writeGroup(newData, tableDir, m.mapping)
-    enforceConstraints(spark, tableDir, group, schemaDdl, m.constraints, m.mapping)
     val f = fs(spark, tableDir)
-    val groups =
-      if (n == 0L && untouched.nonEmpty) {
-        f.delete(new Path(s"$tableDir/files/$group"), true)
-        untouched
-      } else untouched :+ group
-    val untouchedRows = liveGroupRows(spark, tableDir, untouched, m)
-    publishExpecting(spark, tableDir, v, groups,
-      groups.filterNot(untouched.contains), untouchedRows + n, "merge",
-      schemaDdl, mapping = m.mapping,
-      dvs = { val unSet = untouched.toSet
-        m.dvs.filter(d => unSet(d._1)) },
-      rowsByGroup = m.fileRows + (group -> n))
+    if (rewritten.isEmpty && inserted.isEmpty && dvGroups.isEmpty)
+      return v // nothing touched, nothing claimed, nothing to insert
+
+    // The DV groups' CLAIMED rows, materialized once (bounded by the
+    // threshold fraction of those groups): feeds the position artifact
+    // and the updated copies.
+    val claimedDv: Option[DataFrame] =
+      if (dvGroups.isEmpty) None
+      else Some(joinedTagged(dvGroups)
+        .filter(col("__action").isin(matchedIds: _*))
+        .capLineage())
+    val dvAdditions = claimedDv.map(cd =>
+      writeDvArtifact(spark, tableDir, cd, dvGroups, dvByGroup, dvClaims))
+      .getOrElse(Seq.empty)
+    // Orphan discipline (same as delete/update): reclaim the artifact
+    // and every group written so far on ANY failure past this point.
+    val cleanupOnFailure =
+      scala.collection.mutable.ArrayBuffer[String](dvAdditions.map(_._2).distinct: _*)
+    try {
+      // updated COPIES of the UPDATE-claimed rows in DV groups (DELETE
+      // claims need only their positions)
+      val (copiesGroup, nCopies) = claimedDv match {
+        case Some(cd) if matchedUpdateIds.nonEmpty =>
+          val copies = cd.filter(col("__action").isin(matchedUpdateIds: _*))
+            .select(out: _*)
+          val (g, nc) = writeGroup(copies, tableDir, m.mapping)
+          cleanupOnFailure += g
+          if (nc == 0L) { // all claims were deletes
+            f.delete(new Path(s"$tableDir/files/$g"), true)
+            (None, 0L)
+          } else {
+            enforceConstraints(spark, tableDir, g, m.schemaDdl, m.constraints, m.mapping)
+            (Some(g), nc)
+          }
+        case _ => (None, 0L)
+      }
+      val pieces = rewritten.toSeq ++ inserted.toSeq
+      val (newGroup, n) =
+        if (pieces.isEmpty) (None, 0L)
+        else {
+          val newData = pieces.reduce(_ unionByName _)
+          val (g, nn) = writeGroup(newData, tableDir, m.mapping)
+          cleanupOnFailure += g
+          enforceConstraints(spark, tableDir, g, schemaDdl, m.constraints, m.mapping)
+          if (nn == 0L && (untouchedFiles.nonEmpty || copiesGroup.nonEmpty ||
+            dvAdditions.nonEmpty)) {
+            f.delete(new Path(s"$tableDir/files/$g"), true)
+            (None, 0L)
+          } else (Some(g), nn)
+        }
+      val groups = untouchedFiles ++ newGroup.toSeq ++ copiesGroup.toSeq
+      val dvs = {
+        val unSet = untouchedFiles.toSet
+        m.dvs.filter(d => unSet(d._1) && !dvGroupSet(d._1))
+      } ++ dvAdditions
+      val untouchedRows = liveGroupRows(spark, tableDir, untouchedFiles, m)
+      val dvClaimTotal = dvGroups.map(dvClaims).sum
+      val nRows = untouchedRows - dvClaimTotal + n + nCopies
+      // EFFECT-mode label, for the CDF consumers: a merge whose entire
+      // effect is a pure-DV delete (all claims deletes, no copies, no
+      // inserts, no rewrites) commits as mode 'delete', and one whose
+      // effect is exactly a merge-on-read update (all claims updates,
+      // copies only) as 'update' — both shapes changesFeed already
+      // serves row-level. Mixed DV merges keep mode 'merge', which the
+      // feed refuses LOUDLY (a mixed artifact cannot attribute delete
+      // vs update_preimage per row).
+      val mode =
+        if (dvAdditions.isEmpty) "merge"
+        else if (touchedRw.isEmpty && newGroup.isEmpty &&
+          copiesGroup.isEmpty && dvDeleteClaims == dvClaimTotal) "delete"
+        else if (touchedRw.isEmpty && newGroup.isEmpty &&
+          copiesGroup.nonEmpty && dvDeleteClaims == 0L) "update"
+        else "merge"
+      publishExpecting(spark, tableDir, v, groups,
+        newGroup.toSeq ++ copiesGroup.toSeq, nRows, mode,
+        schemaDdl, mapping = m.mapping, dvs = dvs,
+        rowsByGroup = m.fileRows ++ newGroup.map(_ -> n) ++
+          copiesGroup.map(_ -> nCopies))
+    } catch {
+      case e: Throwable =>
+        cleanupOnFailure.foreach(g =>
+          f.delete(new Path(s"$tableDir/files/$g"), true))
+        throw e
+    }
   }
 
   /** OPTIMIZE-style compaction: rewrite the latest version's data as a

@@ -281,6 +281,98 @@ class DeletionVectorSpec extends SparkSpec {
     assert(replayed == v4ids)
   }
 
+  test("MERGE matched actions take the DV path; effect modes feed the CDF") {
+    import Versioned.MergeClause._
+    // 2 groups x 100 rows
+    def seed(): String = {
+      val dir = tbl()
+      Versioned.commit((0L until 100L).map(i => (i, s"v$i", i * 10L))
+        .toDF("id", "v", "w"), dir)
+      Versioned.append((100L until 200L).map(i => (i, s"v$i", i * 10L))
+        .toDF("id", "v", "w"), dir)
+      dir
+    }
+    // (1) matched DELETE, scattered: pure-DV commit, EFFECT mode
+    // 'delete', file set untouched, changesFeed serves the rows
+    val d1 = seed()
+    val g1 = dataGroups(d1)
+    val v1 = Versioned.mergeClauses(spark, d1,
+      Seq((7L, "", 0L), (150L, "", 0L)).toDF("id", "v", "w"), Seq("id"),
+      Seq(MatchedDelete()))
+    val m1 = Versioned.parseManifest(spark, d1, v1)
+    assert(dataGroups(d1) == g1, "no group rewritten, none added")
+    assert(m1.mode == "delete" && m1.dvs.map(_._3).sum == 2L && m1.nRows == 198L)
+    assert(Versioned.read(spark, d1).count() == 198L)
+    val feed1 = Versioned.changesFeed(spark, d1, v1 - 1)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed1 == Set((7L, "delete"), (150L, "delete")))
+    // (2) matched UPDATE, scattered: copies + DV, EFFECT mode 'update',
+    // originals carried, update pair on the feed
+    val d2 = seed()
+    val g2 = dataGroups(d2)
+    val v2 = Versioned.mergeClauses(spark, d2,
+      Seq((7L, "zz", 0L), (150L, "zz", 0L)).toDF("id", "v", "w"), Seq("id"),
+      Seq(MatchedUpdate(Seq("v" -> col("SRC.v")))))
+    val m2 = Versioned.parseManifest(spark, d2, v2)
+    assert(g2.subsetOf(dataGroups(d2)) && dataGroups(d2).size == g2.size + 1,
+      "originals carried; ONE copies group added")
+    assert(m2.mode == "update" && m2.dvs.map(_._3).sum == 2L && m2.nRows == 200L)
+    val r2 = Versioned.read(spark, d2)
+    assert(r2.count() == 200L)
+    assert(r2.filter(col("v") === "zz").select("id").as[Long].collect().toSet ==
+      Set(7L, 150L))
+    assert(r2.filter(col("id") === 7L).count() == 1L, "no duplicate")
+    val feed2 = Versioned.changesFeed(spark, d2, v2 - 1)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed2 == Set((7L, "update_preimage"), (150L, "update_preimage"),
+      (7L, "update_postimage"), (150L, "update_postimage")))
+    // (3) MIXED update+delete claims (and an insert): mode stays
+    // 'merge'; the feed refuses loudly instead of misattributing
+    val d3 = seed()
+    val g3 = dataGroups(d3)
+    val v3 = Versioned.mergeClauses(spark, d3,
+      Seq((7L, "up", 70L), (150L, "del", 0L), (900L, "new", 1L))
+        .toDF("id", "v", "w"),
+      Seq("id"), Seq(
+        MatchedDelete(Some(col("SRC.v") === "del")),
+        MatchedUpdate(Seq("v" -> col("SRC.v"))),
+        NotMatchedInsert()))
+    val m3 = Versioned.parseManifest(spark, d3, v3)
+    assert(m3.mode == "merge" && m3.dvs.map(_._3).sum == 2L)
+    assert(g3.subsetOf(dataGroups(d3)), "originals all carried (DV path)")
+    val r3 = Versioned.read(spark, d3)
+    assert(r3.count() == 200L) // -1 delete +1 insert
+    assert(r3.filter(col("id") === 150L).isEmpty)
+    assert(r3.filter(col("id") === 7L).select("v").as[String].head() == "up")
+    assert(r3.filter(col("id") === 900L).count() == 1L)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.changesFeed(spark, d3, v3 - 1).collect()
+    }
+    assert(e.getMessage.contains("rewrite") || e.getMessage.contains("merge"))
+    // (4) matched rows whose clause conditions claim NOTHING: the
+    // group carries fully untouched (no DV entry, no rewrite)
+    val d4 = seed()
+    val g4 = dataGroups(d4)
+    val v4before = Versioned.latestVersion(spark, d4)
+    val v4 = Versioned.mergeClauses(spark, d4,
+      Seq((7L, "x", 0L)).toDF("id", "v", "w"), Seq("id"),
+      Seq(MatchedUpdate(Seq("v" -> lit("x")), Some(lit(false)))))
+    assert(v4 == v4before, "no claims anywhere: pure no-op, no commit")
+    assert(dataGroups(d4) == g4)
+    // (5) forced COW (threshold 0): classic rewrite, mode 'merge'
+    val d5 = seed()
+    val v5 = withDvFraction(0.0) {
+      Versioned.mergeClauses(spark, d5,
+        Seq((7L, "", 0L)).toDF("id", "v", "w"), Seq("id"),
+        Seq(MatchedDelete()))
+    }
+    val m5 = Versioned.parseManifest(spark, d5, v5)
+    assert(m5.mode == "merge" && m5.dvs.isEmpty)
+    assert(Versioned.read(spark, d5).count() == 199L)
+  }
+
   test("merge-on-read UPDATE: updated copies + DV, no group rewrite") {
     val dir = tbl()
     Versioned.commit((0L until 100L).map(i => (i, 0L)).toDF("id", "n"), dir)

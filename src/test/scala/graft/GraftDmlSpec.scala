@@ -155,8 +155,10 @@ class GraftDmlSpec extends SparkSpec {
       .count() == 1, "unlisted column w must be NULL on insert")
     assert(got.filter($"id" === 10L && $"v" === "U10" && $"w" === 100L)
       .count() == 1, "partial UPDATE SET leaves unlisted columns untouched")
-    assert(groupsOf(dir).intersect(before).size == 1,
-      "the high-range group holds no matches and must carry metadata-only")
+    // 1 claimed row in a 100-row group: merge-on-read — BOTH original
+    // groups carry; the update's copy and the insert land in new groups
+    assert(groupsOf(dir).intersect(before).size == 2,
+      "both groups must carry metadata-only under the DV merge path")
     // expressions (not just column refs) in the VALUES list work too
     sql.sql(s"""MERGE INTO graft.`$dir` t USING dml_partial_src s ON t.id = s.id
                |WHEN NOT MATCHED AND s.w > 9999 THEN INSERT (id, v)
@@ -203,8 +205,10 @@ class GraftDmlSpec extends SparkSpec {
     val afterDelete = Versioned.read(sql, dir)
     assert(afterDelete.count() == 190)
     assert(afterDelete.filter($"id" < 20 && $"id" % 2 === 0).count() == 0)
-    assert(groupsOf(dir).intersect(before).size == 1,
-      "the high-range group admits no subquery keys and must carry metadata-only")
+    // 10 claims / 100 live = the DV threshold boundary: merge-on-read,
+    // both original groups carry (positions only, no rewrite)
+    assert(groupsOf(dir).intersect(before).size == 2,
+      "both groups must carry metadata-only under the DV delete path")
     // UPDATE with a SELF-REFERENTIAL subquery: the key set is evaluated
     // against the PRE-IMAGE (w of the id<10 survivors), so rows gaining
     // w=5555 here must not re-qualify mid-statement.

@@ -90,11 +90,27 @@ class MergeClausesSpec extends SparkSpec {
     val dir = seeded()
     val before = groupsOf(dir)
     val src = Seq((5L, "z", 0L)).toDF("id", "v", "w") // low group only
-    Versioned.mergeClauses(spark, dir, src, Seq("id"), Seq(
+    // 1 claimed row in a 100-row group: MERGE-ON-READ — BOTH original
+    // groups carry metadata-only; the updated copy lands in a new
+    // group and the original position joins the low group's DV
+    val v = Versioned.mergeClauses(spark, dir, src, Seq("id"), Seq(
       MatchedUpdate(Seq("v" -> col("SRC.v")))))
-    assert(groupsOf(dir).intersect(before).size == 1,
-      "high group must carry metadata-only")
+    assert(groupsOf(dir).intersect(before).size == 2,
+      "both groups must carry metadata-only under the DV path")
+    val mm = Versioned.parseManifest(spark, dir, v)
+    assert(mm.dvs.map(_._3).sum == 1L && mm.mode == "update")
     assert(rows(dir)(5L)._1 == "z")
+    assert(rows(dir).size == 200)
+    // forced COW (threshold 0) keeps the classic touched-group rewrite
+    val dir2 = seeded()
+    val before2 = groupsOf(dir2)
+    spark.conf.set("spark.graft.dv.maxDeleteFraction", "0")
+    try Versioned.mergeClauses(spark, dir2, src, Seq("id"), Seq(
+      MatchedUpdate(Seq("v" -> col("SRC.v")))))
+    finally spark.conf.unset("spark.graft.dv.maxDeleteFraction")
+    assert(groupsOf(dir2).intersect(before2).size == 1,
+      "high group must carry metadata-only; low group rewrites")
+    assert(rows(dir2)(5L)._1 == "z")
   }
 
   test("contracts: duplicate source keys raise; assignments cast to column type; unknown columns raise") {

@@ -47,8 +47,8 @@ class MutationPropertySpec extends SparkSpec {
       init.foreach { case (i, v, sc) => model(i) = (v, sc) }
 
       var nextId = 1000L
-      for (step <- 1 to 12) {
-        rnd.nextInt(4) match {
+      for (step <- 1 to 14) {
+        rnd.nextInt(5) match {
           case 0 => // append a fresh disjoint range (makes pruning meaningful)
             val rows = freshRows(nextId, 50); nextId += 1000
             Versioned.append(df(rows), dir)
@@ -75,6 +75,27 @@ class MutationPropertySpec extends SparkSpec {
             val srcRows = hit.map(i => (i, s"m$step", -1L)) ++ ins
             Versioned.merge(spark, dir, df(srcRows), Seq("id"))
             srcRows.foreach { case (i, v, sc) => model(i) = (v, sc) }
+          case 4 => // SQL-shaped clause merge: conditional matched
+            // DELETE + matched UPDATE + INSERT — under the DV regimes
+            // the matched claims ride position sidecars (mixed claims
+            // publish mode 'merge'; pure shapes relabel delete/update)
+            import Versioned.MergeClause._
+            val existing = model.keys.toSeq.sorted
+            val hit = rnd.shuffle(existing).take(math.min(16, existing.size))
+            val ins = freshRows(nextId, 5); nextId += 1000
+            val srcRows = hit.map(i =>
+              (i, s"g$step", if (rnd.nextBoolean()) -1L else 5L)) ++ ins
+            Versioned.mergeClauses(spark, dir, df(srcRows), Seq("id"), Seq(
+              MatchedDelete(Some(col("SRC.score") < 0L)),
+              MatchedUpdate(Seq("v" -> col("SRC.v"),
+                "score" -> (col("TGT.score") + 1L))),
+              NotMatchedInsert()))
+            srcRows.foreach { case (i, v, sc) =>
+              if (model.contains(i)) {
+                if (sc < 0L) model.remove(i)
+                else { val (_, old) = model(i); model(i) = (v, old + 1L) }
+              } else model(i) = (v, sc)
+            }
         }
         // Invariants after EVERY step: content equals the model, the
         // manifest row count is exact, history still reads.
@@ -90,6 +111,13 @@ class MutationPropertySpec extends SparkSpec {
         assert(manifestRows == want.size.toLong,
           s"seed=$seed dvFrac=$dvFrac step=$step: " +
             s"manifest n_rows $manifestRows != ${want.size}")
+        // per-group counts must reconcile: sum(file_rows) - sum(dv) = live
+        val mLatest = Versioned.parseManifest(spark, dir, latest)
+        assert(mLatest.fileRows.keySet == mLatest.files.toSet,
+          s"seed=$seed dvFrac=$dvFrac step=$step: file_rows misaligned")
+        assert(mLatest.fileRows.values.sum - mLatest.dvs.map(_._3).sum ==
+          want.size.toLong,
+          s"seed=$seed dvFrac=$dvFrac step=$step: per-group counts diverged")
         assert(Versioned.read(spark, dir, 0L).count() == 200L,
           "genesis version must stay readable")
       }
