@@ -1438,7 +1438,16 @@ object Versioned {
     * 0 disables DVs). Group totals come from the manifest's recorded
     * counts (zero I/O), with a sidecar fallback only for groups a
     * pre-upgrade manifest never recorded; groups with no count at all
-    * always rewrite. */
+    * always rewrite.
+    *
+    * DV PRESSURE: repeated small mutations accrete positions without
+    * bound (every scan pays the anti-join over them) — so a group
+    * whose CUMULATIVE deleted fraction (prior vector + this mutation's
+    * claims, over its total rows) would cross
+    * `spark.graft.dv.maxCumulativeFraction` (default 0.5) is sent to
+    * the REWRITE side instead, which materializes its vector away.
+    * A group repeatedly 1%-deleted self-heals at the threshold rather
+    * than carrying an ever-growing position list. */
   private def dvClassify(
       spark: SparkSession, tableDir: String,
       perGroup: Map[String, Long],
@@ -1446,14 +1455,18 @@ object Versioned {
       m: Manifest): (Seq[String], Seq[String]) = {
     val maxFrac = spark.conf.getOption("spark.graft.dv.maxDeleteFraction")
       .map(_.toDouble).getOrElse(0.1)
+    val cumFrac = spark.conf.getOption("spark.graft.dv.maxCumulativeFraction")
+      .map(_.toDouble).getOrElse(0.5)
     lazy val f = fs(spark, tableDir)
     perGroup.keys.toSeq.sorted.partition { g =>
       maxFrac > 0.0 && {
         val total = m.fileRows.get(g).orElse(
           GroupStats.read(f, GroupStats.sidecarPath(tableDir, g)).map(_.nRows))
           .getOrElse(-1L)
-        val live = total - dvByGroup.get(g).map(_._3).getOrElse(0L)
-        live > 0 && perGroup(g).toDouble / live <= maxFrac
+        val prior = dvByGroup.get(g).map(_._3).getOrElse(0L)
+        val live = total - prior
+        live > 0 && perGroup(g).toDouble / live <= maxFrac &&
+          (prior + perGroup(g)).toDouble / total <= cumFrac
       }
     }
   }
@@ -2636,9 +2649,13 @@ object Versioned {
     (0L to latestVersion(spark, tableDir)).flatMap { v =>
       scala.util.Try(parseManifest(spark, tableDir, v)).toOption.map { m =>
         val present = m.files.forall(g => f.exists(new Path(s"$tableDir/files/$g")))
-        (v, m.mode, m.nRows, m.files.size.toLong, m.committedAt, present)
+        (v, m.mode, m.nRows, m.files.size.toLong, m.committedAt, present,
+          m.dvs.map(_._3).sum)
       }
-    }.toDF("version", "mode", "n_rows", "n_files", "committed_at", "readable")
+    }.toDF("version", "mode", "n_rows", "n_files", "committed_at", "readable",
+      "dv_rows")
+    // dv_rows = positions carried by the version's deletion vectors —
+    // the DV-pressure gauge (rewrites/compacts drop it back to 0).
     // committed_at stays the manifest's ISO-8601 instant string:
     // Instant.toString emits 0/3/6/9 fractional digits, so a fixed
     // timestamp parse would be fragile, and an audit surface wants the

@@ -281,6 +281,40 @@ class DeletionVectorSpec extends SparkSpec {
     assert(replayed == v4ids)
   }
 
+  test("DV pressure: cumulative fraction triggers materialization, not unbounded growth") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).toDF("id"), dir)
+    // 9 rounds of 2%-deletes accrete positions merge-on-read; the round
+    // that would push the CUMULATIVE deleted fraction past the policy
+    // (here lowered to 12%) must REWRITE instead — vector back to zero
+    spark.conf.set("spark.graft.dv.maxCumulativeFraction", "0.12")
+    try {
+      val v1 = Versioned.delete(spark, dir)(col("id").isin(0L, 1L))   // 2/100
+      val m1 = Versioned.parseManifest(spark, dir, v1)
+      assert(m1.dvs.map(_._3).sum == 2L, "first slice rides the DV")
+      val v2 = Versioned.delete(spark, dir)(col("id").isin(2L, 3L, 4L, 5L))
+      val m2 = Versioned.parseManifest(spark, dir, v2)
+      assert(m2.dvs.map(_._3).sum == 6L, "6/100 cumulative still under 12%")
+      // next slice would reach 10/100 — 10% ≤ 12% → still DV
+      val v3 = Versioned.delete(spark, dir)(col("id").isin(6L, 7L, 8L, 9L))
+      val m3 = Versioned.parseManifest(spark, dir, v3)
+      assert(m3.dvs.map(_._3).sum == 10L)
+      // this one would cross (13/100 > 12%): the group REWRITES and the
+      // vector materializes away
+      val v4 = Versioned.delete(spark, dir)(col("id").isin(10L, 11L, 12L))
+      val m4 = Versioned.parseManifest(spark, dir, v4)
+      assert(m4.dvs.isEmpty, "crossing the cumulative threshold materializes")
+      assert(m4.nRows == 87L)
+      assert(Versioned.read(spark, dir).count() == 87L)
+      // describeHistory surfaces the pressure gauge per version
+      val dvRowsByV = Versioned.describeHistory(spark, dir)
+        .select("version", "dv_rows").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dvRowsByV(v1) == 2L && dvRowsByV(v2) == 6L &&
+        dvRowsByV(v3) == 10L && dvRowsByV(v4) == 0L)
+    } finally spark.conf.unset("spark.graft.dv.maxCumulativeFraction")
+  }
+
   test("MERGE matched actions take the DV path; effect modes feed the CDF") {
     import Versioned.MergeClause._
     // 2 groups x 100 rows
