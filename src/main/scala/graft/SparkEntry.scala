@@ -1395,6 +1395,31 @@ object SparkEntry {
         .orderBy("change_type", "commit_version", "lang")
     }),
 
+    // table_changes SQL TVF (Delta's CDF table function): the same
+    // append + DV-delete lifecycle as version_changes_feed, read
+    // entirely through SQL — INCLUSIVE start at version 0 also serves
+    // genesis content as version-0 inserts (Delta's from-genesis CDF
+    // read). The oracle recomputes every (change_type, commit_version,
+    // lang) cell including the genesis block.
+    "table_changes_sql" -> ((s, dir) => {
+      val sql = graft.sources.GraftDml.enabledSession(s)
+      val docs = sql.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/tvf_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sql.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl) // v0
+      Versioned.append(docs.filter(col("lang") === "de"), tbl) // v1
+      Versioned.delete(sql, tbl)(col("doc_id") % 97L === 0L)   // v2: pure DV
+      Versioned.append(docs.filter(col("lang") === "fr"), tbl) // v3
+      sql.sql(s"""SELECT _change_type AS change_type,
+                 |  _commit_version AS commit_version, lang,
+                 |  count(*) AS n_rows,
+                 |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+                 |FROM table_changes('$tbl', 0)
+                 |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+    }),
+
     "versioned_delete" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tbl = s"/tmp/graft_versioned/del_${etlSuffix(dir)}"
@@ -5497,6 +5522,26 @@ object SparkEntry {
 
     // v1 inserts = de; v2 deletes = the modulo slice of en ∪ de (the
     // table at delete time); v3 inserts = fr.
+    // TVF replay: inclusive start 0 = genesis inserts (en at cv 0)
+    // plus the same feed cells as version_changes_feed.
+    "table_changes_sql" ->
+      """WITH feed AS (
+        |  SELECT 'insert' AS change_type, 0 AS cv, doc_id, lang
+        |  FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT 'insert', 1, doc_id, lang
+        |  FROM documents WHERE lang = 'de'
+        |  UNION ALL
+        |  SELECT 'delete', 2, doc_id, lang FROM documents
+        |  WHERE lang IN ('en', 'de') AND (doc_id % 97) = 0
+        |  UNION ALL
+        |  SELECT 'insert', 3, doc_id, lang
+        |  FROM documents WHERE lang = 'fr')
+        |SELECT change_type, CAST(cv AS BIGINT) AS commit_version, lang,
+        |  count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM feed GROUP BY change_type, cv, lang
+        |ORDER BY change_type, commit_version, lang""".stripMargin,
+
     "version_changes_feed" ->
       """WITH feed AS (
         |  SELECT 'insert' AS change_type, 1 AS cv, doc_id, lang

@@ -2486,6 +2486,35 @@ object Versioned {
       .truncatedTo(java.time.temporal.ChronoUnit.MICROS))
   }
 
+  /** Delta's `table_changes('t', start [, end])` contract over
+    * [[changesFeed]]: INCLUSIVE start — version `startVersion`'s OWN
+    * changes are served (the same reading the streaming CDF source
+    * gives `startingVersion`), and a start of 0 emits version 0's full
+    * content as version-0 inserts (there is no parent to difference
+    * against — Delta CDF does the same for a from-genesis read).
+    * `endVersion < 0` = latest. This is the SQL TVF's engine; the SQL
+    * surface is `SELECT ... FROM table_changes('dir-or-table', start
+    * [, end])` under [[graft.sources.GraftExtensions]]. */
+  def tableChanges(
+      spark: SparkSession,
+      tableDir: String,
+      startVersion: Long,
+      endVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{lit => flit}
+    require(startVersion >= 0, s"startVersion must be >= 0: $startVersion")
+    val to = if (endVersion >= 0) endVersion else latestVersion(spark, tableDir)
+    if (startVersion > 0) return changesFeed(spark, tableDir, startVersion - 1, to)
+    val m0 = parseManifest(spark, tableDir, 0L)
+    val endMeta = parseManifest(spark, tableDir, to)
+    val genesis = scanVersionGroups(spark, tableDir, m0.files,
+      endMeta.schemaDdl, endMeta.mapping, m0.dvs)
+      .withColumn("_change_type", flit("insert"))
+      .withColumn("_commit_version", flit(0L))
+      .withColumn("_commit_timestamp", flit(commitTs(m0, 0L)))
+    (genesis +: changesFeedPieces(spark, tableDir, 0L, to))
+      .reduce(_ unionByName _)
+  }
+
   /** [[changesFeed]]'s frames (already `_change_type` /
     * `_commit_version`-tagged) — exposed so the streaming CDF source
     * can union and re-flag them without inheriting the batch wrapper's

@@ -104,8 +104,55 @@ final class GraftPathRelationRule(session: SparkSession)
     }
   }
 
+  /** `table_changes('dir-or-table', start [, end])` — Delta's CDF TVF:
+    * resolves to [[graft.operators.Versioned.tableChanges]]'s plan
+    * (inclusive start, row-level `_change_type` / `_commit_version` /
+    * `_commit_timestamp` columns). Version args are literal numbers or
+    * timestamp strings (resolved via the manifest commit instants). */
+  private def tableChangesPlan(
+      args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      s"table_changes expects (table, startVersion[, endVersion]); got ${args.size} args")
+    args.foreach(a => require(a.resolved && a.foldable,
+      s"table_changes arguments must be literals: `${a.sql}`"))
+    val nameStr = args.head.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"table_changes: first argument must be a table name or path string, got $other")
+    }
+    val dir: String =
+      if (GraftPathRelationRule.resolvesAsPath(session, Seq("graft", nameStr)))
+        nameStr
+      else org.apache.spark.sql.graftshim.GraftSqlBridge
+        .graftTablePath(session, nameStr.split('.').toSeq)
+        .getOrElse(throw new IllegalArgumentException(
+          s"table_changes: '$nameStr' is neither a graft table directory " +
+            "nor a USING graft catalog table"))
+    def versionOf(e: Expression): Long = (e.eval(), e.dataType) match {
+      case (n: Number, _) => n.longValue()
+      case (s: org.apache.spark.unsafe.types.UTF8String, _)
+          if s.toString.trim.matches("\\d+") => s.toString.trim.toLong
+      case (s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        graft.operators.Versioned.versionAt(
+          session, dir, GraftDml.parseInstant(s.toString))
+      case (micros: Long, org.apache.spark.sql.types.TimestampType) =>
+        graft.operators.Versioned.versionAt(session, dir,
+          java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS))
+      case (v, dt) => throw new IllegalArgumentException(
+        s"table_changes: unsupported version argument $v ($dt)")
+    }
+    val from = versionOf(args(1))
+    val to = if (args.size == 3) versionOf(args(2)) else -1L
+    SubqueryAlias("table_changes",
+      graft.operators.Versioned.tableChanges(session, dir, from, to)
+        .queryExecution.analyzed)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction(
+          Seq(fn), args, _) if fn.equalsIgnoreCase("table_changes") =>
+        tableChangesPlan(args)
       case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
           u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation, ts, ver) =>
         pathOf(u) match {

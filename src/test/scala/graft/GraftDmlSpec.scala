@@ -36,6 +36,48 @@ class GraftDmlSpec extends SparkSpec {
     dir
   }
 
+  test("table_changes TVF: the CDF over SQL, inclusive start, version and time bounds") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).map(i => (i, 0L)).toDF("id", "n"), dir) // v0
+    Versioned.append((100L until 120L).map(i => (i, 0L)).toDF("id", "n"), dir) // v1
+    Versioned.delete(sql, dir)(col("id") === 7L)                             // v2 (DV)
+    Versioned.update(sql, dir, col("id") === 110L, "n" -> lit(5L))           // v3 (DV)
+    def rows(q: String): Set[(Long, String, Long)] =
+      sql.sql(q).select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // inclusive start at v1: the append's own inserts arrive
+    val fromV1 = rows(s"SELECT * FROM table_changes('$dir', 1)")
+    assert(fromV1 == (100L until 120L).map(i => (i, "insert", 1L)).toSet ++
+      Set((7L, "delete", 2L),
+        (110L, "update_preimage", 3L), (110L, "update_postimage", 3L)))
+    // end bound is inclusive too
+    assert(rows(s"SELECT * FROM table_changes('$dir', 2, 2)") ==
+      Set((7L, "delete", 2L)))
+    // start 0 = genesis: v0's full content as version-0 inserts
+    val fromV0 = rows(s"SELECT * FROM table_changes('$dir', 0, 1)")
+    assert(fromV0 == (0L until 120L).map(i => (i, "insert", if (i < 100) 0L else 1L)).toSet)
+    // _commit_timestamp rides along and matches the manifest instants
+    val ts2 = sql.sql(s"SELECT DISTINCT _commit_timestamp FROM " +
+      s"table_changes('$dir', 2, 2)").collect()
+    assert(ts2.length == 1 && ts2(0).getTimestamp(0) ==
+      graft.operators.Versioned.commitTs(
+        Versioned.parseManifest(sql, dir, 2L), 2L))
+    // a TIMESTAMP string start resolves through the manifest instants
+    val t1 = Versioned.parseManifest(sql, dir, 2L).committedAt
+    assert(rows(s"SELECT * FROM table_changes('$dir', '$t1', 2)") ==
+      Set((7L, "delete", 2L)))
+    // catalog-name form resolves like the rest of the SQL surface
+    sql.sql(s"CREATE TABLE tvf_tbl USING graft OPTIONS (path '$dir')")
+    try assert(rows("SELECT * FROM table_changes('tvf_tbl', 2, 2)") ==
+      Set((7L, "delete", 2L)))
+    finally sql.sql("DROP TABLE tvf_tbl")
+    // a non-graft first argument refuses loudly
+    val e = intercept[Exception] {
+      sql.sql("SELECT * FROM table_changes('no_such_table_anywhere', 0)").collect()
+    }
+    assert(e.getMessage.contains("graft"), e.getMessage)
+  }
+
   test("SQL DELETE rewrites only touched groups; untouched carry metadata-only") {
     val dir = seeded()
     val before = groupsOf(dir)
