@@ -1420,6 +1420,37 @@ object SparkEntry {
                  |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
     }),
 
+    // MULTI-COLUMN NOT IN DML — the ANSI tuple trap, exactly: the set
+    // carries a NULL-bearing tuple ('en', NULL), which keeps every
+    // en row (UNKNOWN), while rows failing EVERY tuple on some column
+    // delete even when another column is NULL. The oracle is DuckDB
+    // evaluating the PROVABLY-EQUIVALENT null-aware NOT EXISTS rewrite
+    // (DuckDB's own ROW(...) NOT IN uses struct semantics — non-ANSI —
+    // so the rewrite IS the ANSI judge).
+    "datasource_dml_not_in_multi" -> ((s, dir) => {
+      val sql = graft.sources.GraftDml.enabledSession(s)
+      val docs = sql.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      val tbl = s"/tmp/graft_versioned/nim_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sql.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Versioned.append(docs.filter(col("lang") =!= "en"), tbl)
+      sql.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === "src1")
+        .select(col("lang").as("k1"), col("source").as("k2")).distinct()
+        .unionByName(sql.range(1).select(
+          lit("en").as("k1"), lit(null).cast("string").as("k2")))
+        .createOrReplaceTempView("__nim_set")
+      sql.sql(s"""DELETE FROM graft.`$tbl`
+                 |WHERE (lang, source) NOT IN (SELECT k1, k2 FROM __nim_set)
+                 |""".stripMargin)
+      sql.sql(s"""SELECT lang, source, count(*) AS n_rows,
+                 |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+                 |FROM graft.`$tbl` GROUP BY lang, source
+                 |ORDER BY lang, source""".stripMargin)
+    }),
+
     "versioned_delete" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tbl = s"/tmp/graft_versioned/del_${etlSuffix(dir)}"
@@ -5541,6 +5572,23 @@ object SparkEntry {
         |  count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM feed GROUP BY change_type, cv, lang
         |ORDER BY change_type, commit_version, lang""".stripMargin,
+
+    // ANSI tuple NOT IN replay via the null-aware NOT EXISTS rewrite
+    // (r NOT IN S is TRUE iff no tuple is non-FALSE on every column).
+    "datasource_dml_not_in_multi" ->
+      """WITH sset AS (
+        |  SELECT DISTINCT lang AS k1, source AS k2 FROM documents
+        |  WHERE source = 'src1'
+        |  UNION ALL SELECT 'en', NULL),
+        |surv AS (
+        |  SELECT * FROM documents d
+        |  WHERE (NOT EXISTS (SELECT 1 FROM sset s
+        |    WHERE (d.lang = s.k1 OR d.lang IS NULL OR s.k1 IS NULL)
+        |      AND (d.source = s.k2 OR d.source IS NULL OR s.k2 IS NULL)))
+        |    IS NOT TRUE)
+        |SELECT lang, source, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM surv GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "version_changes_feed" ->
       """WITH feed AS (

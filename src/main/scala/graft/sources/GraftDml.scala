@@ -347,8 +347,10 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     *    NO row matches (no-op); a NULL `col` never matches a non-empty
     *    set; an EMPTY set matches every row (NULL col included). Runs
     *    as a NOT-MATCHED-BY-SOURCE clause over the materialized keys.
-    *    Multi-column NOT IN refuses (its partial-NULL tuple semantics
-    *    are a different machine);
+    *    MULTI-COLUMN NOT IN evaluates the (bounded) tuple set as a
+    *    literal predicate under Spark's own three-valued logic — exact
+    *    ANSI tuple semantics, refused loudly past
+    *    `spark.graft.dml.notInLiteralLimit` (use NOT EXISTS there);
     *  - `EXISTS (SELECT ... WHERE inner = t.col [AND local...])` —
     *    correlated by key equalities only: the correlation strips to a
     *    key projection and rides the IN path;
@@ -438,11 +440,16 @@ object GraftDmlRule extends Rule[LogicalPlan] {
       case Not(InSubquery(values, q)) =>
         if (q.isCorrelated || q.outerAttrs.nonEmpty)
           unsupported("the NOT IN subquery is correlated")
+        // Single-column NOT IN rides the scalable by-source path (its
+        // ANSI traps reduce to three driver-side facts). MULTI-COLUMN
+        // tuples cannot: a row with a NULL key column may still be
+        // claimed when every tuple fails on ANOTHER column, so the
+        // semantics are inherently per-row-per-tuple — the command
+        // materializes the (bounded) tuple set into a literal
+        // predicate Spark's own three-valued logic evaluates exactly.
         if (values.size != 1)
-          unsupported("multi-column NOT IN — its partial-NULL tuple " +
-            "semantics differ per column; split into single-column " +
-            "conditions or use NOT EXISTS")
-        Some((bareCols(values), q.plan, residual, "not_in"))
+          Some((bareCols(values), q.plan, residual, "not_in_multi"))
+        else Some((bareCols(values), q.plan, residual, "not_in"))
       case e: Exists =>
         if (e.outerAttrs.isEmpty)
           unsupported("uncorrelated EXISTS — it is a constant condition; " +
@@ -729,7 +736,8 @@ private[graft] final case class GraftUpdateCommand(
   * "not_in" = by-source WITH the ANSI NULL semantics — any NULL in the
   * materialized set means no row matches (no-op), a NULL target key
   * never matches a NON-empty set (guarded), and an empty set claims
-  * everything, NULL keys included. */
+  * everything, NULL keys included; "not_in_multi" = the tuple flavor,
+  * evaluated as a bounded literal predicate (see the run method). */
 private[graft] final case class GraftDmlKeysCommand(
     tableDir: String,
     keyCols: Seq[String],
@@ -754,6 +762,40 @@ private[graft] final case class GraftDmlKeysCommand(
           if (sets.isEmpty) MatchedDelete(cond)
           else MatchedUpdate(assigns, cond)
         Versioned.mergeClauses(spark, tableDir, keys, keyCols, Seq(clause))
+      case "not_in_multi" =>
+        // ANSI tuple NOT IN, exactly: the row is claimed iff NO tuple
+        // s has (r.c = s.c) non-FALSE on every column — i.e.
+        // NOT(OR over tuples of AND over columns of r.c = lit(s.c))
+        // under Spark's own three-valued logic (a NULL literal or a
+        // NULL row column makes its conjunct UNKNOWN; delete keeps
+        // UNKNOWN rows, ANSI). The tuple set materializes as LITERALS,
+        // so it is bounded: past the limit the statement refuses
+        // loudly (use NOT EXISTS for large sets — it scales as a
+        // join).
+        val limit = spark.conf.getOption("spark.graft.dml.notInLiteralLimit")
+          .map(_.toInt).getOrElse(10000)
+        val tuples = keys.limit(limit + 1).collect()
+        if (tuples.length > limit)
+          throw new UnsupportedOperationException(
+            s"graft DML: multi-column NOT IN evaluated ${tuples.length - 1}+ " +
+              s"distinct tuples (limit $limit) — its per-row-per-tuple NULL " +
+              "semantics require a literal predicate; rewrite as NOT EXISTS " +
+              "(which joins) or raise spark.graft.dml.notInLiteralLimit")
+        val types = keys.schema.fields.map(_.dataType)
+        val pred: org.apache.spark.sql.Column =
+          if (tuples.isEmpty) lit(true) // empty set: NOT IN is TRUE for every row
+          else !tuples.toSeq.map { row =>
+            keyCols.zipWithIndex.map { case (c, i) =>
+              col(c) === lit(row.get(i)).cast(types(i))
+            }.reduce(_ && _)
+          }.reduce(_ || _)
+        // the residual and assignments are TGT-qualified for the
+        // merge-clause scope; this path runs on the bare table
+        val strip = org.apache.spark.sql.graftshim.GraftSqlBridge.stripTgtQualifier _
+        val fullCond = cond.map(c => pred && strip(c)).getOrElse(pred)
+        if (sets.isEmpty) Versioned.delete(spark, tableDir)(fullCond)
+        else Versioned.update(spark, tableDir, fullCond,
+          assigns.map { case (n, c) => n -> strip(c) }: _*)
       case "not_in" | "not_exists" =>
         val guards: Seq[org.apache.spark.sql.Column] =
           if (negation == "not_in") {

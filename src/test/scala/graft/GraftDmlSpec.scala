@@ -320,9 +320,13 @@ class GraftDmlSpec extends SparkSpec {
     refuse(s"""DELETE FROM graft.`$dir` WHERE id IN (SELECT k FROM dml_sq_k2)
               |AND w IN (SELECT k FROM dml_sq_k2)""".stripMargin,
       "subquery conjuncts")
-    refuse(s"""DELETE FROM graft.`$dir`
+    // multi-column NOT IN is SUPPORTED (bounded literal predicate);
+    // the refusal is the over-limit guard
+    sql.conf.set("spark.graft.dml.notInLiteralLimit", "1")
+    try refuse(s"""DELETE FROM graft.`$dir`
               |WHERE (id, w) NOT IN (SELECT k, k FROM dml_sq_k2)""".stripMargin,
-      "multi-column NOT IN")
+      "notInLiteralLimit")
+    finally sql.conf.unset("spark.graft.dml.notInLiteralLimit")
     refuse(s"""DELETE FROM graft.`$dir`
               |WHERE EXISTS (SELECT 1 FROM dml_sq_k2)""".stripMargin,
       "uncorrelated EXISTS")
@@ -380,6 +384,58 @@ class GraftDmlSpec extends SparkSpec {
     // S empty: NOT IN is TRUE for every row, the NULL key included
     sql.sql(s"DELETE FROM graft.`$dir` WHERE id NOT IN (SELECT k FROM dml_ni_empty)")
     assert(Versioned.read(sql, dir).count() == 0, "empty S deletes everything")
+  }
+
+  test("multi-column NOT IN DML: exact ANSI tuple three-valued logic") {
+    val dir = tbl()
+    locally {
+      val ss = sql; import ss.implicits._
+      Versioned.commit(Seq(
+        (java.lang.Long.valueOf(1L), "a"),
+        (java.lang.Long.valueOf(2L), "b"),
+        (null.asInstanceOf[java.lang.Long], "c"),
+        (java.lang.Long.valueOf(3L), null.asInstanceOf[String]))
+        .toDF("id", "v"), dir)
+      Seq((java.lang.Long.valueOf(1L), "a"),
+        (null.asInstanceOf[java.lang.Long], "b"),
+        (java.lang.Long.valueOf(4L), "d"))
+        .toDF("k", "sv").createOrReplaceTempView("dml_nim_set")
+    }
+    // ANSI per row: (1,a) IN the set -> kept; (2,b) vs (NULL,b) is
+    // UNKNOWN (b matches, k is NULL) -> kept; (3,NULL) vs (NULL,b) is
+    // UNKNOWN on both columns -> kept; (NULL,c) fails EVERY tuple on
+    // the v column -> NOT IN is TRUE -> deleted DESPITE the NULL id
+    // (the case the single-column "NULL key kept" shortcut gets wrong).
+    sql.sql(s"""DELETE FROM graft.`$dir`
+               |WHERE (id, v) NOT IN (SELECT k, sv FROM dml_nim_set)""".stripMargin)
+    val got = Versioned.read(sql, dir).select("id", "v").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(got == Set((Some(1L), Some("a")), (Some(2L), Some("b")),
+      (Some(3L), None)), s"got $got")
+    // and it must agree with Spark's OWN evaluation of the predicate
+    val wantSurvivors = sql.sql(
+      """SELECT id, v FROM (SELECT 1L AS id, 'a' AS v UNION ALL
+        |SELECT 2L, 'b' UNION ALL SELECT CAST(NULL AS BIGINT), 'c' UNION ALL
+        |SELECT 3L, CAST(NULL AS STRING))
+        |WHERE ((id, v) NOT IN (SELECT k, sv FROM dml_nim_set)) IS NOT TRUE
+        |""".stripMargin).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(got == wantSurvivors, "must match Spark's own NOT IN evaluation")
+    // UPDATE flavor with a residual conjunct
+    sql.sql(s"""UPDATE graft.`$dir` SET v = 'mark'
+               |WHERE (id, v) NOT IN (SELECT k, sv FROM dml_nim_set)
+               |  AND id IS NOT NULL""".stripMargin)
+    assert(Versioned.read(sql, dir).filter($"v" === "mark").count() == 0,
+      "every survivor is IN-or-UNKNOWN: nothing qualifies")
+    // empty set: tuple NOT IN is TRUE for every row
+    locally {
+      val ss = sql; import ss.implicits._
+      Seq.empty[(Long, String)].toDF("k", "sv")
+        .createOrReplaceTempView("dml_nim_empty")
+    }
+    sql.sql(s"""DELETE FROM graft.`$dir`
+               |WHERE (id, v) NOT IN (SELECT k, sv FROM dml_nim_empty)""".stripMargin)
+    assert(Versioned.read(sql, dir).count() == 0, "empty set deletes everything")
   }
 
   test("MERGE ON with differently-named keys: t.id = s.src_id rides the key path") {
