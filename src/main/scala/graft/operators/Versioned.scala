@@ -2769,180 +2769,47 @@ object Versioned {
   }
 
   /** The PUSH flavor of [[pollChanges]]: tail an APPEND-ONLY versioned
-    * table as a Structured Streaming source. Each [[append]] writes its
-    * batch as a fresh file-group directory; the file source's next
-    * micro-batch picks those files up, so a consumer receives exactly
-    * the appended rows — from GENESIS on first start (the initial
-    * listing emits the existing groups: CDC-from-start of an
-    * append-only table), then incrementally, with the engine's own
-    * checkpoint guaranteeing each group is processed once across
-    * restarts.
-    *
-    * The append-only contract is ENFORCED, not advisory: the stream is
-    * manifest-aware on two layers. (1) A per-batch exclusion joins the
-    * file groups against the groups introduced by non-append versions
-    * (computed fresh from the manifest log at every micro-batch plan),
-    * so a [[compact]]/[[snapshotTo]]/COW-DML rewrite group whose
-    * manifest is visible at batch-plan time never re-emits existing
-    * rows into the checkpointed sink. (2) A guard stream tails the
-    * manifest log itself and FAILS THE QUERY loudly the moment a
-    * version whose mode is outside [[streamSafeModes]] exists past
-    * genesis (v0 may be any mode — it is the initial state), matching
-    * [[changes]]'s raise and [[pollChanges]]'s resync flag; that
-    * includes RENAME/DROP COLUMN versions, whose mapping a schema-blind
-    * file stream cannot apply. When rewrites can occur, use
-    * [[pollChanges]] and honor its resync flag instead.
-    *
-    * Honest residual window: rewrite GROUP FILES become durable before
-    * their manifest publishes (the same ordering appends rely on), so a
-    * batch whose listing catches the new files while the manifest write
-    * is still in flight can commit those rows before the guard kills
-    * the query one batch later — a file-source filter cannot hold back
-    * unknown files without also losing in-flight APPENDS forever (the
-    * engine marks listed files processed either way). The window is
-    * CLOSED by the manifest-driven streaming source
+    * table as a Structured Streaming source. Since round 15 this
+    * DELEGATES to the manifest-driven source
     * (`spark.readStream.format("graft")`,
-    * [[graft.sources.GraftStreamSource]]): it plans each micro-batch
-    * from manifest version ranges, so an unpublished group is invisible
-    * by construction, the schema comes from the manifest, and
-    * `startingVersion` works — PREFER IT for new consumers. This
-    * file-stream flavor remains for schema-pinned listeners on paths
-    * where the datasource is not registered; do not run rewrites
-    * against a table it is tailing — the guard turns that mistake into
-    * a loud failure rather than a silent corruption.
+    * [[graft.sources.GraftStreamSource]]): offsets are table versions,
+    * every micro-batch is planned from manifest ranges, and a file
+    * group that is durable but unpublished is invisible BY
+    * CONSTRUCTION — which closes the residual race the retired
+    * file-stream implementation documented (its directory listing
+    * could catch a rewrite's files before their manifest appeared; the
+    * exclusion-join + guard-stream machinery that bounded that window
+    * is deleted, not quarantined). Consumers get the same contract:
+    * genesis emits the existing groups once, each append exactly once
+    * across restarts (engine checkpoint over immutable manifests), and
+    * any non-append version past genesis fails the query loudly AT
+    * PLAN TIME — before a single row of it could emit.
     *
-    * Safe against [[vacuum]]: retention deletes only groups no kept
-    * version lists, which a checkpointed consumer processed long
-    * before. `schema` is required by `readStream`; pass
-    * `read(spark, dir).schema` of the live table. Groups are durable
-    * BEFORE their manifest publishes (see [[publish]]), so the stream
-    * can briefly lead the manifest by one group but never emits a torn
-    * group (an unknown group is presumed an in-flight append; if its
-    * manifest turns out to be a rewrite, the guard kills the query
-    * within a batch). */
+    * `schema` is retained for signature compatibility and VALIDATED:
+    * the manifest already knows the table's schema, so a mismatched
+    * caller expectation raises instead of silently reshaping rows.
+    * Prefer `spark.readStream.format("graft").load(dir)` (plus
+    * `startingVersion` / `maxVersionsPerBatch` options) in new code. */
   def changesStream(
       spark: SparkSession,
       tableDir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val data = spark.readStream.schema(schema).parquet(s"$tableDir/files/*")
-    // (1) exclusion: groups introduced by non-append versions never
-    // emit. The static side is a custom TableScan relation whose
-    // buildScan re-reads the manifest log — IncrementalExecution plans
-    // every micro-batch afresh, so the exclusion set tracks the LIVE
-    // table, and it is broadcast-tiny (bounded by rewrite count).
-    val unsafe = org.apache.spark.sql.graftshim.GraftSqlBridge.ofRows(
-      spark,
-      org.apache.spark.sql.execution.datasources.LogicalRelation(
-        StreamUnsafeGroupsRelation(spark, tableDir), isStreaming = false))
-      .withColumn("__graft_unsafe", lit(true))
-    val filtered = data
-      .withColumn("__graft_group",
-        org.apache.spark.sql.functions.regexp_extract(
-          org.apache.spark.sql.functions.input_file_name(),
-          // greedy prefix anchors to the LAST /files/ segment — the
-          // table's own path may legitimately contain "/files/"
-          "^.*/files/([^/]+)/", 1))
-      .join(org.apache.spark.sql.functions.broadcast(unsafe),
-        Seq("__graft_group"), "left_outer")
-      .filter(col("__graft_unsafe").isNull)
-      .drop("__graft_group", "__graft_unsafe")
-    // (2) guard: the manifest log is itself a (text) file stream; a
-    // non-append manifest past genesis fails the query with a clear
-    // error. Emits no rows — it exists to throw.
-    val safeModes = streamSafeModes
-    val dirForMsg = tableDir
-    val guard = spark.readStream
-      .textFile(s"$tableDir/_versions/v*.json")
-      .flatMap { raw: String =>
-        // FAIL CLOSED: a manifest line the guard cannot parse (format
-        // drift, future pretty-printing) must stop the stream, not be
-        // waved through as "genesis" — a safety guard that silently
-        // stops guarding is worse than none.
-        val modeOpt = "\"mode\":\"([^\"]*)\"".r
-          .findFirstMatchIn(raw).map(_.group(1))
-        val vOpt = "\"version\":(\\d+)".r
-          .findFirstMatchIn(raw).map(_.group(1).toLong)
-        if (modeOpt.isEmpty || vOpt.isEmpty)
-          throw new IllegalStateException(
-            s"changesStream($dirForMsg): unparsable manifest line (no " +
-              "version/mode field) — failing closed rather than skipping " +
-              s"the append-only check: ${raw.take(200)}")
-        val mode = modeOpt.get
-        val v = vOpt.get
-        if (v > 0 && !safeModes(mode))
-          throw new IllegalStateException(
-            s"changesStream($dirForMsg): version $v (mode=$mode) is not an " +
-              "append — a file-group stream over a rewritten table would " +
-              "re-emit existing rows (or, for column DDL, misread physical " +
-              "names). This stream supports APPEND-ONLY tables; use " +
-              "pollChanges and honor its resync flag instead.")
-        Iterator.empty[org.apache.spark.sql.Row]
-      }(org.apache.spark.sql.Encoders.row(schema))
-    filtered.unionByName(guard.toDF(schema.fieldNames.toIndexedSeq: _*))
+    val live = graft.sources.GraftStreamSource.tableSchema(spark, tableDir)
+    require(schema == live,
+      s"changesStream($tableDir): the supplied schema does not match the " +
+        s"table's manifest schema (supplied: ${schema.toDDL}; manifest: " +
+        s"${live.toDDL}) — pass Versioned.read(spark, dir).schema or drop " +
+        "to spark.readStream.format(\"graft\").load(dir)")
+    spark.readStream.format("graft").load(tableDir)
   }
 
-  /** Version modes [[changesStream]] may live through past genesis:
+  /** Version modes a STREAMING tail may live through past genesis:
     * appends and the metadata-only CONSTRAINT versions. Rewrites
     * (snapshot/compact/restore/COW DML) re-emit rows; RENAME/DROP
-    * COLUMN change the physical-name mapping a schema-blind file
-    * stream cannot apply — both fail the stream. */
+    * COLUMN reshape the pinned schema mid-stream — both fail the
+    * query at batch-plan time ([[graft.sources.GraftStreamSource]]). */
   private[graft] val streamSafeModes: Set[String] =
     Set("append", "add_constraint", "drop_constraint")
-
-  /** The exclusion set for [[changesStream]]: file groups INTRODUCED
-    * (not carried) by a stream-unsafe version past genesis. Manifests
-    * are immutable once published, so the walk is cached per table and
-    * extended incrementally — a micro-batch pays one `latestVersion`
-    * listing plus parses only for versions it has not seen. */
-  private[operators] def streamUnsafeIntroducedGroups(
-      spark: SparkSession, tableDir: String): Seq[String] = {
-    val (lowest, latest) = versionBounds(spark, tableDir)
-    if (latest <= 0) return Seq.empty
-    // Epoch = oldest-manifest CONTENT hash ([[tableEpoch]]): a table
-    // deleted and re-created at the same path restarts its manifest
-    // log, which must invalidate the incremental walk — and an mtime
-    // epoch misses a re-creation within the filesystem's timestamp
-    // granularity, silently dropping valid rows from the stream.
-    val epoch = tableEpoch(spark, tableDir, lowest)
-    val key = cacheKey(spark, tableDir)
-    unsafeGroupsCache.synchronized {
-      val (cachedV, cachedPrev, cachedUnsafe) =
-        Option(unsafeGroupsCache.get(key)) match {
-          case Some((e, v, p, u)) if e == epoch && v <= latest => (v, p, u)
-          case _ =>
-            (0L, scala.util.Try(parseManifest(spark, tableDir, 0L).files.toSet)
-              .getOrElse(Set.empty[String]), Set.empty[String])
-        }
-      var prev = cachedPrev
-      var unsafe = cachedUnsafe
-      ((cachedV + 1) to latest).foreach { v =>
-        // ONLY absence means vacuumed; a transient read error must
-        // propagate (fail the batch, engine retries) — treating it as
-        // "no manifest" and then CACHING the walk would permanently
-        // omit that version's groups from the exclusion set.
-        val m =
-          try Some(parseManifest(spark, tableDir, v))
-          catch { case _: java.io.FileNotFoundException => None }
-        m match {
-          case Some(mf) =>
-            if (!streamSafeModes(mf.mode))
-              unsafe = unsafe ++ mf.files.filterNot(prev) ++
-                // DV position artifacts live under files/ too: the
-                // schema-pinned file stream would otherwise ingest a
-                // dv-* parquet as all-NULL table rows in the window
-                // before the guard sees the delete manifest
-                mf.dvs.map(_._2)
-            prev = mf.files.toSet
-          case None => () // vacuumed manifest: its dropped groups are gone
-        }
-      }
-      unsafeGroupsCache.put(key, (epoch, latest, prev, unsafe))
-      unsafe.toSeq.sorted
-    }
-  }
-
-  private val unsafeGroupsCache =
-    lruMap[(Long, Long, Set[String], Set[String])](256)
 
   /** CONVERT TO GRAFT — adopt an existing plain-parquet directory as
     * version 0 of a versioned table IN PLACE, Delta's `CONVERT TO

@@ -478,20 +478,35 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
-  test("changesStream's exclusion set covers DV position artifacts") {
+  test("changesStream (manifest-driven) never ingests DV artifacts; a DV delete fails loudly") {
     val dir = tbl()
     Versioned.commit((0L until 100L).toDF("id"), dir)
+    val io = Files.createTempDirectory("graft-dv-stream")
+    def drain(): Unit = {
+      val q = Versioned.changesStream(spark, dir,
+        Versioned.read(spark, dir).schema)
+        .writeStream.format("parquet")
+        .option("path", s"$io/sink").option("checkpointLocation", s"$io/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(s"$io/sink").count() == 100L)
     withDvFraction(0.5) {
       Versioned.delete(spark, dir)(col("id") === 1L)
     }
-    val unsafe = graft.operators.StreamUnsafeGroupsRelation(spark, dir)
-      .buildScan().collect().map(_.getString(0)).toSet
-    val artifact = new java.io.File(s"$dir/files").listFiles()
-      .map(_.getName).filter(_.startsWith("dv-")).toSet
-    assert(artifact.size == 1)
-    assert(artifact.subsetOf(unsafe),
-      s"the dv artifact must be excluded from a schema-pinned file " +
-        s"stream (unsafe=$unsafe)")
+    // the delete version is not stream-safe: the tail fails AT PLAN
+    // TIME, and the position artifact can never be listed as data —
+    // batches are planned from manifests, not directory listings
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(e.getMessage.contains("not an append") ||
+      Option(e.getCause).exists(_.getMessage.contains("not an append")))
+    val sunk = spark.read.parquet(s"$io/sink")
+    assert(sunk.count() == 100L, "nothing (re-)emitted past the failure")
+    assert(sunk.filter(col("id").isNull).isEmpty,
+      "no all-NULL rows from a dv-* artifact misread as table data")
   }
 
   test("reserved internal column names are refused at write time") {
