@@ -36,8 +36,9 @@ import graft.operators.Versioned
   * Options: `startingVersion` (a version number, or `latest` = only
   * versions committed after the stream starts; default 0 = from
   * genesis, CDC-from-start) and `maxVersionsPerBatch` (admission
-  * control: cap how many versions one micro-batch may span; best
-  * effort — the first batch after a restart may span the full backlog).
+  * control: cap how many versions one micro-batch may span — applied
+  * from the FIRST batch of a fresh stream; best effort on restart,
+  * where the engine's checkpoint may already span the full backlog).
   *
   * Scale shape: batch planning is a manifest set difference on the
   * driver (KB of JSON); the data scan is Spark's own vectorized parquet
@@ -52,7 +53,51 @@ final class GraftStreamSource(
     tableDir: String,
     options: Map[String, String],
     metadataPath: Option[String] = None)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow end latch. Implementing the interface keeps
+    * the engine from wrapping this source in AvailableNowSourceWrapper,
+    * whose latch is the FIRST getOffset result — under a capped fresh
+    * stream that would end the run after one slice instead of draining
+    * the backlog. Here the latch is the uncapped latest version at run
+    * start; capped offers advance toward it batch by batch and the run
+    * ends when it is reached — admission control AND the AvailableNow
+    * contract. */
+  private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowEnd = Some(Versioned.latestVersion(spark, tableDir))
+  }
+
+  /** SupportsAdmissionControl seam — the engine PREFERS this over the
+    * v1 `getOffset` and hands us the TRUE start (checkpoint offset, or
+    * [[initialOffset]] on a fresh stream), so `maxVersionsPerBatch`
+    * caps EVERY batch safely: a capped offer can never regress below a
+    * checkpoint we can see. Returns `start` itself when no new
+    * versions exist (the engine's no-new-data signal). */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = synchronized {
+    val from =
+      if (start == null) startingVersion - 1
+      else GraftStreamSource.versionOf(start)
+    val live = Versioned.latestVersion(spark, tableDir)
+    val bounded = availableNowEnd.map(math.min(live, _)).getOrElse(live)
+    val end = maxVersionsPerBatch
+      .map(m => math.min(bounded, from + m)).getOrElse(bounded)
+    offeredOnce = true
+    if (end <= from) start
+    else { lastSeen = math.max(lastSeen, end); LongOffset(end) }
+  }
+
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(startingVersion - 1)
+
+  override def deserializeOffset(
+      json: String): org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(json.trim.toLong)
 
   /** The resolved start is PERSISTED under the stream's metadata path
     * on first resolution (create-exclusive; a racing restart re-reads
@@ -61,6 +106,14 @@ final class GraftStreamSource(
     * a restart would re-resolve 'latest' and silently skip everything
     * committed between the runs — the same reason Delta's source
     * writes its initial offset into the checkpoint. */
+  /** Whether THIS instance created the stream's metadata marker — i.e.
+    * the stream is FRESH, with provably no prior checkpoint. A fresh
+    * stream may cap its very first offer (there is no engine offset it
+    * could regress below); a restarted one may not (the checkpoint may
+    * sit past any cap computed here). Unknown (no metadata path, or a
+    * lost creation race) conservatively reads as restart. */
+  private var createdMarker: Boolean = false
+
   private val startingVersion: Long = {
     def requested(): Long = options.get("startingVersion") match {
       case None => 0L
@@ -92,7 +145,7 @@ final class GraftStreamSource(
         read().getOrElse {
           val v = requested()
           fs.mkdirs(p.getParent)
-          if (FsAtomic.createExclusive(fs, p, s"$v\n")) v
+          if (FsAtomic.createExclusive(fs, p, s"$v\n")) { createdMarker = true; v }
           else read().getOrElse(v) // lost the race: adopt the winner's
         }
     }
@@ -125,13 +178,18 @@ final class GraftStreamSource(
   private var offeredOnce: Boolean = false
 
   override def getOffset: Option[OffsetV1] = synchronized {
-    val latest = Versioned.latestVersion(spark, tableDir)
+    val latestLive = Versioned.latestVersion(spark, tableDir)
+    val latest = availableNowEnd.map(math.min(latestLive, _)).getOrElse(latestLive)
     if (latest < startingVersion && lastSeen < startingVersion) return None
-    // The FIRST offer of a (possibly restarted) instance is uncapped:
-    // the engine's checkpoint may already sit past any cap we could
-    // compute locally, and an offset must never regress.
+    // The FIRST offer of a RESTARTED (or unknown-provenance) instance
+    // is uncapped: the engine's checkpoint may already sit past any
+    // cap we could compute locally, and an offset must never regress.
+    // A FRESH stream (this instance created the metadata marker, so no
+    // checkpoint can exist) caps from the very first batch — a long
+    // backlog drains in admission-controlled slices instead of one
+    // giant first micro-batch.
     val capped =
-      if (!offeredOnce) latest
+      if (!offeredOnce && !createdMarker) latest
       else maxVersionsPerBatch.map(m => math.min(latest, lastSeen + m))
         .getOrElse(latest)
     offeredOnce = true
@@ -313,10 +371,12 @@ private[graft] object GraftStreamSource {
   }
 
   /** Version number of any offset shape the engine hands back —
-    * LongOffset live, SerializedOffset across restarts; LongOffset's
+    * LongOffset live, SerializedOffset across restarts (v1), or the
+    * connector Offset of the admission-control path; every shape's
     * json IS the plain version number. */
-  def versionOf(o: OffsetV1): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong
-  }
+  def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case l: LongOffset => l.offset
+      case other => other.json.trim.toLong
+    }
 }

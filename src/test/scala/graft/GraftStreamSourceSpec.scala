@@ -170,6 +170,35 @@ class GraftStreamSourceSpec extends SparkSpec {
     // and the full checkpointed drain still delivers everything once
     drain(dir, sink, ckpt, Map("maxVersionsPerBatch" -> "2"))
     assert(sinkIds(sink) == (0L until 5L))
+    // FRESH stream (this instance created the metadata marker — no
+    // checkpoint can exist): the FIRST offer is capped too
+    val meta1 = java.nio.file.Files
+      .createTempDirectory("graft-stream-meta").toString
+    val freshMeta = new graft.sources.GraftStreamSource(
+      spark, dir, Map("maxVersionsPerBatch" -> "2"), Some(meta1))
+    val f1 = freshMeta.getOffset.get
+    assert(graft.sources.GraftStreamSource.versionOf(f1) == 1L,
+      s"fresh first offer must cap at startingVersion-1+2 = 1, got $f1")
+    // RESTART against the same metadata dir (marker already exists):
+    // the first offer is uncapped — the checkpoint may be ahead
+    val restarted = new graft.sources.GraftStreamSource(
+      spark, dir, Map("maxVersionsPerBatch" -> "2"), Some(meta1))
+    val r1 = restarted.getOffset.get
+    assert(graft.sources.GraftStreamSource.versionOf(r1) == 4L,
+      s"restart first offer must be uncapped, got $r1")
+    // a capped fresh drain still delivers everything exactly once —
+    // and actually in SLICES: 5 versions / cap 2 = 3 micro-batches
+    // (one offset file per batch in the engine's checkpoint), which is
+    // the AvailableNow + admission-control interplay this source
+    // implements SupportsTriggerAvailableNow for (the engine's generic
+    // wrapper would have latched the capped FIRST offer as the run's
+    // end and stopped after one slice)
+    val (sink2, ckpt2) = scratch()
+    drain(dir, sink2, ckpt2, Map("maxVersionsPerBatch" -> "2"))
+    assert(sinkIds(sink2) == (0L until 5L))
+    val batches = new java.io.File(s"$ckpt2/offsets").listFiles()
+      .map(_.getName).count(!_.startsWith("."))
+    assert(batches == 3, s"5 versions at cap 2 must drain in 3 batches, got $batches")
   }
 
   test("readChangeFeed: inserts, DV deletes and DV update pairs stream; exactly-once") {
