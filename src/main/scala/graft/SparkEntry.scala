@@ -1451,6 +1451,43 @@ object SparkEntry {
                  |ORDER BY lang, source""".stripMargin)
     }),
 
+    // MIXED DV MERGE through the change feed: one SQL MERGE whose
+    // matched claims split (short docs delete, long docs update) plus
+    // partial-column inserts — the feed must attribute every row via
+    // the kind-tagged positions and the manifest's copies annotation:
+    // delete claims as 'delete', update claims as pre/post image pairs
+    // (preimage keeps the OLD lang, postimage shows 'xx'), inserts as
+    // 'insert' with the NULL-filled shape. The oracle recomputes every
+    // (change_type, lang) cell from the raw docs.
+    "version_changes_feed_merge" -> ((s, dir) => {
+      val sql = graft.sources.GraftDml.enabledSession(s)
+      val docs = sql.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/cdfm_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sql.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl) // v0
+      Versioned.append(docs.filter(col("lang") === "de"), tbl) // v1
+      val vPre = Versioned.latestVersion(sql, tbl)
+      val raw = sql.read.parquet(s"$dir/documents.parquet")
+      raw.filter(col("doc_id") % 97L === 0L).select("doc_id")
+        .unionByName(raw.filter(col("source") === "src2")
+          .select((col("doc_id") + 5000000L).as("doc_id")))
+        .distinct()
+        .createOrReplaceTempView("__cdfm_src")
+      sql.sql(s"""MERGE INTO graft.`$tbl` t USING __cdfm_src s
+                 |ON t.doc_id = s.doc_id
+                 |WHEN MATCHED AND t.n_chars < 250 THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET lang = 'xx'
+                 |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+                 |  VALUES (s.doc_id, 'yy', 0)""".stripMargin)
+      Versioned.changesFeed(sql, tbl, vPre)
+        .groupBy(col("_change_type").as("change_type"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("change_type", "lang")
+    }),
+
     "versioned_delete" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tbl = s"/tmp/graft_versioned/del_${etlSuffix(dir)}"
@@ -5589,6 +5626,31 @@ object SparkEntry {
         |SELECT lang, source, count(*) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM surv GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // Mixed-merge feed replay: matched %97 slice of en+de splits at
+    // n_chars 250 into deletes vs update pairs; shifted src2 ids
+    // insert as 'yy'.
+    "version_changes_feed_merge" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 97 = 0 AND lang IN ('en', 'de')),
+        |feed AS (
+        |  SELECT 'delete' AS change_type, lang, doc_id FROM m
+        |  WHERE n_chars < 250
+        |  UNION ALL
+        |  SELECT 'update_preimage', lang, doc_id FROM m WHERE n_chars >= 250
+        |  UNION ALL
+        |  SELECT 'update_postimage', 'xx', doc_id FROM m WHERE n_chars >= 250
+        |  UNION ALL
+        |  SELECT 'insert', 'yy', doc_id + 5000000
+        |  FROM documents WHERE source = 'src2'
+        |  UNION ALL
+        |  SELECT 'insert', 'yy', doc_id FROM documents
+        |  WHERE doc_id % 97 = 0 AND lang NOT IN ('en', 'de'))
+        |SELECT change_type, lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM feed GROUP BY change_type, lang
+        |ORDER BY change_type, lang""".stripMargin,
 
     "version_changes_feed" ->
       """WITH feed AS (

@@ -135,7 +135,8 @@ object Versioned {
       constraints: Seq[(String, String)] = Seq.empty,
       mapping: Seq[(String, String)] = Seq.empty,
       dvs: Seq[(String, String, Long)] = Seq.empty,
-      fileRows: Map[String, Long] = Map.empty)
+      fileRows: Map[String, Long] = Map.empty,
+      copies: Seq[String] = Seq.empty)
 
   private def jsonEscape(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -218,8 +219,12 @@ object Versioned {
               s"${files.size} files — corrupt manifest")
         files.zip(rows.map(_.toLong)).toMap
     }
+    // `copies` marks which ADDED group(s) hold a DV mutation's updated
+    // row copies (vs inserts) — the change feed's postimage attribution
+    // for mixed merges. Per-version annotation, never carried forward.
+    val copies = quotedArray(raw, "copies").getOrElse(Seq.empty)
     Manifest(files, nRows, mode, at, txn, schemaDdl, constraints, mapping, dvs,
-      fileRows)
+      fileRows, copies)
   }
 
   /** The JSON-escaped string starting right after `marker`, scanned
@@ -298,12 +303,17 @@ object Versioned {
       constraints: Seq[(String, String)] = Seq.empty,
       mapping: Seq[(String, String)] = Seq.empty,
       dvs: Seq[(String, String, Long)] = Seq.empty,
-      fileRows: Option[Seq[Long]] = None): String = {
+      fileRows: Option[Seq[Long]] = None,
+      copies: Seq[String] = Seq.empty): String = {
     require(fileRows.forall(_.size == groups.size),
       s"file_rows (${fileRows.map(_.size)}) must align with files (${groups.size})")
     val rowsJson = fileRows.map(rs =>
       rs.map("\"" + _ + "\"").mkString(""","file_rows":[""", ",", "]"))
       .getOrElse("")
+    val copiesJson =
+      if (copies.isEmpty) ""
+      else copies.map(s => "\"" + jsonEscape(s) + "\"")
+        .mkString(""","copies":[""", ",", "]")
     val txnJson = txn.map { case (app, b) =>
       s""","txn_app":"$app","txn_batch":$b"""
     }.getOrElse("")
@@ -321,7 +331,7 @@ object Versioned {
       else dvs.flatMap { case (g, a, c) => Seq(g, a, c.toString) }
         .map(s => "\"" + jsonEscape(s) + "\"").mkString(""","dvs":[""", ",", "]")
     s"""{"version":$v,"mode":"$mode","files":[${groups.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"$rowsJson$txnJson$schemaJson$consJson$mapJson$dvJson}"""
+      s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"$rowsJson$copiesJson$txnJson$schemaJson$consJson$mapJson$dvJson}"""
   }
 
   /** Per-group row counts for a manifest about to publish: `known`
@@ -391,12 +401,14 @@ object Versioned {
       constraintsOverride: Option[Seq[(String, String)]] = None,
       mapping: Seq[(String, String)] = Seq.empty,
       dvs: Seq[(String, String, Long)] = Seq.empty,
-      rowsByGroup: Map[String, Long] = Map.empty): Long = {
+      rowsByGroup: Map[String, Long] = Map.empty,
+      copies: Seq[String] = Seq.empty): Long = {
     val f = fs(spark, tableDir)
     val cons = constraintsOverride.getOrElse(constraints(spark, tableDir))
     val target = expectedParent + 1
     val json = manifestJson(target, mode, groups, nRows, None, schemaDdl, cons,
-      mapping, dvs, resolveFileRows(spark, tableDir, groups, rowsByGroup))
+      mapping, dvs, resolveFileRows(spark, tableDir, groups, rowsByGroup),
+      copies)
     if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, target), json))
       target
     else {
@@ -467,7 +479,7 @@ object Versioned {
     * a user column can never collide with (and silently break) the
     * DV anti-joins. */
   private val reservedCols =
-    Set("__dv_rel", "__dv_pos", "__grp", "__file", "__cv")
+    Set("__dv_rel", "__dv_pos", "__grp", "__file", "__cv", "__kind", "__ct")
 
   /** [[scanGroups]] with each group's row identity retained: adds
     * `__dv_rel` (file path suffix) and `__dv_pos` (`_metadata.row_index`)
@@ -1471,27 +1483,47 @@ object Versioned {
     }
   }
 
+  /** Read DV artifact rows for `dvs`' groups as
+    * (__dv_rel, __dv_pos, __kind) — `kind` null-filled for artifacts
+    * written before claims were kind-tagged. */
+  private def dvRowsKinded(
+      spark: SparkSession, tableDir: String,
+      dvs: Seq[(String, String, Long)]): DataFrame = {
+    val raw0 = spark.read.parquet(
+      dvs.map(_._2).distinct.map(a => s"$tableDir/files/$a"): _*)
+    val raw =
+      if (raw0.columns.contains("kind")) raw0
+      else raw0.withColumn("kind", lit(null).cast("string"))
+    raw.filter(org.apache.spark.sql.functions
+        .substring_index(col("rel"), "/", 1).isin(dvs.map(_._1).distinct: _*))
+      .select(col("rel").as("__dv_rel"), col("pos").as("__dv_pos"),
+        col("kind").as("__kind"))
+  }
+
   /** Write ONE position artifact for `dvGroups`: this mutation's
     * matched positions merged with the groups' prior DV rows (at most
-    * one live DV entry per group, always complete). Returns the new
-    * manifest entries; empty when no group takes the DV path. */
+    * one live DV entry per group, always complete). Each fresh row is
+    * KIND-tagged (`kindCol`: 'delete' or 'update') so the change feed
+    * can attribute a mixed merge's position growth per row. Returns
+    * the new manifest entries; empty when no group takes the DV path. */
   private def writeDvArtifact(
       spark: SparkSession, tableDir: String, matchRows: DataFrame,
       dvGroups: Seq[String],
       dvByGroup: Map[String, (String, String, Long)],
-      perGroup: Map[String, Long]): Seq[(String, String, Long)] = {
+      perGroup: Map[String, Long],
+      kindCol: Column = lit("delete")): Seq[(String, String, Long)] = {
     if (dvGroups.isEmpty) return Seq.empty
     val fresh = matchRows.filter(col("__grp").isin(dvGroups: _*))
-      .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"))
+      .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"),
+        kindCol.cast("string").as("kind"))
     val prior = dvGroups.flatMap(dvByGroup.get)
     val merged =
       if (prior.isEmpty) fresh
       else fresh.unionByName(
-        spark.read.parquet(prior.map(_._2).distinct
-          .map(a => s"$tableDir/files/$a"): _*)
-          .filter(org.apache.spark.sql.functions
-            .substring_index(col("rel"), "/", 1).isin(dvGroups: _*))
-          .select(col("rel"), col("pos")))
+        dvRowsKinded(spark, tableDir,
+          prior.filter(d => dvGroups.contains(d._1)))
+          .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"),
+            col("__kind").as("kind")))
     val artifact = s"dv-${java.util.UUID.randomUUID()}"
     // Position artifacts are tiny relative to data (bounded by the
     // threshold fraction of the touched groups); write them as FEW
@@ -1648,7 +1680,8 @@ object Versioned {
     // DV path: updated COPIES of the matched rows → one new group;
     // their original positions → the groups' deletion vectors.
     val dvAdditions =
-      writeDvArtifact(spark, tableDir, matchRows, dvGroups, dvByGroup, perGroup)
+      writeDvArtifact(spark, tableDir, matchRows, dvGroups, dvByGroup,
+        perGroup, kindCol = lit("update"))
     // Same orphan discipline as [[delete]]: any failure past the
     // artifact write (a constraint-violating assignment is the common
     // one) must reclaim the artifact and every group written so far —
@@ -1693,7 +1726,8 @@ object Versioned {
         rewriteGroup.toSeq ++ copiesGroup.toSeq, nRows, "update",
         m.schemaDdl, mapping = m.mapping, dvs = dvs,
         rowsByGroup = m.fileRows ++ rewriteGroup.map(_ -> nRewrite) ++
-          copiesGroup.map(_ -> nCopies))
+          copiesGroup.map(_ -> nCopies),
+        copies = copiesGroup.toSeq)
     } catch {
       case e: Throwable =>
         cleanupOnFailure.foreach(g =>
@@ -1836,10 +1870,10 @@ object Versioned {
     * scattered-key SQL MERGE writes positions + changed rows instead
     * of every touched group. When the merge's entire effect is a pure
     * DV delete or a pure DV update it commits under that EFFECT mode
-    * ('delete'/'update'), so [[changesFeed]] serves it row-level;
-    * mixed DV merges commit as 'merge', which the feed refuses loudly
-    * (a mixed position artifact cannot attribute delete vs
-    * update_preimage per row).
+    * ('delete'/'update'); mixed DV merges commit as 'merge' with
+    * KIND-TAGGED position rows and a `copies` manifest annotation, so
+    * [[changesFeed]] serves every DV merge row-level — deletes,
+    * update pre/post images, and inserts, correctly attributed.
     *
     * `onResidual` is the NON-KEY remainder of a general ON clause
     * (`MERGE ... ON t.k = s.k AND <residual>`), a row-local condition
@@ -2189,8 +2223,15 @@ object Versioned {
       else Some(joinedTagged(dvGroups)
         .filter(col("__action").isin(matchedIds: _*))
         .capLineage())
+    val dvKind =
+      if (matchedDeleteIds.isEmpty) lit("update")
+      else if (matchedUpdateIds.isEmpty) lit("delete")
+      else org.apache.spark.sql.functions
+        .when(col("__action").isin(matchedDeleteIds: _*), "delete")
+        .otherwise("update")
     val dvAdditions = claimedDv.map(cd =>
-      writeDvArtifact(spark, tableDir, cd, dvGroups, dvByGroup, dvClaims))
+      writeDvArtifact(spark, tableDir, cd, dvGroups, dvByGroup, dvClaims,
+        kindCol = dvKind))
       .getOrElse(Seq.empty)
     // Orphan discipline (same as delete/update): reclaim the artifact
     // and every group written so far on ANY failure past this point.
@@ -2236,14 +2277,13 @@ object Versioned {
       val untouchedRows = liveGroupRows(spark, tableDir, untouchedFiles, m)
       val dvClaimTotal = dvGroups.map(dvClaims).sum
       val nRows = untouchedRows - dvClaimTotal + n + nCopies
-      // EFFECT-mode label, for the CDF consumers: a merge whose entire
-      // effect is a pure-DV delete (all claims deletes, no copies, no
-      // inserts, no rewrites) commits as mode 'delete', and one whose
-      // effect is exactly a merge-on-read update (all claims updates,
-      // copies only) as 'update' — both shapes changesFeed already
-      // serves row-level. Mixed DV merges keep mode 'merge', which the
-      // feed refuses LOUDLY (a mixed artifact cannot attribute delete
-      // vs update_preimage per row).
+      // EFFECT-mode label: a merge whose entire effect is a pure-DV
+      // delete (all claims deletes, no copies, no inserts, no
+      // rewrites) commits as mode 'delete', and one whose effect is
+      // exactly a merge-on-read update (all claims updates, copies
+      // only) as 'update'. Mixed DV merges keep mode 'merge' — the
+      // feed attributes their rows via the artifact's per-row claim
+      // kinds and the manifest's copies annotation.
       val mode =
         if (dvAdditions.isEmpty) "merge"
         else if (touchedRw.isEmpty && newGroup.isEmpty &&
@@ -2255,7 +2295,8 @@ object Versioned {
         newGroup.toSeq ++ copiesGroup.toSeq, nRows, mode,
         schemaDdl, mapping = m.mapping, dvs = dvs,
         rowsByGroup = m.fileRows ++ newGroup.map(_ -> n) ++
-          copiesGroup.map(_ -> nCopies))
+          copiesGroup.map(_ -> nCopies),
+        copies = copiesGroup.toSeq)
     } catch {
       case e: Throwable =>
         cleanupOnFailure.foreach(g =>
@@ -2444,6 +2485,11 @@ object Versioned {
     *    updated copies landed as added groups) emits the DV growth as
     *    `update_preimage` and the added groups as `update_postimage`
     *    — Delta CDF's update pair, derived with zero write-time cost;
+    *  - a DV-backed MERGE with mixed claims (mode 'merge', no group
+    *    removed) splits its position growth per row by the artifact's
+    *    claim kind (delete vs update_preimage), serves the manifest-
+    *    annotated copies group as update_postimage, and any other
+    *    added group as inserts;
     *  - a REWRITE (snapshot/compact/COW delete/update/merge — any
     *    version that REMOVES a file group, including a mixed
     *    DV+rewrite mutation) still raises: a file-group difference
@@ -2560,6 +2606,7 @@ object Versioned {
       } else if (cur.mode == "delete" && curSet == prevSet) {
         // pure-DV delete: removed rows = the per-group position growth
         events += DvPiece(dvGrowthRows(spark, tableDir, prev, cur, toManifest)
+          .drop("__kind")
           .withColumn("_change_type", flit("delete"))
           .withColumn("_commit_version", flit(v))
           .withColumn("_commit_timestamp", flit(ts)))
@@ -2569,6 +2616,7 @@ object Versioned {
         // post-images are the version's ADDED groups — the updated
         // copies. Delta CDF's update_preimage/update_postimage pair.
         val pre = dvGrowthRows(spark, tableDir, prev, cur, toManifest)
+          .drop("__kind")
           .withColumn("_change_type", flit("update_preimage"))
           .withColumn("_commit_version", flit(v))
           .withColumn("_commit_timestamp", flit(ts))
@@ -2578,6 +2626,43 @@ object Versioned {
           .withColumn("_commit_version", flit(v))
           .withColumn("_commit_timestamp", flit(ts))
         events += DvPiece(pre.unionByName(post))
+      } else if (cur.mode == "merge" && prev.files.forall(curSet)) {
+        // MIXED DV-backed MERGE (pure delete/update shapes publish
+        // under their effect mode and take the branches above): the
+        // position growth splits PER ROW by its artifact-recorded
+        // claim kind — delete claims emit 'delete', update claims
+        // 'update_preimage' — the manifest's `copies` annotation
+        // yields 'update_postimage', and every other added group is
+        // the insert clauses' rows. No growth row is ever dropped:
+        // the two kind filters partition exactly.
+        val growth = dvGrowthRows(spark, tableDir, prev, cur, toManifest)
+          .withColumn("__kind", coalesce(col("__kind"), flit("update")))
+        val del = growth.filter(col("__kind") === "delete").drop("__kind")
+          .withColumn("_change_type", flit("delete"))
+          .withColumn("_commit_version", flit(v))
+          .withColumn("_commit_timestamp", flit(ts))
+        val pre = growth.filter(col("__kind") =!= "delete").drop("__kind")
+          .withColumn("_change_type", flit("update_preimage"))
+          .withColumn("_commit_version", flit(v))
+          .withColumn("_commit_timestamp", flit(ts))
+        val copiesSet = cur.copies.toSet
+        val added = cur.files.filterNot(prevSet)
+        val post =
+          if (cur.copies.isEmpty) Seq.empty[DataFrame]
+          else Seq(scanGroups(spark, tableDir, cur.copies,
+            toManifest.schemaDdl, toManifest.mapping)
+            .withColumn("_change_type", flit("update_postimage"))
+            .withColumn("_commit_version", flit(v))
+            .withColumn("_commit_timestamp", flit(ts)))
+        val insGroups = added.filterNot(copiesSet)
+        val ins =
+          if (insGroups.isEmpty) Seq.empty[DataFrame]
+          else Seq(scanGroups(spark, tableDir, insGroups,
+            toManifest.schemaDdl, toManifest.mapping)
+            .withColumn("_change_type", flit("insert"))
+            .withColumn("_commit_version", flit(v))
+            .withColumn("_commit_timestamp", flit(ts)))
+        events += DvPiece((Seq(del, pre) ++ post ++ ins).reduce(_ unionByName _))
       } else {
         throw new IllegalArgumentException(
           s"changesFeed($fromVersion, $to] crosses rewrite version $v " +
@@ -2644,15 +2729,23 @@ object Versioned {
     require(grown.nonEmpty,
       s"changesFeed: version classified as a DV mutation of $tableDir " +
         "grew no deletion vector — manifest mode/dv state is inconsistent")
-    val curRows = dvMaskRows(spark, tableDir, grown)
+    val curRows = dvRowsKinded(spark, tableDir, grown)
     val prevFor = grown.flatMap(d => prevBy.get(d._1))
     val diff =
       if (prevFor.isEmpty) curRows
       else curRows.join(dvMaskRows(spark, tableDir, prevFor),
         Seq("__dv_rel", "__dv_pos"), "left_anti")
+    val total = grown.map(_._3).sum
+    val cap = spark.conf.getOption("spark.graft.dv.broadcastRows")
+      .map(_.toLong).getOrElse(4000000L)
+    val diffSide = if (total <= cap)
+      org.apache.spark.sql.functions.broadcast(diff) else diff
+    // INNER join (positions are unique per group by the merged-set
+    // invariant) keeps `__kind` — the per-row claim class the mixed-
+    // merge feed branch splits on; plain delete/update callers drop it.
     scanGroupsTagged(spark, tableDir, grown.map(_._1),
       toManifest.schemaDdl, toManifest.mapping)
-      .join(diff, Seq("__dv_rel", "__dv_pos"), "left_semi")
+      .join(diffSide, Seq("__dv_rel", "__dv_pos"))
       .drop("__dv_rel", "__dv_pos")
   }
 

@@ -363,7 +363,9 @@ class DeletionVectorSpec extends SparkSpec {
     assert(feed2 == Set((7L, "update_preimage"), (150L, "update_preimage"),
       (7L, "update_postimage"), (150L, "update_postimage")))
     // (3) MIXED update+delete claims (and an insert): mode stays
-    // 'merge'; the feed refuses loudly instead of misattributing
+    // 'merge'; the feed attributes EVERY row — the delete claim, the
+    // update pre/post pair, and the insert — via the artifact's
+    // per-row claim kinds and the manifest's copies annotation
     val d3 = seed()
     val g3 = dataGroups(d3)
     val v3 = Versioned.mergeClauses(spark, d3,
@@ -375,16 +377,20 @@ class DeletionVectorSpec extends SparkSpec {
         NotMatchedInsert()))
     val m3 = Versioned.parseManifest(spark, d3, v3)
     assert(m3.mode == "merge" && m3.dvs.map(_._3).sum == 2L)
+    assert(m3.copies.size == 1 && m3.files.contains(m3.copies.head))
     assert(g3.subsetOf(dataGroups(d3)), "originals all carried (DV path)")
     val r3 = Versioned.read(spark, d3)
     assert(r3.count() == 200L) // -1 delete +1 insert
     assert(r3.filter(col("id") === 150L).isEmpty)
     assert(r3.filter(col("id") === 7L).select("v").as[String].head() == "up")
     assert(r3.filter(col("id") === 900L).count() == 1L)
-    val e = intercept[IllegalArgumentException] {
-      Versioned.changesFeed(spark, d3, v3 - 1).collect()
-    }
-    assert(e.getMessage.contains("rewrite") || e.getMessage.contains("merge"))
+    val feed3 = Versioned.changesFeed(spark, d3, v3 - 1)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed3 == Set(
+      (150L, "v150", "delete"),
+      (7L, "v7", "update_preimage"), (7L, "up", "update_postimage"),
+      (900L, "new", "insert")), s"got $feed3")
     // (4) matched rows whose clause conditions claim NOTHING: the
     // group carries fully untouched (no DV entry, no rewrite)
     val d4 = seed()

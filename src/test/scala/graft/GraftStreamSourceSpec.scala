@@ -234,6 +234,22 @@ class GraftStreamSourceSpec extends SparkSpec {
     Versioned.delete(spark, dir)(col("id") === 9L) // v4
     drainCdf()
     assert(rows() == expected + ((9L, 0L, "delete", 4L)))
+    // a MIXED DV merge (delete claim + update claim + insert) STREAMS
+    // as correctly-attributed change rows — kind-tagged positions +
+    // the manifest's copies annotation
+    locally {
+      import Versioned.MergeClause._
+      Versioned.mergeClauses(spark, dir,
+        Seq((10L, -1L), (11L, 7L), (900L, 1L)).toDF("id", "n"), Seq("id"),
+        Seq(MatchedDelete(Some(col("SRC.n") < 0L)),
+          MatchedUpdate(Seq("n" -> col("SRC.n"))),
+          NotMatchedInsert())) // v5: mode 'merge', DV-backed
+    }
+    drainCdf()
+    assert(rows() == expected + ((9L, 0L, "delete", 4L)) ++ Set(
+      (10L, 0L, "delete", 5L),
+      (11L, 0L, "update_preimage", 5L), (11L, 7L, "update_postimage", 5L),
+      (900L, 1L, "insert", 5L)))
     // a REWRITE still fails the CDF stream loudly
     spark.conf.set("spark.graft.dv.maxDeleteFraction", "0")
     try Versioned.delete(spark, dir)(col("id") < 50L) // v5: COW rewrite
