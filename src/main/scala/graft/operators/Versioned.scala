@@ -343,10 +343,23 @@ object Versioned {
   private def resolveFileRows(
       spark: SparkSession, tableDir: String, groups: Seq[String],
       known: Map[String, Long]): Option[Seq[Long]] = {
-    val f = fs(spark, tableDir)
-    val per = groups.map(g => known.get(g).orElse(
-      GroupStats.read(f, GroupStats.sidecarPath(tableDir, g)).map(_.nRows)))
+    val fromSidecars = sidecarRows(spark, tableDir,
+      groups.filterNot(known.contains))
+    val per = groups.map(g => known.get(g).orElse(fromSidecars.get(g)))
     if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+  }
+
+  /** Row counts for `groups` from their stats sidecars, read as ONE
+    * concurrent batch (the pre-upgrade fallback must not reintroduce
+    * the serial one-GET-per-group pathology it exists to retire). */
+  private def sidecarRows(
+      spark: SparkSession, tableDir: String,
+      groups: Seq[String]): Map[String, Long] = {
+    if (groups.isEmpty) return Map.empty
+    val f = fs(spark, tableDir)
+    groups.zip(GroupStats.readMany(
+      f, groups.map(g => GroupStats.sidecarPath(tableDir, g))))
+      .collect { case (g, Some(st)) => g -> st.nRows }.toMap
   }
 
   /** The live constraint set: the latest version's, or empty. */
@@ -617,7 +630,16 @@ object Versioned {
       if (am.isEmpty) df
       else df.select(df.columns.map(c =>
         col(c).as(physicalName(am, c))).toSeq: _*)
-    out.write.parquet(s"$tableDir/files/$group")
+    // a write job failing MID-FLIGHT leaves a partial directory no
+    // manifest will ever reference and vacuum can never reclaim —
+    // delete it before rethrowing (same discipline as the published
+    // orphan cleanup in the mutations)
+    try out.write.parquet(s"$tableDir/files/$group")
+    catch { case e: Throwable =>
+      fs(df.sparkSession, tableDir)
+        .delete(new Path(s"$tableDir/files/$group"), true)
+      throw e
+    }
     // ONE read-back aggregate yields the manifest row count AND the
     // group's min/max column stats; the `_stats.json` sidecar lands
     // inside the (still-unpublished) group dir, so a published
@@ -1326,6 +1348,11 @@ object Versioned {
       full.filter(cond).queryExecution.optimizedPlan.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }
+    // No surviving Filter (a constant-true condition folds away, a
+    // nondeterministic one cannot push) means the stats can prove
+    // nothing — skip the whole sidecar pass instead of paying one GET
+    // per group for reads that cannot prune.
+    if (resolved.isEmpty) return (groups, Seq.empty)
     val f = fs(spark, tableDir)
     // Batched CONCURRENT sidecar reads: pruning needs per-column
     // min/max (too wide to live in the manifest), so this is the one
@@ -1351,9 +1378,9 @@ object Versioned {
       known: Map[String, Long] = Map.empty): Long =
     if (groups.isEmpty) 0L
     else {
-      lazy val f = fs(spark, tableDir)
-      val per = groups.map(g => known.get(g).orElse(
-        GroupStats.read(f, GroupStats.sidecarPath(tableDir, g)).map(_.nRows)))
+      val fromSidecars = sidecarRows(spark, tableDir,
+        groups.filterNot(known.contains))
+      val per = groups.map(g => known.get(g).orElse(fromSidecars.get(g)))
       if (per.forall(_.isDefined)) per.map(_.get).sum
       else scanGroups(spark, tableDir, groups, schemaDdl, mapping).count()
     }
@@ -1469,11 +1496,11 @@ object Versioned {
       .map(_.toDouble).getOrElse(0.1)
     val cumFrac = spark.conf.getOption("spark.graft.dv.maxCumulativeFraction")
       .map(_.toDouble).getOrElse(0.5)
-    lazy val f = fs(spark, tableDir)
+    val fromSidecars = sidecarRows(spark, tableDir,
+      perGroup.keys.toSeq.filterNot(m.fileRows.contains))
     perGroup.keys.toSeq.sorted.partition { g =>
       maxFrac > 0.0 && {
-        val total = m.fileRows.get(g).orElse(
-          GroupStats.read(f, GroupStats.sidecarPath(tableDir, g)).map(_.nRows))
+        val total = m.fileRows.get(g).orElse(fromSidecars.get(g))
           .getOrElse(-1L)
         val prior = dvByGroup.get(g).map(_._3).getOrElse(0L)
         val live = total - prior
@@ -1533,7 +1560,13 @@ object Versioned {
     // (rel, pos) rows per output file keeps big DVs under control.
     val parts = math.max(1L, (dvGroups.map(perGroup).sum +
       dvGroups.flatMap(dvByGroup.get).map(_._3).sum) / 4000000L).toInt
-    merged.coalesce(parts).write.parquet(s"$tableDir/files/$artifact")
+    // partial-write cleanup: see writeGroup — an orphaned partial dv-*
+    // directory is unreclaimable and poison to schema-pinned readers
+    try merged.coalesce(parts).write.parquet(s"$tableDir/files/$artifact")
+    catch { case e: Throwable =>
+      fs(spark, tableDir).delete(new Path(s"$tableDir/files/$artifact"), true)
+      throw e
+    }
     dvGroups.map(g => (g, artifact,
       perGroup(g) + dvByGroup.get(g).map(_._3).getOrElse(0L)))
   }

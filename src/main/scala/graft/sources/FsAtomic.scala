@@ -45,7 +45,21 @@ private[graft] object FsAtomic {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException => false
+        case _: java.io.IOException =>
+          // hard links unsupported on this mount (CIFS/FAT/some FUSE):
+          // fall back to O_EXCL create + write — existence stays atomic
+          // (the race arbiter), content does not, which is SAFE because
+          // every manifest reader fails closed on incomplete JSON.
+          // Without the fallback each publish would read as a lost race
+          // and retry forever.
+          try {
+            java.nio.file.Files.createFile(p)
+            java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: java.io.IOException => false
+          }
       } finally {
         if (tmp != null) java.nio.file.Files.deleteIfExists(tmp)
       }

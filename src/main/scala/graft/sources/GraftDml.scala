@@ -129,15 +129,18 @@ final class GraftPathRelationRule(session: SparkSession)
           s"table_changes: '$nameStr' is neither a graft table directory " +
             "nor a USING graft catalog table"))
     def versionOf(e: Expression): Long = (e.eval(), e.dataType) match {
+      // the TimestampType arm MUST precede the Number arm: a timestamp
+      // literal evals to a boxed Long of micros, which Number would
+      // swallow as a (nonsensical) raw version number
+      case (micros: Long, org.apache.spark.sql.types.TimestampType) =>
+        graft.operators.Versioned.versionAt(session, dir,
+          java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS))
       case (n: Number, _) => n.longValue()
       case (s: org.apache.spark.unsafe.types.UTF8String, _)
           if s.toString.trim.matches("\\d+") => s.toString.trim.toLong
       case (s: org.apache.spark.unsafe.types.UTF8String, _) =>
         graft.operators.Versioned.versionAt(
           session, dir, GraftDml.parseInstant(s.toString))
-      case (micros: Long, org.apache.spark.sql.types.TimestampType) =>
-        graft.operators.Versioned.versionAt(session, dir,
-          java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS))
       case (v, dt) => throw new IllegalArgumentException(
         s"table_changes: unsupported version argument $v ($dt)")
     }
@@ -782,13 +785,22 @@ private[graft] final case class GraftDmlKeysCommand(
               "semantics require a literal predicate; rewrite as NOT EXISTS " +
               "(which joins) or raise spark.graft.dml.notInLiteralLimit")
         val types = keys.schema.fields.map(_.dataType)
+        // BALANCED disjunction: a left-deep reduce of 10k Or nodes is
+        // deep enough to StackOverflowError Catalyst's recursive tree
+        // transforms; log-depth keeps the analyzer safe at the limit
+        def balancedOr(es: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+          if (es.size == 1) es.head
+          else {
+            val (l, r) = es.splitAt(es.size / 2)
+            balancedOr(l) || balancedOr(r)
+          }
         val pred: org.apache.spark.sql.Column =
           if (tuples.isEmpty) lit(true) // empty set: NOT IN is TRUE for every row
-          else !tuples.toSeq.map { row =>
+          else !balancedOr(tuples.toSeq.map { row =>
             keyCols.zipWithIndex.map { case (c, i) =>
               col(c) === lit(row.get(i)).cast(types(i))
             }.reduce(_ && _)
-          }.reduce(_ || _)
+          })
         // the residual and assignments are TGT-qualified for the
         // merge-clause scope; this path runs on the bare table
         val strip = org.apache.spark.sql.graftshim.GraftSqlBridge.stripTgtQualifier _

@@ -66,6 +66,12 @@ class GraftDmlSpec extends SparkSpec {
     val t1 = Versioned.parseManifest(sql, dir, 2L).committedAt
     assert(rows(s"SELECT * FROM table_changes('$dir', '$t1', 2)") ==
       Set((7L, "delete", 2L)))
+    // a TIMESTAMP-TYPED literal resolves too (the typed arm must win
+    // over the generic Number arm — a timestamp evals to boxed micros)
+    assert(rows(s"SELECT * FROM table_changes('$dir', 2, " +
+      "TIMESTAMP '2099-01-01 00:00:00')") ==
+      Set((7L, "delete", 2L),
+        (110L, "update_preimage", 3L), (110L, "update_postimage", 3L)))
     // catalog-name form resolves like the rest of the SQL surface
     sql.sql(s"CREATE TABLE tvf_tbl USING graft OPTIONS (path '$dir')")
     try assert(rows("SELECT * FROM table_changes('tvf_tbl', 2, 2)") ==
