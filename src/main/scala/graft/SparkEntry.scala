@@ -5859,7 +5859,7 @@ object SparkEntry {
         |  SELECT CAST(0 AS BIGINT) AS version, 'snapshot' AS mode, en AS n_rows FROM c
         |  UNION ALL SELECT 1, 'append', total FROM c
         |  UNION ALL SELECT 2, 'add_constraint', total FROM c
-        |  UNION ALL SELECT 3, 'snapshot', total FROM c
+        |  UNION ALL SELECT 3, 'optimize', total FROM c
         |  UNION ALL SELECT 4, 'delete', kept FROM c
         |  UNION ALL SELECT 5, 'snapshot', total FROM c)
         |ORDER BY version""".stripMargin,
@@ -6078,7 +6078,7 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), 'append', all_docs + dup_docs, CAST(3 AS BIGINT), true FROM n
         |UNION ALL
-        |SELECT CAST(3 AS BIGINT), 'snapshot', all_docs + dup_docs, CAST(1 AS BIGINT), true FROM n
+        |SELECT CAST(3 AS BIGINT), 'optimize', all_docs + dup_docs, CAST(1 AS BIGINT), true FROM n
         |ORDER BY version""".stripMargin,
 
     // Exact distinct tokens per language; the estimate gate must hold at

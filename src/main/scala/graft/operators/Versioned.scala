@@ -1224,7 +1224,12 @@ object Versioned {
       val cons = constraints(spark, tableDir)
       val target = parent + 1
       val allGroups = newGroups.map(_._1) ++ extraGroups
-      val json = manifestJson(target, "snapshot", allGroups,
+      // mode 'optimize' (Delta's operation name): maintenance rewrites
+      // are row-invariant, and describeHistory readers deserve the
+      // "this was a compaction, not a content change" signal; every
+      // CDC/stream consumer treats any non-append mode as a rewrite
+      // boundary, so the semantics are unchanged.
+      val json = manifestJson(target, "optimize", allGroups,
         newRows + extraRows, None, schema, cons, Seq.empty,
         fileRows = resolveFileRows(spark, tableDir, allGroups,
           newGroups.toMap ++ extraKnown))

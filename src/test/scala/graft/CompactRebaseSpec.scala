@@ -63,7 +63,7 @@ class CompactRebaseSpec extends SparkSpec {
       // did the compact actually rebase? (its version lists the
       // compacted group PLUS winner groups)
       val compactRow = historyModes(dir).find(_._1 == cv).get
-      assert(compactRow._2 == "snapshot")
+      assert(compactRow._2 == "optimize")
       if (compactRow._3 > 1) rebased = true
     }
     assert(rebased,
@@ -118,7 +118,7 @@ class CompactRebaseSpec extends SparkSpec {
     assert(cv == 2L)
     // the rebased version lists the rewrite AND the winner's group
     val row = historyModes(dir).find(_._1 == cv).get
-    assert(row._2 == "snapshot" && row._3 == 2L, row.toString)
+    assert(row._2 == "optimize" && row._3 == 2L, row.toString)
     assertRows(Versioned.read(spark, dir), Seq("id", "v"),
       Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
     // Now a DML winner: delete commits v3; a rewrite of v2 must REFUSE

@@ -742,7 +742,7 @@ class GraftDmlSpec extends SparkSpec {
     assert(got.count() == 130, s"260 rows appended-then-pruned to evens: ${got.count()}")
     assert(got.filter($"id" % 2 === 1).count() == 0)
     val modes = Versioned.versions(sql, dir).select("mode").as[String].collect().toSeq
-    assert(modes == Seq("snapshot", "append", "append", "delete", "snapshot"),
+    assert(modes == Seq("snapshot", "append", "append", "delete", "optimize"),
       modes.toString) // the OPTIMIZE is the final snapshot
   }
 

@@ -55,7 +55,7 @@ class VersionedPropertySpec extends SparkSpec {
           case 2 if model.nonEmpty =>
             val v = Versioned.compact(spark, dir)
             model += model.last // content-invisible
-            modes += "snapshot"
+            modes += "optimize"
             assert(v == model.size - 1)
           case 3 if model.size >= 2 && vacuumedBelow < model.size - 1 =>
             val keepFrom = vacuumedBelow + 1 + rnd.nextInt((model.size - 1 - vacuumedBelow).toInt)

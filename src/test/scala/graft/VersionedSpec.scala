@@ -327,7 +327,8 @@ class VersionedSpec extends SparkSpec {
     val h = Versioned.describeHistory(spark, dir).orderBy("version").collect()
     assert(h.map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq ==
       Seq((0L, "snapshot", 1L), (1L, "append", 2L), (2L, "append", 3L),
-        (3L, "snapshot", 1L)), "compacted version must be a 1-group snapshot")
+        (3L, "optimize", 1L)),
+      "compacted version must be a 1-group 'optimize' commit")
     // pre-compaction versions still read their own groups
     assert(Versioned.read(spark, dir, 2L).count() == 5)
     assert(Versioned.read(spark, dir, 0L).count() == 2)
