@@ -630,25 +630,29 @@ object Versioned {
       if (am.isEmpty) df
       else df.select(df.columns.map(c =>
         col(c).as(physicalName(am, c))).toSeq: _*)
-    // a write job failing MID-FLIGHT leaves a partial directory no
-    // manifest will ever reference and vacuum can never reclaim —
-    // delete it before rethrowing (same discipline as the published
-    // orphan cleanup in the mutations)
-    try out.write.parquet(s"$tableDir/files/$group")
-    catch { case e: Throwable =>
-      fs(df.sparkSession, tableDir)
-        .delete(new Path(s"$tableDir/files/$group"), true)
-      throw e
-    }
-    // ONE read-back aggregate yields the manifest row count AND the
-    // group's min/max column stats; the `_stats.json` sidecar lands
-    // inside the (still-unpublished) group dir, so a published
-    // version's stats are always complete and vacuum reclaims them
-    // with the data. See [[GroupStats]] and [[readWhere]].
+    // A job failing MID-FLIGHT — the data write, the stats read-back,
+    // or the sidecar write — leaves a directory no manifest will ever
+    // reference and vacuum can never reclaim: delete it before
+    // rethrowing. The cleanup delete itself is Try-wrapped so an
+    // unhealthy filesystem cannot mask the root-cause exception.
     val spark = df.sparkSession
-    val stats = GroupStats.compute(spark.read.parquet(s"$tableDir/files/$group"))
-    GroupStats.write(fs(spark, tableDir),
-      GroupStats.sidecarPath(tableDir, group), stats)
+    val stats =
+      try {
+        out.write.parquet(s"$tableDir/files/$group")
+        // ONE read-back aggregate yields the manifest row count AND the
+        // group's min/max column stats; the `_stats.json` sidecar lands
+        // inside the (still-unpublished) group dir, so a published
+        // version's stats are always complete and vacuum reclaims them
+        // with the data. See [[GroupStats]] and [[readWhere]].
+        val st = GroupStats.compute(spark.read.parquet(s"$tableDir/files/$group"))
+        GroupStats.write(fs(spark, tableDir),
+          GroupStats.sidecarPath(tableDir, group), st)
+        st
+      } catch { case scala.util.control.NonFatal(e) =>
+        scala.util.Try(fs(spark, tableDir)
+          .delete(new Path(s"$tableDir/files/$group"), true))
+        throw e
+      }
     (group, stats.nRows)
   }
 
@@ -1499,6 +1503,8 @@ object Versioned {
       m: Manifest): (Seq[String], Seq[String]) = {
     val maxFrac = spark.conf.getOption("spark.graft.dv.maxDeleteFraction")
       .map(_.toDouble).getOrElse(0.1)
+    // DVs disabled: everything rewrites — pay no sidecar I/O deciding it
+    if (maxFrac <= 0.0) return (Seq.empty, perGroup.keys.toSeq.sorted)
     val cumFrac = spark.conf.getOption("spark.graft.dv.maxCumulativeFraction")
       .map(_.toDouble).getOrElse(0.5)
     val fromSidecars = sidecarRows(spark, tableDir,
@@ -1568,8 +1574,9 @@ object Versioned {
     // partial-write cleanup: see writeGroup — an orphaned partial dv-*
     // directory is unreclaimable and poison to schema-pinned readers
     try merged.coalesce(parts).write.parquet(s"$tableDir/files/$artifact")
-    catch { case e: Throwable =>
-      fs(spark, tableDir).delete(new Path(s"$tableDir/files/$artifact"), true)
+    catch { case scala.util.control.NonFatal(e) =>
+      scala.util.Try(fs(spark, tableDir)
+        .delete(new Path(s"$tableDir/files/$artifact"), true))
       throw e
     }
     dvGroups.map(g => (g, artifact,
@@ -1648,9 +1655,9 @@ object Versioned {
         m.schemaDdl, mapping = m.mapping, dvs = dvs,
         rowsByGroup = m.fileRows ++ rewriteGroup.map(_ -> kept))
     } catch {
-      case e: Throwable =>
-        cleanupOnFailure.foreach(g =>
-          f.delete(new Path(s"$tableDir/files/$g"), true))
+      case scala.util.control.NonFatal(e) =>
+        cleanupOnFailure.foreach(g => scala.util.Try(
+          f.delete(new Path(s"$tableDir/files/$g"), true)))
         throw e
     }
   }
@@ -1767,9 +1774,9 @@ object Versioned {
           copiesGroup.map(_ -> nCopies),
         copies = copiesGroup.toSeq)
     } catch {
-      case e: Throwable =>
-        cleanupOnFailure.foreach(g =>
-          f.delete(new Path(s"$tableDir/files/$g"), true))
+      case scala.util.control.NonFatal(e) =>
+        cleanupOnFailure.foreach(g => scala.util.Try(
+          f.delete(new Path(s"$tableDir/files/$g"), true)))
         throw e
     }
   }
@@ -2336,9 +2343,9 @@ object Versioned {
           copiesGroup.map(_ -> nCopies),
         copies = copiesGroup.toSeq)
     } catch {
-      case e: Throwable =>
-        cleanupOnFailure.foreach(g =>
-          f.delete(new Path(s"$tableDir/files/$g"), true))
+      case scala.util.control.NonFatal(e) =>
+        cleanupOnFailure.foreach(g => scala.util.Try(
+          f.delete(new Path(s"$tableDir/files/$g"), true)))
         throw e
     }
   }

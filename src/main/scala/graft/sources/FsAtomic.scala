@@ -52,13 +52,23 @@ private[graft] object FsAtomic {
           // every manifest reader fails closed on incomplete JSON.
           // Without the fallback each publish would read as a lost race
           // and retry forever.
+          var created = false
           try {
             java.nio.file.Files.createFile(p)
+            created = true
             java.nio.file.Files.write(p, content.getBytes("UTF-8"))
             true
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
-            case _: java.io.IOException => false
+            case _: java.io.IOException =>
+              // if WE created the file but could not write its content,
+              // remove it: an empty manifest left in place would occupy
+              // the version slot forever (readers fail closed on it, and
+              // the publish loop would slide past it — a permanently
+              // poisoned version)
+              if (created)
+                scala.util.Try(java.nio.file.Files.deleteIfExists(p))
+              false
           }
       } finally {
         if (tmp != null) java.nio.file.Files.deleteIfExists(tmp)

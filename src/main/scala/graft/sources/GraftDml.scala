@@ -135,6 +135,13 @@ final class GraftPathRelationRule(session: SparkSession)
       case (micros: Long, org.apache.spark.sql.types.TimestampType) =>
         graft.operators.Versioned.versionAt(session, dir,
           java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS))
+      case (micros: Long, org.apache.spark.sql.types.TimestampNTZType) =>
+        // no-timezone micros read as UTC (the session convention)
+        graft.operators.Versioned.versionAt(session, dir,
+          java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS))
+      case (days: Integer, org.apache.spark.sql.types.DateType) =>
+        graft.operators.Versioned.versionAt(session, dir,
+          java.time.Instant.EPOCH.plus(days.longValue(), java.time.temporal.ChronoUnit.DAYS))
       case (n: Number, _) => n.longValue()
       case (s: org.apache.spark.unsafe.types.UTF8String, _)
           if s.toString.trim.matches("\\d+") => s.toString.trim.toLong

@@ -72,6 +72,15 @@ class GraftDmlSpec extends SparkSpec {
       "TIMESTAMP '2099-01-01 00:00:00')") ==
       Set((7L, "delete", 2L),
         (110L, "update_preimage", 3L), (110L, "update_postimage", 3L)))
+    // DATE and TIMESTAMP_NTZ literals resolve through the same arm
+    // (both eval to boxed numbers the generic Number arm must not eat)
+    assert(rows(s"SELECT * FROM table_changes('$dir', 2, DATE '2099-01-01')") ==
+      Set((7L, "delete", 2L),
+        (110L, "update_preimage", 3L), (110L, "update_postimage", 3L)))
+    assert(rows(s"SELECT * FROM table_changes('$dir', 2, " +
+      "TIMESTAMP_NTZ '2099-01-01 00:00:00')") ==
+      Set((7L, "delete", 2L),
+        (110L, "update_preimage", 3L), (110L, "update_postimage", 3L)))
     // catalog-name form resolves like the rest of the SQL surface
     sql.sql(s"CREATE TABLE tvf_tbl USING graft OPTIONS (path '$dir')")
     try assert(rows("SELECT * FROM table_changes('tvf_tbl', 2, 2)") ==
