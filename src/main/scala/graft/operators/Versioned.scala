@@ -2543,7 +2543,16 @@ object Versioned {
     *
     * This is what a downstream sync (search index, cache, replica)
     * consumes to stay exact under the append + GDPR-delete lifecycle
-    * without ever rescanning the table. */
+    * without ever rescanning the table.
+    *
+    * REPLAY CONTRACT (same as Delta CDF): apply changes in
+    * `_commit_version` order — inserts add, deletes remove,
+    * update_preimage removes and update_postimage adds (or treat the
+    * pair as one keyed upsert). A row updated in two versions of one
+    * window emits TWO pre/post pairs, each diffed against ITS parent;
+    * applying them out of version order (or applying only postimages
+    * without removing preimages) double-counts. Aggregating consumers
+    * that cannot key rows should group by `_commit_version` first. */
   def changesFeed(
       spark: SparkSession,
       tableDir: String,

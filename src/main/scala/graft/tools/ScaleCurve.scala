@@ -32,6 +32,7 @@ object ScaleCurve {
     if (family == "bpe") { bpeCurve(dir, multipliers); return }
     if (family == "merge") { mergeCurve(dir, multipliers); return }
     if (family == "dv") { dvCurve(dir, multipliers); return }
+    if (family == "dvmerge") { dvMergeCurve(dir, multipliers); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -247,6 +248,88 @@ object ScaleCurve {
       // groupRows/dvClassify), leaving only the min/max pruning pass,
       // which readMany runs 16-way concurrent, never serially.
       println(f"""[scale-dv] {"multiplier":$m,"groups":$m,"deleted_rows":$m,"surviving_rows":$dvRows,"dv_new_bytes":$dvBytes,"dv_entries":$dvEntries,"dv_seconds":$dvSec%.1f,"sidecar_reads":$dvReads,"cow_new_bytes":$cowBytes,"cow_seconds":$cowSec%.1f}""")
+    }
+    spark.stop()
+  }
+
+  /** DV-backed SQL-MERGE curve: the scattered matched-action claim,
+    * MEASURED through the clause surface. Table at multiplier m (one
+    * group per salted copy); the merge's source holds EXACTLY ONE key
+    * per group, split between a matched DELETE and a matched UPDATE
+    * claim plus a fixed insert batch. Run twice per m on identical
+    * tables: merge-on-read (default threshold) vs forced COW. The
+    * claim: COW new bytes ∝ the table (every touched group rewritten),
+    * DV new bytes ∝ the CHURN (positions + copies + inserts only) —
+    * and the feed still attributes every row (asserted). */
+  private def dvMergeCurve(dir: String, multipliers: Seq[Int]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Versioned
+    import graft.operators.Versioned.MergeClause._
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    def copyAt(c: Int): DataFrame = base.select(
+      (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+      col("lang"), col("n_chars"))
+    val probeId = base.agg(org.apache.spark.sql.functions.min("doc_id"))
+      .collect()(0).getLong(0)
+    val probe2 = base.orderBy("doc_id").limit(2)
+      .collect().map(_.getLong(0)).last
+    def filesBytes(tbl: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$tbl/files")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    multipliers.foreach { m =>
+      def build(tag: String): String = {
+        val tbl = java.nio.file.Files
+          .createTempDirectory(s"graft-dvm-$tag$m").toString + "/t"
+        Versioned.commit(copyAt(0), tbl)
+        (1 until m).foreach(c => Versioned.append(copyAt(c), tbl))
+        tbl
+      }
+      // one delete claim + one update claim in EVERY group, plus a
+      // fixed insert batch; % defeats stats pruning by design
+      val src = (0 until m).flatMap { c =>
+        Seq((c.toLong * 10000000L + probeId, "del"),
+          (c.toLong * 10000000L + probe2, "upd"))
+      } ++ (0 until 100).map(i => (9000000000L + i, "ins"))
+      import spark.implicits._
+      val srcDf = src.toDF("doc_id", "tag").localCheckpoint()
+      def run(tbl: String, frac: Double): (Long, Double, Long, Long) = {
+        spark.conf.set("spark.graft.dv.maxDeleteFraction", frac.toString)
+        val before = filesBytes(tbl)
+        val vPre = Versioned.latestVersion(spark, tbl)
+        val t0 = System.nanoTime()
+        val v = Versioned.mergeClauses(spark, tbl, srcDf, Seq("doc_id"), Seq(
+          MatchedDelete(Some(col("SRC.tag") === "del")),
+          MatchedUpdate(Seq("lang" -> col("SRC.tag"))),
+          NotMatchedInsert(None,
+            Seq("doc_id" -> col("SRC.doc_id"), "lang" -> col("SRC.tag")))))
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(v == vPre + 1, "merge must commit")
+        val mm = Versioned.parseManifest(spark, tbl, v)
+        val rows = Versioned.read(spark, tbl).count()
+        val feedRows =
+          if (mm.dvs.nonEmpty)
+            Versioned.changesFeed(spark, tbl, vPre).count()
+          else -1L // COW merges are a rewrite boundary: no feed
+        (filesBytes(tbl) - before, sec, rows, feedRows)
+      }
+      val (dvBytes, dvSec, dvRows, dvFeed) = run(build("dv"), 0.1)
+      val (cowBytes, cowSec, cowRows, _) = run(build("cow"), 0.0)
+      require(dvRows == cowRows, s"DV and COW must agree: $dvRows vs $cowRows")
+      // the feed attributes: m deletes + m pre + m post + 100 inserts
+      require(dvFeed == 3L * m + 100,
+        s"feed must attribute every row: $dvFeed at m=$m")
+      spark.conf.unset("spark.graft.dv.maxDeleteFraction")
+      println(f"""[scale-dvmerge] {"multiplier":$m,"groups":$m,"claims":${2 * m},"surviving_rows":$dvRows,"dv_new_bytes":$dvBytes,"dv_seconds":$dvSec%.1f,"feed_rows":$dvFeed,"cow_new_bytes":$cowBytes,"cow_seconds":$cowSec%.1f}""")
     }
     spark.stop()
   }
