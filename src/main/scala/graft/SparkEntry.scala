@@ -1451,6 +1451,41 @@ object SparkEntry {
                  |ORDER BY lang, source""".stripMargin)
     }),
 
+    // MULTI-COLUMN NOT IN ABOVE THE LITERAL LIMIT — the JOIN fallback:
+    // the same ANSI tuple semantics as datasource_dml_not_in_multi but
+    // the key set (475 (doc_id, lang) tuples + one NULL-bearing) runs
+    // as a null-aware anti-join mutation (hash semi-join for the
+    // non-NULL volume, bounded NL for the NULL residue), forced by
+    // lowering spark.graft.dml.notInLiteralLimit under the statement.
+    // A residual (n_chars < 400) rides the claim. The oracle is the
+    // same provably-equivalent NOT EXISTS rewrite in DuckDB.
+    "datasource_dml_not_in_multi_large" -> ((s, dir) => {
+      val sql = graft.sources.GraftDml.enabledSession(s)
+      val docs = sql.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      val tbl = s"/tmp/graft_versioned/niml_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sql.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)
+      Versioned.append(docs.filter(col("lang") =!= "en"), tbl)
+      sql.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") =!= "src5")
+        .select(col("doc_id").as("k1"), col("lang").as("k2")).distinct()
+        .unionByName(sql.range(1).select(
+          lit(-1L).as("k1"), lit(null).cast("string").as("k2")))
+        .createOrReplaceTempView("__niml_set")
+      sql.conf.set("spark.graft.dml.notInLiteralLimit", "10")
+      try
+        sql.sql(s"""DELETE FROM graft.`$tbl`
+                   |WHERE (doc_id, lang) NOT IN (SELECT k1, k2 FROM __niml_set)
+                   |  AND n_chars < 400""".stripMargin)
+      finally sql.conf.unset("spark.graft.dml.notInLiteralLimit")
+      sql.sql(s"""SELECT lang, source, count(*) AS n_rows,
+                 |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+                 |FROM graft.`$tbl` GROUP BY lang, source
+                 |ORDER BY lang, source""".stripMargin)
+    }),
+
     // MIXED DV MERGE through the change feed: one SQL MERGE whose
     // matched claims split (short docs delete, long docs update) plus
     // partial-column inserts — the feed must attribute every row via
@@ -5623,6 +5658,23 @@ object SparkEntry {
         |    WHERE (d.lang = s.k1 OR d.lang IS NULL OR s.k1 IS NULL)
         |      AND (d.source = s.k2 OR d.source IS NULL OR s.k2 IS NULL)))
         |    IS NOT TRUE)
+        |SELECT lang, source, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM surv GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // Same null-aware NOT EXISTS rewrite over the over-limit tuple set
+    // (join-fallback path), residual included in the claim.
+    "datasource_dml_not_in_multi_large" ->
+      """WITH sset AS (
+        |  SELECT DISTINCT doc_id AS k1, lang AS k2 FROM documents
+        |  WHERE source <> 'src5'
+        |  UNION ALL SELECT -1, NULL),
+        |surv AS (
+        |  SELECT * FROM documents d
+        |  WHERE ((NOT EXISTS (SELECT 1 FROM sset s
+        |    WHERE (d.doc_id = s.k1 OR d.doc_id IS NULL OR s.k1 IS NULL)
+        |      AND (d.lang = s.k2 OR d.lang IS NULL OR s.k2 IS NULL)))
+        |    AND d.n_chars < 400) IS NOT TRUE)
         |SELECT lang, source, count(*) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM surv GROUP BY lang, source ORDER BY lang, source""".stripMargin,

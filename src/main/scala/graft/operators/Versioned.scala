@@ -1464,20 +1464,28 @@ object Versioned {
     * fraction the DV decision needs. */
   private def probeMatches(
       spark: SparkSession, tableDir: String, cand: Seq[String],
-      m: Manifest, applied: Column): (DataFrame, Map[String, Long]) = {
-    val candSet = cand.toSet
-    val dvForCand = m.dvs.filter(d => candSet(d._1))
-    val tagged0 = scanGroupsTagged(spark, tableDir, cand, m.schemaDdl, m.mapping)
-    val liveScan =
-      if (dvForCand.isEmpty) tagged0
-      else tagged0.join(dvMaskRows(spark, tableDir, dvForCand),
-        Seq("__dv_rel", "__dv_pos"), "left_anti")
-    val matchRows = liveScan.filter(applied)
+      m: Manifest,
+      claimedOf: DataFrame => DataFrame): (DataFrame, Map[String, Long]) = {
+    val matchRows = claimedOf(liveTagged(spark, tableDir, cand, m))
       .withColumn("__grp", org.apache.spark.sql.functions
         .substring_index(col("__dv_rel"), "/", 1))
     val perGroup: Map[String, Long] = matchRows.groupBy("__grp").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (matchRows, perGroup)
+  }
+
+  /** The DV-masked, row-identity-tagged live scan of `groups` —
+    * [[scanVersionGroups]] content with `__dv_rel`/`__dv_pos` kept, the
+    * view claim transforms ([[deleteClaims]]/[[updateClaims]]) run on. */
+  private def liveTagged(
+      spark: SparkSession, tableDir: String,
+      groups: Seq[String], m: Manifest): DataFrame = {
+    val gs = groups.toSet
+    val dvFor = m.dvs.filter(d => gs(d._1))
+    val tagged0 = scanGroupsTagged(spark, tableDir, groups, m.schemaDdl, m.mapping)
+    if (dvFor.isEmpty) tagged0
+    else tagged0.join(dvMaskRows(spark, tableDir, dvFor),
+      Seq("__dv_rel", "__dv_pos"), "left_anti")
   }
 
   /** Partition the matched groups into (dvGroups, rewriteGroups): a
@@ -1585,19 +1593,40 @@ object Versioned {
 
   def delete(spark: SparkSession, tableDir: String)(preds: Column*): Long = {
     require(preds.nonEmpty, "delete needs at least one predicate")
+    val cond = preds.reduce(_ && _)
+    val applied = coalesce(cond, lit(false))
+    deleteClaims(spark, tableDir, Some(cond),
+      claimedOf = _.filter(applied), keptOf = _.filter(!applied))
+  }
+
+  /** [[delete]]'s engine with the CLAIM generalized to a transform
+    * pair: `claimedOf` selects the rows to remove from a (DV-masked,
+    * `__dv_rel`/`__dv_pos`-tagged) live scan, `keptOf` its exact
+    * complement. A predicate delete passes filters; a claim that is a
+    * JOIN (the over-limit multi-column NOT IN fallback) passes
+    * anti/semi joins — the DV-vs-rewrite economics are identical
+    * either way. `prune` (when derivable from the claim) narrows the
+    * candidate groups through the stats sidecars; `None` scans all. */
+  private[graft] def deleteClaims(
+      spark: SparkSession, tableDir: String, prune: Option[Column],
+      claimedOf: DataFrame => DataFrame,
+      keptOf: DataFrame => DataFrame): Long = {
     val v = latestVersion(spark, tableDir)
     require(v >= 0, s"no versions committed under $tableDir")
     val m = parseManifest(spark, tableDir, v)
     require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
-    val cond = preds.reduce(_ && _)
-    val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, cond, m.mapping)
+    val cand = prune match {
+      case Some(c) =>
+        pruneGroups(spark, tableDir, m.files, m.schemaDdl, c, m.mapping)._1
+      case None => m.files
+    }
     if (cand.isEmpty) return v
     // One pass over the (DV-masked) candidates yields the touched
     // groups AND each group's matched-row count — the DV decision
     // needs the fraction, so fold it into the probe instead of a
     // second scan.
     val (matchRows, perGroup) =
-      probeMatches(spark, tableDir, cand, m, coalesce(cond, lit(false)))
+      probeMatches(spark, tableDir, cand, m, claimedOf)
     if (perGroup.isEmpty) return v // nothing to delete anywhere
     val dvByGroup = m.dvs.map(d => d._1 -> d).toMap
     // DELETION-VECTOR path (merge-on-read): a touched group whose
@@ -1628,9 +1657,8 @@ object Versioned {
       val (rewriteGroup, kept) =
         if (touched.isEmpty) (None, 0L)
         else {
-          val survivors = scanVersionGroups(
-            spark, tableDir, touched, m.schemaDdl, m.mapping, m.dvs)
-            .filter(!coalesce(cond, lit(false)))
+          val survivors = keptOf(liveTagged(spark, tableDir, touched, m))
+            .drop("__dv_rel", "__dv_pos")
           val (group, n) = writeGroup(survivors, tableDir, m.mapping)
           cleanupOnFailure += group
           enforceConstraints(spark, tableDir, group, m.schemaDdl, m.constraints, m.mapping)
@@ -1685,16 +1713,32 @@ object Versioned {
   def update(
       spark: SparkSession, tableDir: String, cond: Column,
       assignments: (String, Column)*): Long = {
+    val applied = cond.isNotNull && cond // NULL predicate → row untouched
+    updateClaims(spark, tableDir, Some(cond),
+      claimedOf = _.filter(applied), keptOf = _.filter(!applied),
+      assignments: _*)
+  }
+
+  /** [[update]]'s engine with the CLAIM generalized to a transform
+    * pair over the tagged live scan — see [[deleteClaims]]. Claimed
+    * rows take every assignment; kept rows carry unchanged. */
+  private[graft] def updateClaims(
+      spark: SparkSession, tableDir: String, prune: Option[Column],
+      claimedOf: DataFrame => DataFrame, keptOf: DataFrame => DataFrame,
+      assignments: (String, Column)*): Long = {
     require(assignments.nonEmpty, "update needs at least one assignment")
     val v = latestVersion(spark, tableDir)
     require(v >= 0, s"no versions committed under $tableDir")
     val m = parseManifest(spark, tableDir, v)
     require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
-    val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, cond, m.mapping)
+    val cand = prune match {
+      case Some(c) =>
+        pruneGroups(spark, tableDir, m.files, m.schemaDdl, c, m.mapping)._1
+      case None => m.files
+    }
     if (cand.isEmpty) return v
-    val applied = cond.isNotNull && cond // NULL predicate → row untouched
     val (matchRows, perGroup) =
-      probeMatches(spark, tableDir, cand, m, applied)
+      probeMatches(spark, tableDir, cand, m, claimedOf)
     if (perGroup.isEmpty) return v
     val resolver = org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
     val tableCols = matchRows.columns.filterNot(reservedCols)
@@ -1750,9 +1794,11 @@ object Versioned {
       val (rewriteGroup, nRewrite) =
         if (touched.isEmpty) (None, 0L)
         else {
-          val scan = scanVersionGroups(
-            spark, tableDir, touched, m.schemaDdl, m.mapping, m.dvs)
-          val (g, n) = writeGroup(applyAssignments(scan, applied), tableDir, m.mapping)
+          val scan = liveTagged(spark, tableDir, touched, m)
+          val content = applyAssignments(
+            claimedOf(scan).drop("__dv_rel", "__dv_pos"), lit(true))
+            .unionByName(keptOf(scan).drop("__dv_rel", "__dv_pos"))
+          val (g, n) = writeGroup(content, tableDir, m.mapping)
           cleanupOnFailure += g
           enforceConstraints(spark, tableDir, g, m.schemaDdl, m.constraints, m.mapping)
           (Some(g), n)
@@ -1973,28 +2019,41 @@ object Versioned {
       s"merge key '$k' missing from the source " +
         s"(has ${source.columns.mkString(", ")})"))
     val src = source.capLineage()
-    val srcEmpty = src.isEmpty
+    // ONE aggregate pass over the source decides emptiness, the
+    // duplicate-key guard, AND the candidate key range — previously
+    // three source-scan jobs (isEmpty, a groupBy-count dup probe, the
+    // min/max bounds). count(DISTINCT struct(keys)) uses groupBy's
+    // NULL-equals-NULL key equality, so the guard's semantics are
+    // byte-identical to the old per-key groupBy count (a source with
+    // duplicate all-NULL key tuples still raises).
+    val needDup = matched.nonEmpty || onResidual.isDefined
+    val needBounds = matched.nonEmpty || inserts.nonEmpty
+    val aggCols: Seq[Column] =
+      Seq(org.apache.spark.sql.functions.count(lit(1)).as("__n")) ++
+        (if (needDup)
+          Seq(org.apache.spark.sql.functions.count_distinct(
+            org.apache.spark.sql.functions.struct(keyCols.map(col): _*))
+            .as("__nd"))
+         else Nil) ++
+        (if (needBounds)
+          keyCols.flatMap(k =>
+            Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+         else Nil)
+    val srcStats = src.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val srcEmpty = srcStats.getLong(0) == 0L
     if (srcEmpty && bySource.isEmpty) return v
-    if ((matched.nonEmpty || onResidual.isDefined) && !srcEmpty) {
-      val dup = src.groupBy(keyCols.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dup == 0L,
+    if (needDup && !srcEmpty)
+      require(srcStats.getLong(0) == srcStats.getLong(srcStats.fieldIndex("__nd")),
         s"merge source has duplicate keys on (${keyCols.mkString(", ")}); " +
           "a multiply-matched target row is ambiguous (Delta MERGE raises too)")
-    }
 
     // Candidate groups for MATCH-driven work: the source's key range.
     val cand: Seq[String] =
-      if (srcEmpty || (matched.isEmpty && inserts.isEmpty)) Seq.empty
+      if (srcEmpty || !needBounds) Seq.empty
       else {
-        val bounds = src.agg(
-          keyCols.flatMap(k =>
-            Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k"))).head,
-          keyCols.flatMap(k =>
-            Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k"))).tail: _*)
-          .collect()(0)
-        val rangePred = keyCols.zipWithIndex.map { case (k, i) =>
-          col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
+        val rangePred = keyCols.map { k =>
+          col(k) >= lit(srcStats.get(srcStats.fieldIndex(s"__lo_$k"))) &&
+            col(k) <= lit(srcStats.get(srcStats.fieldIndex(s"__hi_$k")))
         }.reduce(_ && _)
         pruneGroups(spark, tableDir, m.files, m.schemaDdl, rangePred, m.mapping)._1
       }

@@ -785,12 +785,14 @@ private[graft] final case class GraftDmlKeysCommand(
         val limit = spark.conf.getOption("spark.graft.dml.notInLiteralLimit")
           .map(_.toInt).getOrElse(10000)
         val tuples = keys.limit(limit + 1).collect()
+        val strip = org.apache.spark.sql.graftshim.GraftSqlBridge.stripTgtQualifier _
         if (tuples.length > limit)
-          throw new UnsupportedOperationException(
-            s"graft DML: multi-column NOT IN evaluated ${tuples.length - 1}+ " +
-              s"distinct tuples (limit $limit) — its per-row-per-tuple NULL " +
-              "semantics require a literal predicate; rewrite as NOT EXISTS " +
-              "(which joins) or raise spark.graft.dml.notInLiteralLimit")
+          // Above the literal limit the SAME ANSI semantics run as a
+          // null-aware anti-join mutation (the scale path) instead of
+          // refusing — see [[notInMultiJoin]].
+          return notInMultiJoin(spark, keys, cond.map(strip),
+            sets.map { case (name, valueSql, dt) =>
+              name -> strip(expr(valueSql).cast(dt)) })
         val types = keys.schema.fields.map(_.dataType)
         // BALANCED disjunction: a left-deep reduce of 10k Or nodes is
         // deep enough to StackOverflowError Catalyst's recursive tree
@@ -810,7 +812,6 @@ private[graft] final case class GraftDmlKeysCommand(
           })
         // the residual and assignments are TGT-qualified for the
         // merge-clause scope; this path runs on the bare table
-        val strip = org.apache.spark.sql.graftshim.GraftSqlBridge.stripTgtQualifier _
         val fullCond = cond.map(c => pred && strip(c)).getOrElse(pred)
         if (sets.isEmpty) Versioned.delete(spark, tableDir)(fullCond)
         else Versioned.update(spark, tableDir, fullCond,
@@ -836,6 +837,99 @@ private[graft] final case class GraftDmlKeysCommand(
         throw new IllegalStateException(s"unknown negation mode '$other'")
     }
     Seq.empty
+  }
+
+  /** Over-limit tuple NOT IN: the same ANSI three-valued semantics as
+    * the literal predicate, evaluated as a NULL-AWARE ANTI-JOIN — the
+    * 100 TB shape. Derivation: a row r is claimed iff NO tuple s has
+    * `(r.c = s.c)` non-FALSE on every column, i.e. r survives an
+    * anti-join under C(r,s) = AND_c(r.c IS NULL OR s.c IS NULL OR
+    * r.c = s.c). The join decomposes so the DOMINANT volume never
+    * sees a nested-loop:
+    *   - non-NULL row vs non-NULL tuple: C is plain equality → ONE
+    *     hash/sort-merge semi-join on all key columns (unlimited set
+    *     size — this is the whole point of the fallback);
+    *   - non-NULL row vs NULL-bearing tuple, and NULL-keyed row vs any
+    *     tuple: genuinely non-equi (bounded nested-loop over the
+    *     NULL-bearing residue, broadcast under
+    *     `spark.graft.dml.notInJoinBroadcastRows`);
+    *   - an all-NULL tuple makes every membership test UNKNOWN →
+    *     global no-op, decided by one aggregate (matches the literal
+    *     path, where such a predicate never evaluates TRUE).
+    * The hit identities union on the scan's (rel, pos) row identity
+    * and the claim lands on [[Versioned.deleteClaims]] /
+    * [[Versioned.updateClaims]] — DV-vs-rewrite economics included. */
+  private def notInMultiJoin(
+      spark: SparkSession, keys: org.apache.spark.sql.DataFrame,
+      residual: Option[org.apache.spark.sql.Column],
+      assigns: Seq[(String, org.apache.spark.sql.Column)]): Seq[Row] = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, sum, when}
+    val anyNullKey = keyCols.map(col(_).isNull).reduce(_ || _)
+    val allNullKey = keyCols.map(col(_).isNull).reduce(_ && _)
+    val skeys = keys.persist()
+    try {
+      val stats = skeys.agg(
+        count(lit(1)).as("n"),
+        sum(when(allNullKey, 1L).otherwise(0L)).as("all_null"),
+        sum(when(anyNullKey, 1L).otherwise(0L)).as("any_null")).head()
+      val (n, nAllNull, nAnyNull) =
+        (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      if (nAllNull > 0) return Seq.empty // UNKNOWN everywhere: no-op
+      val cap = spark.conf.getOption("spark.graft.dml.notInJoinBroadcastRows")
+        .map(_.toLong).getOrElse(4000000L)
+      val sIdx = keyCols.indices
+      val sRen = keyCols.zipWithIndex.foldLeft(skeys) { case (d, (c, i)) =>
+        d.withColumnRenamed(c, s"__s_$i") }
+      val sNN = sRen.filter(sIdx.map(i => col(s"__s_$i").isNotNull).reduce(_ && _))
+      val sNull = sRen.filter(sIdx.map(i => col(s"__s_$i").isNull).reduce(_ || _))
+      val eqCond = keyCols.zipWithIndex.map { case (c, i) =>
+        col(c) === col(s"__s_$i") }.reduce(_ && _)
+      val nullAware = keyCols.zipWithIndex.map { case (c, i) =>
+        col(c).isNull || col(s"__s_$i").isNull || col(c) === col(s"__s_$i")
+      }.reduce(_ && _)
+      val id = Seq("__dv_rel", "__dv_pos")
+      // hits(df) = row identities for which SOME tuple is non-FALSE on
+      // every column — the rows the NOT IN does NOT claim.
+      def hits(df: DataFrame): DataFrame = {
+        val dfNN = df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+        val dfNull = df.filter(anyNullKey)
+        val h1 = dfNN.join(sNN, eqCond, "left_semi").select(id.map(col): _*)
+        val h2 =
+          if (nAnyNull == 0L) Nil
+          else Seq(dfNN.join(
+            if (nAnyNull <= cap) broadcast(sNull) else sNull,
+            nullAware, "left_semi").select(id.map(col): _*))
+        val h3 =
+          if (n <= cap)
+            Seq(dfNull.join(broadcast(sRen), nullAware, "left_semi")
+              .select(id.map(col): _*))
+          else if (dfNull.isEmpty) Nil
+          else throw new UnsupportedOperationException(
+            "graft DML: multi-column NOT IN with NULL-keyed table rows and " +
+              "a key set above spark.graft.dml.notInJoinBroadcastRows " +
+              s"($cap) has no hash-join plan — exclude the NULL-keyed rows " +
+              "explicitly or rewrite as NOT EXISTS")
+        (Seq(h1) ++ h2 ++ h3).reduce(_ unionByName _)
+      }
+      def claimedOf(df: DataFrame): DataFrame = {
+        val c = df.join(hits(df), id, "left_anti")
+        residual.map(r => c.filter(coalesce(r, lit(false)))).getOrElse(c)
+      }
+      def keptOf(df: DataFrame): DataFrame = {
+        val h = hits(df)
+        val base = df.join(h, id, "left_semi")
+        residual.map(r => base.unionByName(
+          df.join(h, id, "left_anti").filter(!coalesce(r, lit(false)))))
+          .getOrElse(base)
+      }
+      if (sets.isEmpty)
+        Versioned.deleteClaims(spark, tableDir, None, claimedOf, keptOf)
+      else
+        Versioned.updateClaims(spark, tableDir, None, claimedOf, keptOf,
+          assigns: _*)
+      Seq.empty
+    } finally skeys.unpersist()
   }
 }
 

@@ -335,13 +335,6 @@ class GraftDmlSpec extends SparkSpec {
     refuse(s"""DELETE FROM graft.`$dir` WHERE id IN (SELECT k FROM dml_sq_k2)
               |AND w IN (SELECT k FROM dml_sq_k2)""".stripMargin,
       "subquery conjuncts")
-    // multi-column NOT IN is SUPPORTED (bounded literal predicate);
-    // the refusal is the over-limit guard
-    sql.conf.set("spark.graft.dml.notInLiteralLimit", "1")
-    try refuse(s"""DELETE FROM graft.`$dir`
-              |WHERE (id, w) NOT IN (SELECT k, k FROM dml_sq_k2)""".stripMargin,
-      "notInLiteralLimit")
-    finally sql.conf.unset("spark.graft.dml.notInLiteralLimit")
     refuse(s"""DELETE FROM graft.`$dir`
               |WHERE EXISTS (SELECT 1 FROM dml_sq_k2)""".stripMargin,
       "uncorrelated EXISTS")
@@ -451,6 +444,69 @@ class GraftDmlSpec extends SparkSpec {
     sql.sql(s"""DELETE FROM graft.`$dir`
                |WHERE (id, v) NOT IN (SELECT k, sv FROM dml_nim_empty)""".stripMargin)
     assert(Versioned.read(sql, dir).count() == 0, "empty set deletes everything")
+  }
+
+  test("multi-column NOT IN above the literal limit: the join fallback " +
+      "matches the literal path row-for-row (NULL rows and tuples included)") {
+    // Two identical tables; the same statements run once through the
+    // bounded-literal path (default limit) and once forced through the
+    // null-aware anti-join fallback (limit 1) — survivors must match
+    // exactly. The table carries NULL-keyed rows (the nested-loop h3
+    // arm) and the set carries a NULL-bearing tuple (the h2 arm).
+    val ss = sql; import ss.implicits._
+    def seed(): String = {
+      val dir = tbl()
+      Versioned.commit(Seq(
+        (java.lang.Long.valueOf(1L), "a", 10L),
+        (java.lang.Long.valueOf(2L), "b", 20L),
+        (java.lang.Long.valueOf(3L), "x", 30L),
+        (null.asInstanceOf[java.lang.Long], "c", 40L),
+        (java.lang.Long.valueOf(4L), null.asInstanceOf[String], 50L),
+        (java.lang.Long.valueOf(9L), "z", 60L))
+        .toDF("id", "v", "w"), dir)
+      dir
+    }
+    Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "b"),
+      (java.lang.Long.valueOf(4L), "d"))
+      .toDF("k", "sv").createOrReplaceTempView("dml_nimf_set")
+    def surv(dir: String): Set[(Option[Any], Option[Any], Long)] =
+      Versioned.read(sql, dir).collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2))).toSet
+    def run(dir: String): Unit = {
+      sql.sql(s"""DELETE FROM graft.`$dir`
+                 |WHERE (id, v) NOT IN (SELECT k, sv FROM dml_nimf_set)
+                 |  AND w < 55""".stripMargin)
+      sql.sql(s"""UPDATE graft.`$dir` SET w = w + 1000
+                 |WHERE (id, v) NOT IN (SELECT k, sv FROM dml_nimf_set)
+                 |""".stripMargin)
+    }
+    val litDir = seed(); val joinDir = seed()
+    run(litDir) // literal path (set of 3 is under the default limit)
+    sql.conf.set("spark.graft.dml.notInLiteralLimit", "1")
+    try run(joinDir) // forced through the anti-join fallback
+    finally sql.conf.unset("spark.graft.dml.notInLiteralLimit")
+    assert(surv(joinDir) == surv(litDir),
+      s"join fallback diverged:\n  join=${surv(joinDir)}\n  lit=${surv(litDir)}")
+    // sanity vs hand-derivation: (3,'x'), (NULL,'c') and (9,'z') fail
+    // every tuple on a non-NULL column -> claimed (the NULL-id row is
+    // the ANSI trap: claimed DESPITE its NULL key); (9,'z') escapes
+    // the DELETE's w<55 residual and takes the UPDATE instead; the
+    // rest are IN-or-UNKNOWN and survive untouched.
+    assert(surv(litDir) == Set(
+      (Some(1L), Some("a"), 10L), (Some(2L), Some("b"), 20L),
+      (Some(4L), None, 50L), (Some(9L), Some("z"), 1060L)),
+      surv(litDir).toString)
+    // an all-NULL tuple makes the statement a global no-op on BOTH paths
+    Seq((null.asInstanceOf[java.lang.Long], null.asInstanceOf[String]))
+      .toDF("k", "sv").createOrReplaceTempView("dml_nimf_allnull")
+    val before = surv(joinDir)
+    sql.conf.set("spark.graft.dml.notInLiteralLimit", "0")
+    try sql.sql(s"""DELETE FROM graft.`$joinDir`
+                   |WHERE (id, v) NOT IN (SELECT k, sv FROM dml_nimf_allnull)
+                   |""".stripMargin)
+    finally sql.conf.unset("spark.graft.dml.notInLiteralLimit")
+    assert(surv(joinDir) == before, "all-NULL tuple must be a no-op")
   }
 
   test("MERGE ON with differently-named keys: t.id = s.src_id rides the key path") {

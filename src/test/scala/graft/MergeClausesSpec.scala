@@ -113,6 +113,40 @@ class MergeClausesSpec extends SparkSpec {
     assert(rows(dir2)(5L)._1 == "z")
   }
 
+  test("source emptiness, dup guard, and key bounds fold into ONE source job") {
+    // The merge prologue used to pay three separate source-scan jobs
+    // (isEmpty, a groupBy-count duplicate probe, the min/max bounds);
+    // they now ride one aggregate. Pin the whole lifecycle's job count
+    // so a regression that re-splits the prologue (or adds a
+    // per-mutation pre-pass anywhere else) fails loudly. The count is
+    // environment-stable: same table shape, same clauses, AQE off has
+    // no effect on job boundaries here.
+    val dir = seeded()
+    val src = Seq((10L, "S10", 1L), (150L, "S150", 2L), (500L, "S500", 3L))
+      .toDF("id", "v", "w")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Versioned.mergeClauses(spark, dir, src, Seq("id"), Seq(
+        MatchedDelete(Some(col("TGT.w") < 500L)),
+        MatchedUpdate(Seq("v" -> concat(col("SRC.v"), lit("!")),
+          "w" -> (col("TGT.w") + col("SRC.w")))),
+        NotMatchedInsert()))
+      Thread.sleep(1500) // listener events post asynchronously
+      assert(counter.get() <= 22,
+        s"merge lifecycle ran ${counter.get()} jobs (expected <= 22 — did " +
+          "the source prologue split back into separate scan jobs?)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the fold keeps exact semantics: the dup guard still fires (see
+    // the contracts test below) and the merge's row effects held above
+    assert(rows(dir).size == 200)
+  }
+
   test("contracts: duplicate source keys raise; assignments cast to column type; unknown columns raise") {
     val dir = seeded()
     val dup = Seq((1L, "a", 0L), (1L, "b", 0L)).toDF("id", "v", "w")
