@@ -999,6 +999,69 @@ object SparkEntry {
         .orderBy("version")
     }),
 
+    // DV-PRESSURE GAUGES through describeHistory: three group-disjoint
+    // DV deletes under spark.graft.dv.maxArtifacts=2 — the third would
+    // leave 3 artifact directories, so it FOLDS every carried vector
+    // into its fresh artifact (dv_files drops back to 1) while dv_rows
+    // keeps the cumulative position count. The oracle recomputes every
+    // n_rows/dv_rows cell from the raw documents and pins the
+    // dv_files accretion curve (1, 2, 1) as constants.
+    "describe_history_dv" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val tbl = s"/tmp/graft_versioned/histdv_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)              // v0
+      Versioned.append(docs.filter(col("lang") === "de"), tbl)              // v1
+      Versioned.append(docs.filter(!col("lang").isin("en", "de")), tbl)     // v2
+      s.conf.set("spark.graft.dv.maxArtifacts", "2")
+      try {
+        Versioned.delete(s, tbl)(col("lang") === "en" && col("doc_id") % 11 === 0)
+        Versioned.delete(s, tbl)(col("lang") === "de" && col("doc_id") % 13 === 0)
+        Versioned.delete(s, tbl)(col("lang") === "fr" && col("doc_id") % 17 === 0)
+      } finally s.conf.unset("spark.graft.dv.maxArtifacts")
+      Versioned.describeHistory(s, tbl)
+        .select("version", "mode", "n_rows", "dv_rows", "dv_files")
+        .orderBy("version")
+    }),
+
+    // POST-VACUUM CDF RESYNC: vacuum drops the log prefix, so a CDF
+    // consumer whose cursor predates retention discovers the surviving
+    // window via the table_version_bounds TVF, reprocesses the FULL
+    // snapshot AS OF the earliest surviving version, and resumes
+    // table_changes from the next one — the same contract pollChanges
+    // implements with its resync flag. The read crosses a DV delete
+    // (snapshot side) and an append (incremental side); the oracle
+    // recomputes both phases from raw documents.
+    "table_changes_resync" -> ((s, dir) => {
+      val sql = graft.sources.GraftDml.enabledSession(s)
+      val docs = sql.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/resync_${etlSuffix(dir)}"
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sql.sparkContext.hadoopConfiguration).delete(p, true)
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl)  // v0
+      Versioned.append(docs.filter(col("lang") === "de"), tbl)  // v1
+      Versioned.delete(sql, tbl)(col("doc_id") % 97L === 0L)    // v2: pure DV
+      Versioned.append(docs.filter(col("lang") === "fr"), tbl)  // v3
+      Versioned.vacuum(sql, tbl, keepFrom = 2L)
+      val bounds = sql.sql(
+        s"SELECT earliest_version, latest_version FROM table_version_bounds('$tbl')")
+        .head()
+      val (earliest, latest) = (bounds.getLong(0), bounds.getLong(1))
+      require(earliest == 2L && latest == 3L, s"bounds ($earliest, $latest)")
+      sql.sql(
+        s"""SELECT 'resync' AS phase, lang, count(*) AS n_rows,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+           |FROM graft.`$tbl` VERSION AS OF $earliest GROUP BY lang
+           |UNION ALL
+           |SELECT concat('change:', _change_type) AS phase, lang,
+           |  count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+           |FROM table_changes('$tbl', ${earliest + 1})
+           |GROUP BY _change_type, lang
+           |ORDER BY phase, lang""".stripMargin)
+    }),
+
     // CDC-style incremental read over an append chain: a consumer that
     // processed v0 asks for everything added since — served from ONLY
     // the appended file groups (metadata-only planning; VersionedSpec
@@ -5497,6 +5560,46 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT), 'snapshot', count(*), CAST(1 AS BIGINT), true
         |FROM documents WHERE lang <> 'en'
         |ORDER BY version""".stripMargin,
+
+    // The DV-pressure gauges recomputed: n_rows/dv_rows from the raw
+    // documents, dv_files pinned as the accretion curve (1, 2, then 1
+    // after the maxArtifacts=2 fold).
+    "describe_history_dv" ->
+      """WITH e AS (SELECT count(*) n FROM documents WHERE lang = 'en'),
+        |  d AS (SELECT count(*) n FROM documents WHERE lang = 'de'),
+        |  tot AS (SELECT count(*) n FROM documents),
+        |  c1 AS (SELECT count(*) n FROM documents
+        |         WHERE lang = 'en' AND doc_id % 11 = 0),
+        |  c2 AS (SELECT count(*) n FROM documents
+        |         WHERE lang = 'de' AND doc_id % 13 = 0),
+        |  c3 AS (SELECT count(*) n FROM documents
+        |         WHERE lang = 'fr' AND doc_id % 17 = 0)
+        |SELECT CAST(0 AS BIGINT) AS version, 'snapshot' AS mode,
+        |  CAST(e.n AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS dv_rows,
+        |  CAST(0 AS BIGINT) AS dv_files FROM e
+        |UNION ALL SELECT 1, 'append', e.n + d.n, 0, 0 FROM e, d
+        |UNION ALL SELECT 2, 'append', tot.n, 0, 0 FROM tot
+        |UNION ALL SELECT 3, 'delete', tot.n - c1.n, c1.n, 1 FROM tot, c1
+        |UNION ALL SELECT 4, 'delete', tot.n - c1.n - c2.n, c1.n + c2.n, 2
+        |  FROM tot, c1, c2
+        |UNION ALL SELECT 5, 'delete', tot.n - c1.n - c2.n - c3.n,
+        |  c1.n + c2.n + c3.n, 1 FROM tot, c1, c2, c3
+        |ORDER BY version""".stripMargin,
+
+    // Resync replay: the snapshot AS OF the earliest surviving version
+    // (en+de minus the %97 DV delete) plus the fr append as the only
+    // incremental change.
+    "table_changes_resync" ->
+      """WITH snap AS (
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE lang IN ('en', 'de') AND doc_id % 97 <> 0)
+        |SELECT 'resync' AS phase, lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM snap GROUP BY lang
+        |UNION ALL
+        |SELECT 'change:insert', lang, count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE lang = 'fr' GROUP BY lang
+        |ORDER BY phase, lang""".stripMargin,
 
     // The change set is the two appended batches, duplicates preserved
     // (UNION ALL, not UNION). id_sum cast: DuckDB sum(BIGINT) returns

@@ -51,10 +51,14 @@ object Versioned {
 
   /** (lowest, highest) committed version in one listing, or (-1, -1)
     * for an empty/absent table. The LOWEST version matters to the
-    * incremental caches: their epoch derives from the oldest present
-    * manifest, so a vacuum (which drops a prefix of the log) is
-    * observable as an epoch change. */
-  private def versionBounds(spark: SparkSession, tableDir: String): (Long, Long) = {
+    * incremental caches (their epoch derives from the oldest present
+    * manifest, so a vacuum — which drops a prefix of the log — is
+    * observable as an epoch change) AND to CDF consumers: a
+    * `table_changes` read from a vacuumed-away start fails loudly, so
+    * a consumer resyncs by restarting from the lowest bound — the SQL
+    * surface is the `table_version_bounds('t')` TVF
+    * ([[graft.sources.GraftDml]]), the programmatic one is this. */
+  def versionBounds(spark: SparkSession, tableDir: String): (Long, Long) = {
     val p = new Path(s"$tableDir/_versions")
     val f = fs(spark, tableDir)
     if (!f.exists(p)) (-1L, -1L)
@@ -1551,23 +1555,32 @@ object Versioned {
     * one live DV entry per group, always complete). Each fresh row is
     * KIND-tagged (`kindCol`: 'delete' or 'update') so the change feed
     * can attribute a mixed merge's position growth per row. Returns
-    * the new manifest entries; empty when no group takes the DV path. */
+    * the new manifest entries; empty when no group takes the DV path.
+    *
+    * ARTIFACT-ACCRETION BOUND: when `absorb` is non-empty (the caller
+    * found the new manifest would reference more than
+    * `spark.graft.dv.maxArtifacts` distinct artifact directories),
+    * those carried groups' vectors fold into THIS artifact too and
+    * their remapped entries return alongside the fresh ones — N
+    * sequential one-row deletes keep a bounded artifact count instead
+    * of one directory per mutation (old directories age out via
+    * vacuum's reference counting). */
   private def writeDvArtifact(
       spark: SparkSession, tableDir: String, matchRows: DataFrame,
       dvGroups: Seq[String],
       dvByGroup: Map[String, (String, String, Long)],
       perGroup: Map[String, Long],
-      kindCol: Column = lit("delete")): Seq[(String, String, Long)] = {
+      kindCol: Column = lit("delete"),
+      absorb: Seq[(String, String, Long)] = Seq.empty): Seq[(String, String, Long)] = {
     if (dvGroups.isEmpty) return Seq.empty
     val fresh = matchRows.filter(col("__grp").isin(dvGroups: _*))
       .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"),
         kindCol.cast("string").as("kind"))
-    val prior = dvGroups.flatMap(dvByGroup.get)
+    val prior = dvGroups.flatMap(dvByGroup.get) ++ absorb
     val merged =
       if (prior.isEmpty) fresh
       else fresh.unionByName(
-        dvRowsKinded(spark, tableDir,
-          prior.filter(d => dvGroups.contains(d._1)))
+        dvRowsKinded(spark, tableDir, prior)
           .select(col("__dv_rel").as("rel"), col("__dv_pos").as("pos"),
             col("__kind").as("kind")))
     val artifact = s"dv-${java.util.UUID.randomUUID()}"
@@ -1578,7 +1591,8 @@ object Versioned {
     // delete = 10k files of overhead for KBs of positions). ~4M
     // (rel, pos) rows per output file keeps big DVs under control.
     val parts = math.max(1L, (dvGroups.map(perGroup).sum +
-      dvGroups.flatMap(dvByGroup.get).map(_._3).sum) / 4000000L).toInt
+      dvGroups.flatMap(dvByGroup.get).map(_._3).sum +
+      absorb.map(_._3).sum) / 4000000L).toInt
     // partial-write cleanup: see writeGroup — an orphaned partial dv-*
     // directory is unreclaimable and poison to schema-pinned readers
     try merged.coalesce(parts).write.parquet(s"$tableDir/files/$artifact")
@@ -1588,7 +1602,24 @@ object Versioned {
       throw e
     }
     dvGroups.map(g => (g, artifact,
-      perGroup(g) + dvByGroup.get(g).map(_._3).getOrElse(0L)))
+      perGroup(g) + dvByGroup.get(g).map(_._3).getOrElse(0L))) ++
+      absorb.map { case (g, _, nPos) => (g, artifact, nPos) }
+  }
+
+  /** The carried DV entries a mutation should FOLD into its fresh
+    * artifact: non-empty iff carrying them as-is would leave the new
+    * manifest referencing more than `spark.graft.dv.maxArtifacts`
+    * (default 8) distinct artifact directories. `carried` = the
+    * entries that will survive into the new manifest unchanged. */
+  private def dvAbsorbSet(
+      spark: SparkSession,
+      carried: Seq[(String, String, Long)],
+      freshArtifacts: Int): Seq[(String, String, Long)] = {
+    val maxArtifacts = spark.conf.getOption("spark.graft.dv.maxArtifacts")
+      .map(_.toInt).getOrElse(8)
+    if (carried.map(_._2).distinct.size + freshArtifacts > maxArtifacts)
+      carried
+    else Seq.empty
   }
 
   def delete(spark: SparkSession, tableDir: String)(preds: Column*): Long = {
@@ -1640,8 +1671,19 @@ object Versioned {
     val f = fs(spark, tableDir)
     val hit = rewriteGroups.toSet
     val (touched, untouched) = m.files.partition(hit)
+    // entries that would carry over unchanged — folded into the fresh
+    // artifact instead when that keeps the artifact count bounded
+    val dvCarried = {
+      val unSet = untouched.toSet
+      val dvSet = dvGroups.toSet
+      m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
+    }
+    val dvAbsorb =
+      if (dvGroups.isEmpty) Seq.empty
+      else dvAbsorbSet(spark, dvCarried, freshArtifacts = 1)
     val dvAdditions =
-      writeDvArtifact(spark, tableDir, matchRows, dvGroups, dvByGroup, perGroup)
+      writeDvArtifact(spark, tableDir, matchRows, dvGroups, dvByGroup,
+        perGroup, absorb = dvAbsorb)
     // EVERY unpublished artifact/group this mutation wrote must be
     // reclaimed on ANY failure past this point, not only on a lost
     // publish race: vacuum reclaims only manifest-referenced dirs, so
@@ -1670,12 +1712,8 @@ object Versioned {
         }
       val groups = untouched ++ rewriteGroup.toSeq
       // DV entries: prior entries for groups still present and not
-      // re-DV'd this round, plus this round's (merged) additions.
-      val dvs = {
-        val unSet = untouched.toSet
-        val dvSet = dvGroups.toSet
-        m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
-      } ++ dvAdditions
+      // re-DV'd (nor absorbed) this round, plus this round's additions.
+      val dvs = (if (dvAbsorb.isEmpty) dvCarried else Seq.empty) ++ dvAdditions
       val untouchedLive = liveGroupRows(spark, tableDir, untouched, m)
       val deletedInDv = dvGroups.map(perGroup).sum
       publishExpecting(spark, tableDir, v, groups,
@@ -1768,9 +1806,17 @@ object Versioned {
     val f = fs(spark, tableDir)
     // DV path: updated COPIES of the matched rows → one new group;
     // their original positions → the groups' deletion vectors.
+    val dvCarried = {
+      val unSet = untouched.toSet
+      val dvSet = dvGroups.toSet
+      m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
+    }
+    val dvAbsorb =
+      if (dvGroups.isEmpty) Seq.empty
+      else dvAbsorbSet(spark, dvCarried, freshArtifacts = 1)
     val dvAdditions =
       writeDvArtifact(spark, tableDir, matchRows, dvGroups, dvByGroup,
-        perGroup, kindCol = lit("update"))
+        perGroup, kindCol = lit("update"), absorb = dvAbsorb)
     // Same orphan discipline as [[delete]]: any failure past the
     // artifact write (a constraint-violating assignment is the common
     // one) must reclaim the artifact and every group written so far —
@@ -1804,11 +1850,7 @@ object Versioned {
           (Some(g), n)
         }
       val groups = untouched ++ rewriteGroup.toSeq ++ copiesGroup.toSeq
-      val dvs = {
-        val unSet = untouched.toSet
-        val dvSet = dvGroups.toSet
-        m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
-      } ++ dvAdditions
+      val dvs = (if (dvAbsorb.isEmpty) dvCarried else Seq.empty) ++ dvAdditions
       val untouchedLive = liveGroupRows(spark, tableDir, untouched, m)
       // total live rows are unchanged by an update: the DV'd positions
       // are exactly offset by their updated copies
@@ -2333,9 +2375,16 @@ object Versioned {
       else org.apache.spark.sql.functions
         .when(col("__action").isin(matchedDeleteIds: _*), "delete")
         .otherwise("update")
+    val dvCarried = {
+      val unSet = untouchedFiles.toSet
+      m.dvs.filter(d => unSet(d._1) && !dvGroupSet(d._1))
+    }
+    val dvAbsorb =
+      if (claimedDv.isEmpty) Seq.empty
+      else dvAbsorbSet(spark, dvCarried, freshArtifacts = 1)
     val dvAdditions = claimedDv.map(cd =>
       writeDvArtifact(spark, tableDir, cd, dvGroups, dvByGroup, dvClaims,
-        kindCol = dvKind))
+        kindCol = dvKind, absorb = dvAbsorb))
       .getOrElse(Seq.empty)
     // Orphan discipline (same as delete/update): reclaim the artifact
     // and every group written so far on ANY failure past this point.
@@ -2374,10 +2423,7 @@ object Versioned {
           } else (Some(g), nn)
         }
       val groups = untouchedFiles ++ newGroup.toSeq ++ copiesGroup.toSeq
-      val dvs = {
-        val unSet = untouchedFiles.toSet
-        m.dvs.filter(d => unSet(d._1) && !dvGroupSet(d._1))
-      } ++ dvAdditions
+      val dvs = (if (dvAbsorb.isEmpty) dvCarried else Seq.empty) ++ dvAdditions
       val untouchedRows = liveGroupRows(spark, tableDir, untouchedFiles, m)
       val dvClaimTotal = dvGroups.map(dvClaims).sum
       val nRows = untouchedRows - dvClaimTotal + n + nCopies
@@ -2697,6 +2743,8 @@ object Versioned {
     // classification pass: metadata-only
     sealed trait Ev
     final case class Ins(v: Long, added: Seq[String], ts: java.sql.Timestamp) extends Ev
+    final case class DvDel(v: Long, ts: java.sql.Timestamp,
+        prev: Manifest, cur: Manifest) extends Ev
     final case class DvPiece(df: DataFrame) extends Ev
     var prev = parseManifest(spark, tableDir, fromVersion)
     val events = scala.collection.mutable.ArrayBuffer.empty[Ev]
@@ -2717,12 +2765,11 @@ object Versioned {
         val added = cur.files.filterNot(prevSet)
         if (added.nonEmpty) events += Ins(v, added, ts)
       } else if (cur.mode == "delete" && curSet == prevSet) {
-        // pure-DV delete: removed rows = the per-group position growth
-        events += DvPiece(dvGrowthRows(spark, tableDir, prev, cur, toManifest)
-          .drop("__kind")
-          .withColumn("_change_type", flit("delete"))
-          .withColumn("_commit_version", flit(v))
-          .withColumn("_commit_timestamp", flit(ts)))
+        // pure-DV delete: removed rows = the per-group position growth.
+        // CONSECUTIVE such versions collapse into ONE frame (see
+        // dvDeleteRunPiece) — a year of daily GDPR deletes replays as
+        // one artifact scan + one attribution join, not 365 frames.
+        events += DvDel(v, ts, prev, cur)
       } else if (cur.mode == "update" && prev.files.forall(curSet)) {
         // merge-on-read UPDATE: the pre-images are the DV position
         // growth (same machinery as the delete branch), the
@@ -2812,15 +2859,79 @@ object Versioned {
           .withColumn("_commit_timestamp", col("__ct"))
           .drop("__grp", "__cv", "__ct", "__dv_rel", "__dv_pos")
       }
+    // A RUN of consecutive pure-DV deletes collapses into one frame:
+    // every distinct artifact any run version (plus the run's parent)
+    // references is read in ONE scan, each position is attributed to
+    // the FIRST version whose artifact carries it (positions only grow
+    // within a run, and every artifact is the group's complete merged
+    // set — so min-over-appearances is the commit version, and a
+    // position already present in the parent's artifact attributes to
+    // the parent and drops out). Artifact compaction (absorb) remaps
+    // untouched groups to fresh artifacts with UNCHANGED positions;
+    // those positions still appear in the parent pair, so the min
+    // filters them — no spurious deletes. Plan cost: O(1) frames per
+    // run instead of O(run length).
+    def dvDeleteRunPiece(dvRun: Seq[DvDel]): DataFrame = {
+      if (dvRun.size == 1) {
+        val d = dvRun.head
+        return dvGrowthRows(spark, tableDir, d.prev, d.cur, toManifest)
+          .drop("__kind")
+          .withColumn("_change_type", flit("delete"))
+          .withColumn("_commit_version", flit(d.v))
+          .withColumn("_commit_timestamp", flit(d.ts))
+      }
+      import spark.implicits._
+      val base = dvRun.head.prev
+      val baseV = dvRun.head.v - 1
+      // (artifact, group) -> earliest version it is the group's entry
+      val entries: Seq[(String, String, Long)] =
+        (base.dvs.map(e => (e._2, e._1, baseV)) ++
+          dvRun.flatMap(d => d.cur.dvs.map(e => (e._2, e._1, d.v))))
+          .groupBy(t => (t._1, t._2))
+          .map { case ((a, g), vs) => (a, g, vs.map(_._3).min) }.toSeq
+      val amap = org.apache.spark.sql.functions.broadcast(
+        entries.toDF("__art", "__grp", "__v0"))
+      val tsmap = org.apache.spark.sql.functions.broadcast(
+        dvRun.map(d => (d.v, d.ts)).toDF("__v0", "__ct")
+          .withColumn("__ct", coalesce(col("__ct"), flit(dvRun.head.ts))))
+      val sub = org.apache.spark.sql.functions.substring_index _
+      val positions = spark.read.parquet(
+          entries.map(_._1).distinct.map(a => s"$tableDir/files/$a"): _*)
+        .withColumn("__art", sub(sub(
+          org.apache.spark.sql.functions.input_file_name(), "/files/", -1),
+          "/", 1))
+        .withColumn("__grp", sub(col("rel"), "/", 1))
+        .select(col("rel"), col("pos"), col("__art"), col("__grp"))
+        .join(amap, Seq("__art", "__grp"))
+        .groupBy(col("rel").as("__dv_rel"), col("pos").as("__dv_pos"))
+        .agg(org.apache.spark.sql.functions.min(col("__v0")).as("__v0"))
+        .filter(col("__v0") > lit(baseV))
+      // only groups whose vector actually grew need scanning
+      val baseBy = base.dvs.map(d => d._1 -> d._3).toMap
+      val grownGroups = dvRun.last.cur.dvs
+        .filter(d => d._3 > baseBy.getOrElse(d._1, 0L)).map(_._1)
+      scanGroupsTagged(spark, tableDir, grownGroups,
+        toManifest.schemaDdl, toManifest.mapping)
+        .join(positions, Seq("__dv_rel", "__dv_pos"))
+        .join(tsmap, Seq("__v0"))
+        .withColumn("_change_type", flit("delete"))
+        .withColumn("_commit_version", col("__v0"))
+        .withColumn("_commit_timestamp", col("__ct"))
+        .drop("__v0", "__ct", "__dv_rel", "__dv_pos")
+    }
     val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val run = scala.collection.mutable.ArrayBuffer.empty[Ins]
+    val dvRun = scala.collection.mutable.ArrayBuffer.empty[DvDel]
     def flushRun(): Unit =
       if (run.nonEmpty) { pieces += insertPiece(run.toSeq); run.clear() }
+    def flushDvRun(): Unit =
+      if (dvRun.nonEmpty) { pieces += dvDeleteRunPiece(dvRun.toSeq); dvRun.clear() }
     events.foreach {
-      case i: Ins => run += i
-      case DvPiece(df) => flushRun(); pieces += df
+      case i: Ins => flushDvRun(); run += i
+      case d: DvDel => flushRun(); dvRun += d
+      case DvPiece(df) => flushRun(); flushDvRun(); pieces += df
     }
-    flushRun()
+    flushRun(); flushDvRun()
     pieces.toSeq
   }
 
@@ -2881,16 +2992,28 @@ object Versioned {
   def describeHistory(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     val f = fs(spark, tableDir)
+    // artifact sizes repeat across versions: one getContentSummary per
+    // DISTINCT artifact for the whole history, not per version
+    val sizeOf = scala.collection.mutable.Map.empty[String, Long]
     (0L to latestVersion(spark, tableDir)).flatMap { v =>
       scala.util.Try(parseManifest(spark, tableDir, v)).toOption.map { m =>
         val present = m.files.forall(g => f.exists(new Path(s"$tableDir/files/$g")))
+        val artifacts = m.dvs.map(_._2).distinct
+        val dvBytes = artifacts.map(a => sizeOf.getOrElseUpdate(a,
+          scala.util.Try(f.getContentSummary(
+            new Path(s"$tableDir/files/$a")).getLength).getOrElse(0L))).sum
         (v, m.mode, m.nRows, m.files.size.toLong, m.committedAt, present,
-          m.dvs.map(_._3).sum)
+          m.dvs.map(_._3).sum, artifacts.size.toLong, dvBytes)
       }
     }.toDF("version", "mode", "n_rows", "n_files", "committed_at", "readable",
-      "dv_rows")
+      "dv_rows", "dv_files", "dv_bytes")
     // dv_rows = positions carried by the version's deletion vectors —
-    // the DV-pressure gauge (rewrites/compacts drop it back to 0).
+    // the DV-pressure gauge (rewrites/compacts drop it back to 0);
+    // dv_files/dv_bytes = the ARTIFACT-ACCRETION gauge: distinct
+    // position-artifact directories the version references and their
+    // on-disk bytes (bounded by spark.graft.dv.maxArtifacts — repeated
+    // small mutations fold into one artifact at the threshold; a
+    // vacuumed-away artifact reads as 0 bytes, not an error).
     // committed_at stays the manifest's ISO-8601 instant string:
     // Instant.toString emits 0/3/6/9 fractional digits, so a fixed
     // timestamp parse would be fragile, and an audit surface wants the

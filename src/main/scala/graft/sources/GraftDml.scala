@@ -104,6 +104,44 @@ final class GraftPathRelationRule(session: SparkSession)
     }
   }
 
+  /** A TVF's table argument resolved to a graft table directory —
+    * a path string (the ``graft.`path``` form's probe) or a USING
+    * graft catalog table name. */
+  private def tvfTableDir(fn: String, arg: Expression): String = {
+    val nameStr = arg.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: first argument must be a table name or path string, got $other")
+    }
+    if (GraftPathRelationRule.resolvesAsPath(session, Seq("graft", nameStr)))
+      nameStr
+    else org.apache.spark.sql.graftshim.GraftSqlBridge
+      .graftTablePath(session, nameStr.split('.').toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$fn: '$nameStr' is neither a graft table directory " +
+          "nor a USING graft catalog table"))
+  }
+
+  /** `table_version_bounds('dir-or-table')` — the CDF consumer's
+    * resync handle: one row `(earliest_version, latest_version)` of
+    * the manifests still present (vacuum drops a prefix, so a
+    * `table_changes` start below `earliest_version` fails loudly; the
+    * consumer restarts from this TVF's lower bound — the same contract
+    * [[graft.operators.Versioned.pollChanges]] implements with its
+    * `resync` flag). (-1, -1) for an empty table. */
+  private def versionBoundsPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1,
+      s"table_version_bounds expects (table); got ${args.size} args")
+    args.foreach(a => require(a.resolved && a.foldable,
+      s"table_version_bounds arguments must be literals: `${a.sql}`"))
+    val dir = tvfTableDir("table_version_bounds", args.head)
+    val (lo, hi) = graft.operators.Versioned.versionBounds(session, dir)
+    import session.implicits._
+    SubqueryAlias("table_version_bounds",
+      Seq((lo, hi)).toDF("earliest_version", "latest_version")
+        .queryExecution.analyzed)
+  }
+
   /** `table_changes('dir-or-table', start [, end])` — Delta's CDF TVF:
     * resolves to [[graft.operators.Versioned.tableChanges]]'s plan
     * (inclusive start, row-level `_change_type` / `_commit_version` /
@@ -115,19 +153,7 @@ final class GraftPathRelationRule(session: SparkSession)
       s"table_changes expects (table, startVersion[, endVersion]); got ${args.size} args")
     args.foreach(a => require(a.resolved && a.foldable,
       s"table_changes arguments must be literals: `${a.sql}`"))
-    val nameStr = args.head.eval() match {
-      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-      case other => throw new IllegalArgumentException(
-        s"table_changes: first argument must be a table name or path string, got $other")
-    }
-    val dir: String =
-      if (GraftPathRelationRule.resolvesAsPath(session, Seq("graft", nameStr)))
-        nameStr
-      else org.apache.spark.sql.graftshim.GraftSqlBridge
-        .graftTablePath(session, nameStr.split('.').toSeq)
-        .getOrElse(throw new IllegalArgumentException(
-          s"table_changes: '$nameStr' is neither a graft table directory " +
-            "nor a USING graft catalog table"))
+    val dir = tvfTableDir("table_changes", args.head)
     def versionOf(e: Expression): Long = (e.eval(), e.dataType) match {
       // the TimestampType arm MUST precede the Number arm: a timestamp
       // literal evals to a boxed Long of micros, which Number would
@@ -163,6 +189,9 @@ final class GraftPathRelationRule(session: SparkSession)
       case org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction(
           Seq(fn), args, _) if fn.equalsIgnoreCase("table_changes") =>
         tableChangesPlan(args)
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction(
+          Seq(fn), args, _) if fn.equalsIgnoreCase("table_version_bounds") =>
+        versionBoundsPlan(args)
       case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
           u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation, ts, ver) =>
         pathOf(u) match {

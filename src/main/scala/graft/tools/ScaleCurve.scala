@@ -33,6 +33,7 @@ object ScaleCurve {
     if (family == "merge") { mergeCurve(dir, multipliers); return }
     if (family == "dv") { dvCurve(dir, multipliers); return }
     if (family == "dvmerge") { dvMergeCurve(dir, multipliers); return }
+    if (family == "dvdepth") { dvDepthCurve(dir, multipliers); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -193,6 +194,54 @@ object ScaleCurve {
     * The claim under test: COW rewrite bytes grow ∝ m (every group
     * rewritten) while the DV commit's new bytes stay ~flat (a KB-scale
     * position artifact), with identical surviving rows. */
+  /** CDF replay pressure vs DV-MUTATION DEPTH: k sequential one-row DV
+    * deletes, then a from-genesis `tableChanges` read. Reports the
+    * frame count (must stay O(1): the delete run consolidates into ONE
+    * artifact-scan frame regardless of k), the analyzer+optimizer wall
+    * for the replay plan, and the full replay execution wall — the
+    * curve that shows a years-of-daily-deletes history does not grow
+    * the plan. Row-count sanity: genesis inserts + exactly k deletes. */
+  private def dvDepthCurve(dir: String, depths: Seq[Int]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Versioned
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val nBase = base.count()
+    depths.foreach { k =>
+      val tbl = java.nio.file.Files
+        .createTempDirectory(s"graft-dvdepth$k").toString + "/t"
+      Versioned.commit(base, tbl)
+      val ids = base.orderBy("doc_id").limit(k)
+        .collect().map(_.getLong(0))
+      val t0 = System.nanoTime()
+      ids.foreach(id => Versioned.delete(spark, tbl)(col("doc_id") === id))
+      val mutSec = (System.nanoTime() - t0) / 1e9
+      val latest = Versioned.latestVersion(spark, tbl)
+      require(latest == k.toLong, s"expected $k delete versions, got $latest")
+      val frames = Versioned.changesFeedPieces(spark, tbl, 0L, latest).size
+      val t1 = System.nanoTime()
+      val feed = Versioned.tableChanges(spark, tbl, 0L)
+      feed.queryExecution.optimizedPlan // force analysis + optimization
+      val planSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val n = feed.count()
+      val execSec = (System.nanoTime() - t2) / 1e9
+      require(n == nBase + k,
+        s"replay must emit $nBase genesis inserts + $k deletes, got $n")
+      val arts = Versioned.parseManifest(spark, tbl, latest)
+        .dvs.map(_._2).distinct.size
+      println(f"""[scale-dvdepth] {"depth":$k,"frames":$frames,"plan_seconds":$planSec%.2f,"replay_seconds":$execSec%.2f,"mutate_seconds":$mutSec%.1f,"replay_rows":$n,"live_artifacts":$arts}""")
+    }
+    spark.stop()
+  }
+
   private def dvCurve(dir: String, multipliers: Seq[Int]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

@@ -484,6 +484,70 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("sequential small deletes keep a bounded artifact count; the CDF " +
+      "run-consolidation still attributes every position to its version") {
+    val dir = tbl()
+    // 4 append groups of 100 rows; each delete claims ONE row in ONE
+    // group, cycling groups — the worst accretion shape (one fresh
+    // artifact per mutation, nothing shared)
+    Versioned.commit((0L until 100L).toDF("id"), dir)
+    (1 to 3).foreach(i =>
+      Versioned.append((i * 100L until (i + 1) * 100L).toDF("id"), dir))
+    val key = "spark.graft.dv.maxArtifacts"
+    spark.conf.set(key, "3")
+    try {
+      (0 until 10).foreach { k =>
+        val id = (k % 4) * 100L + k / 4 // group cycles, row advances
+        Versioned.delete(spark, dir)(col("id") === id)
+      }
+    } finally spark.conf.unset(key)
+    val v = Versioned.latestVersion(spark, dir)
+    val m = Versioned.parseManifest(spark, dir, v)
+    assert(m.dvs.map(_._3).sum == 10L, "ten positions across the vectors")
+    val artifacts = m.dvs.map(_._2).distinct
+    assert(artifacts.size <= 3,
+      s"artifact accretion unbounded: ${artifacts.size} directories " +
+        "(maxArtifacts=3) — the absorb fold did not fire")
+    // the gauge surfaces the bound (and bytes) per version
+    val hist = Versioned.describeHistory(spark, dir)
+      .select("version", "dv_files", "dv_bytes", "dv_rows").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(hist(v) == ((artifacts.size.toLong, hist(v)._2, 10L)))
+    assert(hist(v)._2 > 0L, "dv_bytes must gauge the artifacts' disk size")
+    assert(hist(3L) == ((0L, 0L, 0L)), "pre-delete versions carry no DVs")
+    // content: exactly the ten deleted ids are gone
+    val deleted = (0 until 10).map(k => (k % 4) * 100L + k / 4).toSet
+    assert(Versioned.read(spark, dir).select("id").as[Long].collect().toSet ==
+      (0L until 400L).toSet -- deleted)
+    // CDF attribution ACROSS absorbed artifacts: an absorbed group's
+    // unchanged positions must NOT re-attribute to the fold version —
+    // each delete version owns exactly its one row
+    val feed = Versioned.tableChanges(spark, dir, 0L)
+    val deletes = feed.filter(col("_change_type") === "delete")
+      .select("id", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(deletes == (0 until 10)
+      .map(k => ((k % 4) * 100L + k / 4, 4L + k)).toSet, deletes.toString)
+    // plan-size bound: the 10-delete run consolidates into ONE frame
+    // (plus one for the collapsed append run) — a from-genesis CDF
+    // replay over a long DV-mutation history must not build
+    // per-version plan frames
+    val pieces = Versioned.changesFeedPieces(spark, dir, 0L, v)
+    assert(pieces.size == 2,
+      s"expected [append-run, dv-delete-run] = 2 frames, got ${pieces.size}")
+    // timestamps ride per-version through the consolidated frame too
+    val byVersion = (4L to v).map { vv =>
+      vv -> java.sql.Timestamp.from(java.time.Instant.parse(
+        Versioned.parseManifest(spark, dir, vv).committedAt)
+        .truncatedTo(java.time.temporal.ChronoUnit.MICROS))
+    }.toMap
+    feed.filter(col("_change_type") === "delete")
+      .select("_commit_version", "_commit_timestamp").collect().foreach { r =>
+        assert(r.getTimestamp(1) == byVersion(r.getLong(0)),
+          s"version ${r.getLong(0)}: timestamp ${r.getTimestamp(1)} != manifest")
+      }
+  }
+
   test("changesStream (manifest-driven) never ingests DV artifacts; a DV delete fails loudly") {
     val dir = tbl()
     Versioned.commit((0L until 100L).toDF("id"), dir)
