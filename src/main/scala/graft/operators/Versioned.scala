@@ -1606,20 +1606,31 @@ object Versioned {
       absorb.map { case (g, _, nPos) => (g, artifact, nPos) }
   }
 
-  /** The carried DV entries a mutation should FOLD into its fresh
-    * artifact: non-empty iff carrying them as-is would leave the new
-    * manifest referencing more than `spark.graft.dv.maxArtifacts`
-    * (default 8) distinct artifact directories. `carried` = the
-    * entries that will survive into the new manifest unchanged. */
-  private def dvAbsorbSet(
-      spark: SparkSession,
-      carried: Seq[(String, String, Long)],
-      freshArtifacts: Int): Seq[(String, String, Long)] = {
+  /** The mutation's DV carry plan: `carried` = prior entries that
+    * survive into the new manifest unchanged (groups neither rewritten
+    * nor re-vectored this round); `absorb` = those same entries marked
+    * for the FOLD — non-empty iff carrying them as-is would leave the
+    * new manifest referencing more than `spark.graft.dv.maxArtifacts`
+    * (default 8) distinct artifact directories. Callers pass `absorb`
+    * to [[writeDvArtifact]] (which re-emits the absorbed entries under
+    * the fresh artifact) and publish
+    * `(if (absorb.isEmpty) carried else Nil) ++ dvAdditions` — the
+    * absorbed groups MUST re-enter via dvAdditions or their deleted
+    * rows would resurrect. */
+  private def dvCarryPlan(
+      spark: SparkSession, m: Manifest,
+      untouched: Seq[String], dvGroups: Seq[String]):
+      (Seq[(String, String, Long)], Seq[(String, String, Long)]) = {
+    val unSet = untouched.toSet
+    val dvSet = dvGroups.toSet
+    val carried = m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
     val maxArtifacts = spark.conf.getOption("spark.graft.dv.maxArtifacts")
       .map(_.toInt).getOrElse(8)
-    if (carried.map(_._2).distinct.size + freshArtifacts > maxArtifacts)
-      carried
-    else Seq.empty
+    val absorb =
+      if (dvGroups.isEmpty) Seq.empty
+      else if (carried.map(_._2).distinct.size + 1 > maxArtifacts) carried
+      else Seq.empty[(String, String, Long)]
+    (carried, absorb)
   }
 
   def delete(spark: SparkSession, tableDir: String)(preds: Column*): Long = {
@@ -1673,14 +1684,7 @@ object Versioned {
     val (touched, untouched) = m.files.partition(hit)
     // entries that would carry over unchanged — folded into the fresh
     // artifact instead when that keeps the artifact count bounded
-    val dvCarried = {
-      val unSet = untouched.toSet
-      val dvSet = dvGroups.toSet
-      m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
-    }
-    val dvAbsorb =
-      if (dvGroups.isEmpty) Seq.empty
-      else dvAbsorbSet(spark, dvCarried, freshArtifacts = 1)
+    val (dvCarried, dvAbsorb) = dvCarryPlan(spark, m, untouched, dvGroups)
     val dvAdditions =
       writeDvArtifact(spark, tableDir, matchRows, dvGroups, dvByGroup,
         perGroup, absorb = dvAbsorb)
@@ -1806,14 +1810,7 @@ object Versioned {
     val f = fs(spark, tableDir)
     // DV path: updated COPIES of the matched rows → one new group;
     // their original positions → the groups' deletion vectors.
-    val dvCarried = {
-      val unSet = untouched.toSet
-      val dvSet = dvGroups.toSet
-      m.dvs.filter(d => unSet(d._1) && !dvSet(d._1))
-    }
-    val dvAbsorb =
-      if (dvGroups.isEmpty) Seq.empty
-      else dvAbsorbSet(spark, dvCarried, freshArtifacts = 1)
+    val (dvCarried, dvAbsorb) = dvCarryPlan(spark, m, untouched, dvGroups)
     val dvAdditions =
       writeDvArtifact(spark, tableDir, matchRows, dvGroups, dvByGroup,
         perGroup, kindCol = lit("update"), absorb = dvAbsorb)
@@ -2238,20 +2235,13 @@ object Versioned {
 
     // DV-masked tagged scan of `groups` joined with the source, action
     // id attached — the per-row claim view the DV path works from.
-    def joinedTagged(groups: Seq[String]): DataFrame = {
-      val gset = groups.toSet
-      val dvFor = m.dvs.filter(d => gset(d._1))
-      val tagged0 = scanGroupsTagged(spark, tableDir, groups, m.schemaDdl, m.mapping)
-      val live =
-        if (dvFor.isEmpty) tagged0
-        else tagged0.join(dvMaskRows(spark, tableDir, dvFor),
-          Seq("__dv_rel", "__dv_pos"), "left_anti")
-      live.withColumn("__grp", org.apache.spark.sql.functions
+    def joinedTagged(groups: Seq[String]): DataFrame =
+      liveTagged(spark, tableDir, groups, m)
+        .withColumn("__grp", org.apache.spark.sql.functions
           .substring_index(col("__dv_rel"), "/", 1))
         .alias("TGT")
         .join(s, matchCond, "left")
         .withColumn("__action", action)
-    }
 
     // classification: per-group claimed counts (+ delete-claim counts,
     // for the CDF-compatible mode label) — ONE aggregate, nothing
@@ -2375,13 +2365,7 @@ object Versioned {
       else org.apache.spark.sql.functions
         .when(col("__action").isin(matchedDeleteIds: _*), "delete")
         .otherwise("update")
-    val dvCarried = {
-      val unSet = untouchedFiles.toSet
-      m.dvs.filter(d => unSet(d._1) && !dvGroupSet(d._1))
-    }
-    val dvAbsorb =
-      if (claimedDv.isEmpty) Seq.empty
-      else dvAbsorbSet(spark, dvCarried, freshArtifacts = 1)
+    val (dvCarried, dvAbsorb) = dvCarryPlan(spark, m, untouchedFiles, dvGroups)
     val dvAdditions = claimedDv.map(cd =>
       writeDvArtifact(spark, tableDir, cd, dvGroups, dvByGroup, dvClaims,
         kindCol = dvKind, absorb = dvAbsorb))
@@ -2915,7 +2899,12 @@ object Versioned {
         .join(positions, Seq("__dv_rel", "__dv_pos"))
         .join(tsmap, Seq("__v0"))
         .withColumn("_change_type", flit("delete"))
-        .withColumn("_commit_version", col("__v0"))
+        // coalesce is the nullability-alignment trick (same as __ct):
+        // min() marks __v0 nullable, but the streaming CDF source holds
+        // every piece to the declared NON-NULL _commit_version — the
+        // literal arm is never hit (every position joined a version)
+        .withColumn("_commit_version",
+          coalesce(col("__v0"), flit(dvRun.head.v)))
         .withColumn("_commit_timestamp", col("__ct"))
         .drop("__v0", "__ct", "__dv_rel", "__dv_pos")
     }

@@ -941,12 +941,23 @@ private[graft] final case class GraftDmlKeysCommand(
               "explicitly or rewrite as NOT EXISTS")
         (Seq(h1) ++ h2 ++ h3).reduce(_ unionByName _)
       }
+      // Lineage-cap the hit set ONCE per scan (the same remedy
+      // mergeClauses applies to claimedDv): the mutation consumes the
+      // claim several times (per-group probe collect, DV artifact
+      // write, copies/rewrite writes; claimedOf AND keptOf over the
+      // rewrite scan), and without the cap each action re-executes the
+      // table-vs-key-set joins. Keyed by scan identity: the probe scan
+      // and the rewrite scan are different frames, each caps once.
+      import graft.operators.Checkpoints.CapOps
+      val hitsCache = scala.collection.mutable.Map.empty[DataFrame, DataFrame]
+      def hitsOf(df: DataFrame): DataFrame =
+        hitsCache.getOrElseUpdate(df, hits(df).capLineage())
       def claimedOf(df: DataFrame): DataFrame = {
-        val c = df.join(hits(df), id, "left_anti")
+        val c = df.join(hitsOf(df), id, "left_anti")
         residual.map(r => c.filter(coalesce(r, lit(false)))).getOrElse(c)
       }
       def keptOf(df: DataFrame): DataFrame = {
-        val h = hits(df)
+        val h = hitsOf(df)
         val base = df.join(h, id, "left_semi")
         residual.map(r => base.unionByName(
           df.join(h, id, "left_anti").filter(!coalesce(r, lit(false)))))

@@ -177,7 +177,9 @@ private[graft] final case class GraftDescribeHistoryCommand(tableDir: String)
     AttributeReference("n_files", LongType, nullable = false)(),
     AttributeReference("committed_at", StringType, nullable = true)(),
     AttributeReference("readable", BooleanType, nullable = false)(),
-    AttributeReference("dv_rows", LongType, nullable = false)())
+    AttributeReference("dv_rows", LongType, nullable = false)(),
+    AttributeReference("dv_files", LongType, nullable = false)(),
+    AttributeReference("dv_bytes", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Versioned.describeHistory(spark, tableDir).collect().toSeq // one row/version
 }

@@ -185,15 +185,6 @@ object ScaleCurve {
     spark.stop()
   }
 
-  /** Deletion-vector curve: the scatter-delete claim, MEASURED. Table
-    * at multiplier m (m salted copies, one file group per copy), then
-    * a GDPR-shaped delete that removes EXACTLY ONE row from EVERY
-    * group (a modulo predicate stats cannot prune — the worst case for
-    * copy-on-write). Run twice per m on identical tables: DV path
-    * (default threshold) vs forced COW (`maxDeleteFraction = 0`).
-    * The claim under test: COW rewrite bytes grow ∝ m (every group
-    * rewritten) while the DV commit's new bytes stay ~flat (a KB-scale
-    * position artifact), with identical surviving rows. */
   /** CDF replay pressure vs DV-MUTATION DEPTH: k sequential one-row DV
     * deletes, then a from-genesis `tableChanges` read. Reports the
     * frame count (must stay O(1): the delete run consolidates into ONE
@@ -242,6 +233,15 @@ object ScaleCurve {
     spark.stop()
   }
 
+  /** Deletion-vector curve: the scatter-delete claim, MEASURED. Table
+    * at multiplier m (m salted copies, one file group per copy), then
+    * a GDPR-shaped delete that removes EXACTLY ONE row from EVERY
+    * group (a modulo predicate stats cannot prune — the worst case for
+    * copy-on-write). Run twice per m on identical tables: DV path
+    * (default threshold) vs forced COW (`maxDeleteFraction = 0`).
+    * The claim under test: COW rewrite bytes grow ∝ m (every group
+    * rewritten) while the DV commit's new bytes stay ~flat (a KB-scale
+    * position artifact), with identical surviving rows. */
   private def dvCurve(dir: String, multipliers: Seq[Int]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

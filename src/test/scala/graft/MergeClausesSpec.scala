@@ -137,7 +137,13 @@ class MergeClausesSpec extends SparkSpec {
         MatchedUpdate(Seq("v" -> concat(col("SRC.v"), lit("!")),
           "w" -> (col("TGT.w") + col("SRC.w")))),
         NotMatchedInsert()))
-      Thread.sleep(1500) // listener events post asynchronously
+      // listener events post asynchronously: wait until the count is
+      // STABLE (no undercount on a loaded box), bounded at 10 s
+      var last = -1
+      var waited = 0
+      while (counter.get() != last && waited < 10000) {
+        last = counter.get(); Thread.sleep(400); waited += 400
+      }
       assert(counter.get() <= 22,
         s"merge lifecycle ran ${counter.get()} jobs (expected <= 22 — did " +
           "the source prologue split back into separate scan jobs?)")
