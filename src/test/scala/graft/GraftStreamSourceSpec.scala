@@ -266,7 +266,7 @@ class GraftStreamSourceSpec extends SparkSpec {
       (20L, 0L, "delete", 6L), (21L, 0L, "delete", 7L)))
     // a REWRITE still fails the CDF stream loudly
     spark.conf.set("spark.graft.dv.maxDeleteFraction", "0")
-    try Versioned.delete(spark, dir)(col("id") < 50L) // v5: COW rewrite
+    try Versioned.delete(spark, dir)(col("id") < 50L) // v8: COW rewrite
     finally spark.conf.unset("spark.graft.dv.maxDeleteFraction")
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       val q = spark.readStream.format("graft")

@@ -137,11 +137,12 @@ class MergeClausesSpec extends SparkSpec {
         MatchedUpdate(Seq("v" -> concat(col("SRC.v"), lit("!")),
           "w" -> (col("TGT.w") + col("SRC.w")))),
         NotMatchedInsert()))
-      // listener events post asynchronously: wait until the count is
-      // STABLE (no undercount on a loaded box), bounded at 10 s
+      // listener events post asynchronously: keep the old fixed floor
+      // (1.5 s) AND extend while the count still moves, bounded at 10 s
+      // — a >400 ms dispatch stall mid-drain must not read as "stable"
       var last = -1
       var waited = 0
-      while (counter.get() != last && waited < 10000) {
+      while ((waited < 1500 || counter.get() != last) && waited < 10000) {
         last = counter.get(); Thread.sleep(400); waited += 400
       }
       assert(counter.get() <= 22,
