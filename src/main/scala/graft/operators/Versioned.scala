@@ -2727,8 +2727,8 @@ object Versioned {
     // classification pass: metadata-only
     sealed trait Ev
     final case class Ins(v: Long, added: Seq[String], ts: java.sql.Timestamp) extends Ev
-    final case class DvDel(v: Long, ts: java.sql.Timestamp,
-        prev: Manifest, cur: Manifest) extends Ev
+    final case class DvMut(v: Long, ts: java.sql.Timestamp,
+        prev: Manifest, cur: Manifest, update: Boolean) extends Ev
     final case class DvPiece(df: DataFrame) extends Ev
     var prev = parseManifest(spark, tableDir, fromVersion)
     val events = scala.collection.mutable.ArrayBuffer.empty[Ev]
@@ -2750,26 +2750,17 @@ object Versioned {
         if (added.nonEmpty) events += Ins(v, added, ts)
       } else if (cur.mode == "delete" && curSet == prevSet) {
         // pure-DV delete: removed rows = the per-group position growth.
-        // CONSECUTIVE such versions collapse into ONE frame (see
-        // dvDeleteRunPiece) — a year of daily GDPR deletes replays as
+        // CONSECUTIVE pure-DV mutations collapse into O(1) frames (see
+        // dvMutRunPieces) — a year of daily GDPR deletes replays as
         // one artifact scan + one attribution join, not 365 frames.
-        events += DvDel(v, ts, prev, cur)
+        events += DvMut(v, ts, prev, cur, update = false)
       } else if (cur.mode == "update" && prev.files.forall(curSet)) {
         // merge-on-read UPDATE: the pre-images are the DV position
         // growth (same machinery as the delete branch), the
         // post-images are the version's ADDED groups — the updated
         // copies. Delta CDF's update_preimage/update_postimage pair.
-        val pre = dvGrowthRows(spark, tableDir, prev, cur, toManifest)
-          .drop("__kind")
-          .withColumn("_change_type", flit("update_preimage"))
-          .withColumn("_commit_version", flit(v))
-          .withColumn("_commit_timestamp", flit(ts))
-        val post = scanGroups(spark, tableDir, cur.files.filterNot(prevSet),
-          toManifest.schemaDdl, toManifest.mapping)
-          .withColumn("_change_type", flit("update_postimage"))
-          .withColumn("_commit_version", flit(v))
-          .withColumn("_commit_timestamp", flit(ts))
-        events += DvPiece(pre.unionByName(post))
+        // Rides the same run consolidation as pure-DV deletes.
+        events += DvMut(v, ts, prev, cur, update = true)
       } else if (cur.mode == "merge" && prev.files.forall(curSet)) {
         // MIXED DV-backed MERGE (pure delete/update shapes publish
         // under their effect mode and take the branches above): the
@@ -2843,28 +2834,45 @@ object Versioned {
           .withColumn("_commit_timestamp", col("__ct"))
           .drop("__grp", "__cv", "__ct", "__dv_rel", "__dv_pos")
       }
-    // A RUN of consecutive pure-DV deletes collapses into one frame:
-    // every distinct artifact any run version (plus the run's parent)
-    // references is read in ONE scan, each position is attributed to
-    // the FIRST version whose artifact carries it (positions only grow
-    // within a run, and every artifact is the group's complete merged
-    // set — so min-over-appearances is the commit version, and a
-    // position already present in the parent's artifact attributes to
-    // the parent and drops out). Artifact compaction (absorb) remaps
-    // untouched groups to fresh artifacts with UNCHANGED positions;
-    // those positions still appear in the parent pair, so the min
-    // filters them — no spurious deletes. Plan cost: O(1) frames per
-    // run instead of O(run length).
-    def dvDeleteRunPiece(dvRun: Seq[DvDel]): DataFrame = {
+    // A RUN of consecutive pure-DV mutations (deletes AND merge-on-read
+    // updates) collapses into O(1) frames: every distinct artifact any
+    // run version (plus the run's parent) references is read in ONE
+    // scan, each position is attributed to the FIRST version whose
+    // artifact carries it (positions only grow within a run, and every
+    // artifact is the group's complete merged set — so
+    // min-over-appearances is the commit version, and a position
+    // already present in the parent's artifact attributes to the parent
+    // and drops out); the version's MODE decides the row's change type
+    // ('delete' vs 'update_preimage'). Update versions' POSTIMAGES —
+    // their added copies groups — collapse into one more frame via the
+    // same broadcast (group -> version) map the insert-run collapse
+    // uses. Artifact compaction (absorb) remaps untouched groups to
+    // fresh artifacts with UNCHANGED positions; those positions still
+    // appear in the parent pair, so the min filters them — no spurious
+    // changes. Plan cost: <= 2 frames per run instead of O(run length).
+    def dvMutRunPieces(dvRun: Seq[DvMut]): Seq[DataFrame] = {
+      import spark.implicits._
       if (dvRun.size == 1) {
         val d = dvRun.head
-        return dvGrowthRows(spark, tableDir, d.prev, d.cur, toManifest)
+        if (!d.update)
+          return Seq(dvGrowthRows(spark, tableDir, d.prev, d.cur, toManifest)
+            .drop("__kind")
+            .withColumn("_change_type", flit("delete"))
+            .withColumn("_commit_version", flit(d.v))
+            .withColumn("_commit_timestamp", flit(d.ts)))
+        val prevSet1 = d.prev.files.toSet
+        val pre = dvGrowthRows(spark, tableDir, d.prev, d.cur, toManifest)
           .drop("__kind")
-          .withColumn("_change_type", flit("delete"))
+          .withColumn("_change_type", flit("update_preimage"))
           .withColumn("_commit_version", flit(d.v))
           .withColumn("_commit_timestamp", flit(d.ts))
+        val post = scanGroups(spark, tableDir, d.cur.files.filterNot(prevSet1),
+          toManifest.schemaDdl, toManifest.mapping)
+          .withColumn("_change_type", flit("update_postimage"))
+          .withColumn("_commit_version", flit(d.v))
+          .withColumn("_commit_timestamp", flit(d.ts))
+        return Seq(pre.unionByName(post))
       }
-      import spark.implicits._
       val base = dvRun.head.prev
       val baseV = dvRun.head.v - 1
       // (artifact, group) -> earliest version it is the group's entry
@@ -2875,8 +2883,11 @@ object Versioned {
           .map { case ((a, g), vs) => (a, g, vs.map(_._3).min) }.toSeq
       val amap = org.apache.spark.sql.functions.broadcast(
         entries.toDF("__art", "__grp", "__v0"))
-      val tsmap = org.apache.spark.sql.functions.broadcast(
-        dvRun.map(d => (d.v, d.ts)).toDF("__v0", "__ct")
+      // per-version metadata: timestamp + the pre-image change type
+      val vmeta = org.apache.spark.sql.functions.broadcast(
+        dvRun.map(d => (d.v, d.ts,
+            if (d.update) "update_preimage" else "delete"))
+          .toDF("__v0", "__ct", "__chg")
           .withColumn("__ct", coalesce(col("__ct"), flit(dvRun.head.ts))))
       val sub = org.apache.spark.sql.functions.substring_index _
       val positions = spark.read.parquet(
@@ -2894,30 +2905,54 @@ object Versioned {
       val baseBy = base.dvs.map(d => d._1 -> d._3).toMap
       val grownGroups = dvRun.last.cur.dvs
         .filter(d => d._3 > baseBy.getOrElse(d._1, 0L)).map(_._1)
-      scanGroupsTagged(spark, tableDir, grownGroups,
-        toManifest.schemaDdl, toManifest.mapping)
+      // coalesce on __chg/_commit_version is the nullability-alignment
+      // trick (encoders/min() mark them nullable; the streaming CDF
+      // source holds every piece to the declared NON-NULL schema) —
+      // the literal arms are never hit (every position joined a version)
+      val preFrame = scanGroupsTagged(spark, tableDir, grownGroups,
+          toManifest.schemaDdl, toManifest.mapping)
         .join(positions, Seq("__dv_rel", "__dv_pos"))
-        .join(tsmap, Seq("__v0"))
-        .withColumn("_change_type", flit("delete"))
-        // coalesce is the nullability-alignment trick (same as __ct):
-        // min() marks __v0 nullable, but the streaming CDF source holds
-        // every piece to the declared NON-NULL _commit_version — the
-        // literal arm is never hit (every position joined a version)
+        .join(vmeta, Seq("__v0"))
+        .withColumn("_change_type", coalesce(col("__chg"), flit("delete")))
         .withColumn("_commit_version",
           coalesce(col("__v0"), flit(dvRun.head.v)))
         .withColumn("_commit_timestamp", col("__ct"))
-        .drop("__v0", "__ct", "__dv_rel", "__dv_pos")
+        .drop("__v0", "__ct", "__chg", "__dv_rel", "__dv_pos")
+      // update versions' postimages: all copies groups in one scan,
+      // version-attributed through the broadcast map (insertPiece's
+      // shape — the groups are disjoint across versions by construction)
+      val copies: Seq[(String, Long, java.sql.Timestamp)] = dvRun
+        .filter(_.update)
+        .flatMap { d =>
+          val prevSet1 = d.prev.files.toSet
+          d.cur.files.filterNot(prevSet1).map(g => (g, d.v, d.ts))
+        }
+      if (copies.isEmpty) Seq(preFrame)
+      else {
+        val pmap = org.apache.spark.sql.functions.broadcast(
+          copies.toDF("__grp", "__cv", "__ct")
+            .withColumn("__ct", coalesce(col("__ct"), flit(dvRun.head.ts))))
+        val postFrame = scanGroupsTagged(spark, tableDir, copies.map(_._1),
+            toManifest.schemaDdl, toManifest.mapping)
+          .withColumn("__grp", sub(col("__dv_rel"), "/", 1))
+          .join(pmap, Seq("__grp"))
+          .withColumn("_change_type", flit("update_postimage"))
+          .withColumn("_commit_version", col("__cv"))
+          .withColumn("_commit_timestamp", col("__ct"))
+          .drop("__grp", "__cv", "__ct", "__dv_rel", "__dv_pos")
+        Seq(preFrame, postFrame)
+      }
     }
     val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val run = scala.collection.mutable.ArrayBuffer.empty[Ins]
-    val dvRun = scala.collection.mutable.ArrayBuffer.empty[DvDel]
+    val dvRun = scala.collection.mutable.ArrayBuffer.empty[DvMut]
     def flushRun(): Unit =
       if (run.nonEmpty) { pieces += insertPiece(run.toSeq); run.clear() }
     def flushDvRun(): Unit =
-      if (dvRun.nonEmpty) { pieces += dvDeleteRunPiece(dvRun.toSeq); dvRun.clear() }
+      if (dvRun.nonEmpty) { pieces ++= dvMutRunPieces(dvRun.toSeq); dvRun.clear() }
     events.foreach {
       case i: Ins => flushDvRun(); run += i
-      case d: DvDel => flushRun(); dvRun += d
+      case d: DvMut => flushRun(); dvRun += d
       case DvPiece(df) => flushRun(); flushDvRun(); pieces += df
     }
     flushRun(); flushDvRun()

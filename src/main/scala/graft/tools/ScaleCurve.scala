@@ -229,6 +229,35 @@ object ScaleCurve {
       val arts = Versioned.parseManifest(spark, tbl, latest)
         .dvs.map(_._2).distinct.size
       println(f"""[scale-dvdepth] {"depth":$k,"frames":$frames,"plan_seconds":$planSec%.2f,"replay_seconds":$execSec%.2f,"mutate_seconds":$mutSec%.1f,"replay_rows":$n,"live_artifacts":$arts}""")
+
+      // MIXED series: alternating pure-DV delete / merge-on-read
+      // update — the "years of daily updates" shape. Expect <= 2 run
+      // frames (preimages + postimages) regardless of k; replay rows =
+      // genesis + deletes + 2x updates (pre/post pairs).
+      val tbl2 = java.nio.file.Files
+        .createTempDirectory(s"graft-dvdepthm$k").toString + "/t"
+      Versioned.commit(base, tbl2)
+      val t3 = System.nanoTime()
+      ids.zipWithIndex.foreach { case (id, i) =>
+        if (i % 2 == 0) Versioned.delete(spark, tbl2)(col("doc_id") === id)
+        else Versioned.update(spark, tbl2,
+          col("doc_id") === id, "n_chars" -> lit(-1))
+      }
+      val mutSec2 = (System.nanoTime() - t3) / 1e9
+      val latest2 = Versioned.latestVersion(spark, tbl2)
+      val frames2 = Versioned.changesFeedPieces(spark, tbl2, 0L, latest2).size
+      val t4 = System.nanoTime()
+      val feed2 = Versioned.tableChanges(spark, tbl2, 0L)
+      feed2.queryExecution.optimizedPlan
+      val planSec2 = (System.nanoTime() - t4) / 1e9
+      val t5 = System.nanoTime()
+      val n2 = feed2.count()
+      val execSec2 = (System.nanoTime() - t5) / 1e9
+      val dels = (k + 1) / 2; val upds = k / 2
+      require(n2 == nBase + dels + 2L * upds,
+        s"mixed replay must emit $nBase inserts + $dels deletes + " +
+          s"${2 * upds} update pair rows, got $n2")
+      println(f"""[scale-dvdepthmix] {"depth":$k,"frames":$frames2,"plan_seconds":$planSec2%.2f,"replay_seconds":$execSec2%.2f,"mutate_seconds":$mutSec2%.1f,"replay_rows":$n2}""")
     }
     spark.stop()
   }

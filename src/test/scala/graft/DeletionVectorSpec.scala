@@ -548,6 +548,50 @@ class DeletionVectorSpec extends SparkSpec {
       }
   }
 
+  test("a mixed run of pure-DV updates and deletes replays in two frames " +
+      "with per-version pre/post attribution") {
+    val dir = tbl()
+    Versioned.commit((0L until 100L).map(i => (i, 0L)).toDF("id", "n"), dir) // v0
+    Versioned.append((100L until 200L).map(i => (i, 0L)).toDF("id", "n"), dir) // v1
+    // threshold 0.5 keeps the RE-mutations of the 10-row copies group
+    // on the DV path (cumulative 3/10 claimed stays under BOTH the
+    // per-mutation threshold and the 0.5 cumulative-pressure trigger)
+    withDvFraction(0.5) {
+      Versioned.update(spark, dir,
+        col("id") >= 5L && col("id") <= 14L, "n" -> (col("id") + 1000L)) // v2
+      Versioned.update(spark, dir, col("id") === 105L, "n" -> lit(2105L)) // v3
+      Versioned.delete(spark, dir)(col("id") === 5L)                      // v4
+      Versioned.delete(spark, dir)(col("id") === 7L)                      // v5
+      Versioned.update(spark, dir, col("id") === 8L, "n" -> lit(3008L))   // v6
+    }
+    val v = Versioned.latestVersion(spark, dir)
+    assert(v == 6L)
+    // the whole v2..v6 mutation run consolidates into pre+post frames
+    // (plus one collapsed frame for the v0..v1 genesis/append side)
+    val pieces = Versioned.changesFeedPieces(spark, dir, 0L, v)
+    assert(pieces.size == 3,
+      s"expected [insert-run, dv-preimages, dv-postimages], got ${pieces.size}")
+    val feed = Versioned.tableChanges(spark, dir, 2L)
+    val got = feed.select("id", "n", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3))).toSet
+    // v4/v5 delete COPIES v2 wrote: their delete pre-images must carry
+    // the UPDATED values, attributed to v4/v5 — the re-mutation case;
+    // v6 re-updates an updated row (pre-image 1008, not 0)
+    assert(got == (5L to 14L).map(i => (i, 0L, "update_preimage", 2L)).toSet ++
+      (5L to 14L).map(i => (i, 1000L + i, "update_postimage", 2L)).toSet ++ Set(
+      (105L, 0L, "update_preimage", 3L), (105L, 2105L, "update_postimage", 3L),
+      (5L, 1005L, "delete", 4L),
+      (7L, 1007L, "delete", 5L),
+      (8L, 1008L, "update_preimage", 6L), (8L, 3008L, "update_postimage", 6L)),
+      got.toString)
+    // live content agrees with the replay
+    val live = Versioned.read(spark, dir).as[(Long, Long)].collect().toMap
+    assert(!live.contains(5L) && !live.contains(7L))
+    assert(live(105L) == 2105L && live(8L) == 3008L && live(9L) == 1009L &&
+      live.size == 198)
+  }
+
   test("changesStream (manifest-driven) never ingests DV artifacts; a DV delete fails loudly") {
     val dir = tbl()
     Versioned.commit((0L until 100L).toDF("id"), dir)

@@ -250,20 +250,22 @@ class GraftStreamSourceSpec extends SparkSpec {
       (10L, 0L, "delete", 5L),
       (11L, 0L, "update_preimage", 5L), (11L, 7L, "update_postimage", 5L),
       (900L, 1L, "insert", 5L)))
-    // TWO CONSECUTIVE pure-DV deletes land in ONE micro-batch: the
-    // batch builds the CONSOLIDATED run frame (single artifact scan +
-    // min-attribution), which must satisfy the source's strict
-    // non-null CDF schema (_commit_version rides a min() aggregate —
-    // regression pin for the nullability coalesce) and attribute each
-    // row to its own version
-    Versioned.delete(spark, dir)(col("id") === 20L) // v6
-    Versioned.delete(spark, dir)(col("id") === 21L) // v7
+    // TWO CONSECUTIVE pure-DV mutations (a delete then an update) land
+    // in ONE micro-batch: the batch builds the CONSOLIDATED run frames
+    // (single artifact scan + min-attribution preimages, map-attributed
+    // postimages), which must satisfy the source's strict non-null CDF
+    // schema (_change_type/_commit_version ride a join + min()
+    // aggregate — regression pin for the nullability coalesces) and
+    // attribute each row to its own version
+    Versioned.delete(spark, dir)(col("id") === 20L)                  // v6
+    Versioned.update(spark, dir, col("id") === 21L, "n" -> lit(9L))  // v7
     drainCdf()
     assert(rows() == expected + ((9L, 0L, "delete", 4L)) ++ Set(
       (10L, 0L, "delete", 5L),
       (11L, 0L, "update_preimage", 5L), (11L, 7L, "update_postimage", 5L),
       (900L, 1L, "insert", 5L),
-      (20L, 0L, "delete", 6L), (21L, 0L, "delete", 7L)))
+      (20L, 0L, "delete", 6L),
+      (21L, 0L, "update_preimage", 7L), (21L, 9L, "update_postimage", 7L)))
     // a REWRITE still fails the CDF stream loudly
     spark.conf.set("spark.graft.dv.maxDeleteFraction", "0")
     try Versioned.delete(spark, dir)(col("id") < 50L) // v8: COW rewrite
