@@ -2712,11 +2712,16 @@ object Versioned {
     * PLAN-SIZE bound: consecutive insert-only versions COLLAPSE into
     * ONE scan over all their groups plus a broadcast-tiny
     * (group → version) map join — a year of daily appends replays as
-    * one scan, not 365, so a from-genesis CDF stream's first
-    * micro-batch (which the engine never caps) cannot blow the
-    * analyzer up with per-version plan nodes. DV mutations keep one
-    * frame each (each needs its own position diff); the plan grows
-    * with the CHANGE versions, not the append history. */
+    * one scan, not 365 — and consecutive pure-DV mutations (deletes
+    * AND merge-on-read updates, mixed freely) collapse the same way
+    * into ≤ 2 frames per run ([[dvMutRunPieces]]: one min-attributed
+    * positions frame + one postimage frame), so a from-genesis CDF
+    * stream's first micro-batch (which the engine never caps) cannot
+    * blow the analyzer up with per-version plan nodes however the
+    * history mixes appends, deletes, and updates. Only mixed DV MERGE
+    * versions keep one frame each (their per-row kind split is
+    * genuinely per-version); the plan grows with the RUN boundaries,
+    * not the version count. */
   private[graft] def changesFeedPieces(
       spark: SparkSession,
       tableDir: String,
@@ -2784,19 +2789,11 @@ object Versioned {
         val added = cur.files.filterNot(prevSet)
         val post =
           if (cur.copies.isEmpty) Seq.empty[DataFrame]
-          else Seq(scanGroups(spark, tableDir, cur.copies,
-            toManifest.schemaDdl, toManifest.mapping)
-            .withColumn("_change_type", flit("update_postimage"))
-            .withColumn("_commit_version", flit(v))
-            .withColumn("_commit_timestamp", flit(ts)))
+          else Seq(taggedScanLit(cur.copies, "update_postimage", v, ts))
         val insGroups = added.filterNot(copiesSet)
         val ins =
           if (insGroups.isEmpty) Seq.empty[DataFrame]
-          else Seq(scanGroups(spark, tableDir, insGroups,
-            toManifest.schemaDdl, toManifest.mapping)
-            .withColumn("_change_type", flit("insert"))
-            .withColumn("_commit_version", flit(v))
-            .withColumn("_commit_timestamp", flit(ts)))
+          else Seq(taggedScanLit(insGroups, "insert", v, ts))
         events += DvPiece((Seq(del, pre) ++ post ++ ins).reduce(_ unionByName _))
       } else {
         throw new IllegalArgumentException(
@@ -2807,33 +2804,46 @@ object Versioned {
       prev = cur
     }
     // collapse consecutive insert versions into one scan + version map
+    // THE two construction sites for CDF-attributed group scans —
+    // every piece shape (insert runs, update postimages, merge copies
+    // and inserts) goes through one of these, so the CDF column
+    // construction (incl. the nullability alignment the streaming
+    // source's strict schema check depends on) lives in one place.
+    // LITERAL attribution: all of `groups` belongs to one version.
+    def taggedScanLit(groups: Seq[String], changeType: String,
+        v: Long, ts: java.sql.Timestamp): DataFrame =
+      scanGroups(spark, tableDir, groups, toManifest.schemaDdl,
+        toManifest.mapping)
+        .withColumn("_change_type", flit(changeType))
+        .withColumn("_commit_version", flit(v))
+        .withColumn("_commit_timestamp", flit(ts))
+    // MAP attribution: one scan over many versions' groups, each row
+    // tagged with ITS group's (version, ts) through a broadcast map.
+    // The encoder marks the Timestamp field nullable; coalesce it back
+    // to non-nullable (never hit — every entry carries a ts) so ALL
+    // pieces agree on the CDF columns' nullability.
+    def taggedScanMap(entries: Seq[(String, Long, java.sql.Timestamp)],
+        changeType: String, fallbackTs: java.sql.Timestamp): DataFrame = {
+      import spark.implicits._
+      val vmap = org.apache.spark.sql.functions.broadcast(
+        entries.toDF("__grp", "__cv", "__ct")
+          .withColumn("__ct", coalesce(col("__ct"), flit(fallbackTs))))
+      scanGroupsTagged(spark, tableDir, entries.map(_._1),
+        toManifest.schemaDdl, toManifest.mapping)
+        .withColumn("__grp", org.apache.spark.sql.functions
+          .substring_index(col("__dv_rel"), "/", 1))
+        .join(vmap, Seq("__grp"))
+        .withColumn("_change_type", flit(changeType))
+        .withColumn("_commit_version", col("__cv"))
+        .withColumn("_commit_timestamp", col("__ct"))
+        .drop("__grp", "__cv", "__ct", "__dv_rel", "__dv_pos")
+    }
     def insertPiece(run: Seq[Ins]): DataFrame =
       if (run.size == 1)
-        scanGroups(spark, tableDir, run.head.added, toManifest.schemaDdl,
-          toManifest.mapping)
-          .withColumn("_change_type", flit("insert"))
-          .withColumn("_commit_version", flit(run.head.v))
-          .withColumn("_commit_timestamp", flit(run.head.ts))
-      else {
-        import spark.implicits._
-        // the encoder marks the Timestamp field nullable; coalesce it
-        // back to non-nullable (never hit — every run entry carries a
-        // ts) so ALL pieces agree on the CDF columns' nullability and
-        // the streaming source's strict schema equality holds
-        val vmap = org.apache.spark.sql.functions.broadcast(
-          run.flatMap(i => i.added.map(g => (g, i.v, i.ts)))
-            .toDF("__grp", "__cv", "__ct")
-            .withColumn("__ct", coalesce(col("__ct"), flit(run.head.ts))))
-        scanGroupsTagged(spark, tableDir, run.flatMap(_.added),
-          toManifest.schemaDdl, toManifest.mapping)
-          .withColumn("__grp", org.apache.spark.sql.functions
-            .substring_index(col("__dv_rel"), "/", 1))
-          .join(vmap, Seq("__grp"))
-          .withColumn("_change_type", flit("insert"))
-          .withColumn("_commit_version", col("__cv"))
-          .withColumn("_commit_timestamp", col("__ct"))
-          .drop("__grp", "__cv", "__ct", "__dv_rel", "__dv_pos")
-      }
+        taggedScanLit(run.head.added, "insert", run.head.v, run.head.ts)
+      else taggedScanMap(
+        run.flatMap(i => i.added.map(g => (g, i.v, i.ts))), "insert",
+        run.head.ts)
     // A RUN of consecutive pure-DV mutations (deletes AND merge-on-read
     // updates) collapses into O(1) frames: every distinct artifact any
     // run version (plus the run's parent) references is read in ONE
@@ -2866,11 +2876,8 @@ object Versioned {
           .withColumn("_change_type", flit("update_preimage"))
           .withColumn("_commit_version", flit(d.v))
           .withColumn("_commit_timestamp", flit(d.ts))
-        val post = scanGroups(spark, tableDir, d.cur.files.filterNot(prevSet1),
-          toManifest.schemaDdl, toManifest.mapping)
-          .withColumn("_change_type", flit("update_postimage"))
-          .withColumn("_commit_version", flit(d.v))
-          .withColumn("_commit_timestamp", flit(d.ts))
+        val post = taggedScanLit(d.cur.files.filterNot(prevSet1),
+          "update_postimage", d.v, d.ts)
         return Seq(pre.unionByName(post))
       }
       val base = dvRun.head.prev
@@ -2928,20 +2935,8 @@ object Versioned {
           d.cur.files.filterNot(prevSet1).map(g => (g, d.v, d.ts))
         }
       if (copies.isEmpty) Seq(preFrame)
-      else {
-        val pmap = org.apache.spark.sql.functions.broadcast(
-          copies.toDF("__grp", "__cv", "__ct")
-            .withColumn("__ct", coalesce(col("__ct"), flit(dvRun.head.ts))))
-        val postFrame = scanGroupsTagged(spark, tableDir, copies.map(_._1),
-            toManifest.schemaDdl, toManifest.mapping)
-          .withColumn("__grp", sub(col("__dv_rel"), "/", 1))
-          .join(pmap, Seq("__grp"))
-          .withColumn("_change_type", flit("update_postimage"))
-          .withColumn("_commit_version", col("__cv"))
-          .withColumn("_commit_timestamp", col("__ct"))
-          .drop("__grp", "__cv", "__ct", "__dv_rel", "__dv_pos")
-        Seq(preFrame, postFrame)
-      }
+      else Seq(preFrame,
+        taggedScanMap(copies, "update_postimage", dvRun.head.ts))
     }
     val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val run = scala.collection.mutable.ArrayBuffer.empty[Ins]
@@ -3016,12 +3011,16 @@ object Versioned {
   def describeHistory(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     val f = fs(spark, tableDir)
-    // artifact sizes repeat across versions: one getContentSummary per
-    // DISTINCT artifact for the whole history, not per version
+    // groups and artifacts repeat across versions: one exists/size probe
+    // per DISTINCT name for the whole history, not per version — a
+    // long-history audit pays O(distinct groups) driver round-trips,
+    // not O(versions x groups)
     val sizeOf = scala.collection.mutable.Map.empty[String, Long]
+    val existsOf = scala.collection.mutable.Map.empty[String, Boolean]
     (0L to latestVersion(spark, tableDir)).flatMap { v =>
       scala.util.Try(parseManifest(spark, tableDir, v)).toOption.map { m =>
-        val present = m.files.forall(g => f.exists(new Path(s"$tableDir/files/$g")))
+        val present = m.files.forall(g => existsOf.getOrElseUpdate(g,
+          f.exists(new Path(s"$tableDir/files/$g"))))
         val artifacts = m.dvs.map(_._2).distinct
         val dvBytes = artifacts.map(a => sizeOf.getOrElseUpdate(a,
           scala.util.Try(f.getContentSummary(

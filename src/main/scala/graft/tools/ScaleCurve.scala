@@ -205,17 +205,18 @@ object ScaleCurve {
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "lang", "n_chars")
     val nBase = base.count()
-    depths.foreach { k =>
+    // ONE measurement harness for both series: build, mutate k times,
+    // count frames, time plan + replay, sanity the row total.
+    def series(label: String, k: Int, ids: Array[Long],
+        mutate: (String, Long, Int) => Unit, expectRows: Long): String = {
       val tbl = java.nio.file.Files
-        .createTempDirectory(s"graft-dvdepth$k").toString + "/t"
+        .createTempDirectory(s"graft-$label$k").toString + "/t"
       Versioned.commit(base, tbl)
-      val ids = base.orderBy("doc_id").limit(k)
-        .collect().map(_.getLong(0))
       val t0 = System.nanoTime()
-      ids.foreach(id => Versioned.delete(spark, tbl)(col("doc_id") === id))
+      ids.zipWithIndex.foreach { case (id, i) => mutate(tbl, id, i) }
       val mutSec = (System.nanoTime() - t0) / 1e9
       val latest = Versioned.latestVersion(spark, tbl)
-      require(latest == k.toLong, s"expected $k delete versions, got $latest")
+      require(latest == k.toLong, s"expected $k mutation versions, got $latest")
       val frames = Versioned.changesFeedPieces(spark, tbl, 0L, latest).size
       val t1 = System.nanoTime()
       val feed = Versioned.tableChanges(spark, tbl, 0L)
@@ -224,40 +225,29 @@ object ScaleCurve {
       val t2 = System.nanoTime()
       val n = feed.count()
       val execSec = (System.nanoTime() - t2) / 1e9
-      require(n == nBase + k,
-        s"replay must emit $nBase genesis inserts + $k deletes, got $n")
+      require(n == expectRows,
+        s"$label replay must emit $expectRows rows, got $n")
       val arts = Versioned.parseManifest(spark, tbl, latest)
         .dvs.map(_._2).distinct.size
-      println(f"""[scale-dvdepth] {"depth":$k,"frames":$frames,"plan_seconds":$planSec%.2f,"replay_seconds":$execSec%.2f,"mutate_seconds":$mutSec%.1f,"replay_rows":$n,"live_artifacts":$arts}""")
-
+      f"""[scale-$label] {"depth":$k,"frames":$frames,"plan_seconds":$planSec%.2f,"replay_seconds":$execSec%.2f,"mutate_seconds":$mutSec%.1f,"replay_rows":$n,"live_artifacts":$arts}"""
+    }
+    depths.foreach { k =>
+      val ids = base.orderBy("doc_id").limit(k).collect().map(_.getLong(0))
+      // pure-delete series: ONE consolidated frame at any depth
+      println(series("dvdepth", k, ids,
+        (tbl, id, _) => Versioned.delete(spark, tbl)(col("doc_id") === id),
+        expectRows = nBase + k))
       // MIXED series: alternating pure-DV delete / merge-on-read
       // update — the "years of daily updates" shape. Expect <= 2 run
       // frames (preimages + postimages) regardless of k; replay rows =
       // genesis + deletes + 2x updates (pre/post pairs).
-      val tbl2 = java.nio.file.Files
-        .createTempDirectory(s"graft-dvdepthm$k").toString + "/t"
-      Versioned.commit(base, tbl2)
-      val t3 = System.nanoTime()
-      ids.zipWithIndex.foreach { case (id, i) =>
-        if (i % 2 == 0) Versioned.delete(spark, tbl2)(col("doc_id") === id)
-        else Versioned.update(spark, tbl2,
-          col("doc_id") === id, "n_chars" -> lit(-1))
-      }
-      val mutSec2 = (System.nanoTime() - t3) / 1e9
-      val latest2 = Versioned.latestVersion(spark, tbl2)
-      val frames2 = Versioned.changesFeedPieces(spark, tbl2, 0L, latest2).size
-      val t4 = System.nanoTime()
-      val feed2 = Versioned.tableChanges(spark, tbl2, 0L)
-      feed2.queryExecution.optimizedPlan
-      val planSec2 = (System.nanoTime() - t4) / 1e9
-      val t5 = System.nanoTime()
-      val n2 = feed2.count()
-      val execSec2 = (System.nanoTime() - t5) / 1e9
       val dels = (k + 1) / 2; val upds = k / 2
-      require(n2 == nBase + dels + 2L * upds,
-        s"mixed replay must emit $nBase inserts + $dels deletes + " +
-          s"${2 * upds} update pair rows, got $n2")
-      println(f"""[scale-dvdepthmix] {"depth":$k,"frames":$frames2,"plan_seconds":$planSec2%.2f,"replay_seconds":$execSec2%.2f,"mutate_seconds":$mutSec2%.1f,"replay_rows":$n2}""")
+      println(series("dvdepthmix", k, ids,
+        (tbl, id, i) =>
+          if (i % 2 == 0) Versioned.delete(spark, tbl)(col("doc_id") === id)
+          else Versioned.update(spark, tbl,
+            col("doc_id") === id, "n_chars" -> lit(-1)),
+        expectRows = nBase + dels + 2L * upds))
     }
     spark.stop()
   }
