@@ -132,6 +132,14 @@ object Versioned {
     * store (~10-20 ms/GET) that is tens of minutes of serial driver
     * time per mutation. Empty for pre-upgrade manifests — readers fall
     * back to the sidecars once, and the next publish records it. */
+  /** `fileStats` is the PER-GROUP min/max/null-count stats JSON
+    * ([[GroupStats.toJson]] text, parsed on use), recorded at commit
+    * time alongside `fileRows` — what moves planning-time data
+    * skipping from one sidecar GET per group to ZERO metadata I/O
+    * beyond the manifest itself. Coverage may be partial (pre-upgrade
+    * groups, complex-typed-only groups): a group without an entry
+    * conservatively falls back to its sidecar, and an absent sidecar
+    * just means "cannot prune". */
   private[graft] final case class Manifest(
       files: Seq[String], nRows: Long, mode: String, committedAt: String,
       txn: Option[(String, Long)] = None,
@@ -140,7 +148,8 @@ object Versioned {
       mapping: Seq[(String, String)] = Seq.empty,
       dvs: Seq[(String, String, Long)] = Seq.empty,
       fileRows: Map[String, Long] = Map.empty,
-      copies: Seq[String] = Seq.empty)
+      copies: Seq[String] = Seq.empty,
+      fileStats: Map[String, String] = Map.empty)
 
   private def jsonEscape(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -2712,16 +2721,16 @@ object Versioned {
     * PLAN-SIZE bound: consecutive insert-only versions COLLAPSE into
     * ONE scan over all their groups plus a broadcast-tiny
     * (group → version) map join — a year of daily appends replays as
-    * one scan, not 365 — and consecutive pure-DV mutations (deletes
-    * AND merge-on-read updates, mixed freely) collapse the same way
-    * into ≤ 2 frames per run ([[dvMutRunPieces]]: one min-attributed
-    * positions frame + one postimage frame), so a from-genesis CDF
+    * one scan, not 365 — and consecutive pure-DV mutations (deletes,
+    * merge-on-read updates, AND mixed DV merges, mixed freely)
+    * collapse the same way into ≤ 3 frames per run
+    * ([[dvMutRunPieces]]: one min-attributed positions frame whose
+    * per-row change type rides the artifact's claim kind, one
+    * postimage frame, one merge-insert frame), so a from-genesis CDF
     * stream's first micro-batch (which the engine never caps) cannot
     * blow the analyzer up with per-version plan nodes however the
-    * history mixes appends, deletes, and updates. Only mixed DV MERGE
-    * versions keep one frame each (their per-row kind split is
-    * genuinely per-version); the plan grows with the RUN boundaries,
-    * not the version count. */
+    * history mixes appends, deletes, updates, and merges; the plan
+    * grows with the RUN boundaries, not the version count. */
   private[graft] def changesFeedPieces(
       spark: SparkSession,
       tableDir: String,
@@ -2732,9 +2741,12 @@ object Versioned {
     // classification pass: metadata-only
     sealed trait Ev
     final case class Ins(v: Long, added: Seq[String], ts: java.sql.Timestamp) extends Ev
+    // `mode` ∈ delete | update | merge — every non-rewrite DV mutation
+    // joins ONE run kind; the run collapse attributes change types per
+    // version (delete/update) or per ROW (merge, via the artifact's
+    // claim kind), so mixed histories never pay per-version frames.
     final case class DvMut(v: Long, ts: java.sql.Timestamp,
-        prev: Manifest, cur: Manifest, update: Boolean) extends Ev
-    final case class DvPiece(df: DataFrame) extends Ev
+        prev: Manifest, cur: Manifest, mode: String) extends Ev
     var prev = parseManifest(spark, tableDir, fromVersion)
     val events = scala.collection.mutable.ArrayBuffer.empty[Ev]
     ((fromVersion + 1) to to).foreach { v =>
@@ -2758,43 +2770,26 @@ object Versioned {
         // CONSECUTIVE pure-DV mutations collapse into O(1) frames (see
         // dvMutRunPieces) — a year of daily GDPR deletes replays as
         // one artifact scan + one attribution join, not 365 frames.
-        events += DvMut(v, ts, prev, cur, update = false)
+        events += DvMut(v, ts, prev, cur, "delete")
       } else if (cur.mode == "update" && prev.files.forall(curSet)) {
         // merge-on-read UPDATE: the pre-images are the DV position
         // growth (same machinery as the delete branch), the
         // post-images are the version's ADDED groups — the updated
         // copies. Delta CDF's update_preimage/update_postimage pair.
         // Rides the same run consolidation as pure-DV deletes.
-        events += DvMut(v, ts, prev, cur, update = true)
+        events += DvMut(v, ts, prev, cur, "update")
       } else if (cur.mode == "merge" && prev.files.forall(curSet)) {
         // MIXED DV-backed MERGE (pure delete/update shapes publish
         // under their effect mode and take the branches above): the
         // position growth splits PER ROW by its artifact-recorded
         // claim kind — delete claims emit 'delete', update claims
         // 'update_preimage' — the manifest's `copies` annotation
-        // yields 'update_postimage', and every other added group is
-        // the insert clauses' rows. No growth row is ever dropped:
-        // the two kind filters partition exactly.
-        val growth = dvGrowthRows(spark, tableDir, prev, cur, toManifest)
-          .withColumn("__kind", coalesce(col("__kind"), flit("update")))
-        val del = growth.filter(col("__kind") === "delete").drop("__kind")
-          .withColumn("_change_type", flit("delete"))
-          .withColumn("_commit_version", flit(v))
-          .withColumn("_commit_timestamp", flit(ts))
-        val pre = growth.filter(col("__kind") =!= "delete").drop("__kind")
-          .withColumn("_change_type", flit("update_preimage"))
-          .withColumn("_commit_version", flit(v))
-          .withColumn("_commit_timestamp", flit(ts))
-        val copiesSet = cur.copies.toSet
-        val added = cur.files.filterNot(prevSet)
-        val post =
-          if (cur.copies.isEmpty) Seq.empty[DataFrame]
-          else Seq(taggedScanLit(cur.copies, "update_postimage", v, ts))
-        val insGroups = added.filterNot(copiesSet)
-        val ins =
-          if (insGroups.isEmpty) Seq.empty[DataFrame]
-          else Seq(taggedScanLit(insGroups, "insert", v, ts))
-        events += DvPiece((Seq(del, pre) ++ post ++ ins).reduce(_ unionByName _))
+        // yields 'update_postimage', and any other added group is
+        // the insert clauses' rows. Rides the SAME run consolidation
+        // as deletes/updates: the artifact's per-position kind travels
+        // with the min-over-appearances attribution, so a years-of-
+        // daily-merges history replays in ≤ 3 frames, not one each.
+        events += DvMut(v, ts, prev, cur, "merge")
       } else {
         throw new IllegalArgumentException(
           s"changesFeed($fromVersion, $to] crosses rewrite version $v " +
@@ -2864,21 +2859,45 @@ object Versioned {
       import spark.implicits._
       if (dvRun.size == 1) {
         val d = dvRun.head
-        if (!d.update)
+        if (d.mode == "delete")
           return Seq(dvGrowthRows(spark, tableDir, d.prev, d.cur, toManifest)
             .drop("__kind")
             .withColumn("_change_type", flit("delete"))
             .withColumn("_commit_version", flit(d.v))
             .withColumn("_commit_timestamp", flit(d.ts)))
         val prevSet1 = d.prev.files.toSet
-        val pre = dvGrowthRows(spark, tableDir, d.prev, d.cur, toManifest)
-          .drop("__kind")
+        if (d.mode == "update") {
+          val pre = dvGrowthRows(spark, tableDir, d.prev, d.cur, toManifest)
+            .drop("__kind")
+            .withColumn("_change_type", flit("update_preimage"))
+            .withColumn("_commit_version", flit(d.v))
+            .withColumn("_commit_timestamp", flit(d.ts))
+          val post = taggedScanLit(d.cur.files.filterNot(prevSet1),
+            "update_postimage", d.v, d.ts)
+          return Seq(pre.unionByName(post))
+        }
+        // single mixed MERGE: per-row kind split of the growth, the
+        // copies group as postimages, remaining added groups as inserts
+        val growth = dvGrowthRows(spark, tableDir, d.prev, d.cur, toManifest)
+          .withColumn("__kind", coalesce(col("__kind"), flit("update")))
+        val del = growth.filter(col("__kind") === "delete").drop("__kind")
+          .withColumn("_change_type", flit("delete"))
+          .withColumn("_commit_version", flit(d.v))
+          .withColumn("_commit_timestamp", flit(d.ts))
+        val pre = growth.filter(col("__kind") =!= "delete").drop("__kind")
           .withColumn("_change_type", flit("update_preimage"))
           .withColumn("_commit_version", flit(d.v))
           .withColumn("_commit_timestamp", flit(d.ts))
-        val post = taggedScanLit(d.cur.files.filterNot(prevSet1),
-          "update_postimage", d.v, d.ts)
-        return Seq(pre.unionByName(post))
+        val copiesSet = d.cur.copies.toSet
+        val added = d.cur.files.filterNot(prevSet1)
+        val post =
+          if (d.cur.copies.isEmpty) Seq.empty[DataFrame]
+          else Seq(taggedScanLit(d.cur.copies, "update_postimage", d.v, d.ts))
+        val insGroups = added.filterNot(copiesSet)
+        val ins =
+          if (insGroups.isEmpty) Seq.empty[DataFrame]
+          else Seq(taggedScanLit(insGroups, "insert", d.v, d.ts))
+        return Seq((Seq(del, pre) ++ post ++ ins).reduce(_ unionByName _))
       }
       val base = dvRun.head.prev
       val baseV = dvRun.head.v - 1
@@ -2890,53 +2909,83 @@ object Versioned {
           .map { case ((a, g), vs) => (a, g, vs.map(_._3).min) }.toSeq
       val amap = org.apache.spark.sql.functions.broadcast(
         entries.toDF("__art", "__grp", "__v0"))
-      // per-version metadata: timestamp + the pre-image change type
+      // per-version metadata: timestamp + how to type the pre-image
+      // rows — 'delete'/'update_preimage' for whole-version modes, or
+      // the MERGE flag that defers to the row's artifact claim kind.
       val vmeta = org.apache.spark.sql.functions.broadcast(
         dvRun.map(d => (d.v, d.ts,
-            if (d.update) "update_preimage" else "delete"))
-          .toDF("__v0", "__ct", "__chg")
+            if (d.mode == "update") "update_preimage" else "delete",
+            d.mode == "merge"))
+          .toDF("__v0", "__ct", "__chg", "__mrg")
           .withColumn("__ct", coalesce(col("__ct"), flit(dvRun.head.ts))))
       val sub = org.apache.spark.sql.functions.substring_index _
-      val positions = spark.read.parquet(
-          entries.map(_._1).distinct.map(a => s"$tableDir/files/$a"): _*)
+      // Position attribution: min version over appearances. The KIND
+      // travels alongside — a position's claim kind is recorded once
+      // and carried verbatim through every later merged artifact (and
+      // absorb folds), so max() over appearances (null-skipping, for
+      // pre-kind artifacts) recovers it exactly.
+      val rawPos0 = spark.read.parquet(
+        entries.map(_._1).distinct.map(a => s"$tableDir/files/$a"): _*)
+      val rawPos =
+        if (rawPos0.columns.contains("kind")) rawPos0
+        else rawPos0.withColumn("kind", flit(null).cast("string"))
+      val positions = rawPos
         .withColumn("__art", sub(sub(
           org.apache.spark.sql.functions.input_file_name(), "/files/", -1),
           "/", 1))
         .withColumn("__grp", sub(col("rel"), "/", 1))
-        .select(col("rel"), col("pos"), col("__art"), col("__grp"))
+        .select(col("rel"), col("pos"), col("kind"), col("__art"), col("__grp"))
         .join(amap, Seq("__art", "__grp"))
         .groupBy(col("rel").as("__dv_rel"), col("pos").as("__dv_pos"))
-        .agg(org.apache.spark.sql.functions.min(col("__v0")).as("__v0"))
+        .agg(org.apache.spark.sql.functions.min(col("__v0")).as("__v0"),
+          org.apache.spark.sql.functions.max(col("kind")).as("__kind"))
         .filter(col("__v0") > lit(baseV))
       // only groups whose vector actually grew need scanning
       val baseBy = base.dvs.map(d => d._1 -> d._3).toMap
       val grownGroups = dvRun.last.cur.dvs
         .filter(d => d._3 > baseBy.getOrElse(d._1, 0L)).map(_._1)
-      // coalesce on __chg/_commit_version is the nullability-alignment
+      // coalesce on the change columns is the nullability-alignment
       // trick (encoders/min() mark them nullable; the streaming CDF
       // source holds every piece to the declared NON-NULL schema) —
       // the literal arms are never hit (every position joined a version)
+      val rowChange = org.apache.spark.sql.functions.when(
+        col("__mrg") && col("__kind") === "delete", flit("delete"))
+        .when(col("__mrg"), flit("update_preimage"))
+        .otherwise(col("__chg"))
       val preFrame = scanGroupsTagged(spark, tableDir, grownGroups,
           toManifest.schemaDdl, toManifest.mapping)
         .join(positions, Seq("__dv_rel", "__dv_pos"))
         .join(vmeta, Seq("__v0"))
-        .withColumn("_change_type", coalesce(col("__chg"), flit("delete")))
+        .withColumn("_change_type", coalesce(rowChange, flit("delete")))
         .withColumn("_commit_version",
           coalesce(col("__v0"), flit(dvRun.head.v)))
         .withColumn("_commit_timestamp", col("__ct"))
-        .drop("__v0", "__ct", "__chg", "__dv_rel", "__dv_pos")
-      // update versions' postimages: all copies groups in one scan,
-      // version-attributed through the broadcast map (insertPiece's
-      // shape — the groups are disjoint across versions by construction)
+        .drop("__v0", "__ct", "__chg", "__mrg", "__kind", "__dv_rel", "__dv_pos")
+      // postimages: update versions' added groups plus merge versions'
+      // annotated copies groups — all in one scan, version-attributed
+      // through the broadcast map (insertPiece's shape — the groups
+      // are disjoint across versions by construction)
       val copies: Seq[(String, Long, java.sql.Timestamp)] = dvRun
-        .filter(_.update)
         .flatMap { d =>
-          val prevSet1 = d.prev.files.toSet
-          d.cur.files.filterNot(prevSet1).map(g => (g, d.v, d.ts))
+          if (d.mode == "update") {
+            val prevSet1 = d.prev.files.toSet
+            d.cur.files.filterNot(prevSet1).map(g => (g, d.v, d.ts))
+          } else if (d.mode == "merge") d.cur.copies.map(g => (g, d.v, d.ts))
+          else Seq.empty
         }
-      if (copies.isEmpty) Seq(preFrame)
-      else Seq(preFrame,
-        taggedScanMap(copies, "update_postimage", dvRun.head.ts))
+      // merge versions' insert-clause groups: added, not copies
+      val mergeIns: Seq[(String, Long, java.sql.Timestamp)] = dvRun
+        .filter(_.mode == "merge").flatMap { d =>
+          val prevSet1 = d.prev.files.toSet
+          val cp = d.cur.copies.toSet
+          d.cur.files.filterNot(prevSet1).filterNot(cp)
+            .map(g => (g, d.v, d.ts))
+        }
+      Seq(preFrame) ++
+        (if (copies.isEmpty) Seq.empty
+         else Seq(taggedScanMap(copies, "update_postimage", dvRun.head.ts))) ++
+        (if (mergeIns.isEmpty) Seq.empty
+         else Seq(taggedScanMap(mergeIns, "insert", dvRun.head.ts)))
     }
     val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val run = scala.collection.mutable.ArrayBuffer.empty[Ins]
@@ -2948,7 +2997,6 @@ object Versioned {
     events.foreach {
       case i: Ins => flushDvRun(); run += i
       case d: DvMut => flushRun(); dvRun += d
-      case DvPiece(df) => flushRun(); flushDvRun(); pieces += df
     }
     flushRun(); flushDvRun()
     pieces.toSeq

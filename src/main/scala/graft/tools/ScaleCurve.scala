@@ -34,6 +34,7 @@ object ScaleCurve {
     if (family == "dv") { dvCurve(dir, multipliers); return }
     if (family == "dvmerge") { dvMergeCurve(dir, multipliers); return }
     if (family == "dvdepth") { dvDepthCurve(dir, multipliers); return }
+    if (family == "cowdepth") { cowDepthCurve(dir, multipliers); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -248,6 +249,70 @@ object ScaleCurve {
           else Versioned.update(spark, tbl,
             col("doc_id") === id, "n_chars" -> lit(-1)),
         expectRows = nBase + dels + 2L * upds))
+    }
+    spark.stop()
+  }
+
+  /** Mixed-MERGE depth curve: k sequential mixed DV MERGEs (each one
+    * delete claim + one update claim + one insert — mode 'merge' every
+    * version), then a from-genesis CDF replay. The claim under test:
+    * the merge-run consolidation holds the FRAME count at 3
+    * (pre/delete + postimage + merge-insert) and plan time ~flat in k
+    * — the "years of daily merges" history must not replay one plan
+    * frame per version. Multipliers are read as DEPTHS. */
+  private def cowDepthCurve(dir: String, depths: Seq[Int]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Versioned
+    import Versioned.MergeClause._
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val nBase = base.count()
+    import spark.implicits._
+    def src(rows: Seq[(Long, String, Long)]): DataFrame = {
+      val df = rows.toDF("doc_id", "lang", "n_chars")
+      df.select(df.columns.zip(base.schema.fields).map { case (c, f) =>
+        col(c).cast(f.dataType).as(c) }.toSeq: _*)
+    }
+    depths.foreach { k =>
+      val ids = base.orderBy("doc_id").limit(2 * k).collect()
+        .map(_.getLong(0))
+      val (delIds, updIds) = ids.splitAt(k)
+      val insBase = base.agg(max("doc_id")).collect()(0).getLong(0) + 1L
+      val tbl = java.nio.file.Files
+        .createTempDirectory(s"graft-cowdepth$k").toString + "/t"
+      Versioned.commit(base, tbl)
+      val t0 = System.nanoTime()
+      (0 until k).foreach { i =>
+        Versioned.mergeClauses(spark, tbl,
+          src(Seq((delIds(i), "xx", -1L), (updIds(i), "xx", 777L),
+            (insBase + i, "xx", 1L))),
+          Seq("doc_id"), Seq(
+            MatchedDelete(Some(col("SRC.n_chars") === -1L)),
+            MatchedUpdate(Seq("n_chars" -> col("SRC.n_chars"))),
+            NotMatchedInsert()))
+      }
+      val mutSec = (System.nanoTime() - t0) / 1e9
+      val latest = Versioned.latestVersion(spark, tbl)
+      require(latest == k.toLong, s"expected $k merge versions, got $latest")
+      val frames = Versioned.changesFeedPieces(spark, tbl, 0L, latest).size
+      val t1 = System.nanoTime()
+      val feed = Versioned.tableChanges(spark, tbl, 0L)
+      feed.queryExecution.optimizedPlan // force analysis + optimization
+      val planSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val n = feed.count()
+      val execSec = (System.nanoTime() - t2) / 1e9
+      // genesis + per merge: delete + pre/post pair + insert
+      require(n == nBase + 4L * k,
+        s"cowdepth replay must emit ${nBase + 4L * k} rows, got $n")
+      println(f"""[scale-cowdepth] {"depth":$k,"frames":$frames,"plan_seconds":$planSec%.2f,"replay_seconds":$execSec%.2f,"mutate_seconds":$mutSec%.1f,"replay_rows":$n}""")
     }
     spark.stop()
   }

@@ -643,4 +643,59 @@ class DeletionVectorSpec extends SparkSpec {
     assert(rows.filter(col("val") === 10L).count() == 0L)
     assert(Versioned.read(spark, dir, 1).count() == 100L)
   }
+
+  test("a run of consecutive mixed DV MERGEs (and trailing delete/update) " +
+      "replays in <= 3 run frames with per-row kind attribution") {
+    import Versioned.MergeClause._
+    val dir = tbl()
+    Versioned.commit((0L until 100L).map(i => (i, i)).toDF("id", "n"), dir)   // v0
+    Versioned.append((100L until 200L).map(i => (i, i)).toDF("id", "n"), dir) // v1
+    withDvFraction(0.5) {
+      // four consecutive MIXED merges (v2..v5): each claims one delete,
+      // one update, and one insert — mode stays 'merge' every version
+      (0 until 4).foreach { k =>
+        Versioned.mergeClauses(spark, dir,
+          Seq((10L + k, -1L), (120L + k, 1000L + k), (900L + k, -2L))
+            .toDF("id", "n"),
+          Seq("id"), Seq(
+            MatchedDelete(Some(col("SRC.n") === -1L)),
+            MatchedUpdate(Seq("n" -> col("SRC.n"))),
+            NotMatchedInsert()))
+      }
+      // the run keeps absorbing plain DV mutations too
+      Versioned.delete(spark, dir)(col("id") === 50L)                 // v6
+      Versioned.update(spark, dir, col("id") === 60L, "n" -> lit(999L)) // v7
+    }
+    val v = Versioned.latestVersion(spark, dir)
+    assert(v == 7L)
+    (2L to 5L).foreach { vv =>
+      assert(Versioned.parseManifest(spark, dir, vv).mode == "merge") }
+    // PLAN-SIZE BOUND: [insert-run(v1)] + the whole v2..v7 mutation run
+    // as [preimages/deletes, postimages, merge-inserts] — never one
+    // frame per merge version
+    val pieces = Versioned.changesFeedPieces(spark, dir, 0L, v)
+    assert(pieces.size == 4,
+      s"expected [insert-run, dv-pre/del, dv-post, merge-ins] = 4 frames, " +
+        s"got ${pieces.size}")
+    // row-exact attribution across the consolidated frames
+    val got = Versioned.tableChanges(spark, dir, 2L)
+      .select("id", "n", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val want = (0 until 4).flatMap { k =>
+      Seq((10L + k, 10L + k, "delete", 2L + k),
+        (120L + k, 120L + k, "update_preimage", 2L + k),
+        (120L + k, 1000L + k, "update_postimage", 2L + k),
+        (900L + k, -2L, "insert", 2L + k))
+    }.toSet ++ Set(
+      (50L, 50L, "delete", 6L),
+      (60L, 60L, "update_preimage", 7L), (60L, 999L, "update_postimage", 7L))
+    assert(got == want, s"got $got")
+    // live content agrees with the replay
+    val live = Versioned.read(spark, dir).as[(Long, Long)].collect().toMap
+    assert(live.size == 199L) // 200 - 5 deletes + 4 inserts
+    assert(!live.contains(10L) && !live.contains(13L) && !live.contains(50L))
+    assert(live(120L) == 1000L && live(123L) == 1003L && live(60L) == 999L)
+    assert(live(900L) == -2L && live(903L) == -2L)
+  }
 }
