@@ -89,7 +89,27 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val failed = failures.asScala.toList.distinct
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The one JSON line ALSO lands in a file the driver (or any tool)
+    // can ingest whole — a stdout tail truncated by a log collector
+    // must not zero the round's per-query map (r16: the driver's
+    // artifact carried only a tail, parsed:null).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full result written to $outPath")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    // Sorted top-10 on stderr: contention spikes are visible AT
+    // RECORDING TIME instead of surfacing rounds later in an A/B.
+    System.err.println("[bench] top-10 slowest:")
+    results.sortBy(-_._2).take(10).foreach { case (k, v) =>
+      System.err.println(f"[bench]   $v%8.2f s  $k")
+    }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
     spark.stop()

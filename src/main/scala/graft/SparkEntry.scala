@@ -1062,6 +1062,51 @@ object SparkEntry {
            |ORDER BY phase, lang""".stripMargin)
     }),
 
+    // The STREAMING twin of table_changes_resync: the same vacuumed
+    // table, tailed by a FRESH readChangeFeed stream with
+    // `startingVersion=earliest` — the post-vacuum resync a
+    // long-running consumer performs after retention outran its old
+    // checkpoint. The first micro-batch serves the earliest retained
+    // version's FULL content once (the snapshot baseline: inserts
+    // @v2, en+de minus the DV-deleted rows), increments follow
+    // exactly (@v3); a second drain after a further append proves the
+    // resynced checkpoint continues exactly-once (only @v4 arrives).
+    "table_changes_resync_streaming" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val tbl = s"/tmp/graft_versioned/resyncs_${etlSuffix(dir)}"
+      val io = s"/tmp/graft_versioned/resyncs_io_${etlSuffix(dir)}"
+      Seq(tbl, io).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      Versioned.commit(docs.filter(col("lang") === "en"), tbl) // v0
+      Versioned.append(docs.filter(col("lang") === "de"), tbl) // v1
+      Versioned.delete(s, tbl)(col("doc_id") % 97L === 0L)     // v2: pure DV
+      Versioned.append(docs.filter(col("lang") === "fr"), tbl) // v3
+      Versioned.vacuum(s, tbl, keepFrom = 2L)                  // v0/v1 gone
+      def drain(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "earliest")
+          .load(tbl)
+          .writeStream.format("parquet")
+          .option("path", s"$io/sink")
+          .option("checkpointLocation", s"$io/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // resync: v2's snapshot once + v3's increment
+      Versioned.append(docs.filter(col("lang") === "es"), tbl) // v4
+      drain() // exactly-once continuation: only v4 arrives
+      s.read.parquet(s"$io/sink")
+        .groupBy(concat(lit("v"), col("_commit_version"), lit(":"),
+          col("_change_type")).as("phase"), col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("phase", "lang")
+    }),
+
     // CDC-style incremental read over an append chain: a consumer that
     // processed v0 asks for everything added since — served from ONLY
     // the appended file groups (metadata-only planning; VersionedSpec
@@ -5599,6 +5644,25 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'change:insert', lang, count(*), CAST(sum(doc_id) AS BIGINT)
         |FROM documents WHERE lang = 'fr' GROUP BY lang
+        |ORDER BY phase, lang""".stripMargin,
+
+    // Streaming resync: the v2 snapshot (en+de minus the %97 delete)
+    // lands once as inserts @v2, the fr append as inserts @v3, the
+    // post-resync es append as inserts @v4 — exactly-once across the
+    // two drains means no row appears twice.
+    "table_changes_resync_streaming" ->
+      """WITH snap AS (
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE lang IN ('en', 'de') AND doc_id % 97 <> 0)
+        |SELECT 'v2:insert' AS phase, lang, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM snap GROUP BY lang
+        |UNION ALL
+        |SELECT 'v3:insert', lang, count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE lang = 'fr' GROUP BY lang
+        |UNION ALL
+        |SELECT 'v4:insert', lang, count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE lang = 'es' GROUP BY lang
         |ORDER BY phase, lang""".stripMargin,
 
     // The change set is the two appended batches, duplicates preserved

@@ -156,19 +156,34 @@ object Versioned {
   private def jsonUnescape(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
-  private[graft] def parseManifest(
-      spark: SparkSession, tableDir: String, v: Long): Manifest = {
-    val f = fs(spark, tableDir)
-    val path = manifestPath(tableDir, v)
-    // FAIL CLOSED on torn reads: on the local scheme manifest content
-    // is atomic (FsAtomic links a fully-written temp file into place),
-    // but other filesystems publish via create(overwrite=false), whose
-    // content a racing reader can observe INCOMPLETE — and a truncated
-    // manifest parsed best-effort silently drops whatever fields the
-    // truncation cut (the dvs array is last: dropped deletion vectors
-    // resurrect deleted rows). A manifest must parse as a complete
-    // JSON object or raise; in-flight writes settle within the retry
-    // window, real corruption stays loud.
+  /** Checkpoint SIDECAR path for a version — a FULL record written by
+    * [[vacuum]] beside a delta record whose ancestors it is about to
+    * drop, so the retention boundary stays standalone-resolvable. The
+    * `c` prefix keeps it outside [[versionBounds]]'s `v*.json` match. */
+  private def checkpointPath(tableDir: String, v: Long) =
+    new Path(s"$tableDir/_versions/c$v.json")
+
+  /** FNV-1a of a record's raw text — the integrity pin that chains a
+    * delta record to its exact parent BYTES (and keys the resolved-
+    * manifest cache safely across a table re-created at one path: a
+    * different incarnation's record can never collide). */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    s.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+    h
+  }
+
+  /** Raw text of the record at `path`, FAIL-CLOSED on torn reads: on
+    * the local scheme manifest content is atomic (FsAtomic links a
+    * fully-written temp file into place), but other filesystems publish
+    * via create(overwrite=false), whose content a racing reader can
+    * observe INCOMPLETE — and a truncated manifest parsed best-effort
+    * silently drops whatever fields the truncation cut (the dvs array
+    * is last: dropped deletion vectors resurrect deleted rows). A
+    * record must read as a complete JSON object or raise; in-flight
+    * writes settle within the retry window, real corruption stays loud. */
+  private def recordRaw(
+      f: org.apache.hadoop.fs.FileSystem, path: Path): String = {
     var raw = ""
     var attempt = 0
     while ({
@@ -186,6 +201,97 @@ object Versioned {
       }
       !complete
     }) ()
+    raw
+  }
+
+  /** Resolved manifests, LRU-cached per (table, version). Records are
+    * immutable once published, so an entry is valid exactly while its
+    * stored hash matches the record bytes — verified on every use
+    * (against a fresh read for the requested version, against the
+    * child's `parent_hash` pin during a chain walk). */
+  private val resolvedManifestCache = lruMap[(Long, Manifest)](8192)
+
+  /** Test hook: drop every cached resolved manifest (simulates a cold
+    * JVM so specs can exercise the full chain walk). */
+  private[graft] def clearResolvedManifestCache(): Unit =
+    resolvedManifestCache.synchronized { resolvedManifestCache.clear() }
+
+  private[graft] def parseManifest(
+      spark: SparkSession, tableDir: String, v: Long): Manifest =
+    resolveWithHash(spark, tableDir, v)._2
+
+  /** Resolve version `v`'s full [[Manifest]] plus its record hash: read
+    * the record (always FRESH — a table re-created at the same path
+    * must never serve a stale entry), then either parse it whole (a
+    * full/checkpoint record) or fold it over its parent chain (a delta
+    * record). Chain walks are amortized O(1) I/O: each resolved
+    * ancestor is cached keyed by the hash its child pins, so a cached
+    * parent serves without re-reading — and can never belong to a
+    * different table incarnation, because its hash would differ.
+    * `expectHash` carries the child's pin during the walk; a mismatch
+    * fails closed. */
+  private def resolveWithHash(
+      spark: SparkSession, tableDir: String, v: Long,
+      expectHash: Option[Long] = None): (Long, Manifest) = {
+    val f = fs(spark, tableDir)
+    val raw = recordRaw(f, manifestPath(tableDir, v))
+    val h = fnv64(raw)
+    expectHash.foreach { e =>
+      if (e != h) throw new IllegalStateException(
+        s"manifest v$v of $tableDir does not match the hash its child " +
+          s"record pinned (expected $e, got $h) — the log was replaced " +
+          "or corrupted under a live chain; failing closed")
+    }
+    val key = cacheKey(spark, tableDir) + "#" + v
+    val hit = resolvedManifestCache.synchronized {
+      Option(resolvedManifestCache.get(key))
+    }
+    hit match {
+      case Some((ch, m)) if ch == h => (h, m)
+      case _ =>
+        val m =
+          if (!raw.trim.startsWith("{\"delta\":")) parseFullRecord(raw, v)
+          else resolveDelta(spark, tableDir, v, raw, f)
+        resolvedManifestCache.synchronized {
+          resolvedManifestCache.put(key, (h, m))
+        }
+        (h, m)
+    }
+  }
+
+  /** Fold a delta record over its resolved parent. The parent resolves
+    * from the hash-verified cache without I/O in the common case; a
+    * parent that was VACUUMED away diverts to this version's checkpoint
+    * sidecar (vacuum writes one at the boundary before dropping
+    * ancestors — see [[vacuum]]). */
+  private def resolveDelta(
+      spark: SparkSession, tableDir: String, v: Long, raw: String,
+      f: org.apache.hadoop.fs.FileSystem): Manifest = {
+    val p = "\"parent\":(\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"delta manifest v$v of $tableDir has no parent — corrupt"))
+    val ph = "\"parent_hash\":\"(-?\\d+)\"".r.findFirstMatchIn(raw)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"delta manifest v$v of $tableDir has no parent_hash — corrupt"))
+    val parentM =
+      try {
+        val pkey = cacheKey(spark, tableDir) + "#" + p
+        val hit = resolvedManifestCache.synchronized {
+          Option(resolvedManifestCache.get(pkey))
+        }
+        hit match {
+          case Some((ch, m)) if ch == ph => m
+          case _ => resolveWithHash(spark, tableDir, p, Some(ph))._2
+        }
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          return parseFullRecord(recordRaw(f, checkpointPath(tableDir, v)), v)
+      }
+    foldDelta(parentM, raw, v)
+  }
+
+  private def parseFullRecord(raw: String, v: Long): Manifest = {
     // Minimal JSON of our own writing:
     // {"version":n,"mode":"...","files":["g1",...],"n_rows":n,"committed_at":"...",
     //  "txn_app":"...","txn_batch":n}  (txn fields only on appendOnce commits)
@@ -236,8 +342,70 @@ object Versioned {
     // row copies (vs inserts) — the change feed's postimage attribution
     // for mixed merges. Per-version annotation, never carried forward.
     val copies = quotedArray(raw, "copies").getOrElse(Seq.empty)
+    // per-group stats JSON: flat [group, statsJson, ...] pairs —
+    // coverage may be PARTIAL (see the Manifest field doc)
+    val fileStats = quotedArray(raw, "file_stats")
+      .map(_.grouped(2).collect { case Seq(g, s) => (g, s) }.toMap)
+      .getOrElse(Map.empty[String, String])
     Manifest(files, nRows, mode, at, txn, schemaDdl, constraints, mapping, dvs,
-      fileRows, copies)
+      fileRows, copies, fileStats)
+  }
+
+  /** Reconstruct a delta record's full state over its resolved parent.
+    * Cumulative fields fold (files/dvs/fileRows/fileStats; schema,
+    * constraints and mapping inherit unless the record carries the key
+    * — an EMPTY array is "changed to empty", an absent key "unchanged");
+    * per-version fields (mode, n_rows, committed_at, txn, copies) come
+    * from the record itself. */
+  private def foldDelta(parent: Manifest, raw: String, v: Long): Manifest = {
+    val removed = quotedArray(raw, "remove_files").getOrElse(Seq.empty).toSet
+    val added = quotedArray(raw, "add_files").getOrElse(Seq.empty)
+    val files = parent.files.filterNot(removed) ++ added
+    val nRows = "\"n_rows\":(\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong).getOrElse(0L)
+    val mode = "\"mode\":\"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
+    val at = "\"committed_at\":\"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
+    val txn = for {
+      app <- "\"txn_app\":\"([^\"]*)\"".r.findFirstMatchIn(raw).map(_.group(1))
+      b <- "\"txn_batch\":(-?\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+    } yield (app, b)
+    val schemaDdl = scanQuoted(raw, "\"schema\":\"").map(jsonUnescape)
+      .orElse(parent.schemaDdl)
+    val constraints = quotedArray(raw, "constraints")
+      .map(_.grouped(2).collect { case Seq(n, e) => (n, e) }.toSeq)
+      .getOrElse(parent.constraints)
+    val mapping = quotedArray(raw, "mapping")
+      .map(_.grouped(2).collect { case Seq(l, p) => (l, p) }.toSeq)
+      .getOrElse(parent.mapping)
+    val dvDrop = quotedArray(raw, "dv_drop").getOrElse(Seq.empty).toSet
+    val dvSet = quotedArray(raw, "dv_set")
+      .map(_.grouped(3).collect { case Seq(g, a, c) => (g, a, c.toLong) }.toSeq)
+      .getOrElse(Seq.empty)
+    val dvSetG = dvSet.map(_._1).toSet
+    val dvs = parent.dvs.filterNot(d =>
+      dvDrop(d._1) || dvSetG(d._1) || removed(d._1)) ++ dvSet
+    // row counts: complete iff the parent covers every carried group
+    // and the record aligns a count with every added group — otherwise
+    // empty (the pre-upgrade reading), same contract as full records.
+    // The WRITER prefers a full record whenever a delta would degrade
+    // coverage, so the empty case only survives on pre-upgrade chains.
+    val addRows = quotedArray(raw, "add_file_rows").map(_.map(_.toLong))
+      .getOrElse(Seq.empty)
+    val addedSet = added.toSet
+    val carriedRows = parent.fileRows.filter { case (g, _) => !removed(g) }
+    val fileRows =
+      if (addRows.size == added.size &&
+          files.forall(g => carriedRows.contains(g) || addedSet(g)))
+        carriedRows ++ added.zip(addRows)
+      else Map.empty[String, Long]
+    val addStats = quotedArray(raw, "add_file_stats")
+      .map(_.grouped(2).collect { case Seq(g, s) => (g, s) }.toMap)
+      .getOrElse(Map.empty[String, String])
+    val fileStats =
+      parent.fileStats.filter { case (g, _) => !removed(g) } ++ addStats
+    val copies = quotedArray(raw, "copies").getOrElse(Seq.empty)
+    val _ = v
+    Manifest(files, nRows, mode, at, txn, schemaDdl, constraints, mapping, dvs,
+      fileRows, copies, fileStats)
   }
 
   /** The JSON-escaped string starting right after `marker`, scanned
@@ -317,12 +485,15 @@ object Versioned {
       mapping: Seq[(String, String)] = Seq.empty,
       dvs: Seq[(String, String, Long)] = Seq.empty,
       fileRows: Option[Seq[Long]] = None,
-      copies: Seq[String] = Seq.empty): String = {
+      copies: Seq[String] = Seq.empty,
+      fileStats: Map[String, String] = Map.empty,
+      committedAt: Option[String] = None): String = {
     require(fileRows.forall(_.size == groups.size),
       s"file_rows (${fileRows.map(_.size)}) must align with files (${groups.size})")
     val rowsJson = fileRows.map(rs =>
       rs.map("\"" + _ + "\"").mkString(""","file_rows":[""", ",", "]"))
       .getOrElse("")
+    val statsJson = statsPairsJson("file_stats", fileStats)
     val copiesJson =
       if (copies.isEmpty) ""
       else copies.map(s => "\"" + jsonEscape(s) + "\"")
@@ -343,23 +514,86 @@ object Versioned {
       if (dvs.isEmpty) ""
       else dvs.flatMap { case (g, a, c) => Seq(g, a, c.toString) }
         .map(s => "\"" + jsonEscape(s) + "\"").mkString(""","dvs":[""", ",", "]")
+    val at = committedAt.getOrElse(java.time.Instant.now().toString)
     s"""{"version":$v,"mode":"$mode","files":[${groups.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""n_rows":$nRows,"committed_at":"${java.time.Instant.now()}"$rowsJson$copiesJson$txnJson$schemaJson$consJson$mapJson$dvJson}"""
+      s""""n_rows":$nRows,"committed_at":"$at"$rowsJson$statsJson$copiesJson$txnJson$schemaJson$consJson$mapJson$dvJson}"""
   }
 
-  /** Per-group row counts for a manifest about to publish: `known`
-    * entries (the parent manifest's counts plus freshly-written groups)
-    * with a ONE-TIME sidecar fallback for groups a pre-upgrade parent
-    * never recorded. Emitted only when every group resolves (a missing
-    * sidecar on a pre-stats table keeps the manifest pre-upgrade rather
-    * than recording a lie). */
-  private def resolveFileRows(
-      spark: SparkSession, tableDir: String, groups: Seq[String],
-      known: Map[String, Long]): Option[Seq[Long]] = {
-    val fromSidecars = sidecarRows(spark, tableDir,
-      groups.filterNot(known.contains))
-    val per = groups.map(g => known.get(g).orElse(fromSidecars.get(g)))
-    if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+  /** A resolved [[Manifest]] re-serialized as a standalone FULL record
+    * — what [[vacuum]] writes as the retention boundary's checkpoint
+    * sidecar. Preserves the original `committed_at` (time travel and
+    * history audit read it verbatim). */
+  private def fullRecordOf(m: Manifest, v: Long): String =
+    manifestJson(v, m.mode, m.files, m.nRows, m.txn, m.schemaDdl,
+      m.constraints, m.mapping, m.dvs,
+      if (m.files.forall(m.fileRows.contains))
+        Some(m.files.map(m.fileRows)) else None,
+      m.copies, m.fileStats, Some(m.committedAt))
+
+  /** Flat [group, statsJson, ...] pairs under `key` (sorted for
+    * deterministic bytes), or "" when empty. */
+  private def statsPairsJson(key: String, stats: Map[String, String]): String =
+    if (stats.isEmpty) ""
+    else stats.toSeq.sortBy(_._1).flatMap { case (g, s) => Seq(g, s) }
+      .map(s => "\"" + jsonEscape(s) + "\"")
+      .mkString(s""","$key":[""", ",", "]")
+
+  /** A DELTA record: O(churn) bytes — the file/DV changes against the
+    * parent plus the per-version fields, chained to the parent's exact
+    * bytes via `parent_hash`. `schemaDdl`/`constraints`/`mapping` are
+    * emitted ONLY when passed Some (= changed vs the parent); an
+    * absent key folds as "inherit". The leading `"delta":1` key is the
+    * record-shape marker ([[resolveWithHash]] dispatches on it
+    * position-pinned, immune to user content echoing the word). */
+  private def deltaJson(
+      v: Long, mode: String, parentV: Long, parentHash: Long,
+      nRows: Long, addFiles: Seq[String], removeFiles: Seq[String],
+      addRows: Option[Seq[Long]], addStats: Map[String, String],
+      dvSet: Seq[(String, String, Long)], dvDrop: Seq[String],
+      txn: Option[(String, Long)], schemaDdl: Option[String],
+      constraints: Option[Seq[(String, String)]],
+      mapping: Option[Seq[(String, String)]],
+      copies: Seq[String]): String = {
+    require(addRows.forall(_.size == addFiles.size),
+      s"add_file_rows (${addRows.map(_.size)}) must align with " +
+        s"add_files (${addFiles.size})")
+    def strArr(key: String, xs: Seq[String]): String =
+      if (xs.isEmpty) ""
+      else xs.map(s => "\"" + jsonEscape(s) + "\"")
+        .mkString(s""","$key":[""", ",", "]")
+    val addJson = strArr("add_files", addFiles)
+    val remJson = strArr("remove_files", removeFiles)
+    val rowsJson = addRows.map(rs =>
+      rs.map("\"" + _ + "\"").mkString(""","add_file_rows":[""", ",", "]"))
+      .getOrElse("")
+    val statsJson = statsPairsJson("add_file_stats", addStats)
+    val dvSetJson =
+      if (dvSet.isEmpty) ""
+      else dvSet.flatMap { case (g, a, c) => Seq(g, a, c.toString) }
+        .map(s => "\"" + jsonEscape(s) + "\"")
+        .mkString(""","dv_set":[""", ",", "]")
+    val dvDropJson = strArr("dv_drop", dvDrop)
+    val copiesJson = strArr("copies", copies)
+    val txnJson = txn.map { case (app, b) =>
+      s""","txn_app":"$app","txn_batch":$b"""
+    }.getOrElse("")
+    val schemaJson = schemaDdl.map(d =>
+      s""","schema":"${jsonEscape(d)}"""").getOrElse("")
+    // changed-to-empty serializes as [] (quotedArray reads Some(empty)
+    // — an override), unchanged omits the key (fold inherits)
+    val consJson = constraints.map(cs =>
+      cs.flatMap { case (n, e) => Seq(n, e) }
+        .map(s => "\"" + jsonEscape(s) + "\"")
+        .mkString(""","constraints":[""", ",", "]")).getOrElse("")
+    val mapJson = mapping.map(ms =>
+      ms.flatMap { case (l, p) => Seq(l, p) }
+        .map(s => "\"" + jsonEscape(s) + "\"")
+        .mkString(""","mapping":[""", ",", "]")).getOrElse("")
+    s"""{"delta":1,"version":$v,"parent":$parentV,"parent_hash":"$parentHash",""" +
+      s""""mode":"$mode","n_rows":$nRows,""" +
+      s""""committed_at":"${java.time.Instant.now()}"""" +
+      addJson + remJson + rowsJson + statsJson + dvSetJson + dvDropJson +
+      copiesJson + txnJson + schemaJson + consJson + mapJson + "}"
   }
 
   /** Row counts for `groups` from their stats sidecars, read as ONE
@@ -383,6 +617,130 @@ object Versioned {
       .getOrElse(Seq.empty)
   }
 
+  /** Commit-record cadence: every Nth version (and v0, and any state a
+    * delta cannot represent) publishes as a FULL record — the log's
+    * CHECKPOINT; the rest publish as O(churn) delta records. 0 or 1 =
+    * full records only (the pre-checkpoint behavior). */
+  private def checkpointInterval(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.manifest.checkpointInterval")
+      .map(_.toLong).getOrElse(10L)
+
+  /** Serialize and publish version `v` (create-exclusive; false = lost
+    * the race). Chooses the record shape: a FULL record when `v` is a
+    * checkpoint slot, the parent is missing/unreadable, or the delta
+    * encoding cannot represent the transition (group order diverged,
+    * row-count coverage would degrade, a recorded schema would have to
+    * clear); otherwise an O(churn) DELTA record chained to the
+    * parent's bytes. ONE batched sidecar pass serves both the
+    * row-count fallback and the stats embed, so commit metadata I/O is
+    * O(new groups) — and a checkpoint back-fills stats coverage for
+    * groups older records never carried. */
+  private def publishRecordAt(
+      spark: SparkSession, tableDir: String, v: Long,
+      mode: String, groups: Seq[String], nRows: Long,
+      txn: Option[(String, Long)], schemaDdl: Option[String],
+      cons: Seq[(String, String)], mapping: Seq[(String, String)],
+      dvs: Seq[(String, String, Long)],
+      rowsByGroup: Map[String, Long], copies: Seq[String]): Boolean = {
+    val f = fs(spark, tableDir)
+    val parentOpt: Option[(Long, Manifest)] =
+      if (v == 0) None
+      else scala.util.Try(resolveWithHash(spark, tableDir, v - 1)).toOption
+    val pm = parentOpt.map(_._2)
+    val knownRows = pm.map(_.fileRows).getOrElse(Map.empty) ++ rowsByGroup
+    val knownStats = pm.map(_.fileStats).getOrElse(Map.empty)
+    val interval = checkpointInterval(spark)
+    val checkpointSlot =
+      parentOpt.isEmpty || interval <= 1 || (v % interval == 0)
+    val parentSet = pm.map(_.files.toSet).getOrElse(Set.empty)
+    val added = groups.filterNot(parentSet)
+    // one concurrent sidecar batch: row counts for groups no record
+    // knows + stats for the groups this record will embed
+    val needSidecar =
+      (groups.filterNot(knownRows.contains) ++
+        (if (checkpointSlot) groups else added).filterNot(knownStats.contains))
+        .distinct
+    val sidecarSt: Map[String, GroupStats.Stats] =
+      if (needSidecar.isEmpty) Map.empty
+      else needSidecar.zip(GroupStats.readMany(
+        f, needSidecar.map(g => GroupStats.sidecarPath(tableDir, g))))
+        .collect { case (g, Some(st)) => g -> st }.toMap
+    val perRows = groups.map(g =>
+      knownRows.get(g).orElse(sidecarSt.get(g).map(_.nRows)))
+    val fileRows =
+      if (perRows.forall(_.isDefined)) Some(perRows.map(_.get)) else None
+    def statsOf(gs: Seq[String]): Map[String, String] =
+      gs.flatMap(g => knownStats.get(g)
+        .orElse(sidecarSt.get(g).map(GroupStats.toJson)).map(g -> _)).toMap
+    val json = parentOpt match {
+      case Some((phash, parent)) if !checkpointSlot &&
+          // the delta fold must reproduce the exact file sequence
+          (parent.files.filter(groups.toSet) ++ added) == groups &&
+          // row-count coverage must not degrade through the fold
+          (fileRows.isDefined && groups.filterNot(added.toSet)
+            .forall(g => parent.fileRows.contains(g) || rowsByGroup.contains(g))
+            || fileRows.isEmpty && parent.fileRows.isEmpty) &&
+          // a recorded schema cannot CLEAR through a delta (absent =
+          // inherit) — never happens in practice, full record if so
+          !(schemaDdl.isEmpty && parent.schemaDdl.nonEmpty) =>
+        val removed = parent.files.filterNot(groups.toSet)
+        val pdv = parent.dvs.map(d => d._1 -> d).toMap
+        val dvSet = dvs.filterNot(d => pdv.get(d._1).contains(d))
+        val ndv = dvs.map(_._1).toSet
+        val removedSet = removed.toSet
+        val dvDrop = parent.dvs.map(_._1)
+          .filter(g => !ndv(g) && !removedSet(g))
+        val addRows = fileRows.map(_ => added.map(g =>
+          rowsByGroup.get(g).orElse(sidecarSt.get(g).map(_.nRows)).get))
+        deltaJson(v, mode, v - 1, phash, nRows, added, removed,
+          addRows, statsOf(added), dvSet, dvDrop, txn,
+          if (schemaDdl == parent.schemaDdl) None else schemaDdl,
+          if (cons == parent.constraints) None else Some(cons),
+          if (mapping == parent.mapping) None else Some(mapping),
+          copies)
+      case _ =>
+        manifestJson(v, mode, groups, nRows, txn, schemaDdl, cons,
+          mapping, dvs, fileRows, copies, statsOf(groups))
+    }
+    val ok = graft.sources.FsAtomic.createExclusive(
+      f, manifestPath(tableDir, v), json)
+    if (ok && checkpointSlot) writeLastCheckpointPointer(f, tableDir, v)
+    ok
+  }
+
+  /** Best-effort `_last_checkpoint`-style pointer beside the log: the
+    * newest FULL-record version, for external tooling and cold-start
+    * anchoring ([[lastCheckpoint]]). Overwrite-by-rename,
+    * last-writer-wins — purely advisory, readers fall back to the
+    * parent-pointer walk (bounded by the checkpoint interval) when it
+    * is stale or unreadable. */
+  private def writeLastCheckpointPointer(
+      f: org.apache.hadoop.fs.FileSystem, tableDir: String, v: Long): Unit =
+    try {
+      val tmp = new Path(
+        s"$tableDir/_versions/._last_checkpoint.${java.util.UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(s"""{"version":$v}""".getBytes("UTF-8")) finally out.close()
+      val dst = new Path(s"$tableDir/_versions/_last_checkpoint")
+      if (f.exists(dst)) f.delete(dst, false)
+      if (!f.rename(tmp, dst)) scala.util.Try(f.delete(tmp, false))
+    } catch { case _: java.io.IOException => () }
+
+  /** The advisory `_last_checkpoint` pointer's version, if present and
+    * readable — the newest version known to carry a FULL record. */
+  def lastCheckpoint(spark: SparkSession, tableDir: String): Option[Long] =
+    try {
+      val p = new Path(s"$tableDir/_versions/_last_checkpoint")
+      val f = fs(spark, tableDir)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        "\"version\":(\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+      }
+    } catch { case _: java.io.IOException => None }
+
   private def publish(
       spark: SparkSession, tableDir: String, groups: Seq[String],
       nRows: Long, mode: String, schemaDdl: Option[String],
@@ -390,19 +748,16 @@ object Versioned {
       mapping: Seq[(String, String)] = Seq.empty,
       dvs: Seq[(String, String, Long)] = Seq.empty,
       rowsByGroup: Map[String, Long] = Map.empty): Long = {
-    val f = fs(spark, tableDir)
     // Constraints are table-level metadata: every commit carries the
     // live set forward unless explicitly changed (add/dropConstraint).
     val cons = constraintsOverride.getOrElse(constraints(spark, tableDir))
-    val fileRows = resolveFileRows(spark, tableDir, groups, rowsByGroup)
     var v = latestVersion(spark, tableDir) + 1
     while (true) {
       // FsAtomic: Hadoop's local create(overwrite=false) is check-then-
       // act; a non-atomic create here could publish the SAME version
       // number twice under concurrent committers.
-      val json = manifestJson(v, mode, groups, nRows, None, schemaDdl, cons,
-        mapping, dvs, fileRows)
-      if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
+      if (publishRecordAt(spark, tableDir, v, mode, groups, nRows, None,
+          schemaDdl, cons, mapping, dvs, rowsByGroup, Seq.empty))
         return v
       v += 1 // lost the race: next number
     }
@@ -432,10 +787,8 @@ object Versioned {
     val f = fs(spark, tableDir)
     val cons = constraintsOverride.getOrElse(constraints(spark, tableDir))
     val target = expectedParent + 1
-    val json = manifestJson(target, mode, groups, nRows, None, schemaDdl, cons,
-      mapping, dvs, resolveFileRows(spark, tableDir, groups, rowsByGroup),
-      copies)
-    if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, target), json))
+    if (publishRecordAt(spark, tableDir, target, mode, groups, nRows, None,
+        schemaDdl, cons, mapping, dvs, rowsByGroup, copies))
       target
     else {
       newGroups.foreach(g => f.delete(new Path(s"$tableDir/files/$g"), true))
@@ -1110,12 +1463,10 @@ object Versioned {
         enforcedFor = Some(parentCons)
       }
       val v = parent + 1
-      val json = manifestJson(
-        v, "append", parentGroups :+ group, parentRows + n,
-        Some(appId -> batchId), schema, parentCons, parentMap, parentDvs,
-        resolveFileRows(spark, tableDir, parentGroups :+ group,
-          parentFileRows + (group -> n)))
-      if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, v), json))
+      if (publishRecordAt(spark, tableDir, v, "append",
+          parentGroups :+ group, parentRows + n, Some(appId -> batchId),
+          schema, parentCons, parentMap, parentDvs,
+          parentFileRows + (group -> n), Seq.empty))
         return Some(v)
       // lost the race: loop re-reads the new latest AND the watermark
     }
@@ -1246,11 +1597,9 @@ object Versioned {
       // "this was a compaction, not a content change" signal; every
       // CDC/stream consumer treats any non-append mode as a rewrite
       // boundary, so the semantics are unchanged.
-      val json = manifestJson(target, "optimize", allGroups,
-        newRows + extraRows, None, schema, cons, Seq.empty,
-        fileRows = resolveFileRows(spark, tableDir, allGroups,
-          newGroups.toMap ++ extraKnown))
-      if (graft.sources.FsAtomic.createExclusive(f, manifestPath(tableDir, target), json))
+      if (publishRecordAt(spark, tableDir, target, "optimize", allGroups,
+          newRows + extraRows, None, schema, cons, Seq.empty, Seq.empty,
+          newGroups.toMap ++ extraKnown, Seq.empty))
         return target
       // lost again: the loop re-reads the (grown) winner set
     }
@@ -1341,7 +1690,7 @@ object Versioned {
     val groups = m.files
     require(groups.nonEmpty, s"version $v of $tableDir lists no files")
     val cond = preds.reduce(_ && _)
-    val (kept, _) = pruneGroups(spark, tableDir, groups, m.schemaDdl, cond, m.mapping)
+    val (kept, _) = pruneGroups(spark, tableDir, groups, m.schemaDdl, cond, m.mapping, m.fileStats)
     if (kept.isEmpty)
       scanVersionGroups(spark, tableDir, groups, m.schemaDdl, m.mapping, m.dvs)
         .filter(cond).limit(0)
@@ -1354,12 +1703,16 @@ object Versioned {
     * shared by [[readWhere]], [[delete]] and [[merge]]. The predicate is
     * resolved ONCE against the full scan's schema (the optimized plan's
     * Filter has real attribute names, type-promoted literals, and
-    * between/isin lowered to comparisons); groups without a sidecar are
-    * conservatively kept on the mayMatch side. */
+    * between/isin lowered to comparisons); groups without stats are
+    * conservatively kept on the mayMatch side. Bounds come from the
+    * MANIFEST's embedded stats first (`fileStats` — zero metadata I/O
+    * beyond the already-parsed manifest); only groups the manifest
+    * never recorded (pre-upgrade) pay the batched sidecar read. */
   private def pruneGroups(
       spark: SparkSession, tableDir: String, groups: Seq[String],
       schemaDdl: Option[String], cond: Column,
-      mapping: Seq[(String, String)] = Seq.empty): (Seq[String], Seq[String]) = {
+      mapping: Seq[(String, String)] = Seq.empty,
+      fileStats: Map[String, String] = Map.empty): (Seq[String], Seq[String]) = {
     // Under column mapping the optimizer pushes `cond` through the
     // alias projection, so the extracted Filter already speaks PHYSICAL
     // names - the names the stats sidecars carry. A filter that cannot
@@ -1372,20 +1725,30 @@ object Versioned {
       }
     // No surviving Filter (a constant-true condition folds away, a
     // nondeterministic one cannot push) means the stats can prove
-    // nothing — skip the whole sidecar pass instead of paying one GET
-    // per group for reads that cannot prune.
+    // nothing — skip the whole stats pass instead of paying metadata
+    // reads for scans that cannot prune.
     if (resolved.isEmpty) return (groups, Seq.empty)
-    val f = fs(spark, tableDir)
-    // Batched CONCURRENT sidecar reads: pruning needs per-column
-    // min/max (too wide to live in the manifest), so this is the one
-    // per-group metadata pass a mutation still pays — 16-way parallel,
-    // never one serial GET per group.
-    val stats = GroupStats.readMany(
-      f, groups.map(g => GroupStats.sidecarPath(tableDir, g)))
-    val parts = groups.zip(stats).partition {
-      case (_, Some(st)) => resolved.forall(e => GroupStats.mayMatch(st, e))
-      case (_, None)     => true // pre-stats group: cannot prune
-    }
+    val fromManifest: Map[String, GroupStats.Stats] =
+      groups.flatMap(g => fileStats.get(g)
+        .flatMap(s => scala.util.Try(GroupStats.fromJson(s)).toOption)
+        .map(g -> _)).toMap
+    // pre-upgrade remainder: batched CONCURRENT sidecar reads (16-way
+    // parallel, never one serial GET per group)
+    val needSidecar = groups.filterNot(fromManifest.contains)
+    val fromSidecars: Map[String, GroupStats.Stats] =
+      if (needSidecar.isEmpty) Map.empty
+      else {
+        val f = fs(spark, tableDir)
+        needSidecar.zip(GroupStats.readMany(
+          f, needSidecar.map(g => GroupStats.sidecarPath(tableDir, g))))
+          .collect { case (g, Some(st)) => g -> st }.toMap
+      }
+    val parts = groups
+      .map(g => g -> fromManifest.get(g).orElse(fromSidecars.get(g)))
+      .partition {
+        case (_, Some(st)) => resolved.forall(e => GroupStats.mayMatch(st, e))
+        case (_, None)     => true // no stats anywhere: cannot prune
+      }
     (parts._1.map(_._1), parts._2.map(_._1))
   }
 
@@ -1668,7 +2031,7 @@ object Versioned {
     require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
     val cand = prune match {
       case Some(c) =>
-        pruneGroups(spark, tableDir, m.files, m.schemaDdl, c, m.mapping)._1
+        pruneGroups(spark, tableDir, m.files, m.schemaDdl, c, m.mapping, m.fileStats)._1
       case None => m.files
     }
     if (cand.isEmpty) return v
@@ -1784,7 +2147,7 @@ object Versioned {
     require(m.files.nonEmpty, s"version $v of $tableDir lists no files")
     val cand = prune match {
       case Some(c) =>
-        pruneGroups(spark, tableDir, m.files, m.schemaDdl, c, m.mapping)._1
+        pruneGroups(spark, tableDir, m.files, m.schemaDdl, c, m.mapping, m.fileStats)._1
       case None => m.files
     }
     if (cand.isEmpty) return v
@@ -1926,7 +2289,7 @@ object Versioned {
     val rangePred = keyCols.zipWithIndex.map { case (k, i) =>
       col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
     }.reduce(_ && _)
-    val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, rangePred, m.mapping)
+    val (cand, _) = pruneGroups(spark, tableDir, m.files, m.schemaDdl, rangePred, m.mapping, m.fileStats)
     val srcKeys = src.select(keyCols.map(col): _*)
     val hit = touchedGroups(spark, tableDir, cand, m.schemaDdl, m.mapping, m.dvs)(
       _.join(srcKeys, keyCols, "left_semi"))
@@ -2103,7 +2466,7 @@ object Versioned {
           col(k) >= lit(srcStats.get(srcStats.fieldIndex(s"__lo_$k"))) &&
             col(k) <= lit(srcStats.get(srcStats.fieldIndex(s"__hi_$k")))
         }.reduce(_ && _)
-        pruneGroups(spark, tableDir, m.files, m.schemaDdl, rangePred, m.mapping)._1
+        pruneGroups(spark, tableDir, m.files, m.schemaDdl, rangePred, m.mapping, m.fileStats)._1
       }
     val srcKeys = src.select(keyCols.map(col): _*)
     val keyJoinCond = keyCols.map(k =>
@@ -2136,7 +2499,7 @@ object Versioned {
             case _ => lit(true)
           }.reduce(_ || _))
         val (bsCand, _) =
-          pruneGroups(spark, tableDir, m.files, m.schemaDdl, bsCond, m.mapping)
+          pruneGroups(spark, tableDir, m.files, m.schemaDdl, bsCond, m.mapping, m.fileStats)
         touchedGroups(spark, tableDir, bsCand, m.schemaDdl, m.mapping, m.dvs)(
           _.filter(bsCond))
       }
@@ -3112,9 +3475,28 @@ object Versioned {
     val keptGroups = all.collect { case (v, gs) if v >= keepFrom => gs }.flatten.toSet
     val dropGroups = all.collect { case (v, gs) if v < keepFrom => gs }.flatten.toSet
       .diff(keptGroups)
-    dropGroups.foreach(g => f.delete(new Path(s"$tableDir/files/$g"), true))
     val dropVersions = all.collect { case (v, _) if v < keepFrom => v }
-    dropVersions.foreach(v => f.delete(manifestPath(tableDir, v), false))
+    // The retention BOUNDARY must stay standalone-resolvable: if its
+    // record is a delta (parent chain about to be dropped), publish a
+    // checkpoint sidecar (c<v>.json, a full record) FIRST — readers
+    // divert to it when the parent read comes back FileNotFound. The
+    // sidecar lands create-exclusive BEFORE any manifest is deleted,
+    // so a racing reader always finds either the chain or the sidecar.
+    if (dropVersions.nonEmpty && keepFrom > 0) {
+      val raw = recordRaw(f, manifestPath(tableDir, keepFrom))
+      if (raw.trim.startsWith("{\"delta\":")) {
+        val m = parseManifest(spark, tableDir, keepFrom)
+        graft.sources.FsAtomic.createExclusive(
+          f, checkpointPath(tableDir, keepFrom), fullRecordOf(m, keepFrom))
+      }
+    }
+    dropGroups.foreach(g => f.delete(new Path(s"$tableDir/files/$g"), true))
+    dropVersions.foreach { v =>
+      f.delete(manifestPath(tableDir, v), false)
+      // a dropped version's own checkpoint sidecar (a PREVIOUS vacuum
+      // boundary) goes with it
+      scala.util.Try(f.delete(checkpointPath(tableDir, v), false))
+    }
     (dropVersions.size.toLong, dropGroups.size.toLong)
   }
 

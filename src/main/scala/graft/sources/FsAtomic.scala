@@ -13,7 +13,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * (plain `fs.create`) are still safe ONLY because every manifest
   * reader fails closed on incomplete JSON
   * ([[graft.operators.Versioned.parseManifest]]). */
-private[graft] trait ManifestCoordinator {
+trait ManifestCoordinator {
   def createExclusive(fs: FileSystem, path: Path, content: String): Boolean
 }
 
@@ -30,16 +30,19 @@ private[graft] trait ManifestCoordinator {
   * [[HadoopCreateCoordinator]]'s `fs.create(overwrite = false)`
   * (atomic on HDFS/ABFS).
   *
-  * RAW S3 SUPPORTS NEITHER primitive: S3 PUT is last-writer-wins with
-  * no preconditions the Hadoop API exposes, so concurrent writers on
-  * `s3a` can BOTH believe they published the same version — exactly
-  * the caveat Delta documents for its S3 LogStore. Running against an
-  * object store requires registering an external coordinator (a
-  * DynamoDB-style conditional-put table, or a bucket with
-  * If-None-Match support surfaced through a custom impl) via
-  * [[FsAtomic.register]] BEFORE any writer starts; absent one,
+  * RAW S3 SUPPORTS NEITHER primitive THROUGH THE HADOOP API: S3A's
+  * create(overwrite=false) is last-writer-wins, so concurrent writers
+  * on `s3a` can BOTH believe they published the same version — exactly
+  * the caveat Delta documents for its S3 LogStore. The store ITSELF
+  * does offer the needed arbiter since conditional writes shipped
+  * (`If-None-Match: *` on PUT): wrap the bucket client in
+  * [[FsAtomic.ConditionalObjectStore]] and register a
+  * [[FsAtomic.ConditionalPutCoordinator]] for `s3a` via
+  * [[FsAtomic.register]] BEFORE any writer starts — it carries the
+  * full serialization guarantee, including ambiguous-outcome
+  * (timeout/5xx) attribution by read-back. Absent a registration,
   * single-writer discipline is the caller's responsibility. */
-private[graft] object FsAtomic {
+object FsAtomic {
 
   /** `file` scheme: the bytes are written to a same-directory temp
     * file first and `link(2)`'d into place — EEXIST arbitrates the
@@ -105,6 +108,78 @@ private[graft] object FsAtomic {
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+  }
+
+  /** Client-side view of an object store offering CONDITIONAL PUT —
+    * the primitive modern S3 exposes as an `If-None-Match: *`
+    * precondition on PUT: create the object only if absent, arbitrated
+    * ATOMICALLY server-side. Implementations adapt a concrete SDK
+    * client; the contract is exactly what
+    * [[ConditionalPutCoordinator]] needs and nothing more.
+    *
+    * `putIfAbsent` returns true iff THIS call created the object and
+    * false when the precondition failed (the object existed — the race
+    * was lost). It throws `IOException` ONLY for AMBIGUOUS outcomes
+    * (network timeout, 5xx after the request may have been applied):
+    * the put may or may not have landed, and the coordinator settles
+    * the question by read-back. */
+  trait ConditionalObjectStore {
+    def putIfAbsent(key: String, content: Array[Byte]): Boolean
+    /** The object's bytes, or None if absent. Reads-after-conditional-
+      * write are strongly consistent on S3 — the contract this relies
+      * on. */
+    def get(key: String): Option[Array[Byte]]
+  }
+
+  /** [[ManifestCoordinator]] over a conditional-PUT object store — the
+    * raw-S3 arbiter the scheme registry was built for (register it for
+    * `s3a` via [[FsAtomic.register]] before any writer starts; the
+    * same role Delta's S3 LogStore fills with DynamoDB, solved here
+    * with the store's own precondition).
+    *
+    * AMBIGUITY RESOLUTION — the part a naive adapter gets wrong: when
+    * the put outcome is unknown (timeout after the bytes may have been
+    * applied), the slot is settled by READ-BACK. Stored bytes equal to
+    * OURS = our put landed, we won; different bytes = another writer
+    * holds the slot, we lost; absent = the put never applied, retry.
+    * Byte-equality identifies the writer because record bytes are
+    * unique per committer (fresh group UUIDs and a fresh
+    * `committed_at` instant in every serialized record) — two writers
+    * can never submit identical bytes for one version slot. */
+  final class ConditionalPutCoordinator(
+      store: ConditionalObjectStore,
+      maxRetries: Int = 5) extends ManifestCoordinator {
+    def createExclusive(fs: FileSystem, path: Path, content: String): Boolean = {
+      val key = path.toUri.toString
+      val bytes = content.getBytes("UTF-8")
+      var attempt = 0
+      var ambiguous = false
+      while (true) {
+        try {
+          if (store.putIfAbsent(key, bytes)) return true
+          // Precondition failed: the slot is occupied. If an earlier
+          // attempt of OURS ended ambiguous, the occupant may be our
+          // own put, applied server-side AFTER its read-back saw
+          // nothing — misreading that as "lost" would make the caller
+          // slide to the next version and COMMIT TWICE. Attribute by
+          // read-back before answering.
+          return ambiguous &&
+            store.get(key).exists(java.util.Arrays.equals(_, bytes))
+        } catch {
+          case e: java.io.IOException =>
+            ambiguous = true
+            store.get(key) match {
+              case Some(stored) =>
+                return java.util.Arrays.equals(stored, bytes)
+              case None =>
+                attempt += 1
+                if (attempt > maxRetries) throw e
+                Thread.sleep(25L << math.min(attempt, 5))
+            }
+        }
+      }
+      false // unreachable
+    }
   }
 
   private val registry =

@@ -128,7 +128,18 @@ final class GraftPathRelationRule(session: SparkSession)
     * `table_changes` start below `earliest_version` fails loudly; the
     * consumer restarts from this TVF's lower bound — the same contract
     * [[graft.operators.Versioned.pollChanges]] implements with its
-    * `resync` flag). (-1, -1) for an empty table. */
+    * `resync` flag). (-1, -1) for an empty table.
+    *
+    * SNAPSHOT SEMANTICS, by design: the bounds are resolved at
+    * ANALYSIS time and embedded as a literal relation — the same
+    * moment `table_changes`' version arguments and `VERSION AS OF`
+    * pins resolve, so one resync statement sees ONE consistent log
+    * state. Each `spark.sql(...)` call re-resolves fresh (the resync
+    * loop's usage); what does NOT refresh is a long-lived cached plan
+    * over this TVF — a named VIEW or `.cache()` holding the analyzed
+    * plan returns the bounds from when it was analyzed, exactly like a
+    * view over `VERSION AS OF`. Re-issue the query (or re-create the
+    * view) to observe later commits or vacuums. */
   private def versionBoundsPlan(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 1,
       s"table_version_bounds expects (table); got ${args.size} args")
@@ -926,9 +937,20 @@ private[graft] final case class GraftDmlKeysCommand(
         val h1 = dfNN.join(sNN, eqCond, "left_semi").select(id.map(col): _*)
         val h2 =
           if (nAnyNull == 0L) Nil
-          else Seq(dfNN.join(
-            if (nAnyNull <= cap) broadcast(sNull) else sNull,
-            nullAware, "left_semi").select(id.map(col): _*))
+          else if (nAnyNull <= cap)
+            Seq(dfNN.join(broadcast(sNull), nullAware, "left_semi")
+              .select(id.map(col): _*))
+          else
+            // Same guard as h3: the null-aware condition has no hash
+            // plan, so past the broadcast cap Spark would silently fall
+            // back to a BroadcastNestedLoopJoin over the oversized key
+            // set and fail opaquely (or OOM) — raise the descriptive
+            // error instead.
+            throw new UnsupportedOperationException(
+              "graft DML: multi-column NOT IN with NULL-bearing key " +
+                "tuples above spark.graft.dml.notInJoinBroadcastRows " +
+                s"($cap) has no hash-join plan — exclude the " +
+                "NULL-bearing tuples explicitly or rewrite as NOT EXISTS")
         val h3 =
           if (n <= cap)
             Seq(dfNull.join(broadcast(sRen), nullAware, "left_semi")

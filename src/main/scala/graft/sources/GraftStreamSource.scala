@@ -33,8 +33,13 @@ import graft.operators.Versioned
   *    checkpointing: manifests are immutable, so `getBatch` is
   *    deterministic for a given version range.
   *
-  * Options: `startingVersion` (a version number, or `latest` = only
-  * versions committed after the stream starts; default 0 = from
+  * Options: `startingVersion` (a version number; `latest` = only
+  * versions committed after the stream starts; `earliest` = the OLDEST
+  * retained version — the post-vacuum resync anchor: a consumer whose
+  * previous checkpoint predates retention restarts here with a fresh
+  * checkpoint, getting that version's full content once and exact
+  * increments after, the streaming twin of the `table_version_bounds`
+  * + `AS OF` + `table_changes` resync recipe; default 0 = from
   * genesis, CDC-from-start) and `maxVersionsPerBatch` (admission
   * control: cap how many versions one micro-batch may span — applied
   * from the FIRST batch of a fresh stream; best effort on restart,
@@ -120,11 +125,17 @@ final class GraftStreamSource(
       case Some(s) if s.equalsIgnoreCase("latest") =>
         // only versions committed AFTER stream start
         Versioned.latestVersion(spark, tableDir) + 1
+      case Some(s) if s.equalsIgnoreCase("earliest") =>
+        // the oldest RETAINED version — survives vacuumed history
+        val (lo, _) = Versioned.versionBounds(spark, tableDir)
+        require(lo >= 0,
+          s"graft streaming: no versions committed under $tableDir")
+        lo
       case Some(s) =>
         val v = try s.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft streaming: startingVersion must be a version number or " +
-              s"'latest': '$s'")
+            s"graft streaming: startingVersion must be a version number, " +
+              s"'latest', or 'earliest': '$s'")
         }
         require(v >= 0, s"graft streaming: startingVersion must be >= 0: $v")
         v
@@ -157,6 +168,15 @@ final class GraftStreamSource(
       require(m > 0, s"graft streaming: maxVersionsPerBatch must be > 0: $m")
       m
     }
+
+  /** Whether this stream was DECLARED with `startingVersion=earliest`
+    * — the explicit opt-in to genesis-at-the-retention-boundary: when
+    * the resolved start's parent is vacuumed away, the start version's
+    * full content serves once instead of refusing. Read from the
+    * OPTIONS (stable across restarts), not the resolved number. A
+    * NUMERIC start keeps the strict refusal the vacuum test pins. */
+  private val startedEarliest: Boolean =
+    options.get("startingVersion").exists(_.equalsIgnoreCase("earliest"))
 
   /** CHANGE-DATA-FEED mode (`option("readChangeFeed", "true")` —
     * Delta's CDF streaming read): instead of the table's appended
@@ -206,12 +226,23 @@ final class GraftStreamSource(
     }
     if (endV <= fromV) return emptyBatch()
     if (readChangeFeed) return changeFeedBatch(fromV, endV)
+    // GENESIS detection: the stream serves everything when it starts
+    // before any retained parent — from version 0 (fromV < 0), or,
+    // under the EXPLICIT `startingVersion=earliest` opt-in, from the
+    // stream's own initial offset when that offset's parent version
+    // was VACUUMED away (startingVersion IS the genesis then, its
+    // full content emits once). Numeric starts keep the strict raise.
+    val genesisFresh = fromV < 0 || (startedEarliest &&
+      fromV == startingVersion - 1 && !manifestRetained(fromV))
     // Append-only enforcement at PLAN time: every version in the range
-    // must be an append or metadata-only constraint DDL. v0 is exempt
-    // (any mode — it is the initial state, same as changesStream's
-    // genesis rule). A missing manifest means vacuum outran this
-    // consumer: fail loudly, the data may be incomplete.
-    ((math.max(fromV, 0L) + 1L) to endV).foreach { v =>
+    // must be an append or metadata-only constraint DDL. The GENESIS
+    // version is exempt (any mode — it is the initial state, same as
+    // changesStream's genesis rule). A missing manifest means vacuum
+    // outran this consumer: fail loudly, the data may be incomplete.
+    val enforceFrom =
+      if (genesisFresh) math.max(startingVersion, 0L) + 1L
+      else math.max(fromV, 0L) + 1L
+    (enforceFrom to endV).foreach { v =>
       val m =
         try Versioned.parseManifest(spark, tableDir, v)
         catch {
@@ -232,7 +263,7 @@ final class GraftStreamSource(
             "flag when rewrites can occur.")
     }
     val fromGroups: Set[String] =
-      if (fromV < 0) Set.empty
+      if (genesisFresh) Set.empty // serve endV's full file set once
       else {
         try Versioned.parseManifest(spark, tableDir, fromV).files.toSet
         catch {
@@ -240,7 +271,8 @@ final class GraftStreamSource(
             throw new IllegalStateException(
               s"graft streaming source on $tableDir: start version $fromV " +
                 "is no longer retained (vacuumed) — pick a retained " +
-                "startingVersion or resync from a snapshot read")
+                "startingVersion (e.g. startingVersion=earliest with a " +
+                "fresh checkpoint) or resync from a snapshot read")
         }
       }
     val endMeta = Versioned.parseManifest(spark, tableDir, endV)
@@ -280,10 +312,17 @@ final class GraftStreamSource(
     * STREAM-STATIC joins, re-read fresh at every micro-batch. */
   private def changeFeedBatch(fromV: Long, endV: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    val v0 = math.max(startingVersion, 0L)
+    // GENESIS batch: from version 0, or — under the EXPLICIT
+    // `startingVersion=earliest` opt-in — from a start whose parent
+    // was vacuumed away: that version's FULL content emits once as
+    // inserts (the snapshot baseline of the resync recipe),
+    // increments follow from there. Numeric starts keep the raise.
+    val genesisFresh = fromV < 0 || (startedEarliest &&
+      fromV == v0 - 1 && !manifestRetained(fromV))
     val initial: Seq[DataFrame] =
-      if (fromV >= 0) Seq.empty
+      if (!genesisFresh) Seq.empty
       else {
-        val v0 = math.max(startingVersion, 0L)
         val m0 =
           try Versioned.parseManifest(spark, tableDir, v0)
           catch {
@@ -291,7 +330,8 @@ final class GraftStreamSource(
               throw new IllegalStateException(
                 s"graft CDF stream on $tableDir: starting version $v0 is " +
                   "no longer retained (vacuumed) — pick a retained " +
-                  "startingVersion")
+                  "startingVersion (e.g. startingVersion=earliest with a " +
+                  "fresh checkpoint)")
           }
         val endMeta = Versioned.parseManifest(spark, tableDir, endV)
         Seq(Versioned.scanVersionGroups(spark, tableDir, m0.files,
@@ -302,7 +342,7 @@ final class GraftStreamSource(
       }
     val pieces = initial ++ (
       try Versioned.changesFeedPieces(
-        spark, tableDir, math.max(fromV, 0L), endV)
+        spark, tableDir, if (genesisFresh) v0 else fromV, endV)
       catch {
         case _: java.io.FileNotFoundException =>
           throw new IllegalStateException(
@@ -325,6 +365,12 @@ final class GraftStreamSource(
     }
     org.apache.spark.sql.graftshim.GraftSqlBridge.ofRows(spark, plan)
   }
+
+  /** Whether version `v`'s record still exists (false after vacuum
+    * dropped it) — the genesis-at-startingVersion detection. */
+  private def manifestRetained(v: Long): Boolean =
+    try { Versioned.parseManifest(spark, tableDir, v); true }
+    catch { case _: java.io.FileNotFoundException => false }
 
   override def commit(end: OffsetV1): Unit = ()
 

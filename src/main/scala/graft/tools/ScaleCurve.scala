@@ -35,6 +35,7 @@ object ScaleCurve {
     if (family == "dvmerge") { dvMergeCurve(dir, multipliers); return }
     if (family == "dvdepth") { dvDepthCurve(dir, multipliers); return }
     if (family == "cowdepth") { cowDepthCurve(dir, multipliers); return }
+    if (family == "manifest") { manifestCurve(multipliers); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -250,6 +251,57 @@ object ScaleCurve {
             col("doc_id") === id, "n_chars" -> lit(-1)),
         expectRows = nBase + dels + 2L * upds))
     }
+    spark.stop()
+  }
+
+  /** Manifest-log curve: the checkpointing claim, MEASURED. A table of
+    * g groups (g sequential appends) is built twice — `full` mode
+    * (checkpointInterval=1, the pre-checkpoint behavior: every commit
+    * rewrites the complete group listing) vs `delta` mode (default
+    * interval 10). Reported per g and mode: the LAST commit's record
+    * bytes (the steady-state per-commit write cost), total log bytes,
+    * and the COLD latest-version resolve time (cache cleared — the
+    * chain walk a fresh driver pays). The claim under test: delta-mode
+    * commit bytes are O(churn) ~flat in g while full-mode grows ∝ g,
+    * and cold resolution stays O(groups) (≤ interval small records +
+    * one checkpoint), never O(groups × versions). Multipliers are read
+    * as GROUP COUNTS. */
+  private def manifestCurve(groupCounts: Seq[Int]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Versioned
+    groupCounts.foreach { g =>
+      Seq(("full", "1"), ("delta", "10")).foreach { case (label, interval) =>
+        spark.conf.set("spark.graft.manifest.checkpointInterval", interval)
+        val tbl = java.nio.file.Files
+          .createTempDirectory(s"graft-mlog-$label$g").toString + "/t"
+        Versioned.commit(spark.range(10).toDF("id"), tbl)
+        (1 until g).foreach { i =>
+          Versioned.append(
+            spark.range(i * 10L, i * 10L + 10L).toDF("id"), tbl)
+        }
+        val dirPath = java.nio.file.Paths.get(s"$tbl/_versions")
+        val lastBytes = java.nio.file.Files.size(
+          dirPath.resolve(s"v${g - 1}.json"))
+        val logBytes = java.nio.file.Files.list(dirPath).toArray
+          .map(p => java.nio.file.Files.size(
+            p.asInstanceOf[java.nio.file.Path])).sum
+        Versioned.clearResolvedManifestCache()
+        val t0 = System.nanoTime()
+        val m = Versioned.parseManifest(spark, tbl, (g - 1).toLong)
+        val resolveMs = (System.nanoTime() - t0) / 1e6
+        require(m.files.size == g && m.nRows == g * 10L,
+          s"resolved state wrong: ${m.files.size} groups, ${m.nRows} rows")
+        println(f"""[scale-manifest] {"groups":$g,"mode":"$label","last_commit_bytes":$lastBytes,"log_bytes":$logBytes,"cold_resolve_ms":$resolveMs%.1f}""")
+      }
+    }
+    spark.conf.unset("spark.graft.manifest.checkpointInterval")
     spark.stop()
   }
 

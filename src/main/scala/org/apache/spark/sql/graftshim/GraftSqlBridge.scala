@@ -11,6 +11,14 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * (Delta's `org.apache.spark.sql.delta`, Iceberg's catalyst shims).
   * Nothing else in graft escapes the `graft.*` namespace. */
 object GraftSqlBridge {
+
+  /** Drain the listener bus (`private[spark]`): a test counting job
+    * events can wait for every posted event DETERMINISTICALLY instead
+    * of polling with wall-clock sleeps that flake on a loaded box. */
+  def waitListenerBusEmpty(
+      sc: org.apache.spark.SparkContext, timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
+
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)

@@ -332,6 +332,50 @@ class GraftStreamSourceSpec extends SparkSpec {
       "the batch-read resync path stays available")
   }
 
+  test("startingVersion=earliest resyncs past a vacuumed prefix: the boundary " +
+      "version's content once, exact increments after, exactly-once on restart") {
+    val dir = tbl()
+    Versioned.commit((0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"), dir) // v0
+    Versioned.append((10L until 20L).map(i => (i, s"v$i")).toDF("id", "v"), dir) // v1
+    Versioned.append((20L until 30L).map(i => (i, s"v$i")).toDF("id", "v"), dir) // v2
+    Versioned.vacuum(spark, dir, keepFrom = 2L) // v0, v1 gone
+    // append-rows mode: the new genesis (v2) serves its FULL file set
+    val (sink, ckpt) = scratch()
+    drain(dir, sink, ckpt, Map("startingVersion" -> "earliest"))
+    assert(sinkIds(sink) == (0L until 30L), "v2's full content, once")
+    // increments after the resync arrive exactly once across a restart
+    Versioned.append((30L until 35L).map(i => (i, s"v$i")).toDF("id", "v"), dir) // v3
+    drain(dir, sink, ckpt, Map("startingVersion" -> "earliest"))
+    assert(sinkIds(sink) == (0L until 35L), "only v3's rows arrived")
+    // CDF mode: the boundary snapshot lands as inserts @boundary with
+    // its deletion vectors APPLIED, increments keep exact attribution
+    val dir2 = tbl()
+    Versioned.commit((0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"), dir2) // v0
+    Versioned.append((10L until 20L).map(i => (i, s"v$i")).toDF("id", "v"), dir2) // v1
+    spark.conf.set("spark.graft.dv.maxDeleteFraction", "0.5")
+    try Versioned.delete(spark, dir2)(col("id") === 5L) // v2: pure DV
+    finally spark.conf.unset("spark.graft.dv.maxDeleteFraction")
+    Versioned.append((20L until 25L).map(i => (i, s"v$i")).toDF("id", "v"), dir2) // v3
+    Versioned.vacuum(spark, dir2, keepFrom = 2L)
+    val (sink2, ckpt2) = scratch()
+    drain(dir2, sink2, ckpt2,
+      Map("startingVersion" -> "earliest", "readChangeFeed" -> "true"))
+    val got = spark.read.parquet(sink2)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = ((0L until 20L).filterNot(_ == 5L)
+      .map(i => (i, "insert", 2L)) ++
+      (20L until 25L).map(i => (i, "insert", 3L))).toSet
+    assert(got == want, s"got $got")
+    // a NUMERIC start past a vacuumed parent still refuses (pinned above)
+    val strict = new graft.sources.GraftStreamSource(
+      spark, dir2, Map("startingVersion" -> "2", "readChangeFeed" -> "true"))
+    intercept[IllegalStateException] {
+      strict.getBatch(None,
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(3L))
+    }
+  }
+
   test("empty table refuses with a clear message; schema evolution mid-stream refuses") {
     val dir = tbl()
     val e = intercept[IllegalArgumentException] {

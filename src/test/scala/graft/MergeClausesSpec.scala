@@ -137,14 +137,12 @@ class MergeClausesSpec extends SparkSpec {
         MatchedUpdate(Seq("v" -> concat(col("SRC.v"), lit("!")),
           "w" -> (col("TGT.w") + col("SRC.w")))),
         NotMatchedInsert()))
-      // listener events post asynchronously: keep the old fixed floor
-      // (1.5 s) AND extend while the count still moves, bounded at 10 s
-      // — a >400 ms dispatch stall mid-drain must not read as "stable"
-      var last = -1
-      var waited = 0
-      while ((waited < 1500 || counter.get() != last) && waited < 10000) {
-        last = counter.get(); Thread.sleep(400); waited += 400
-      }
+      // Deterministic drain: every job-start event is POSTED before
+      // the blocking merge call returns (actions are synchronous), so
+      // once the listener bus reports empty the count is final — no
+      // wall-clock polling, no dispatch-stall flake.
+      org.apache.spark.sql.graftshim.GraftSqlBridge
+        .waitListenerBusEmpty(spark.sparkContext, 30000L)
       assert(counter.get() <= 22,
         s"merge lifecycle ran ${counter.get()} jobs (expected <= 22 — did " +
           "the source prologue split back into separate scan jobs?)")

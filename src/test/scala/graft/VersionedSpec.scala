@@ -75,23 +75,36 @@ class VersionedSpec extends SparkSpec {
     val m = Versioned.parseManifest(spark, dir, 1L)
     assert(m.files.size == 2 && m.fileRows.keySet == m.files.toSet)
     assert(m.fileRows.values.sum == 120L)
-    // scattered DV delete: row totals come from the manifest, so the
-    // only sidecar reads are the min/max PRUNING pass — exactly one
-    // batched read per group, not the former prune+classify+liveRows 3×
+    // scattered DV delete: row totals AND min/max bounds come from the
+    // manifest (fileRows + fileStats), so mutation planning on a fresh
+    // table reads ZERO sidecars — the former prune pass's one batched
+    // read per group moved into the manifest too
     val before = graft.operators.GroupStats.readCount.get()
     val v = Versioned.delete(spark, dir)(col("id").isin(7L, 90L))
     val reads = graft.operators.GroupStats.readCount.get() - before
-    assert(reads == 2L, s"expected 2 pruning-only sidecar reads, got $reads")
+    assert(reads == 0L, s"expected zero sidecar reads, got $reads")
     val m2 = Versioned.parseManifest(spark, dir, v)
     assert(m2.fileRows.keySet == m2.files.toSet)
     assert(Versioned.read(spark, dir).count() == 118L)
     // PRE-UPGRADE manifests (no file_rows) still plan correctly via the
     // sidecar fallback, and the NEXT publish records the counts
     val p = java.nio.file.Paths.get(s"$dir/_versions/v$v.json")
-    val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-    val stripped = raw.replaceFirst(""","file_rows":\[[^\]]*\]""", "")
-    assert(stripped != raw, "test must actually strip the field")
-    java.nio.file.Files.write(p, stripped.getBytes("UTF-8"))
+    // v is a DELTA record now (counts fold from the parent chain), so
+    // stripping one array is not enough — rewrite it in place as a
+    // FULL record carrying neither file_rows nor file_stats, the exact
+    // shape a pre-upgrade table's manifests have
+    val m2full = graft.operators.Versioned.parseManifest(spark, dir, v)
+    val asPreUpgrade =
+      s"""{"version":$v,"mode":"${m2full.mode}","files":[${
+        m2full.files.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""n_rows":${m2full.nRows},"committed_at":"${m2full.committedAt}"""" +
+        m2full.schemaDdl.map(d => s""","schema":"${d.replace("\\", "\\\\")
+          .replace("\"", "\\\"")}"""").getOrElse("") +
+        (if (m2full.dvs.isEmpty) "" else m2full.dvs
+          .flatMap { case (g, a, c) => Seq(g, a, c.toString) }
+          .map(s => "\"" + s + "\"")
+          .mkString(""","dvs":[""", ",", "]")) + "}"
+    java.nio.file.Files.write(p, asPreUpgrade.getBytes("UTF-8"))
     assert(Versioned.parseManifest(spark, dir, v).fileRows.isEmpty)
     val v2 = Versioned.delete(spark, dir)(col("id") === 8L)
     assert(Versioned.read(spark, dir).count() == 117L)
