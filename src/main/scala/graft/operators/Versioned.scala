@@ -204,17 +204,54 @@ object Versioned {
     raw
   }
 
-  /** Resolved manifests, LRU-cached per (table, version). Records are
-    * immutable once published, so an entry is valid exactly while its
-    * stored hash matches the record bytes — verified on every use
-    * (against a fresh read for the requested version, against the
-    * child's `parent_hash` pin during a chain walk). */
-  private val resolvedManifestCache = lruMap[(Long, Manifest)](8192)
+  /** Resolved manifests, LRU-cached per (table, version) under an
+    * approximate BYTE bound — not an entry count: a resolved manifest
+    * now embeds per-group stats JSON, so a 10k-group table's state is
+    * megabytes and an entry-bounded cache would pin gigabytes of
+    * driver heap across a long history walk. Records are immutable
+    * once published, so an entry is valid exactly while its stored
+    * hash matches the record bytes — verified on every use (against a
+    * fresh read for the requested version, against the child's
+    * `parent_hash` pin during a chain walk). */
+  private object resolvedManifestCache {
+    private val maxBytes: Long =
+      sys.props.get("graft.manifest.cacheBytes")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(256L * 1024 * 1024)
+    private var total = 0L
+    private val map =
+      new java.util.LinkedHashMap[String, (Long, Long, Manifest)](64, 0.75f, true)
+    private def weigh(m: Manifest): Long =
+      64L + m.files.map(_.length + 24L).sum +
+        m.fileStats.map { case (k, v) => k.length + v.length + 32L }.sum +
+        m.fileRows.size * 56L +
+        m.dvs.map(d => d._1.length + d._2.length + 40L).sum +
+        m.schemaDdl.map(_.length.toLong).getOrElse(0L) +
+        m.constraints.map { case (a, b) => a.length + b.length + 16L }.sum +
+        m.mapping.map { case (a, b) => a.length + b.length + 16L }.sum
+    def get(key: String): Option[(Long, Manifest)] = synchronized {
+      Option(map.get(key)).map { case (h, _, m) => (h, m) }
+    }
+    def put(key: String, h: Long, m: Manifest): Unit = synchronized {
+      val w = weigh(m)
+      Option(map.remove(key)).foreach { case (_, ow, _) => total -= ow }
+      map.put(key, (h, w, m))
+      total += w
+      // evict eldest-first until under budget; the just-inserted entry
+      // (most recent in access order) is never evicted by its own put
+      val it = map.entrySet().iterator()
+      while (total > maxBytes && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) { total -= e.getValue._2; it.remove() }
+      }
+    }
+    def clear(): Unit = synchronized { map.clear(); total = 0L }
+  }
 
   /** Test hook: drop every cached resolved manifest (simulates a cold
     * JVM so specs can exercise the full chain walk). */
   private[graft] def clearResolvedManifestCache(): Unit =
-    resolvedManifestCache.synchronized { resolvedManifestCache.clear() }
+    resolvedManifestCache.clear()
 
   private[graft] def parseManifest(
       spark: SparkSession, tableDir: String, v: Long): Manifest =
@@ -243,18 +280,13 @@ object Versioned {
           "or corrupted under a live chain; failing closed")
     }
     val key = cacheKey(spark, tableDir) + "#" + v
-    val hit = resolvedManifestCache.synchronized {
-      Option(resolvedManifestCache.get(key))
-    }
-    hit match {
+    resolvedManifestCache.get(key) match {
       case Some((ch, m)) if ch == h => (h, m)
       case _ =>
         val m =
           if (!raw.trim.startsWith("{\"delta\":")) parseFullRecord(raw, v)
           else resolveDelta(spark, tableDir, v, raw, f)
-        resolvedManifestCache.synchronized {
-          resolvedManifestCache.put(key, (h, m))
-        }
+        resolvedManifestCache.put(key, h, m)
         (h, m)
     }
   }
@@ -277,10 +309,7 @@ object Versioned {
     val parentM =
       try {
         val pkey = cacheKey(spark, tableDir) + "#" + p
-        val hit = resolvedManifestCache.synchronized {
-          Option(resolvedManifestCache.get(pkey))
-        }
-        hit match {
+        resolvedManifestCache.get(pkey) match {
           case Some((ch, m)) if ch == ph => m
           case _ => resolveWithHash(spark, tableDir, p, Some(ph))._2
         }
@@ -622,8 +651,13 @@ object Versioned {
     * CHECKPOINT; the rest publish as O(churn) delta records. 0 or 1 =
     * full records only (the pre-checkpoint behavior). */
   private def checkpointInterval(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.manifest.checkpointInterval")
-      .map(_.toLong).getOrElse(10L)
+    spark.conf.getOption("spark.graft.manifest.checkpointInterval") match {
+      case None => 10L
+      case Some(s) => scala.util.Try(s.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          "spark.graft.manifest.checkpointInterval must be a number " +
+            s"(0/1 = full record every commit): '$s'"))
+    }
 
   /** Serialize and publish version `v` (create-exclusive; false = lost
     * the race). Chooses the record shape: a FULL record when `v` is a
@@ -1911,7 +1945,9 @@ object Versioned {
   private def dvRowsKinded(
       spark: SparkSession, tableDir: String,
       dvs: Seq[(String, String, Long)]): DataFrame = {
-    val raw0 = spark.read.parquet(
+    // mergeSchema: see the run-collapse read — a pre-kind artifact
+    // must not win inference and hide `kind` from the kinded ones
+    val raw0 = spark.read.option("mergeSchema", "true").parquet(
       dvs.map(_._2).distinct.map(a => s"$tableDir/files/$a"): _*)
     val raw =
       if (raw0.columns.contains("kind")) raw0
@@ -3287,7 +3323,14 @@ object Versioned {
       // and carried verbatim through every later merged artifact (and
       // absorb folds), so max() over appearances (null-skipping, for
       // pre-kind artifacts) recovers it exactly.
-      val rawPos0 = spark.read.parquet(
+      // mergeSchema: the run may span artifacts written before claims
+      // were kind-tagged beside ones written after — without the merge
+      // a pre-kind file can win schema inference and silently drop the
+      // `kind` column for the WHOLE read, mistyping merge delete
+      // claims. The merged schema null-fills kind for old files —
+      // exactly the conservative reading. Artifact file counts are
+      // small (KB-scale positions), so the footer merge is cheap.
+      val rawPos0 = spark.read.option("mergeSchema", "true").parquet(
         entries.map(_._1).distinct.map(a => s"$tableDir/files/$a"): _*)
       val rawPos =
         if (rawPos0.columns.contains("kind")) rawPos0
@@ -3486,8 +3529,17 @@ object Versioned {
       val raw = recordRaw(f, manifestPath(tableDir, keepFrom))
       if (raw.trim.startsWith("{\"delta\":")) {
         val m = parseManifest(spark, tableDir, keepFrom)
-        graft.sources.FsAtomic.createExclusive(
+        val created = graft.sources.FsAtomic.createExclusive(
           f, checkpointPath(tableDir, keepFrom), fullRecordOf(m, keepFrom))
+        // The sidecar is what keeps the surviving table readable: a
+        // swallowed write failure followed by the manifest deletes
+        // below would leave EVERY version >= keepFrom unresolvable.
+        // `false` is fine only when the sidecar already exists (an
+        // earlier vacuum attempt) — verify before destroying anything.
+        require(created || f.exists(checkpointPath(tableDir, keepFrom)),
+          s"vacuum aborted: could not write the boundary checkpoint " +
+            s"sidecar ${checkpointPath(tableDir, keepFrom)} — retention " +
+            "not applied, table left untouched")
       }
     }
     dropGroups.foreach(g => f.delete(new Path(s"$tableDir/files/$g"), true))

@@ -940,6 +940,7 @@ private[graft] final case class GraftDmlKeysCommand(
           else if (nAnyNull <= cap)
             Seq(dfNN.join(broadcast(sNull), nullAware, "left_semi")
               .select(id.map(col): _*))
+          else if (dfNN.isEmpty) Nil // h3's escape hatch, mirrored
           else
             // Same guard as h3: the null-aware condition has no hash
             // plan, so past the broadcast cap Spark would silently fall

@@ -278,8 +278,16 @@ final class GraftStreamSource(
     val endMeta = Versioned.parseManifest(spark, tableDir, endV)
     val introduced = endMeta.files.filterNot(fromGroups)
     if (introduced.isEmpty) return emptyBatch()
-    val batch = Versioned.scanGroups(
-      spark, tableDir, introduced, endMeta.schemaDdl, endMeta.mapping)
+    // scanVERSIONGroups, not scanGroups: an `earliest` genesis at a
+    // vacuum boundary may carry DELETION VECTORS on its groups (the
+    // boundary can be a pure-DV delete version — mode-exempt as
+    // genesis), and a plain group scan would resurrect the deleted
+    // rows. Ordinary append ranges carry no DV entry for their
+    // introduced groups, so this plans the identical no-join scan
+    // there.
+    val batch = Versioned.scanVersionGroups(
+      spark, tableDir, introduced, endMeta.schemaDdl, endMeta.mapping,
+      endMeta.dvs)
     if (batch.schema != schema)
       throw new IllegalStateException(
         s"graft streaming source on $tableDir: the table's schema evolved " +
@@ -287,10 +295,13 @@ final class GraftStreamSource(
           s"$endV: ${batch.schema.toDDL}) — restart the stream to adopt " +
           "the new schema (Delta's streaming contract)")
     // The batch plan must be STREAMING (the engine splices it into the
-    // incremental plan): flip the scan leaf; projections above it (the
-    // column-mapping alias restore) propagate the flag.
+    // incremental plan): flip the scan leaves; projections above them
+    // (the column-mapping alias restore) propagate the flag. DV
+    // position artifacts stay STATIC — the anti-join plans as a
+    // supported stream-static join (same rule as the CDF path).
     val plan = batch.queryExecution.analyzed.transform {
-      case lr: LogicalRelation => lr.copy(isStreaming = true)
+      case lr: LogicalRelation if !GraftStreamSource.isDvArtifactScan(lr) =>
+        lr.copy(isStreaming = true)
     }
     org.apache.spark.sql.graftshim.GraftSqlBridge.ofRows(spark, plan)
   }

@@ -289,9 +289,11 @@ object ScaleCurve {
         val dirPath = java.nio.file.Paths.get(s"$tbl/_versions")
         val lastBytes = java.nio.file.Files.size(
           dirPath.resolve(s"v${g - 1}.json"))
-        val logBytes = java.nio.file.Files.list(dirPath).toArray
-          .map(p => java.nio.file.Files.size(
+        val listing = java.nio.file.Files.list(dirPath)
+        val logBytes =
+          try listing.toArray.map(p => java.nio.file.Files.size(
             p.asInstanceOf[java.nio.file.Path])).sum
+          finally listing.close()
         Versioned.clearResolvedManifestCache()
         val t0 = System.nanoTime()
         val m = Versioned.parseManifest(spark, tbl, (g - 1).toLong)

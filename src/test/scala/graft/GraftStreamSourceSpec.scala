@@ -337,16 +337,23 @@ class GraftStreamSourceSpec extends SparkSpec {
     val dir = tbl()
     Versioned.commit((0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"), dir) // v0
     Versioned.append((10L until 20L).map(i => (i, s"v$i")).toDF("id", "v"), dir) // v1
-    Versioned.append((20L until 30L).map(i => (i, s"v$i")).toDF("id", "v"), dir) // v2
+    spark.conf.set("spark.graft.dv.maxDeleteFraction", "0.5")
+    try Versioned.delete(spark, dir)(col("id") === 15L) // v2: pure DV
+    finally spark.conf.unset("spark.graft.dv.maxDeleteFraction")
+    Versioned.append((20L until 30L).map(i => (i, s"v$i")).toDF("id", "v"), dir) // v3
     Versioned.vacuum(spark, dir, keepFrom = 2L) // v0, v1 gone
-    // append-rows mode: the new genesis (v2) serves its FULL file set
+    // append-rows mode: the new genesis (v2 — a DV-delete boundary,
+    // mode-exempt as genesis) serves the full file set WITH its
+    // deletion vectors applied: the deleted row must not resurrect
     val (sink, ckpt) = scratch()
     drain(dir, sink, ckpt, Map("startingVersion" -> "earliest"))
-    assert(sinkIds(sink) == (0L until 30L), "v2's full content, once")
+    assert(sinkIds(sink) == (0L until 30L).filterNot(_ == 15L),
+      "boundary content once, DV applied")
     // increments after the resync arrive exactly once across a restart
-    Versioned.append((30L until 35L).map(i => (i, s"v$i")).toDF("id", "v"), dir) // v3
+    Versioned.append((30L until 35L).map(i => (i, s"v$i")).toDF("id", "v"), dir) // v4
     drain(dir, sink, ckpt, Map("startingVersion" -> "earliest"))
-    assert(sinkIds(sink) == (0L until 35L), "only v3's rows arrived")
+    assert(sinkIds(sink) == (0L until 35L).filterNot(_ == 15L),
+      "only v4's rows arrived")
     // CDF mode: the boundary snapshot lands as inserts @boundary with
     // its deletion vectors APPLIED, increments keep exact attribution
     val dir2 = tbl()
