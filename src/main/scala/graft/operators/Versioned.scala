@@ -88,9 +88,7 @@ object Versioned {
     try {
       val in = fs(spark, tableDir).open(manifestPath(tableDir, lowest))
       val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      var h = 0xcbf29ce484222325L
-      raw.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
-      h ^ lowest
+      fnv64(raw) ^ lowest
     } catch { case _: java.io.IOException => -1L }
   }
 
@@ -261,63 +259,90 @@ object Versioned {
     * the record (always FRESH — a table re-created at the same path
     * must never serve a stale entry), then either parse it whole (a
     * full/checkpoint record) or fold it over its parent chain (a delta
-    * record). Chain walks are amortized O(1) I/O: each resolved
-    * ancestor is cached keyed by the hash its child pins, so a cached
-    * parent serves without re-reading — and can never belong to a
-    * different table incarnation, because its hash would differ.
-    * `expectHash` carries the child's pin during the walk; a mismatch
-    * fails closed. */
+    * record). The walk is ITERATIVE — bounded by heap, never the JVM
+    * stack, so even a pathological never-checkpointed chain resolves
+    * (or fails with a real error) instead of StackOverflowError — and
+    * amortized O(1) I/O: each resolved ancestor is cached keyed by the
+    * hash its child pins, so a cached parent serves without re-reading
+    * and can never belong to a different table incarnation (its hash
+    * would differ). A parent VACUUMED away diverts to the child's
+    * checkpoint sidecar (vacuum writes one at the boundary before
+    * dropping ancestors). `expectHash` carries a child's pin; a
+    * mismatch fails closed. */
   private def resolveWithHash(
       spark: SparkSession, tableDir: String, v: Long,
       expectHash: Option[Long] = None): (Long, Manifest) = {
     val f = fs(spark, tableDir)
-    val raw = recordRaw(f, manifestPath(tableDir, v))
-    val h = fnv64(raw)
+    def key(w: Long) = cacheKey(spark, tableDir) + "#" + w
+    def parentRef(raw: String, w: Long): (Long, Long) = {
+      val p = "\"parent\":(\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"delta manifest v$w of $tableDir has no parent — corrupt"))
+      val ph = "\"parent_hash\":\"(-?\\d+)\"".r.findFirstMatchIn(raw)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"delta manifest v$w of $tableDir has no parent_hash — corrupt"))
+      (p, ph)
+    }
+    val raw0 = recordRaw(f, manifestPath(tableDir, v))
+    val h0 = fnv64(raw0)
     expectHash.foreach { e =>
-      if (e != h) throw new IllegalStateException(
+      if (e != h0) throw new IllegalStateException(
         s"manifest v$v of $tableDir does not match the hash its child " +
-          s"record pinned (expected $e, got $h) — the log was replaced " +
+          s"record pinned (expected $e, got $h0) — the log was replaced " +
           "or corrupted under a live chain; failing closed")
     }
-    val key = cacheKey(spark, tableDir) + "#" + v
-    resolvedManifestCache.get(key) match {
-      case Some((ch, m)) if ch == h => (h, m)
-      case _ =>
-        val m =
-          if (!raw.trim.startsWith("{\"delta\":")) parseFullRecord(raw, v)
-          else resolveDelta(spark, tableDir, v, raw, f)
-        resolvedManifestCache.put(key, h, m)
-        (h, m)
+    resolvedManifestCache.get(key(v)) match {
+      case Some((ch, m)) if ch == h0 => return (h0, m)
+      case _ => ()
     }
-  }
-
-  /** Fold a delta record over its resolved parent. The parent resolves
-    * from the hash-verified cache without I/O in the common case; a
-    * parent that was VACUUMED away diverts to this version's checkpoint
-    * sidecar (vacuum writes one at the boundary before dropping
-    * ancestors — see [[vacuum]]). */
-  private def resolveDelta(
-      spark: SparkSession, tableDir: String, v: Long, raw: String,
-      f: org.apache.hadoop.fs.FileSystem): Manifest = {
-    val p = "\"parent\":(\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toLong)
-      .getOrElse(throw new IllegalStateException(
-        s"delta manifest v$v of $tableDir has no parent — corrupt"))
-    val ph = "\"parent_hash\":\"(-?\\d+)\"".r.findFirstMatchIn(raw)
-      .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalStateException(
-        s"delta manifest v$v of $tableDir has no parent_hash — corrupt"))
-    val parentM =
-      try {
-        val pkey = cacheKey(spark, tableDir) + "#" + p
-        resolvedManifestCache.get(pkey) match {
-          case Some((ch, m)) if ch == ph => m
-          case _ => resolveWithHash(spark, tableDir, p, Some(ph))._2
+    // walk DOWN the chain, collecting unresolved delta records
+    // oldest-first, until a full record, a hash-verified cached
+    // ancestor, or the vacuum boundary's checkpoint sidecar
+    var chain = List.empty[(Long, String, Long)] // (version, raw, hash)
+    var curV = v; var curRaw = raw0; var curH = h0
+    var base: Manifest = null
+    while (base == null) {
+      if (!curRaw.trim.startsWith("{\"delta\":")) {
+        base = parseFullRecord(curRaw, curV)
+        resolvedManifestCache.put(key(curV), curH, base)
+      } else {
+        val (p, ph) = parentRef(curRaw, curV)
+        chain = (curV, curRaw, curH) :: chain
+        resolvedManifestCache.get(key(p)) match {
+          case Some((ch, m)) if ch == ph => base = m
+          case _ =>
+            val praw =
+              try Some(recordRaw(f, manifestPath(tableDir, p)))
+              catch { case _: java.io.FileNotFoundException => None }
+            praw match {
+              case Some(r) =>
+                val pH = fnv64(r)
+                if (pH != ph) throw new IllegalStateException(
+                  s"manifest v$p of $tableDir does not match the hash " +
+                    s"its child record pinned (expected $ph, got $pH) — " +
+                    "the log was replaced or corrupted under a live " +
+                    "chain; failing closed")
+                curV = p; curRaw = r; curH = pH
+              case None =>
+                // vacuumed parent: curV is the retention boundary and
+                // carries a checkpoint sidecar — it IS curV's state,
+                // so curV leaves the fold list
+                base = parseFullRecord(
+                  recordRaw(f, checkpointPath(tableDir, curV)), curV)
+                resolvedManifestCache.put(key(curV), curH, base)
+                chain = chain.tail
+            }
         }
-      } catch {
-        case _: java.io.FileNotFoundException =>
-          return parseFullRecord(recordRaw(f, checkpointPath(tableDir, v)), v)
       }
-    foldDelta(parentM, raw, v)
+    }
+    // fold forward, caching every intermediate for the next walk
+    var m = base
+    chain.foreach { case (cv, craw, ch) =>
+      m = foldDelta(m, craw, cv)
+      resolvedManifestCache.put(key(cv), ch, m)
+    }
+    (h0, m)
   }
 
   private def parseFullRecord(raw: String, v: Long): Manifest = {
@@ -710,9 +735,12 @@ object Versioned {
       case Some((phash, parent)) if !checkpointSlot &&
           // the delta fold must reproduce the exact file sequence
           (parent.files.filter(groups.toSet) ++ added) == groups &&
-          // row-count coverage must not degrade through the fold
+          // row-count coverage must not degrade through the fold: a
+          // CARRIED group's count must come from the parent RECORD —
+          // that is all foldDelta can see (a rowsByGroup entry for a
+          // carried group would satisfy the writer but fold to empty)
           (fileRows.isDefined && groups.filterNot(added.toSet)
-            .forall(g => parent.fileRows.contains(g) || rowsByGroup.contains(g))
+            .forall(parent.fileRows.contains)
             || fileRows.isEmpty && parent.fileRows.isEmpty) &&
           // a recorded schema cannot CLEAR through a delta (absent =
           // inherit) — never happens in practice, full record if so

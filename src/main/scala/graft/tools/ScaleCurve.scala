@@ -207,36 +207,10 @@ object ScaleCurve {
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "lang", "n_chars")
     val nBase = base.count()
-    // ONE measurement harness for both series: build, mutate k times,
-    // count frames, time plan + replay, sanity the row total.
-    def series(label: String, k: Int, ids: Array[Long],
-        mutate: (String, Long, Int) => Unit, expectRows: Long): String = {
-      val tbl = java.nio.file.Files
-        .createTempDirectory(s"graft-$label$k").toString + "/t"
-      Versioned.commit(base, tbl)
-      val t0 = System.nanoTime()
-      ids.zipWithIndex.foreach { case (id, i) => mutate(tbl, id, i) }
-      val mutSec = (System.nanoTime() - t0) / 1e9
-      val latest = Versioned.latestVersion(spark, tbl)
-      require(latest == k.toLong, s"expected $k mutation versions, got $latest")
-      val frames = Versioned.changesFeedPieces(spark, tbl, 0L, latest).size
-      val t1 = System.nanoTime()
-      val feed = Versioned.tableChanges(spark, tbl, 0L)
-      feed.queryExecution.optimizedPlan // force analysis + optimization
-      val planSec = (System.nanoTime() - t1) / 1e9
-      val t2 = System.nanoTime()
-      val n = feed.count()
-      val execSec = (System.nanoTime() - t2) / 1e9
-      require(n == expectRows,
-        s"$label replay must emit $expectRows rows, got $n")
-      val arts = Versioned.parseManifest(spark, tbl, latest)
-        .dvs.map(_._2).distinct.size
-      f"""[scale-$label] {"depth":$k,"frames":$frames,"plan_seconds":$planSec%.2f,"replay_seconds":$execSec%.2f,"mutate_seconds":$mutSec%.1f,"replay_rows":$n,"live_artifacts":$arts}"""
-    }
     depths.foreach { k =>
       val ids = base.orderBy("doc_id").limit(k).collect().map(_.getLong(0))
       // pure-delete series: ONE consolidated frame at any depth
-      println(series("dvdepth", k, ids,
+      println(depthSeries(spark, base, "dvdepth", k, ids,
         (tbl, id, _) => Versioned.delete(spark, tbl)(col("doc_id") === id),
         expectRows = nBase + k))
       // MIXED series: alternating pure-DV delete / merge-on-read
@@ -244,7 +218,7 @@ object ScaleCurve {
       // frames (preimages + postimages) regardless of k; replay rows =
       // genesis + deletes + 2x updates (pre/post pairs).
       val dels = (k + 1) / 2; val upds = k / 2
-      println(series("dvdepthmix", k, ids,
+      println(depthSeries(spark, base, "dvdepthmix", k, ids,
         (tbl, id, i) =>
           if (i % 2 == 0) Versioned.delete(spark, tbl)(col("doc_id") === id)
           else Versioned.update(spark, tbl,
@@ -252,6 +226,38 @@ object ScaleCurve {
         expectRows = nBase + dels + 2L * upds))
     }
     spark.stop()
+  }
+
+  /** ONE measurement harness for every depth series (dvdepth,
+    * dvdepthmix, cowdepth): build a table from `base`, mutate k times,
+    * count change-feed frames, time plan + replay, sanity the row
+    * total, report one JSON line. */
+  private def depthSeries(
+      spark: SparkSession, base: DataFrame, label: String, k: Int,
+      ids: Array[Long], mutate: (String, Long, Int) => Unit,
+      expectRows: Long): String = {
+    import graft.operators.Versioned
+    val tbl = java.nio.file.Files
+      .createTempDirectory(s"graft-$label$k").toString + "/t"
+    Versioned.commit(base, tbl)
+    val t0 = System.nanoTime()
+    ids.zipWithIndex.foreach { case (id, i) => mutate(tbl, id, i) }
+    val mutSec = (System.nanoTime() - t0) / 1e9
+    val latest = Versioned.latestVersion(spark, tbl)
+    require(latest == k.toLong, s"expected $k mutation versions, got $latest")
+    val frames = Versioned.changesFeedPieces(spark, tbl, 0L, latest).size
+    val t1 = System.nanoTime()
+    val feed = Versioned.tableChanges(spark, tbl, 0L)
+    feed.queryExecution.optimizedPlan // force analysis + optimization
+    val planSec = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val n = feed.count()
+    val execSec = (System.nanoTime() - t2) / 1e9
+    require(n == expectRows,
+      s"$label replay must emit $expectRows rows, got $n")
+    val arts = Versioned.parseManifest(spark, tbl, latest)
+      .dvs.map(_._2).distinct.size
+    f"""[scale-$label] {"depth":$k,"frames":$frames,"plan_seconds":$planSec%.2f,"replay_seconds":$execSec%.2f,"mutate_seconds":$mutSec%.1f,"replay_rows":$n,"live_artifacts":$arts}"""
   }
 
   /** Manifest-log curve: the checkpointing claim, MEASURED. A table of
@@ -339,34 +345,17 @@ object ScaleCurve {
         .map(_.getLong(0))
       val (delIds, updIds) = ids.splitAt(k)
       val insBase = base.agg(max("doc_id")).collect()(0).getLong(0) + 1L
-      val tbl = java.nio.file.Files
-        .createTempDirectory(s"graft-cowdepth$k").toString + "/t"
-      Versioned.commit(base, tbl)
-      val t0 = System.nanoTime()
-      (0 until k).foreach { i =>
-        Versioned.mergeClauses(spark, tbl,
-          src(Seq((delIds(i), "xx", -1L), (updIds(i), "xx", 777L),
-            (insBase + i, "xx", 1L))),
-          Seq("doc_id"), Seq(
-            MatchedDelete(Some(col("SRC.n_chars") === -1L)),
-            MatchedUpdate(Seq("n_chars" -> col("SRC.n_chars"))),
-            NotMatchedInsert()))
-      }
-      val mutSec = (System.nanoTime() - t0) / 1e9
-      val latest = Versioned.latestVersion(spark, tbl)
-      require(latest == k.toLong, s"expected $k merge versions, got $latest")
-      val frames = Versioned.changesFeedPieces(spark, tbl, 0L, latest).size
-      val t1 = System.nanoTime()
-      val feed = Versioned.tableChanges(spark, tbl, 0L)
-      feed.queryExecution.optimizedPlan // force analysis + optimization
-      val planSec = (System.nanoTime() - t1) / 1e9
-      val t2 = System.nanoTime()
-      val n = feed.count()
-      val execSec = (System.nanoTime() - t2) / 1e9
       // genesis + per merge: delete + pre/post pair + insert
-      require(n == nBase + 4L * k,
-        s"cowdepth replay must emit ${nBase + 4L * k} rows, got $n")
-      println(f"""[scale-cowdepth] {"depth":$k,"frames":$frames,"plan_seconds":$planSec%.2f,"replay_seconds":$execSec%.2f,"mutate_seconds":$mutSec%.1f,"replay_rows":$n}""")
+      println(depthSeries(spark, base, "cowdepth", k, delIds,
+        (tbl, delId, i) =>
+          Versioned.mergeClauses(spark, tbl,
+            src(Seq((delId, "xx", -1L), (updIds(i), "xx", 777L),
+              (insBase + i, "xx", 1L))),
+            Seq("doc_id"), Seq(
+              MatchedDelete(Some(col("SRC.n_chars") === -1L)),
+              MatchedUpdate(Seq("n_chars" -> col("SRC.n_chars"))),
+              NotMatchedInsert())),
+        expectRows = nBase + 4L * k))
     }
     spark.stop()
   }
