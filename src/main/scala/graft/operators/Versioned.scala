@@ -1601,6 +1601,12 @@ object Versioned {
     * manifest adopts the latest schema and the compacted groups
     * null-fill the new columns, the same contract any old group has.
     * Returns the published version. */
+  /** Test seam: runs once per rebase publish attempt, after the winner
+    * set is read and before the conditional publish. CompactRebaseSpec
+    * injects appends here to force deterministic race losses; production
+    * leaves it a no-op. */
+  private[graft] var rebaseAttemptHook: () => Unit = () => ()
+
   private[graft] def rebasePublish(
       spark: SparkSession, tableDir: String, expectedParent: Long,
       newGroups: Seq[(String, Long)],
@@ -1637,14 +1643,21 @@ object Versioned {
             abandon("the table uses column mapping; a rebased snapshot " +
               "manifest cannot carry the winners' physical names")
         }
-        val parentFiles =
-          (try parseManifest(spark, tableDir, parent)
+        // Diff baseline pinned to the rewrite's ORIGINAL read version:
+        // the extras must be files(latest) \ files(expectedParent). A
+        // baseline that advances with `parent` across publish retries
+        // silently drops the first retry window's appended groups on a
+        // second race loss (observed as a lost 1000-row append in
+        // CompactRebaseSpec).
+        val baseFiles =
+          (try parseManifest(spark, tableDir, expectedParent)
           catch {
             case _: java.io.FileNotFoundException =>
-              abandon(s"parent version $parent was vacuumed while rebasing")
+              abandon(
+                s"parent version $expectedParent was vacuumed while rebasing")
           }).files.toSet
         val latestMeta = metas.last
-        extraGroups = latestMeta.files.filterNot(parentFiles)
+        extraGroups = latestMeta.files.filterNot(baseFiles)
         extraKnown = latestMeta.fileRows
         extraRows = groupRows(spark, tableDir, extraGroups,
           latestMeta.schemaDdl, known = extraKnown)
@@ -1652,6 +1665,7 @@ object Versioned {
         parent = latest
       }
       val cons = constraints(spark, tableDir)
+      rebaseAttemptHook()
       val target = parent + 1
       val allGroups = newGroups.map(_._1) ++ extraGroups
       // mode 'optimize' (Delta's operation name): maintenance rewrites

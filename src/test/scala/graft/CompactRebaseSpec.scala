@@ -139,6 +139,34 @@ class CompactRebaseSpec extends SparkSpec {
       Set(Seq(1L, "a"), Seq(3L, "c")))
   }
 
+  test("DETERMINISTIC double race loss: every retry window's appends land") {
+    // Forces the compact to lose the publish race TWICE, with one append
+    // landing in EACH retry window. The winner diff must stay anchored to
+    // the rewrite's original read version: a baseline that advances with
+    // the moving parent drops the first window's group on the second loss
+    // (the CompactRebaseSpec row-loss flake this pins).
+    val dir = tbl()
+    Versioned.commit(spark.range(0L, 1000L).toDF("id"), dir) // v0
+    var calls = 0
+    Versioned.rebaseAttemptHook = () => {
+      calls += 1
+      if (calls <= 2) // steal the target version: attempt loses, retries
+        Versioned.append(
+          spark.range(100000L * calls, 100000L * calls + 100L).toDF("id"), dir)
+    }
+    try {
+      val cv = Versioned.compact(spark, dir)
+      assert(calls >= 3, s"expected two forced losses + a win, saw $calls")
+      val all = Versioned.read(spark, dir)
+      assert(all.count() === 1200L,
+        "both retry windows' appends must survive the rebase")
+      assert(all.groupBy("id").count().filter($"count" > 1).isEmpty,
+        "no row doubled")
+      val row = historyModes(dir).find(_._1 == cv).get
+      assert(row._2 == "optimize" && row._3 == 3L, row.toString)
+    } finally Versioned.rebaseAttemptHook = () => ()
+  }
+
   test("DETERMINISTIC rebase refusals: column-mapped winners and vacuumed parents") {
     // column-mapped table: even an append winner refuses (the rebased
     // snapshot manifest cannot carry physical names)
