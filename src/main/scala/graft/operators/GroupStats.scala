@@ -116,25 +116,30 @@ object GroupStats {
       None
   }
 
-  /** Compute (rowCount, stats) in ONE aggregate pass over `df` — the
-    * same job [[Versioned]]'s write-back count already pays, widened
-    * with min/max/non-null-count per eligible column. */
-  def compute(df: DataFrame): Stats = {
-    val fields = df.schema.fields.filter(f => eligible(f.dataType)).toSeq
-    val aggs = count(lit(1)).as("__n") +: fields.flatMap { f =>
+  /** Fields of `schema` that get stats, in schema order. */
+  private[operators] def statFields(schema: StructType): Seq[StructField] =
+    schema.fields.filter(f => eligible(f.dataType)).toSeq
+
+  /** The stats aggregates over `df`'s eligible columns: one `__n` row
+    * count plus (min, max, non-null count) per field — the single
+    * expression list behind both [[compute]] (a standalone aggregate
+    * over an already-written group) and [[observedAggs]] (the same
+    * metrics collected DURING a write). */
+  private def statAggs(
+      df: DataFrame, fields: Seq[StructField]): Seq[org.apache.spark.sql.Column] =
+    count(lit(1)).as("__n") +: fields.flatMap { f =>
       val c = df.col(f.name)
       Seq(min(c).as(s"__min_${f.name}"), max(c).as(s"__max_${f.name}"),
         count(c).as(s"__nn_${f.name}"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val n = row.getLong(0)
-    val cols = fields.zipWithIndex.map { case (f, i) =>
+
+  private def buildStats(
+      fields: Seq[StructField], n: Long, value: String => Any): Stats = {
+    val cols = fields.map { f =>
       val tag = tagOf(f.dataType)
-      val rawMin = row.get(1 + i * 3)
-      val rawMax = row.get(2 + i * 3)
-      val nonNull = row.getLong(3 + i * 3)
-      var mn = normalize(tag, rawMin)
-      var mx = normalize(tag, rawMax)
+      val nonNull = value(s"__nn_${f.name}").asInstanceOf[Long]
+      var mn = normalize(tag, value(s"__min_${f.name}"))
+      var mx = normalize(tag, value(s"__max_${f.name}"))
       if (tag == "string") {
         // Truncation asymmetry: prefix is a valid (conservative) lower
         // bound, never a valid upper bound.
@@ -144,6 +149,49 @@ object GroupStats {
       f.name -> ColStat(tag, mn, mx, n - nonNull)
     }.toMap
     Stats(n, cols)
+  }
+
+  /** Compute (rowCount, stats) in ONE aggregate pass over `df`. Used
+    * where a group exists WITHOUT write lineage (clustered staging
+    * moves, CONVERT adoption, checkpoint back-fill); the write path
+    * collects the same metrics during the write via [[observedAggs]]. */
+  def compute(df: DataFrame): Stats = {
+    val fields = statFields(df.schema)
+    val aggs = statAggs(df, fields)
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    buildStats(fields, row.getLong(0),
+      name => row.get(row.fieldIndex(name)))
+  }
+
+  /** The stats aggregates shaped for `Dataset.observe`: attach to the
+    * DataFrame being written, run the write, then turn the observed
+    * metric map into [[Stats]] with [[fromObserved]]. One pass instead
+    * of write + read-back — the same values, computed from the exact
+    * rows the writer emitted (the CollectMetrics node sits in the write
+    * plan itself, so non-deterministic inputs cannot diverge). */
+  def observedAggs(df: DataFrame): Seq[org.apache.spark.sql.Column] =
+    statAggs(df, statFields(df.schema))
+
+  def fromObserved(schema: StructType, metrics: Map[String, Any]): Stats =
+    buildStats(statFields(schema), metrics("__n").asInstanceOf[Long],
+      name => metrics.getOrElse(name, null))
+
+  /** Per-key stats in ONE grouped aggregate pass — for writers that
+    * stage many groups in a single job ([[Versioned.cluster]]'s
+    * partitioned staging write): N per-group read-back jobs collapse
+    * into one scan. `keyCol` itself gets no stats (it is the staging
+    * partition column, dropped on rename). */
+  def computeByKey(df: DataFrame, keyCol: String): Map[Long, Stats] = {
+    val fields = statFields(StructType(
+      df.schema.fields.filterNot(_.name.equalsIgnoreCase(keyCol))))
+    val aggs = statAggs(df, fields)
+    val rows = df.groupBy(df.col(keyCol).cast("long").as("__key"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.map { row =>
+      row.getLong(row.fieldIndex("__key")) ->
+        buildStats(fields, row.getLong(row.fieldIndex("__n")),
+          name => row.get(row.fieldIndex(name)))
+    }.toMap
   }
 
   // ---- JSON sidecar ----------------------------------------------------

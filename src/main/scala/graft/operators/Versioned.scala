@@ -1066,13 +1066,19 @@ object Versioned {
     val spark = df.sparkSession
     val stats =
       try {
-        out.write.parquet(s"$tableDir/files/$group")
-        // ONE read-back aggregate yields the manifest row count AND the
-        // group's min/max column stats; the `_stats.json` sidecar lands
-        // inside the (still-unpublished) group dir, so a published
-        // version's stats are always complete and vacuum reclaims them
-        // with the data. See [[GroupStats]] and [[readWhere]].
-        val st = GroupStats.compute(spark.read.parquet(s"$tableDir/files/$group"))
+        // Stats are collected DURING the write (Dataset.observe): the
+        // manifest row count and the group's min/max column stats come
+        // from the exact rows the writer emitted, in the same job — the
+        // read-back aggregate this replaces was a second full scan of
+        // every committed byte. The `_stats.json` sidecar lands inside
+        // the (still-unpublished) group dir, so a published version's
+        // stats are always complete and vacuum reclaims them with the
+        // data. See [[GroupStats]] and [[readWhere]].
+        val obs = org.apache.spark.sql.Observation()
+        val aggs = GroupStats.observedAggs(out)
+        out.observe(obs, aggs.head, aggs.tail: _*)
+          .write.parquet(s"$tableDir/files/$group")
+        val st = GroupStats.fromObserved(out.schema, obs.get)
         GroupStats.write(fs(spark, tableDir),
           GroupStats.sidecarPath(tableDir, group), st)
         st
@@ -2983,11 +2989,18 @@ object Versioned {
       val gidDirs = f.listStatus(stagingPath)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("__gid="))
         .sortBy(_.getPath.getName.stripPrefix("__gid=").toInt)
+      // ONE grouped aggregate over the staged write yields every
+      // group's stats — the per-group read-back this replaces paid one
+      // full scan job per gid dir. Read before the renames move the
+      // dirs out of the staging root.
+      val statsByGid = GroupStats.computeByKey(
+        spark.read.parquet(staging), "__gid")
       val groups = gidDirs.map { s =>
+        val gidNo = s.getPath.getName.stripPrefix("__gid=").toLong
         val g = java.util.UUID.randomUUID().toString
         require(f.rename(s.getPath, new Path(s"$tableDir/files/$g")),
           s"failed to move clustered group ${s.getPath} into place")
-        val stats = GroupStats.compute(spark.read.parquet(s"$tableDir/files/$g"))
+        val stats = statsByGid(gidNo)
         GroupStats.write(f, GroupStats.sidecarPath(tableDir, g), stats)
         (g, stats.nRows)
       }.toSeq
