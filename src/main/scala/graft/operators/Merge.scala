@@ -28,7 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
-  /** Pure plan: returns the post-merge contents of `target` (lazy). */
+  /** Pure plan: returns the post-merge contents of `target` (lazy).
+    *
+    * ONE outer join, not the classic three (untouched ∪ matched ∪
+    * inserts): each branch of that union re-joins target against source,
+    * and since a small source plans as a broadcast join there is no
+    * reusable exchange on the streamed side — the (100 TB) target is
+    * scanned once per branch. Here a left-outer (update) or full-outer
+    * (upsert) join tags each row's provenance and a per-column CASE
+    * picks the matched / untouched / insert value, so the target is
+    * read exactly once. Row multiset and schema match the union shape:
+    * CASE branch types coerce to the same widest(TGT, SRC) the
+    * unionByName coercion produced. */
   def apply(
       target: DataFrame,
       source: DataFrame,
@@ -38,8 +49,20 @@ object Merge {
       insertWhenNotMatched: Boolean = false): DataFrame = {
 
     val p = Plan(target, source, primaryKeys, updateColumns, baseCondition)
-    val base = p.untouched.unionByName(p.matched)
-    if (!insertWhenNotMatched) base else base.unionByName(p.inserts)
+    // Non-null side tags survive the outer join where data columns
+    // (nullable pks included) could not distinguish no-match from null.
+    val tgtT = tagged(target, "__tgt_tag").alias("TGT")
+    val srcT = tagged(source, "__src_tag").alias("SRC")
+    val joined = tgtT.join(srcT, p.cond,
+      if (insertWhenNotMatched) "full_outer" else "left_outer")
+    val matched = col("__src_tag").isNotNull && col("__tgt_tag").isNotNull
+    val outCols = p.tgtCols.map { c =>
+      val base = when(matched, p.matchedVal(c)).otherwise(col(s"TGT.$c"))
+      (if (!insertWhenNotMatched) base
+       else when(col("__tgt_tag").isNull, p.insertVal(c)).otherwise(base))
+        .as(c)
+    }
+    joined.select(outCols: _*)
   }
 
   /** Distinct partition-column tuples a merge can change — the union of
@@ -61,15 +84,26 @@ object Merge {
       partitionCols: Seq[String]): DataFrame = {
 
     val p = Plan(target, source, primaryKeys, updateColumns, baseCondition)
-    val joined = p.tgt.join(p.src, p.cond, "inner")
-    val pre  = joined.select(partitionCols.map(c => col(s"TGT.$c").as(c)): _*)
-    val post = joined.select(partitionCols.map(p.matchedCol): _*)
-    val all =
-      if (!insertWhenNotMatched) pre.unionByName(post)
-      else pre.unionByName(post).unionByName(
-        p.src.join(p.tgt, p.cond, "left_anti")
-          .select(partitionCols.map(p.insertCol): _*))
-    all.distinct()
+    // Same single-pass shape as [[apply]]: the pre/post/insert branch
+    // selects of the union form each re-joined target against source
+    // (≈3 scans of each side); one tagged join + explode reads each
+    // side once. Inner join when inserts are off (only matched rows
+    // matter here); right-outer keeps not-matched source rows as the
+    // insert branch.
+    val tgtT = tagged(target, "__tgt_tag").alias("TGT")
+    val srcT = tagged(source, "__src_tag").alias("SRC")
+    val joined = tgtT.join(srcT, p.cond,
+      if (insertWhenNotMatched) "right_outer" else "inner")
+    val pre  = struct(partitionCols.map(c => col(s"TGT.$c").as(c)): _*)
+    val post = struct(partitionCols.map(c => p.matchedVal(c).as(c)): _*)
+    val ins  = struct(partitionCols.map(c => p.insertVal(c).as(c)): _*)
+    val branches =
+      if (!insertWhenNotMatched) array(pre, post)
+      else when(col("__tgt_tag").isNotNull, array(pre, post))
+        .otherwise(array(ins))
+    joined.select(explode(branches).as("__p"))
+      .select(col("__p.*"))
+      .distinct()
   }
 
   /** Shared column-level merge expressions, so the full-plan and the
@@ -93,18 +127,23 @@ object Merge {
       primaryKeys.map(k => col(s"TGT.$k") === col(s"SRC.$k")).reduce(_ && _) &&
         expr(baseCondition)
 
-    /** Value of column `c` for a matched target row after the update. */
-    def matchedCol(c: String): Column =
-      if (updateSet.contains(c) && srcCols.contains(c)) col(s"SRC.$c").as(c)
-      else col(s"TGT.$c").as(c)
+    /** Value of column `c` for a matched target row after the update
+      * (unaliased — usable inside CASE branches). */
+    def matchedVal(c: String): Column =
+      if (updateSet.contains(c) && srcCols.contains(c)) col(s"SRC.$c")
+      else col(s"TGT.$c")
+
+    def matchedCol(c: String): Column = matchedVal(c).as(c)
 
     /** Value of column `c` for an inserted (not-matched source) row:
       * update-set columns from SRC, NULL elsewhere (reference golden
-      * data: upserted rows carry NULL c5/c6). */
-    def insertCol(c: String): Column =
+      * data: upserted rows carry NULL c5/c6). Unaliased. */
+    def insertVal(c: String): Column =
       if (updateSet.contains(c) && srcCols.contains(c))
-        col(s"SRC.$c").cast(tgtSchema(c).dataType).as(c)
-      else lit(null).cast(tgtSchema(c).dataType).as(c)
+        col(s"SRC.$c").cast(tgtSchema(c).dataType)
+      else lit(null).cast(tgtSchema(c).dataType)
+
+    def insertCol(c: String): Column = insertVal(c).as(c)
 
     def matched: DataFrame =
       tgt.join(src, cond, "inner").select(tgtCols.map(matchedCol): _*)
@@ -114,6 +153,16 @@ object Merge {
 
     def inserts: DataFrame =
       src.join(tgt, cond, "left_anti").select(tgtCols.map(insertCol): _*)
+  }
+
+  /** Provenance-tag a side of the merge join. `withColumn` would
+    * silently REPLACE a same-named data column and corrupt the branch
+    * dispatch — refuse instead. */
+  private def tagged(df: DataFrame, tag: String): DataFrame = {
+    require(!df.columns.contains(tag),
+      s"merge input already carries a column named '$tag' (reserved for " +
+        "merge-branch dispatch) — rename the column")
+    df.withColumn(tag, lit(true))
   }
 
   /** Fails if more than one source row matches a single target row —
