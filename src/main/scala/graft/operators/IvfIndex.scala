@@ -466,33 +466,41 @@ object IvfIndex {
     val full = Similarity.normedBase(corpus, vecCol, idCol)
     val n = if (totalCount >= 0L) totalCount else full.count()
     val target = math.max(nlist.toLong * 256L, TrainSampleTarget)
+    // The training sample is bounded by construction (≤ ~target rows),
+    // but deriving it is a FULL corpus scan — and the seeding pass plus
+    // every k-means iteration re-derived it, so iters=2 paid three
+    // corpus scans. Persist the bounded sample once; the iterations
+    // read cached rows.
     val base =
-      if (n <= target) full
-      else full.filter(
-        pmod(xxhash64(col("__id"), lit(seed), lit(1L)), lit(10000L)) <
-          lit(math.max(1L, target * 10000L / n)))
-    var centroids: Seq[Seq[Double]] = base
-      .orderBy(xxhash64(col("__id"), lit(seed)))
-      .limit(nlist)
-      .select(transform(col("__vec"), _.cast("double")).as("v"))
-      .collect()
-      .map(_.getSeq[Double](0).toSeq).toSeq
-
-    (1 to iters).foreach { _ =>
-      val assigned = base.withColumn("__cell",
-        nearestCell(col("__vec"), col("__norm"), centroids))
-      val updated = assigned
-        .select(col("__cell"), posexplode(col("__vec")))
-        .groupBy("__cell", "pos").agg(avg(col("col").cast("double")).as("m"))
+      (if (n <= target) full
+       else full.filter(
+         pmod(xxhash64(col("__id"), lit(seed), lit(1L)), lit(10000L)) <
+           lit(math.max(1L, target * 10000L / n))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Seq[Seq[Double]] = base
+        .orderBy(xxhash64(col("__id"), lit(seed)))
+        .limit(nlist)
+        .select(transform(col("__vec"), _.cast("double")).as("v"))
         .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
-      // cells that lost all members keep their previous centroid
-      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
-    }
-    centroids
+        .map(_.getSeq[Double](0).toSeq).toSeq
+
+      (1 to iters).foreach { _ =>
+        val assigned = base.withColumn("__cell",
+          nearestCell(col("__vec"), col("__norm"), centroids))
+        val updated = assigned
+          .select(col("__cell"), posexplode(col("__vec")))
+          .groupBy("__cell", "pos").agg(avg(col("col").cast("double")).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cell, rows) =>
+            cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          }
+        // cells that lost all members keep their previous centroid
+        centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+      }
+      centroids
+    } finally base.unpersist()
   }
 
   // ------------------------------------------------- bounded cell blocking
