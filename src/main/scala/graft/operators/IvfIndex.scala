@@ -63,18 +63,30 @@ object IvfIndex {
       .withColumn("__cell", explode(topCells(col("__vec"), col("__norm"), centroids, nprobe)))
       .withColumnsRenamed(Map("__id" -> "query_id", "__vec" -> "__qv", "__norm" -> "__qn"))
 
-    val scored = c.join(q, "__cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine",
-        when(col("__cn") * col("__qn") === 0.0d, lit(0.0d))
-          .otherwise(dotNative(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))))
+    val scored = scoreAndDedup(c.join(q, "__cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Score probed candidates and collapse duplicate (query, neighbor)
+    * pairs — cosine FIRST, so the dedup exchange moves three narrow
+    * columns instead of both raw vectors (2·dim doubles/row; at dim 64
+    * that is a ~40× shuffle-byte cut on the probe's dominant exchange,
+    * and it grows with dim). Duplicates only exist when the same id was
+    * assigned twice (e.g. re-appended); max() keeps the pick
+    * deterministic where dropDuplicates-then-score was arbitrary —
+    * identical output whenever ids are unique, which every declared
+    * query's index is. */
+  private def scoreAndDedup(joined: DataFrame): DataFrame =
+    joined
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        when(col("__cn") * col("__qn") === 0.0d, lit(0.0d))
+          .otherwise(dotNative(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))))
+      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
 
   /** Persist a trained index as a reusable parquet artifact:
     *
@@ -346,12 +358,7 @@ object IvfIndex {
       .withColumnsRenamed(Map(
         "id" -> "neighbor_id", "vec" -> "__cv", "norm" -> "__cn", "cell" -> "__cell"))
 
-    val scored = c.join(q, "__cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine",
-        when(col("__cn") * col("__qn") === 0.0d, lit(0.0d))
-          .otherwise(dotNative(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))))
+    val scored = scoreAndDedup(c.join(q, "__cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
