@@ -137,6 +137,14 @@ object GraftFunctions {
     SimhashSig(children.head)
   }
 
+  val BucketRankName = "graft_bucket_rank"
+
+  private val bucketRankInfo = new ExpressionInfo(classOf[BucketRank].getName, BucketRankName)
+  private val bucketRankBuilder = (children: Seq[Expression]) => {
+    require(children.length == 2, s"$BucketRankName takes (value, edges)")
+    BucketRank(children.head, children(1))
+  }
+
   // Spark's own runtime-filter expression pair, surfaced as session
   // functions: `graft_bloom_agg(key, estItems)` builds the serialized
   // filter (BinaryType), `graft_might_contain(bloom, key)` probes it.
@@ -185,6 +193,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(SimhashSigName), simhashInfo, simhashBuilder)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(BucketRankName), bucketRankInfo, bucketRankBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(BloomAggName), bloomAggInfo, bloomAggBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(MightContainName), mightContainInfo, mightContainBuilder)
@@ -195,6 +205,7 @@ object GraftFunctions {
     ext.injectFunction((FunctionIdentifier(MinhashSigName), sigInfo, sigBuilder))
     ext.injectFunction((FunctionIdentifier(WinnowFpsName), winnowInfo, winnowBuilder))
     ext.injectFunction((FunctionIdentifier(SimhashSigName), simhashInfo, simhashBuilder))
+    ext.injectFunction((FunctionIdentifier(BucketRankName), bucketRankInfo, bucketRankBuilder))
     ext.injectFunction((FunctionIdentifier(BloomAggName), bloomAggInfo, bloomAggBuilder))
     ext.injectFunction((FunctionIdentifier(MightContainName), mightContainInfo, mightContainBuilder))
   }

@@ -2963,19 +2963,20 @@ object Versioned {
     require(v >= 0, s"no versions committed under $tableDir")
     val df = read(spark, tableDir, v)
     val boundaries = graft.sources.Layout.boundariesFor(df, dims, bitsPerDim)
-    val withZ = df.withColumn("__z",
-      graft.sources.Layout.zvalue(dims, boundaries, bitsPerDim))
+    val withZ = graft.sources.Layout.withZValue(df, dims, boundaries, bitsPerDim)
     // Equi-depth edges over the z-value → group id = rank among edges.
     // Duplicate edges (few distinct z-values) just leave some groups
     // empty; the publish lists only the groups that materialized.
+    // bucketRank, not size(filter(...)): ArrayFilter is CodegenFallback
+    // and would drag the whole staging projection into interpreted eval.
     val gid: org.apache.spark.sql.Column =
       if (numGroups == 1) org.apache.spark.sql.functions.lit(0)
       else {
         import org.apache.spark.sql.functions._
         val probs = (1 until numGroups).map(_.toDouble / numGroups).toArray
         val edges = withZ.stat.approxQuantile("__z", probs, 1.0 / (numGroups * 4))
-        val arr = array(edges.map(lit(_)): _*)
-        size(filter(arr, b => b <= col("__z").cast("double")))
+        graft.sources.Layout.bucketRank(col("__z").cast("double"), edges)
+          .cast("int")
       }
     val staging = s"$tableDir/_staging/${java.util.UUID.randomUUID()}"
     withZ.withColumn("__gid", gid)

@@ -26,29 +26,52 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Z-value column: interleaved bits of the equi-depth bucket ranks of
-    * `dims` (numeric columns; nulls rank lowest). `boundaries(d)` are the
-    * ascending bucket edges for dimension d (size 2^bitsPerDim - 1, from
-    * [[boundariesFor]]'s quantile pass). Shared by [[zorderWrite]] and
-    * [[graft.operators.Versioned.cluster]]. */
-  private[graft] def zvalue(
+  /** Count of sorted `edges` at or below `x` — the equi-depth bucket
+    * rank, as the native [[graft.functions.BucketRank]] binary search.
+    * NOT `size(filter(litArray, _ <= x))`: ArrayFilter is
+    * CodegenFallback, which forces the whole enclosing projection into
+    * interpreted eval (and the layout write evaluates that projection
+    * twice — range-sampling pass + shuffle pass); a when-tree
+    * formulation stays expression-only but its 2^bits CaseWhen nodes
+    * blow the codegen size limits and fall back just the same. Duplicate
+    * edges keep the exact count semantics (upper-bound search). Nulls
+    * must be pre-coalesced by the caller (rank 0 ⇔ -Inf). Callers must
+    * have run `GraftFunctions.register`. */
+  private[graft] def bucketRank(x: Column, edges: Array[Double]): Column =
+    call_function(graft.functions.GraftFunctions.BucketRankName,
+      x, array(edges.map(lit(_)): _*))
+
+  /** `df` plus `outCol` = interleaved bits of the equi-depth bucket ranks
+    * of `dims` (numeric columns; nulls rank lowest). `boundaries(d)` are
+    * the ascending bucket edges for dimension d (size 2^bitsPerDim - 1,
+    * from [[boundariesFor]]'s quantile pass). Shared by [[zorderWrite]]
+    * and [[graft.operators.Versioned.cluster]].
+    *
+    * The ranks land in their OWN projection and the bit-interleave reads
+    * them as plain attributes: inlining the rank tree into the fold would
+    * copy it into every bit term (bitsPerDim × dims copies of a
+    * 2^bits-node tree — a plan so large codegen degrades and interpreted
+    * eval re-walks every copy). */
+  private[graft] def withZValue(
+      df: DataFrame,
       dims: Seq[String],
       boundaries: Seq[Array[Double]],
-      bitsPerDim: Int): Column = {
+      bitsPerDim: Int,
+      outCol: String = "__z"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val d = dims.size
-    val buckets = dims.zip(boundaries).map { case (c, bs) =>
-      // Rank = how many boundaries lie at or below the value: a
-      // higher-order filter over a literal array — interpreted, but this
-      // runs once, at write time, inside the pay-once layout shuffle.
-      val arr = array(bs.map(lit(_)): _*)
-      val x = coalesce(col(c).cast("double"), lit(Double.NegativeInfinity))
-      size(filter(arr, b => b <= x)).cast("long")
+    val rankCols = dims.indices.map(i => s"__zrank_$i")
+    val ranked = dims.zip(boundaries).zipWithIndex.foldLeft(df) {
+      case (acc, ((c, bs), i)) =>
+        val x = coalesce(col(c).cast("double"), lit(Double.NegativeInfinity))
+        acc.withColumn(rankCols(i), bucketRank(x, bs))
     }
-    buckets.zipWithIndex.foldLeft(lit(0L)) { case (acc, (b, dim)) =>
+    val z = rankCols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (rc, dim)) =>
       (0 until bitsPerDim).foldLeft(acc) { (a, i) =>
-        a.bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * d + dim))
+        a.bitwiseOR(shiftleft(shiftright(col(rc), i).bitwiseAND(lit(1L)), i * d + dim))
       }
     }
+    ranked.withColumn(outCol, z).drop(rankCols: _*)
   }
 
   /** Write `df` to `path` as parquet, z-order-clustered on `dims`
@@ -81,7 +104,7 @@ object Layout {
       numFiles: Int,
       bitsPerDim: Int = 8): Unit = {
     val boundaries = boundariesFor(df, dims, bitsPerDim)
-    df.withColumn("__z", zvalue(dims, boundaries, bitsPerDim))
+    withZValue(df, dims, boundaries, bitsPerDim)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
