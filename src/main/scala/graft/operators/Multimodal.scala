@@ -256,18 +256,27 @@ private[graft] object Gvf {
       off += 4 + len
       val (w, h) = (bi.getWidth, bi.getHeight)
       val bgr = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = bi.getRGB(x, y)
-          val p = (y * w + x) * 3
-          bgr(p)     = (rgb & 0xff).toByte
-          bgr(p + 1) = ((rgb >> 8) & 0xff).toByte
-          bgr(p + 2) = ((rgb >> 16) & 0xff).toByte
-          x += 1
+      if (bi.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) {
+        // The JDK PNG reader decodes RGB PNGs to exactly this layout
+        // (top-down BGR bytes) — copy the raster buffer instead of one
+        // getRGB color-model conversion per pixel.
+        val data = bi.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        System.arraycopy(data, 0, bgr, 0, bgr.length)
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = bi.getRGB(x, y)
+            val p = (y * w + x) * 3
+            bgr(p)     = (rgb & 0xff).toByte
+            bgr(p + 1) = ((rgb >> 8) & 0xff).toByte
+            bgr(p + 2) = ((rgb >> 16) & 0xff).toByte
+            x += 1
+          }
+          y += 1
         }
-        y += 1
       }
       Bmp.Image(w, h, bgr)
     }
